@@ -1,0 +1,8 @@
+from fineo_readerator_spark.functions.scalars import (
+    fineo_base64_decode,
+    nanos_to_date,
+    nanos_to_millis,
+    nanos_to_ts,
+)
+
+__all__ = ["fineo_base64_decode", "nanos_to_date", "nanos_to_millis", "nanos_to_ts"]

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are chosen so the same
+plans scale to a large cluster: AQE for runtime re-planning (skew joins,
+coalesced shuffle partitions), Arrow for any pandas-UDF path, and UTC session
+time so epoch-millis round-trips are stable across engines (the DuckDB oracle
+also operates in UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Return (or create) a SparkSession with engine defaults.
+
+    On a real cluster the master/memory settings come from spark-submit; only
+    the semantic + optimizer configs here matter. ``spark.sql.shuffle.partitions``
+    is a floor — AQE coalesces small partitions back down at runtime.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata parquet carries TIMESTAMP(NANOS) columns, which Spark has
+        # no native type for; read them as raw nanos longs and convert with
+        # functions.nanos_to_* helpers (DuckDB reads the same columns as
+        # TIMESTAMP_NS — oracles compare on epoch millis).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,138 @@
+"""Source tables backing a metric.
+
+The reference unions two physically different stores per metric
+(`SubTableScanBuilder.java:44-112`):
+
+- ``historical``: parquet/JSON directories written by batch ETL, laid out
+  ``<base>/<version>/<format>/<org>/<metric>/<date-dirs>`` — old data.
+- ``nearline``: DynamoDB tables, each owning a time window ``[start, end)``
+  encoded in the table name (`DynamoTimestampHandler.java:51-54`) — recent data.
+- ``nearline_items``: same, but in the raw KV item shape (one item per
+  (partition_key, sort_key) carrying an ``ids`` list and per-field
+  ``{write-id -> value}`` maps) that needs expansion
+  (`DynamoExpanderBatch.java:38-42,80-116`).
+
+Spark mapping: every source is a DataFrame read; the window metadata drives
+resolve-time pruning (skip sources whose window misses the query's time range)
+and the anti-overlap cutover filter.  At 100 TB the historical dirs are
+date-partitioned parquet, so Catalyst partition pruning handles intra-source
+file skipping; window metadata handles inter-source skipping without touching
+storage at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+HISTORICAL = "historical"
+NEARLINE = "nearline"
+NEARLINE_ITEMS = "nearline_items"
+KINDS = (HISTORICAL, NEARLINE, NEARLINE_ITEMS)
+
+
+@dataclass(frozen=True)
+class TimeRange:
+    """Half-open epoch-millis interval ``[start, end)``; ``None`` = unbounded.
+
+    Mirrors the Range arithmetic in `TimestampExpressionBuilder.java:37-141`
+    and the table-window handlers (`DynamoTimestampHandler.java:29-121`).
+    """
+
+    start: Optional[int] = None
+    end: Optional[int] = None
+
+    @property
+    def is_unbounded(self) -> bool:
+        return self.start is None and self.end is None
+
+    def overlaps(self, other: "TimeRange") -> bool:
+        lo = max(
+            self.start if self.start is not None else float("-inf"),
+            other.start if other.start is not None else float("-inf"),
+        )
+        hi = min(
+            self.end if self.end is not None else float("inf"),
+            other.end if other.end is not None else float("inf"),
+        )
+        return lo < hi
+
+    def intersect(self, other: "TimeRange") -> Optional["TimeRange"]:
+        if not self.overlaps(other):
+            return None
+        starts = [s for s in (self.start, other.start) if s is not None]
+        ends = [e for e in (self.end, other.end) if e is not None]
+        return TimeRange(max(starts) if starts else None, min(ends) if ends else None)
+
+    def to_list(self) -> list:
+        return [self.start, self.end]
+
+    @classmethod
+    def from_list(cls, pair) -> "TimeRange":
+        if pair is None:
+            return cls()
+        return cls(pair[0], pair[1])
+
+
+@dataclass
+class SourceSpec:
+    """One physical source of rows for a metric table."""
+
+    kind: str  # historical | nearline | nearline_items
+    path: str
+    fmt: str = "parquet"  # parquet | json (gzip json is native to the json reader)
+    time_range: TimeRange = field(default_factory=TimeRange)
+    # Does the stored data carry companykey/metrictype columns (dfs layout) or
+    # a compound partition_key (dynamo layout)?  (DynamoFineoCompoundKeyMapper.java:21-37)
+    compound_key: bool = False
+    # Columns storing base64 text that must decode to BINARY on read
+    # (FineoRecombinatorRule.java:130-139, udf/conv/Base64Decoder.java).
+    base64_binary: bool = False
+    # Enforce the declared window as a row filter on read.  Nearline window
+    # tables physically contain only their window in the reference; when a
+    # snapshot emulation points several windows at overlapping files, this
+    # keeps the declared-window semantics.
+    enforce_range: bool = True
+    # Optional options passed to the reader (e.g. {"recursiveFileLookup": "true"}).
+    options: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown source kind {self.kind!r}")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        if self.fmt == "parquet":
+            return reader.parquet(self.path)
+        if self.fmt == "json":
+            return reader.json(self.path)
+        raise ValueError(f"unsupported source format {self.fmt!r}")
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": self.kind,
+            "path": self.path,
+            "fmt": self.fmt,
+            "range": self.time_range.to_list(),
+            "compound_key": self.compound_key,
+            "base64_binary": self.base64_binary,
+            "enforce_range": self.enforce_range,
+            "options": dict(self.options),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SourceSpec":
+        return cls(
+            kind=d["kind"],
+            path=d["path"],
+            fmt=d.get("fmt", "parquet"),
+            time_range=TimeRange.from_list(d.get("range")),
+            compound_key=d.get("compound_key", False),
+            base64_binary=d.get("base64_binary", False),
+            enforce_range=d.get("enforce_range", True),
+            options=dict(d.get("options", {})),
+        )
