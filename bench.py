@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the bench-flagged queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a cheap full-result consumption
+(``df.write.format("noop")``) so the measurement covers scan → shuffle →
+result production without driver-collect overhead distorting it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fineo_readerator_spark.plans.queries import QUERIES  # noqa: E402
+from fineo_readerator_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("fineo-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
+    # warm up JVM/codegen/file-listing so timings reflect steady state
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    next(iter(bench_queries.values())).fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query wall-clock, local[{}]".format(
+            os.environ.get("SPARK_GRAFT_CPUS", "32")
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Driver-contract queries exercising the fineo metric-table layer (the
+reference's own declared query surface, SURVEY.md §2.7) over the driver's
+``events`` table, each with a DuckDB oracle.
+
+The ``events`` parquet plays the role of a tenant metric store
+(FIXTURES.md F6): ``ts`` (epoch-nanos long under nanosAsLong) maps to the
+metric ``timestamp`` (epoch millis), and we derive the internal
+``companykey``/``metrictype`` columns the reference requires on every stored
+row (`FineoCommon.java:17-20`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.operators.expander import expand_items
+from fineo_readerator_spark.plans.registry import QueryDef, load
+from fineo_readerator_spark.recombinator import build_metric_df
+from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+from fineo_readerator_spark.sources import SourceSpec, TimeRange
+
+ORG = "acme"
+METRIC = "events"
+
+# 2024-01-16T00:00:00Z — mid-window cutover for the two-store split
+CUTOVER_MS = 1705363200000
+# 2024-01-08 / 2024-01-16 — time-filter window
+T_LO = 1704672000000
+T_HI = 1705363200000
+
+EVENT_FIELDS = [
+    FieldDef("event_id", "long"),
+    FieldDef("user_id", "long"),
+    FieldDef("event_type", "string"),
+    FieldDef("value", "double"),
+    FieldDef("props", "string"),
+]
+
+# storage-shape adapter: epoch-nanos → epoch-millis + internal required cols
+EVENT_DERIVE = {
+    "timestamp": "ts div 1000000",
+    "writetime": "ts div 1000000",
+    "companykey": f"'{ORG}'",
+    "metrictype": f"'{METRIC}'",
+}
+
+USER_COLS = ["timestamp", "event_id", "user_id", "event_type", "value", "props"]
+_ORACLE_COLS = (
+    'epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value, props'
+)
+
+
+def events_store(sf_dir: str, split: bool = False, fields=None, track_unknown=False) -> SchemaStore:
+    """Register ``events`` as metric ``acme.events``; with ``split=True`` it is
+    served by two stores — historical (anti-overlap-capped) + a nearline
+    window owning [CUTOVER_MS, ∞) — both backed by the same parquet file,
+    which is exactly the overlap scenario the cutover filter resolves
+    (`TestClientLikeReads.testReadAcrossOverlappingFileAndDynamo:91-113`)."""
+    st = SchemaStore()
+    st.register_metric(
+        MetricSchema(org=ORG, metric=METRIC, fields=fields or EVENT_FIELDS, track_unknown=track_unknown)
+    )
+    path = f"{sf_dir}/events.parquet"
+    if split:
+        st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE)))
+        st.add_source(
+            ORG,
+            METRIC,
+            SourceSpec(
+                kind="nearline",
+                path=path,
+                derive=dict(EVENT_DERIVE),
+                time_range=TimeRange(CUTOVER_MS, None),
+            ),
+        )
+    else:
+        st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE)))
+    return st
+
+
+def m_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * FROM <metric> ORDER BY timestamp (BaseFineoTest.verifySelectStar)."""
+    return build_metric_df(spark, events_store(sf_dir), ORG, METRIC).select(*USER_COLS)
+
+
+def m_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range predicate, pushed to the scan and used for pruning."""
+    pred = f"timestamp >= {T_LO} AND timestamp < {T_HI}"
+    return build_metric_df(spark, events_store(sf_dir), ORG, METRIC, predicate=pred).select(*USER_COLS)
+
+
+def m_field_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/comparison mix on user fields (TestFineoReadTable WHERE surface)."""
+    pred = (
+        "(event_type = 'purchase' AND value > 100.0) "
+        "OR (event_type = 'error' AND value <= 50.0) "
+        "OR value IS NULL"
+    )
+    return build_metric_df(spark, events_store(sf_dir), ORG, METRIC, predicate=pred).select(*USER_COLS)
+
+
+def m_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping stores union to exactly one copy of every row via the
+    range cutover (nearline wins) — no row-level dedup involved."""
+    return build_metric_df(spark, events_store(sf_dir, split=True), ORG, METRIC).select(*USER_COLS)
+
+
+def m_union_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-only predicate over the split store: historical source is
+    skipped entirely at resolve time (O3/O5)."""
+    st = events_store(sf_dir, split=True)
+    pred = f"timestamp >= {CUTOVER_MS + 3600_000}"
+    df, report = build_metric_df(spark, st, ORG, METRIC, predicate=pred, with_report=True)
+    assert len(report.scanned) == 1, f"expected historical pruned, scanned={report.scanned}"
+    return df.select(*USER_COLS)
+
+
+def m_alias_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values stored only under an alias read back under the canonical name
+    (testStoringNonUserVisibleFieldName) — `value` is stored as `val_alias`."""
+    fields = [
+        FieldDef("event_id", "long"),
+        FieldDef("user_id", "long"),
+        FieldDef("value", "double", aliases=["val_alias"]),
+    ]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    derive = dict(EVENT_DERIVE)
+    derive["val_alias"] = "value"
+    derive["value"] = "cast(null as double)"  # canonical column present but null
+    st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=f"{sf_dir}/events.parquet", derive=derive))
+    return build_metric_df(spark, st, ORG, METRIC).select("timestamp", "event_id", "user_id", "value")
+
+
+def m_radio_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-field map: register only half the fields; the rest surface via
+    ``_fm`` (TestFineoRadio).  Returns scalar lookups so values hash cleanly."""
+    fields = [FieldDef("event_id", "long"), FieldDef("event_type", "string")]
+    df = build_metric_df(
+        spark,
+        events_store(sf_dir, fields=fields, track_unknown=True),
+        ORG,
+        METRIC,
+    )
+    return df.select(
+        "timestamp",
+        "event_id",
+        "event_type",
+        F.col("_fm")["user_id"].cast("long").alias("fm_user_id"),
+        F.col("_fm")["value"].cast("double").alias("fm_value"),
+    )
+
+
+def m_items_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-item expansion round-trip: collapse events into the nearline item
+    shape (ids list + {write-id -> value} maps per key), expand one row per
+    write-id, and recover the original rows (DynamoExpanderBatch semantics)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts div 1000000").alias("timestamp"),
+        F.col("event_id").cast("string").alias("wid"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    items = ev.groupBy("timestamp", "user_id").agg(
+        F.collect_list("wid").alias("ids"),
+        F.map_from_entries(F.collect_list(F.struct("wid", "event_type"))).alias("event_type"),
+        F.map_from_entries(F.collect_list(F.struct("wid", "value"))).alias("value"),
+    )
+    out = expand_items(items, ["event_type", "value"])
+    return out.select(
+        "timestamp",
+        F.col("_write_id").cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+METRIC_QUERIES = [
+    QueryDef(
+        "m_select_star",
+        m_select_star,
+        f'SELECT {_ORACLE_COLS} FROM events',
+        bench=True,
+    ),
+    QueryDef(
+        "m_time_filter",
+        m_time_filter,
+        f'SELECT {_ORACLE_COLS} FROM events WHERE epoch_ms(ts) >= {T_LO} AND epoch_ms(ts) < {T_HI}',
+        bench=True,
+    ),
+    QueryDef(
+        "m_field_filters",
+        m_field_filters,
+        f"SELECT {_ORACLE_COLS} FROM events WHERE (event_type = 'purchase' AND value > 100.0) "
+        "OR (event_type = 'error' AND value <= 50.0) OR value IS NULL",
+    ),
+    QueryDef("m_union_overlap", m_union_overlap, f"SELECT {_ORACLE_COLS} FROM events", bench=True),
+    QueryDef(
+        "m_union_pruned",
+        m_union_pruned,
+        f"SELECT {_ORACLE_COLS} FROM events WHERE epoch_ms(ts) >= {CUTOVER_MS + 3600_000}",
+    ),
+    QueryDef(
+        "m_alias_coalesce",
+        m_alias_coalesce,
+        'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, value FROM events',
+    ),
+    QueryDef(
+        "m_radio_fm",
+        m_radio_fm,
+        'SELECT epoch_ms(ts) AS "timestamp", event_id, event_type, '
+        "user_id AS fm_user_id, value AS fm_value FROM events",
+    ),
+    QueryDef(
+        "m_items_expand",
+        m_items_expand,
+        'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value FROM events',
+    ),
+]

@@ -1,0 +1,19 @@
+"""Aggregated driver-contract query registry.
+
+Every entry is one implemented operator/query from SURVEY.md §2 (plus the
+LLM-pipeline extensions); the driver runs each Spark builder against its
+DuckDB oracle at sf0.01 and hashes the results.
+"""
+
+from __future__ import annotations
+
+from fineo_readerator_spark.plans.metric_queries import METRIC_QUERIES
+from fineo_readerator_spark.plans.registry import QueryDef
+from fineo_readerator_spark.plans.relational_queries import RELATIONAL_QUERIES
+
+QUERIES: dict[str, QueryDef] = {}
+
+for q in [*METRIC_QUERIES, *RELATIONAL_QUERIES]:
+    if q.name in QUERIES:
+        raise ValueError(f"duplicate query name {q.name}")
+    QUERIES[q.name] = q

@@ -1,0 +1,404 @@
+"""Relational capability queries (joins/aggregates/windows/set-ops).
+
+The reference inherits this surface wholesale from stock Drill/Calcite
+(SURVEY.md §2.4-2.5: no custom join/agg/window code exists); in Spark it is
+the native DataFrame API.  These queries pin that parity against the DuckDB
+oracle on the driver's TPC-H-ish tables and double as the bench workload.
+
+Determinism conventions (the driver hash-compares values):
+- Monetary aggregates go through ``decimal(18,2)`` so sums are exact in both
+  engines, then cast to double at the end (exact → identical bits).
+- Averages are double divisions of exact decimal sums — identical inputs →
+  identical result; rounded for belt-and-braces.
+- Every top-k has a full deterministic sort (measure + key tiebreak).
+- orders/lineitem date columns are millis-precision naive timestamps
+  (TIMESTAMP_NTZ in Spark, TIMESTAMP in DuckDB); comparisons use wall-clock
+  literals on both sides, epoch extraction under the UTC session zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.plans.registry import QueryDef, load
+
+
+def _ts(y: int, m: int, d: int):
+    """TIMESTAMP_NTZ literal: orders/lineitem date columns are millis-precision
+    naive timestamps (timestamp[ms] parquet → TIMESTAMP_NTZ in Spark, naive
+    TIMESTAMP in DuckDB); the events table alone is nanos."""
+    return F.expr(f"timestamp_ntz'{y:04d}-{m:02d}-{d:02d} 00:00:00'")
+
+
+D_1995_03_15 = "1995-03-15 00:00:00"
+D_1996_01_01 = "1996-01-01 00:00:00"
+D_1996_04_01 = "1996-04-01 00:00:00"
+D_1996_07_01 = "1996-07-01 00:00:00"
+D_1997_01_01 = "1997-01-01 00:00:00"
+D_2000_12_01 = "2000-12-01 00:00:00"
+
+
+def _ntz(d: str):
+    return F.expr(f"timestamp_ntz'{d}'")
+
+
+def _epoch_ms(col: str):
+    """NTZ wall-clock → epoch millis under the UTC session zone (matches
+    DuckDB ``epoch_ms`` on its naive TIMESTAMP)."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+# exact-decimal building blocks, same SQL text in Spark and DuckDB
+DEC_PRICE = "cast(l_extendedprice as decimal(18,2))"
+DISC = "cast(1 - l_discount as decimal(4,2))"
+TAX = "cast(1 + l_tax as decimal(4,2))"
+REVENUE = f"cast(sum({DEC_PRICE} * {DISC}) as double)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted: map-side partial aggregation → 6-group final agg;
+    one scan, no join, whole-stage codegen throughout."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ntz(D_2000_12_01))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").alias("sum_qty"),
+            F.expr(f"cast(sum({DEC_PRICE}) as double)").alias("sum_base_price"),
+            F.expr(f"cast(sum({DEC_PRICE} * {DISC}) as double)").alias("sum_disc_price"),
+            F.expr(f"cast(sum({DEC_PRICE} * {DISC} * {TAX}) as double)").alias("sum_charge"),
+            F.expr(
+                "round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 6)"
+            ).alias("avg_qty"),
+            F.expr(f"round(cast(sum({DEC_PRICE}) as double) / count(*), 6)").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum({DEC_PRICE}) as double) AS sum_base_price,
+       cast(sum({DEC_PRICE} * {DISC}) as double) AS sum_disc_price,
+       cast(sum({DEC_PRICE} * {DISC} * {TAX}) as double) AS sum_charge,
+       round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 6) AS avg_qty,
+       round(cast(sum({DEC_PRICE}) as double) / count(*), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted: selective dim filter → fact joins → top-10.
+    The filtered customer side broadcasts (AQE converts at runtime)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz(D_1995_03_15))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ntz(D_1995_03_15))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(REVENUE).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _epoch_ms("o_orderdate").alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT l_orderkey, {REVENUE} AS revenue,
+       epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: 6-way join with tiny-dim broadcasts."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01)) & (F.col("o_orderdate") < _ntz(D_1997_01_01))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(REVENUE).alias("revenue"))
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name, {REVENUE} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: returned-item revenue by customer, top 20."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01)) & (F.col("o_orderdate") < _ntz(D_1996_07_01))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.expr(REVENUE).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {REVENUE} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery → left-semi join (TPC-H Q4 shape)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01)) & (F.col("o_orderdate") < _ntz(D_1996_04_01))
+    )
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q_EXISTS_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: customers with no orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserved through aggregation (null-safe counts/sums)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.expr("cast(coalesce(sum(cast(o_totalprice as decimal(18,2))), 0) as double)").alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+Q_OUTER_ORACLE = """
+SELECT c_custkey, count(o_orderkey) AS order_cnt,
+       cast(coalesce(sum(cast(o_totalprice as decimal(18,2))), 0) as double) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window: latest 3 events per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.expr("ts div 1000000").alias("ts_ms"), "rn")
+    )
+
+
+Q_WINDOW_TOPN_ORACLE = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, rn FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (unbounded-preceding frame, exact decimal)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.expr("cast(o_totalprice as decimal(18,2))")).over(w).cast("double").alias("running_total"),
+    )
+
+
+Q_WINDOW_RUNNING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+FROM orders
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase aggregate, no driver collect."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n"),
+    )
+
+
+Q_DISTINCT_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouping_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias("total"),
+        )
+        .filter(F.col("n") > 100)
+    )
+
+
+Q_HAVING_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+FROM orders GROUP BY o_orderpriority, o_orderstatus HAVING count(*) > 100
+"""
+
+
+_SCALAR_EXPRS = [
+    ("p_partkey", "p_partkey"),
+    ("upper(p_brand)", "brand_u"),
+    ("substring(p_type, 1, 4)", "type4"),
+    ("length(p_name)", "name_len"),
+    ("CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END", "size_bucket"),
+    ("p_partkey % 7", "k7"),
+    ("abs(p_size - 25)", "size_dist"),
+    ("concat(p_brand, ':', p_type)", "brand_type"),
+]
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/CASE scalar surface — all JVM built-ins, identical SQL text
+    runs on the oracle side."""
+    part = load(spark, sf_dir, "part")
+    return part.select(*[F.expr(e).alias(a) for e, a in _SCALAR_EXPRS])
+
+
+Q_SCALAR_ORACLE = "SELECT " + ", ".join(f"{e} AS {a}" for e, a in _SCALAR_EXPRS) + " FROM part"
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    cust_nk = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp_nk = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cust_nk.intersect(supp_nk).select(F.lit("both").alias("tag"), "nk")
+    cust_only = cust_nk.subtract(supp_nk).select(F.lit("cust_only").alias("tag"), "nk")
+    supp_only = supp_nk.subtract(cust_nk).select(F.lit("supp_only").alias("tag"), "nk")
+    return both.unionAll(cust_only).unionAll(supp_only)
+
+
+Q_SETOPS_ORACLE = """
+SELECT 'both' AS tag, nk FROM (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'cust_only' AS tag, nk FROM (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supp_only' AS tag, nk FROM (SELECT s_nationkey AS nk FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (o_orderdate is TIMESTAMP_NTZ)."""
+    orders = load(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.dayofmonth(ts).alias("d"),
+        F.date_format(ts, "yyyy-MM").alias("ym"),
+    )
+
+
+Q_DATE_ORACLE = """
+SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+       day(o_orderdate) AS d, strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+RELATIONAL_QUERIES = [
+    QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
+    QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
+    QueryDef("q5_local_supplier", q5_local_supplier, Q5_ORACLE, bench=True),
+    QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE, bench=True),
+    QueryDef("q_exists_semi", q_exists_semi, Q_EXISTS_ORACLE),
+    QueryDef("q_anti_join", q_anti_join, Q_ANTI_ORACLE),
+    QueryDef("q_outer_agg", q_outer_agg, Q_OUTER_ORACLE),
+    QueryDef("q_window_topn", q_window_topn, Q_WINDOW_TOPN_ORACLE, bench=True),
+    QueryDef("q_window_running", q_window_running, Q_WINDOW_RUNNING_ORACLE),
+    QueryDef("q_distinct_agg", q_distinct_agg, Q_DISTINCT_ORACLE),
+    QueryDef("q_grouping_having", q_grouping_having, Q_HAVING_ORACLE),
+    QueryDef("q_scalar_funcs", q_scalar_funcs, Q_SCALAR_ORACLE),
+    QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
+    QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
+]

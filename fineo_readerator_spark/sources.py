@@ -97,6 +97,11 @@ class SourceSpec:
     enforce_range: bool = True
     # Optional options passed to the reader (e.g. {"recursiveFileLookup": "true"}).
     options: dict = field(default_factory=dict)
+    # Optional column derivations (name -> SQL expression) applied right after
+    # the read — the storage-shape adapter (e.g. epoch-nanos → epoch-millis,
+    # compound-key splits).  Pure Catalyst expressions: they fold into the
+    # scan projection, so there is no extra pass over the data.
+    derive: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
@@ -107,10 +112,16 @@ class SourceSpec:
         for k, v in self.options.items():
             reader = reader.option(k, v)
         if self.fmt == "parquet":
-            return reader.parquet(self.path)
-        if self.fmt == "json":
-            return reader.json(self.path)
-        raise ValueError(f"unsupported source format {self.fmt!r}")
+            df = reader.parquet(self.path)
+        elif self.fmt == "json":
+            df = reader.json(self.path)
+        else:
+            raise ValueError(f"unsupported source format {self.fmt!r}")
+        if self.derive:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns({name: F.expr(sql) for name, sql in self.derive.items()})
+        return df
 
     def to_dict(self) -> dict:
         return {
@@ -122,6 +133,7 @@ class SourceSpec:
             "base64_binary": self.base64_binary,
             "enforce_range": self.enforce_range,
             "options": dict(self.options),
+            "derive": dict(self.derive),
         }
 
     @classmethod
@@ -135,4 +147,5 @@ class SourceSpec:
             base64_binary=d.get("base64_binary", False),
             enforce_range=d.get("enforce_range", True),
             options=dict(d.get("options", {})),
+            derive=dict(d.get("derive", {})),
         )
