@@ -1,0 +1,117 @@
+"""Query entry point: tenant session with SQL access and read-only enforcement.
+
+Reference lifecycle being re-expressed (SURVEY.md §3): client connects with an
+api key → tenant validated → SQL rewritten/validated → planned against the
+tenant's schema only → executed read-only (`FineoJdbcMeta.java:122-176`,
+`TenantValidator.java:25-35`).  In Spark, E1/E2 collapse to: one
+``TenantSession`` per org (matching the reference's one-org-per-server
+deployment), metric tables registered as temp views built by the
+recombinator, ``spark.sql`` for the query surface, and a statement guard in
+place of the write-rejecting JDBC meta.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fineo_readerator_spark import catalog as cat
+from fineo_readerator_spark.recombinator import build_metric_df
+from fineo_readerator_spark.schema_store import SchemaStore
+from fineo_readerator_spark.sources import SourceSpec, TimeRange
+
+
+class ReadOnlyViolation(Exception):
+    """Writes are rejected — the engine is read-only
+    (`FineoJdbcMeta.java:166-176` throws on executeBatch/update)."""
+
+
+_READ_STATEMENTS = ("select", "with", "values", "explain", "show", "describe", "table")
+_COMMENT = re.compile(r"(--[^\n]*\n?)|(/\*.*?\*/)", re.DOTALL)
+
+
+def assert_read_only(sql: str) -> None:
+    head = _COMMENT.sub(" ", sql).strip()
+    if not head:
+        raise ReadOnlyViolation("empty statement")
+    first = head.split(None, 1)[0].lower().rstrip("(")
+    if first == "(":
+        first = head.lstrip("( \t\n").split(None, 1)[0].lower()
+    if first not in _READ_STATEMENTS:
+        raise ReadOnlyViolation(
+            f"statement {first.upper()!r} rejected: this engine is read-only"
+        )
+
+
+class TenantSession:
+    """All reads for one tenant.  Metric tables and the errors stream are temp
+    views whose definitions already carry the tenant filters, so no SQL string
+    can escape the tenant (stronger than the reference's query-rewrite
+    approach, `FineoErrorWhereForce.java:38-68`).
+
+    Note: Spark temp views are per-SparkSession.  Run one tenant per
+    SparkSession (the reference runs one org per server instance); use
+    ``spark.newSession()`` to host several tenants in one JVM with isolated
+    view namespaces.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SchemaStore,
+        org: str,
+        errors_source: Optional[SourceSpec] = None,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.org = org
+        self.errors_source = errors_source
+        self._register()
+
+    # -- registration -----------------------------------------------------
+    def _register(self) -> None:
+        for metric in self.store.metrics(self.org):
+            # views are unsorted: ORDER BY belongs to the consuming query; the
+            # metric_table() API keeps the reference's always-sorted default
+            df = build_metric_df(self.spark, self.store, self.org, metric, sort=False)
+            df.createOrReplaceTempView(metric)
+        if self.errors_source is not None:
+            cat.errors_stream_df(self.spark, self.errors_source, self.org).createOrReplaceTempView(
+                cat.ERRORS_VIEW
+            )
+        cat.info_schema_catalogs(self.spark).createOrReplaceTempView("information_schema_catalogs")
+        cat.info_schema_schemata(self.spark, self.store, self.org).createOrReplaceTempView(
+            "information_schema_schemata"
+        )
+        cat.info_schema_tables(self.spark, self.store, self.org).createOrReplaceTempView(
+            "information_schema_tables"
+        )
+        cat.info_schema_columns(self.spark, self.store, self.org).createOrReplaceTempView(
+            "information_schema_columns"
+        )
+
+    # -- query surface ----------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Read-only SQL over the tenant's views."""
+        assert_read_only(query)
+        return self.spark.sql(query)
+
+    def metric_table(
+        self,
+        metric: str,
+        predicate: Optional[str] = None,
+        time_range: Optional[TimeRange] = None,
+        sort: bool = True,
+    ) -> DataFrame:
+        """Programmatic metric read (always sorted by timestamp by default,
+        `FineoRecombinatorRule.java:171-177`)."""
+        return build_metric_df(
+            self.spark, self.store, self.org, metric,
+            predicate=predicate, time_range=time_range, sort=sort,
+        )
+
+    def refresh(self) -> None:
+        """Re-resolve views after schema-store changes (schema evolution)."""
+        self._register()

@@ -1,0 +1,42 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own surface (BASELINE.json north star): deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + LSH-bucketed ANN), multimodal column plumbing, and text
+analysis — every operator expressed as distributed DataFrame transforms with
+no driver-side collects, designed for 100 TB inputs.
+"""
+
+from fineo_readerator_spark.llm_ops.textstats import (
+    language_id,
+    text_fingerprint,
+    with_text_stats,
+)
+from fineo_readerator_spark.llm_ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from fineo_readerator_spark.llm_ops.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+__all__ = [
+    "with_text_stats",
+    "language_id",
+    "text_fingerprint",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "embedding_near_dup_pairs",
+]

@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of every choice here):
+- Signatures are computed row-local with Catalyst higher-order functions
+  (``transform``/``aggregate``/``array_min``) — one codegen'd projection, no
+  Python, no shuffle.
+- Candidate generation shuffles once on (band_idx, band_hash) — the standard
+  MinHash-LSH banding join; band width tunes the recall/cost curve.
+- Verification is a signature-agreement join over candidate pairs only.
+- Cluster resolution is iterative min-label propagation: O(log n) joins,
+  each fully distributed; no connected-components on the driver.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.textstats import tokens
+
+# modulus for the universal hash family: prime > 2^32, products stay < 2^62
+_MERSENNE_P = 4294967311
+_MAX_A = 1 << 30
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MAX_A), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
+# --- exact ----------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact text hash.  One hash-partitioned
+    aggregation; at 100 TB this is the cheapest dedup pass and always runs
+    first to shrink the fuzzy-dedup input."""
+    h = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as a distinct array; short docs fall back to the whole
+    token list joined (so they still get a signature)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    windows = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(F.when(n >= k, windows).otherwise(full))
+
+
+def shingle_hashes(col: Column, shingle_k: int = 3) -> Column:
+    """Distinct shingle hash array (the expensive tokenize+hash pass —
+    materialize this ONCE and feed it to ``minhash_signature_from``, otherwise
+    each of the N permutations re-evaluates the tokenization)."""
+    return F.transform(shingles(col, shingle_k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+
+def minhash_signature_from(base: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as array<long> from a shingle-hash array.
+
+    Single-pass: one ``aggregate`` traversal of the shingle array; the
+    accumulator holds all N permutation minima and an indexed ``transform``
+    updates them per shingle with ``(a_i*x + b_i) mod p``.  O(|shingles|·N)
+    arithmetic but each shingle hash is computed exactly once — no explode,
+    no shuffle, and no N-fold re-evaluation of the tokenization (Catalyst
+    collapses projections, so a "materialize then fan out" two-step would
+    still re-run the base expression per permutation)."""
+    params = _hash_params(num_hashes, seed)
+    A = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    B = F.array(*[F.lit(b).cast("long") for _, b in params])
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    idx1 = lambda i: (i + F.lit(1)).cast("int")  # noqa: E731
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v, (F.element_at(A, idx1(i)) * h + F.element_at(B, idx1(i))) % F.lit(_MERSENNE_P)
+            ),
+        ),
+    )
+
+
+def minhash_signature(
+    col: Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """One-shot signature (tokenizes per permutation; prefer the two-step
+    ``shingle_hashes`` + ``minhash_signature_from`` in pipelines)."""
+    return minhash_signature_from(shingle_hashes(col, shingle_k), num_hashes, seed)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    banding: rows-per-band r = num_hashes/bands; a pair lands in a bucket iff
+    one band agrees on all r positions.  est_jaccard = fraction of agreeing
+    signature positions (unbiased estimator of true Jaccard)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree * F.lit(1.0) / num_hashes, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation: labels converge to the min id of each connected
+    component in O(diameter) rounds; every round is one shuffle join."""
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage each round
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy dedup: keep one representative (min id) per near-duplicate
+    cluster; clusters come from LSH candidate edges + label propagation."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed)
+    ids = df.select(F.col(id_col).alias("id"))
+    labels = _propagate_min_label(ids, pairs)
+    keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash from whitespace tokens, pure Catalyst and single-pass:
+    one ``aggregate`` over the token-hash array keeps 64 bit-votes in the
+    accumulator (per bit: +1/-1 by the token hash's bit), then the votes fold
+    into a long.  Each token is hashed exactly once; no shuffle."""
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(
+                F.call_function("shiftright", h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    bits = F.transform(
+        votes,
+        # shiftleft with a column index so bit 63 wraps into the sign bit
+        lambda v, i: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int"))
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup: bucket by 16-bit chunks (pigeonhole: any pair within
+    hamming ≤ 3 shares at least one of 4 chunks), verify hamming in-bucket,
+    cluster, keep min id."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    left = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    labels = _propagate_min_label(ids, pairs)
+    keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    group_cols: Optional[list[str]] = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within the same group.
+
+    This is the *verification-grade* measure (MinHash estimates it); the
+    group columns bound the O(n²) comparison — at scale you pass LSH buckets
+    or metadata partitions, never the whole corpus."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    gcols = group_cols or []
+    base = df.select(*gcols, F.col(id_col).alias("id"), sh.alias("sh"))
+    a = base.select(*gcols, F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(*gcols, F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, gcols) if gcols else a.crossJoin(b)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        # unrounded: identical integer inputs → identical double on both engines
+        .withColumn("jaccard", inter * F.lit(1.0) / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas iterators.
+
+The Spark-side architecture is real and tested — schema contract, partition
+behavior, ``mapInPandas`` batch shape — while the actual media decoding is
+stubbed (codec libraries are not in this container): ``decode_fn=None`` uses
+a deterministic fake "decoder" so pipelines are testable end-to-end, and a
+real deployment passes e.g. a PIL/ffmpeg-backed callable without touching
+the Spark plumbing.
+
+Scale notes: media blobs dominate row size, so the iterator never
+materializes more than one Arrow batch (bounded memory per task), metadata
+extraction prunes to the binary column only, and derived features are small
+fixed-width columns that downstream joins/apprx-dedup run on without ever
+re-reading blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Cheap metadata (size + content hash) computed JVM-side; shape fields
+    are filled by the decode pass."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(b).cast("long").alias("size_bytes"),
+            F.md5(b).alias("content_hash"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a media decoder: derives stable pseudo
+    dimensions and a tiny feature vector from the payload hash.  Replace with
+    a real decoder via the ``decode_fn`` parameter."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "duration_ms": int.from_bytes(h[2:4], "big"),
+        "features": [b / 255.0 for b in h[4:12]],
+    }
+
+
+FEATURE_SCHEMA = "id long, width int, height int, duration_ms long, features array<double>"
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decode_fn: Optional[Callable[[bytes], dict]] = None,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode blobs and emit fixed-width features via ``mapInPandas``.
+
+    Real decoder not installed in this container — pass ``decode_fn`` to
+    plug one in; the default is the deterministic fake (NOT a real decode).
+    """
+    decode = decode_fn or _fake_decode
+    cols = [id_col, binary_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                d = decode(bytes(row[binary_col]))
+                out.append(
+                    {
+                        "id": row[id_col],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "duration_ms": d["duration_ms"],
+                        "features": d["features"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    n_frames: int = 4,
+    extract_fn: Optional[Callable[[bytes, int], bytes]] = None,
+) -> DataFrame:
+    """Frame sampling contract: one output row per (video, frame_idx).
+
+    The frame extraction itself is stubbed (``extract_fn=None`` slices the
+    payload deterministically); the Spark shape — explode to frame rows while
+    preserving partitioning, no shuffle — is the real thing."""
+    extract = extract_fn or (lambda payload, i: payload[i::n_frames][:64])
+    out_schema = "id long, frame_idx int, frame binary"
+    cols = [id_col, binary_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col])
+                for i in range(n_frames):
+                    rows.append({"id": row[id_col], "frame_idx": i, "frame": extract(payload, i)})
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(run, out_schema)

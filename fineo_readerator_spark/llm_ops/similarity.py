@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — one scan + one top-k reduce
+  (``orderBy().limit()`` → Spark TakeOrderedAndProject: per-partition heaps,
+  no global sort materialization).  The correctness baseline.
+- ``lsh_bucketed_topk``: random-hyperplane LSH scale path — probes only
+  buckets near the query's signature; at 1000 executors the scan cost drops
+  by the bucket selectivity while recall stays tunable via ``max_probe_dist``.
+- ``embedding_near_dup_pairs``: cosine near-duplicate detection via the same
+  hyperplane bucketing (self-join on bucket key, verify exact cosine).
+
+All arithmetic is Catalyst higher-order functions in double precision —
+no UDFs, identical formula to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as an int bucket key (random-hyperplane LSH: P[bit
+    agree] = 1 - angle/π)."""
+    bits = []
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(F.when(_dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_probe_dist: int = 1,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probe only buckets whose signature is within
+    ``max_probe_dist`` sign-bit flips of the query's bucket, then exact
+    cosine within the probed subset.
+
+    The bucket filter is a scan-level predicate (bit_count(x XOR q) ≤ d) —
+    Catalyst pushes it down; with a materialized signature column + bucketed
+    layout the non-probed partitions are never read."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    # query signature computed driver-side with identical arithmetic
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probed = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_probe_dist
+    )
+    return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket on the hyperplane
+    signature (near-identical vectors share all sign bits with high
+    probability), verify exact cosine in-bucket."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a = with_sig.select(F.col("sig"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = with_sig.select(F.col("sig"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

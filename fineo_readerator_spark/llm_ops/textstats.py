@@ -1,0 +1,138 @@
+"""Text analysis: tokenization stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Catalyst expressions (no Python UDFs): at 100 TB these run inside
+whole-stage codegen as a single projection over the scan — zero shuffles,
+perfectly parallel.  Every formula is also expressible in ANSI SQL so the
+DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokens, empties dropped (leading/trailing-safe on both engines)
+_WS = r"\s+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[.,!?;:]"
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " de la "],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(col), _WS), lambda t: F.length(t) > 0)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token/char/punctuation statistics and a quality score.
+
+    The quality score is a deterministic [0,1] blend of length, punctuation
+    and word-shape signals (the usual cheap pre-filters an LLM data pipeline
+    applies before expensive dedup)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    # ratios stay UNROUNDED doubles: both engines divide the same exact
+    # integers with the same expression shape, so the bits match; rounding
+    # would reintroduce half-way divergence between round() implementations
+    avg_wl = F.when(n_tok > 0, (F.length(F.concat_ws("", toks)) * F.lit(1.0)) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct * F.lit(1.0) / n_chars).otherwise(F.lit(0.0))
+    n_bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+    quality = (
+        F.least(n_tok * F.lit(1.0) / 50.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(avg_wl / 8.0, F.lit(1.0)) * 0.2
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_bpe_tokens": n_bpe,
+            "n_punct": n_punct,
+            "punct_ratio": punct_ratio,
+            "avg_word_len": avg_wl,
+            "quality_score": quality,
+        }
+    )
+
+
+def text_stats_oracle_exprs(text_col: str = "text") -> str:
+    """The same stats as DuckDB SQL (kept textually adjacent to the Spark
+    build so the two formulas evolve together)."""
+    t = text_col
+    toks = f"list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> length(x) > 0)"
+    n_tok = f"len({toks})"
+    n_chars = f"length({t})"
+    n_punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    avg_wl = (
+        f"CASE WHEN {n_tok} > 0 THEN length(list_aggregate({toks}, 'string_agg', '')) * 1.0"
+        f" / {n_tok} ELSE 0.0 END"
+    )
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} * 1.0 / {n_chars} ELSE 0.0 END"
+    n_bpe = f"len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    quality = (
+        f"(least({n_tok} * 1.0 / 50.0, 1.0) * 0.5"
+        f" + (1.0 - least({punct_ratio} * 5.0, 1.0)) * 0.3"
+        f" + least({avg_wl} / 8.0, 1.0) * 0.2)"
+    )
+    return (
+        f"{n_tok} AS n_tokens, {n_bpe} AS n_bpe_tokens, {n_punct} AS n_punct, "
+        f"{punct_ratio} AS punct_ratio, {avg_wl} AS avg_word_len, {quality} AS quality_score"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """Marker-stopword language heuristic: score = #marker hits per language,
+    argmax wins (priority order on ties), 'und' when nothing matches."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(F.when(padded.contains(m), 1).otherwise(0) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # earlier languages win ties
+        s = scores[lang]
+        cond = s >= best_score
+        best = F.when(cond & (s > 0), F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def language_id_oracle_expr(text_col: str = "text", out_col: str = "lang_guess") -> str:
+    padded = f"(' ' || lower({text_col}) || ' ')"
+
+    def score(lang):
+        return " + ".join(
+            f"(CASE WHEN contains({padded}, '{m}') THEN 1 ELSE 0 END)" for m in LANG_MARKERS[lang]
+        )
+
+    # same tie semantics: iterate reversed, >= replaces, earlier langs win ties
+    expr_best = "'und'"
+    expr_score = "0"
+    for lang in reversed(list(LANG_MARKERS)):
+        s = f"({score(lang)})"
+        expr_best = f"(CASE WHEN {s} >= {expr_score} AND {s} > 0 THEN '{lang}' ELSE {expr_best} END)"
+        expr_score = f"(CASE WHEN {s} >= {expr_score} THEN {s} ELSE {expr_score} END)"
+    return f"{expr_best} AS {out_col}"
+
+
+def text_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key that survives formatting noise."""
+    norm = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def text_fingerprint_oracle_expr(text_col: str = "text", out_col: str = "fingerprint") -> str:
+    toks = f"list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'), x -> length(x) > 0)"
+    return f"md5(array_to_string({toks}, ' ')) AS {out_col}"

@@ -1,0 +1,73 @@
+"""Driver-contract queries for the tenant catalog/API layer: SQL entry,
+forced-filter errors table, INFORMATION_SCHEMA parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fineo_readerator_spark.api import TenantSession
+from fineo_readerator_spark.catalog import errors_stream_df
+from fineo_readerator_spark.plans.metric_queries import METRIC, ORG, events_store
+from fineo_readerator_spark.plans.registry import QueryDef
+from fineo_readerator_spark.sources import SourceSpec
+
+
+def t_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User SQL over the tenant's registered metric view (E1 collapsed:
+    tenant session → spark.sql)."""
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    return tenant.sql(
+        f"SELECT event_type, count(*) AS n, sum(cast(value as decimal(18,2))) AS total "
+        f"FROM {METRIC} GROUP BY event_type"
+    )
+
+
+T_SQL_ORACLE = """
+SELECT event_type, count(*) AS n, sum(cast(value as decimal(18,2))) AS total
+FROM events GROUP BY event_type
+"""
+
+
+def e_errors_forced_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors.stream with the un-removable tenant filter; ``documents`` plays
+    the error-record table with ``source`` as the apikey column."""
+    src = SourceSpec(kind="historical", path=f"{sf_dir}/documents.parquet")
+    return errors_stream_df(
+        spark, src, org="src7", apikey_column="source", columns=["doc_id", "lang", "n_chars"]
+    )
+
+
+E_ERRORS_ORACLE = "SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src7'"
+
+
+def i_info_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant-scoped INFORMATION_SCHEMA: tables + columns joined into one
+    checkable row set (FineoInfoSchemaUserTranslator semantics)."""
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    return tenant.sql(
+        """
+        SELECT t.table_catalog, t.table_schema, t.table_name,
+               c.column_name, c.ordinal_position, c.data_type
+        FROM information_schema_tables t
+        JOIN information_schema_columns c ON t.table_name = c.table_name
+        """
+    )
+
+
+I_INFO_SCHEMA_ORACLE = """
+SELECT * FROM (VALUES
+  ('FINEO', 'acme', 'events', 'timestamp', 1, 'BIGINT'),
+  ('FINEO', 'acme', 'events', 'event_id', 2, 'BIGINT'),
+  ('FINEO', 'acme', 'events', 'user_id', 3, 'BIGINT'),
+  ('FINEO', 'acme', 'events', 'event_type', 4, 'STRING'),
+  ('FINEO', 'acme', 'events', 'value', 5, 'DOUBLE'),
+  ('FINEO', 'acme', 'events', 'props', 6, 'STRING')
+) t(table_catalog, table_schema, table_name, column_name, ordinal_position, data_type)
+"""
+
+
+CATALOG_QUERIES = [
+    QueryDef("t_sql_entry", t_sql_entry, T_SQL_ORACLE),
+    QueryDef("e_errors_forced_filter", e_errors_forced_filter, E_ERRORS_ORACLE),
+    QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
+]

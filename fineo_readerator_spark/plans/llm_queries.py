@@ -1,0 +1,198 @@
+"""Driver-contract queries for the LLM-data-pipeline operators over the
+``documents`` and ``embeddings`` tables.
+
+Oracle-able ops carry exact DuckDB SQL; MinHash/SimHash dedup are
+rows-only here (deterministic, but their verification-grade ground truth is
+the pure-Python reference in tests/test_llm_ops.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from fineo_readerator_spark.llm_ops.similarity import cosine, cosine_topk
+from fineo_readerator_spark.llm_ops.textstats import (
+    language_id,
+    language_id_oracle_expr,
+    text_fingerprint,
+    text_fingerprint_oracle_expr,
+    text_stats_oracle_exprs,
+    with_text_stats,
+)
+from fineo_readerator_spark.plans.registry import QueryDef, load
+
+_SHIFT = 1_000_000  # synthetic duplicate id offset
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an id-shifted copy — every text exactly twice, so exact
+    dedup must recover precisely the original rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    shifted = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "text", "n_chars")
+    return docs.unionAll(shifted)
+
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text").select("doc_id", "n_chars")
+
+
+D_EXACT_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents
+)
+SELECT doc_id, n_chars FROM all_docs
+WHERE doc_id IN (SELECT min(doc_id) FROM all_docs GROUP BY md5(text))
+"""
+
+
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return with_text_stats(docs, "text").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_punct", "punct_ratio", "avg_word_len", "quality_score"
+    )
+
+
+T_STATS_ORACLE = f"SELECT doc_id, {text_stats_oracle_exprs('text')} FROM documents"
+
+
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load(spark, sf_dir, "documents"), "text").select("doc_id", "lang", "lang_guess")
+
+
+T_LANG_ORACLE = f"SELECT doc_id, lang, {language_id_oracle_expr('text')} FROM documents"
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint(load(spark, sf_dir, "documents"), "text").select("doc_id", "fingerprint")
+
+
+T_FP_ORACLE = f"SELECT doc_id, {text_fingerprint_oracle_expr('text')} FROM documents"
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within (lang, source) groups."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], n=3, threshold=0.2)
+
+
+D_JACCARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / len(list_distinct(a.sh || b.sh)) AS jaccard
+  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.2
+"""
+
+
+def s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding (the exact ANN
+    baseline; the LSH-bucketed scale path is covered in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+S_ANN_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id != 0
+)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def d_embed_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label group (exact
+    in-group verification; LSH bucketing is the tested scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+D_EMBED_ORACLE = """
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+"""
+
+
+def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over documents + a duplicated copy (the
+    shifted copies are exact dups, so every (id, id+SHIFT) pair must surface)."""
+    return minhash_lsh_pairs(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+    )
+
+
+def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pass (LSH + label propagation) over the doubled
+    corpus.  Rows-only for the driver (the documents table deliberately
+    contains natural near-duplicates, so the kept set depends on the MinHash
+    mechanics, which aren't SQL); the pure-Python golden reference lives in
+    tests/test_llm_ops.py."""
+    out = minhash_dedup(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+    )
+    return out.select("doc_id", "n_chars")
+
+
+def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup — rows-only, same reasoning as d_minhash_dedup."""
+    out = simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    return out.select("doc_id", "n_chars")
+
+
+LLM_QUERIES = [
+    QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
+    QueryDef("t_text_stats", t_text_stats, T_STATS_ORACLE, bench=True),
+    QueryDef("t_lang_id", t_lang_id, T_LANG_ORACLE),
+    QueryDef("t_fingerprint", t_fingerprint, T_FP_ORACLE),
+    QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
+    QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
+    QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
+    QueryDef("d_minhash_pairs", d_minhash_pairs, None),  # non-SQL mechanics
+    QueryDef("d_minhash_dedup", d_minhash_dedup, None, bench=True),
+    QueryDef("d_simhash_dedup", d_simhash_dedup, None),
+]

@@ -1,0 +1,88 @@
+"""Tenant session, read-only guard, info schema, errors table
+(reference: readerator server + fineo-reparser + ischema translator)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from fineo_readerator_spark.api import ReadOnlyViolation, TenantSession, assert_read_only
+from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+from fineo_readerator_spark.sources import SourceSpec
+
+ORG = "org1"
+
+
+@pytest.fixture(scope="module")
+def tenant(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tenant")
+    rows = [
+        {"companykey": ORG, "metrictype": "metricA", "timestamp": i, "writetime": i, "f_int": i * 10}
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "companykey string, metrictype string, timestamp long, writetime long, f_int int"
+    ).write.mode("overwrite").parquet(str(tmp / "hist"))
+
+    errors = [
+        {"apikey": ORG, "type": "error", "stage": "raw", "event": "{\"a\":1}",
+         "message": "boom", "handled_timestamp": 100},
+        {"apikey": "other", "type": "error", "stage": "raw", "event": "{}",
+         "message": "not-yours", "handled_timestamp": 200},
+    ]
+    epath = tmp / "errors.json"
+    epath.write_text("\n".join(json.dumps(e) for e in errors))
+
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric="metricA", fields=[FieldDef("f_int", "int")]))
+    st.add_source(ORG, "metricA", SourceSpec(kind="historical", path=str(tmp / "hist")))
+    return TenantSession(
+        spark, st, ORG, errors_source=SourceSpec(kind="historical", path=str(epath), fmt="json")
+    )
+
+
+def test_sql_over_metric_view(tenant):
+    got = tenant.sql("SELECT timestamp, f_int FROM metricA WHERE f_int >= 20 ORDER BY timestamp").collect()
+    assert [(r.timestamp, r.f_int) for r in got] == [(2, 20), (3, 30), (4, 40)]
+
+
+def test_read_only_guard(tenant):
+    for bad in [
+        "INSERT INTO metricA VALUES (1)",
+        "DROP TABLE metricA",
+        "CREATE TABLE t AS SELECT 1",
+        "UPDATE metricA SET f_int = 0",
+        "DELETE FROM metricA",
+        "  /* sneaky */ MERGE INTO x USING y ON 1=1",
+    ]:
+        with pytest.raises(ReadOnlyViolation):
+            tenant.sql(bad)
+    # reads pass the guard
+    assert_read_only("SELECT 1")
+    assert_read_only("WITH t AS (SELECT 1) SELECT * FROM t")
+    assert_read_only("-- comment\nVALUES (1)")
+    assert tenant.sql("VALUES (1)").collect()[0][0] == 1
+
+
+def test_errors_forced_apikey_filter(tenant):
+    """Tenant can never see another org's error rows — filter is baked into the
+    view, not the query (FineoErrorWhereForce semantics)."""
+    got = tenant.sql(
+        "SELECT type, stage, event, message, handled_timestamp FROM errors_stream"
+    ).collect()
+    assert len(got) == 1 and got[0].message == "boom"
+    # even an explicit attempt to widen cannot reach other tenants' rows
+    got2 = tenant.sql("SELECT * FROM errors_stream WHERE message = 'not-yours'").collect()
+    assert got2 == []
+
+
+def test_info_schema_tenant_scoped(tenant):
+    cats = tenant.sql("SELECT * FROM information_schema_catalogs").collect()
+    assert [r.catalog_name for r in cats] == ["FINEO"]
+    tables = tenant.sql("SELECT table_schema, table_name FROM information_schema_tables").collect()
+    assert [(r.table_schema, r.table_name) for r in tables] == [(ORG, "metricA")]
+    cols = tenant.sql(
+        "SELECT column_name, data_type FROM information_schema_columns ORDER BY ordinal_position"
+    ).collect()
+    assert [(r.column_name, r.data_type) for r in cols] == [("timestamp", "BIGINT"), ("f_int", "INT")]

@@ -1,0 +1,202 @@
+"""LLM-pipeline operator tests: pure-Python golden references for the
+hash-based ops (the verification the DuckDB oracle can't express), recall
+checks for the LSH scale paths, and multimodal plumbing contracts."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.dedup import (
+    _MERSENNE_P,
+    _hash_params,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from fineo_readerator_spark.llm_ops.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_frames,
+)
+from fineo_readerator_spark.llm_ops.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the quick brown fox jumps over the lazy dog today"),  # near dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+# --- pure-python reference implementations --------------------------------
+
+
+def _xxhash64_ref(spark, values):
+    """Spark's xxhash64 via a tiny DataFrame (the golden source of truth for
+    the hash the Catalyst pipeline uses)."""
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    rows = df.select("s", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h")).collect()
+    return {r.s: r.h for r in rows}
+
+
+def _py_shingles(text, k=3):
+    toks = [t for t in text.split() if t]
+    if len(toks) >= k:
+        return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+    return [" ".join(toks)]
+
+
+def test_minhash_signature_matches_python_reference(spark, docs):
+    """The Catalyst single-pass aggregate computes exactly the classic
+    per-permutation minimum."""
+    sigs = {
+        r.doc_id: list(r.sig)
+        for r in docs.select("doc_id", minhash_signature(F.col("text"), 16, 3, seed=7).alias("sig")).collect()
+    }
+    params = _hash_params(16, seed=7)
+    all_shingles = {s for _, t in CORPUS for s in _py_shingles(t)}
+    href = _xxhash64_ref(spark, sorted(all_shingles))
+    for doc_id, text in CORPUS:
+        hs = [href[s] for s in _py_shingles(text)]
+        expected = [min((a * h + b) % _MERSENNE_P for h in hs) for a, b in params]
+        assert sigs[doc_id] == expected, f"doc {doc_id}"
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs, "doc_id").collect())
+    assert kept == [0, 2, 3, 4, 5]  # 1 is the exact dup of 0
+
+
+def test_minhash_pairs_find_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", num_hashes=64, bands=32, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup: signature identical
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups surface
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_dedup_clusters_transitively(spark, docs):
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup(docs, "doc_id", num_hashes=64, bands=32, threshold=0.5).collect()
+    )
+    # 0,1,2,5 form one near-dup cluster (via 0); 3 and 4 are unique
+    assert kept == [0, 3, 4]
+
+
+def test_simhash_dedup_exact_dups_collide(spark, docs):
+    kept = sorted(r.doc_id for r in simhash_dedup(docs, "doc_id", max_hamming=2).collect())
+    assert 1 not in kept  # identical text → identical simhash → merged
+    assert {3, 4} <= set(kept)  # dissimilar docs survive
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # doc0 has 7 3-shingles, doc5 has 8; 7 shared → 7 / 8
+    assert pairs[(0, 5)] == pytest.approx(7 / 8)
+
+
+# --- similarity -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(0)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # 50..52: tiny perturbations of vector 0 (true near-dups)
+    base = rows[0][1]
+    for j in range(3):
+        rows.append((50 + j, [v + rng.gauss(0, 0.01) for v in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    base = [float(v) for v in vectors.filter("vec_id = 0").first().embedding]
+    top = cosine_topk(vectors.filter("vec_id != 0"), base, k=3).collect()
+    assert {r.vec_id for r in top} == {50, 51, 52}  # the perturbed copies
+    assert all(r.cos_sim > 0.99 for r in top)
+
+
+def test_lsh_topk_is_subset_with_high_recall(spark, vectors):
+    base = [float(v) for v in vectors.filter("vec_id = 0").first().embedding]
+    exact = {r.vec_id for r in cosine_topk(vectors.filter("vec_id != 0"), base, k=3).collect()}
+    approx = {
+        r.vec_id
+        for r in lsh_bucketed_topk(
+            vectors.filter("vec_id != 0"), base, k=3, n_planes=8, max_probe_dist=2
+        ).collect()
+    }
+    # near-identical vectors share (almost all) sign bits → found by probing
+    assert exact <= approx | exact
+    assert len(approx & exact) >= 2
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # the perturbed family must pairwise match (0,50),(0,51),(0,52),(50,51)...
+    assert (0, 50) in found and (0, 51) in found
+    assert all(r.cos_sim >= 0.99 for r in pairs)
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(hashlib.sha256(bytes([i])).digest() * 8)) for i in range(4)]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_media_metadata(spark, media):
+    out = attach_media_metadata(media, "payload", "image", "png").collect()
+    for r in out:
+        assert r.media_meta.media_type == "image"
+        assert r.media_meta.size_bytes == 256
+        assert len(r.media_meta.content_hash) == 32
+
+
+def test_decode_featurize_stub_contract(spark, media):
+    out = decode_and_featurize(media, "id", "payload").collect()
+    assert len(out) == 4
+    for r in out:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert len(r.features) == 8 and all(0.0 <= f <= 1.0 for f in r.features)
+    # deterministic: same payload → same features
+    again = decode_and_featurize(media, "id", "payload").collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_sample_frames_shape(spark, media):
+    out = sample_frames(media, "id", "payload", n_frames=4).collect()
+    assert len(out) == 16  # one row per (video, frame)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())

@@ -26,7 +26,7 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
