@@ -127,10 +127,11 @@ def minhash_lsh_pairs(
     sigs = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)  # signature pass runs once, not once per self-join side
+    # band join carries only (band_hash, id): the 64-long signatures never
+    # enter the wide shuffle — they rejoin onto the (tiny) candidate edge set
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -138,12 +139,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    right = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    left = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    right = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cand = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     agree = F.aggregate(
@@ -152,7 +153,9 @@ def minhash_lsh_pairs(
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("est_jaccard", F.round(agree * F.lit(1.0) / num_hashes, 4))
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", F.round(agree * F.lit(1.0) / num_hashes, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -161,31 +164,36 @@ def minhash_lsh_pairs(
 def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation: labels converge to the min id of each connected
     component in O(diameter) rounds; every round is one shuffle join."""
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # edges are tiny relative to the corpus (LSH output): materialize once so
+    # the upstream candidate pipeline isn't re-run every propagation round
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=False)
     )
     labels = ids.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+        prev = labels
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage each round
+        changed = (  # both sides checkpointed → this join is cheap
+            labels.alias("n")
+            .join(prev.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage each round
         if changed == 0:
             break
     return labels
@@ -254,7 +262,9 @@ def simhash_dedup(
     """SimHash near-dup: bucket by 16-bit chunks (pigeonhole: any pair within
     hamming ≤ 3 shares at least one of 4 chunks), verify hamming in-bucket,
     cluster, keep min id."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")).localCheckpoint(
+        eager=False
+    )  # hash pass runs once, not once per self-join side
     chunks = sh.select(
         "id",
         "sh",
