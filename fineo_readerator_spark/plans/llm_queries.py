@@ -17,7 +17,17 @@ from fineo_readerator_spark.llm_ops.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from fineo_readerator_spark.llm_ops.similarity import cosine, cosine_topk
+from fineo_readerator_spark.llm_ops.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_frames,
+)
+from fineo_readerator_spark.llm_ops.similarity import (
+    _hyperplanes,
+    cosine,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
 from fineo_readerator_spark.llm_ops.textstats import (
     language_id,
     language_id_oracle_expr,
@@ -158,6 +168,99 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-encoded as an opaque binary payload column — the
+    deterministic stand-in for real media blobs (see llm_ops.multimodal)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media-metadata struct over a binary column; size/hash computed
+    JVM-side with no Python in the plan."""
+    media = attach_media_metadata(_docs_as_media(spark, sf_dir), "payload", "image", "png")
+    return media.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.content_hash").alias("content_hash"),
+    )
+
+
+MM_META_ORACLE = """
+SELECT doc_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode+featurize over the binary payloads (deterministic
+    fake decoder — the Arrow batch path is the thing under test).  Rows-only:
+    the sha256-derived fake features aren't SQL-expressible; golden values
+    live in tests/test_llm_ops.py."""
+    return decode_and_featurize(_docs_as_media(spark, sf_dir), "doc_id", "payload").select(
+        "id", "width", "height", "duration_ms"
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling contract: one row per (doc, frame_idx), stubbed
+    extraction.  Rows-only (Python byte-slicing fake)."""
+    frames = sample_frames(_docs_as_media(spark, sf_dir), "doc_id", "payload", n_frames=4)
+    return frames.select("id", "frame_idx", F.length("frame").alias("frame_bytes"))
+
+
+def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (the ANN scale path): probe buckets
+    within 1 sign-bit flip of the query signature, exact cosine inside."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8, max_probe_dist=1, seed=42
+    )
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, max_probe_dist: int = 1) -> str:
+    """DuckDB oracle for s_ann_lsh with the hyperplanes inlined as literals —
+    identical plane constants and arithmetic order as the Spark path."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    def sig(vec_expr: str) -> str:
+        return " | ".join(
+            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {sig('qv')} AS qsig FROM q),
+probed AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e, qs
+  WHERE e.vec_id != 0 AND bit_count(xor({sig('e.embedding')}, qs.qsig)) <= {max_probe_dist}
+),
+sims AS (
+  SELECT p.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, {dim}),
+                    i -> CAST(p.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM probed p, q
+)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
 def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over documents + a duplicated copy (the
     shifted copies are exact dups, so every (id, id+SHIFT) pair must surface)."""
@@ -191,6 +294,11 @@ LLM_QUERIES = [
     QueryDef("t_fingerprint", t_fingerprint, T_FP_ORACLE),
     QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
+    QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
+    QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
+    QueryDef("mm_decode_features", mm_decode_features, None),  # sha256 fake decoder
+    QueryDef("mm_frame_sample", mm_frame_sample, None),  # python byte-slice fake
+
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
     QueryDef("d_minhash_pairs", d_minhash_pairs, None),  # non-SQL mechanics
     QueryDef("d_minhash_dedup", d_minhash_dedup, None, bench=True),

@@ -1,0 +1,19 @@
+from fineo_readerator_spark.streaming.streams import (
+    read_metric_stream,
+    read_source_stream,
+    run_available_now,
+    sessionize,
+    stateful_running_totals,
+    windowed_rollup,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "read_metric_stream",
+    "read_source_stream",
+    "run_available_now",
+    "sessionize",
+    "stateful_running_totals",
+    "windowed_rollup",
+    "write_stream_parquet",
+]

@@ -1,0 +1,221 @@
+"""Structured Streaming over metric sources.
+
+The reference is a batch read layer over continuously-arriving time-series
+events (nearline DynamoDB windows + ETL'd historical files,
+`SubTableScanBuilder.java:44-112`); its "streaming" is re-querying.  The
+Spark-native upgrade is first-class Structured Streaming: the same canonical
+projection the batch recombinator applies (alias coalesce + casts + ``_fm``,
+`FineoRecombinatorRule.java:49-177`) composed over ``readStream``, with
+event-time watermarks for late data and stateful operators for what
+re-querying can't express.
+
+Scale notes:
+- The canonical projection is stateless/narrow — it adds no shuffle to the
+  stream; only the windowed aggregations shuffle, on (key, window).
+- Watermarks bound state size: state for windows older than the watermark is
+  dropped, so 100 TB/day of events holds only the active-window state.
+- ``stateful_running_totals`` keeps O(1) state per key (sum/count/max), not
+  per-event state; keys are hash-partitioned across executors.
+- File-source streams list directories incrementally; at production scale the
+  same operators run unchanged on a Kafka source (swap ``read_source_stream``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fineo_readerator_spark.recombinator import project_canonical
+from fineo_readerator_spark.schema_store import SchemaStore
+from fineo_readerator_spark.sources import SourceSpec
+
+
+def read_source_stream(spark: SparkSession, source: SourceSpec) -> DataFrame:
+    """``readStream`` over one file-backed source.
+
+    Streaming file sources need a declared schema; we take it from the files
+    already present (one driver-side metadata peek — no data scan for
+    parquet).  New files only ever *add* columns in the reference's model;
+    late-added fields surface as NULL through the canonical projection, same
+    as batch (`TestClientLikeReads.java:193-260`)."""
+    static = source.read(spark)
+    reader = spark.readStream.schema(static.schema)
+    for k, v in source.options.items():
+        reader = reader.option(k, v)
+    if source.fmt == "parquet":
+        df = reader.parquet(source.path)
+    elif source.fmt == "json":
+        df = reader.json(source.path)
+    else:
+        raise ValueError(f"unsupported streaming source format {source.fmt!r}")
+    if source.derive:
+        df = df.withColumns({name: F.expr(sql) for name, sql in source.derive.items()})
+    return df
+
+
+def read_metric_stream(
+    spark: SparkSession,
+    store: SchemaStore,
+    org: str,
+    metric: str,
+    source_idx: int = 0,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """One metric table as a stream: canonical user-facing columns plus a
+    derived ``event_time`` TIMESTAMP (from the epoch-millis ``timestamp``)
+    ready for watermarking.  No final sort — ORDER BY is illegal on streams;
+    consumers window instead."""
+    schema = store.get_metric(org, metric)
+    source = store.get_sources(org, metric)[source_idx]
+    raw = read_source_stream(spark, source)
+    from fineo_readerator_spark.recombinator import _org_metric_filter
+
+    filtered = _org_metric_filter(raw, source, org, metric)
+    canon = project_canonical(filtered, schema, source)
+    ts = schema.timestamp_field
+    return canon.withColumn(event_time_col, F.timestamp_millis(F.col(ts)))
+
+
+def windowed_rollup(
+    df: DataFrame,
+    event_time_col: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    window: str = "1 minute",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation.
+
+    ``aggs`` maps output alias -> SQL aggregate expression.  Emits
+    ``window_start``/``window_end`` as epoch millis so results are join- and
+    compare-friendly.  Late rows beyond ``watermark`` are dropped and the
+    corresponding state evicted — the property that makes this run forever."""
+    w = F.window(F.col(event_time_col), window, slide or window)
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return (
+        df.withWatermark(event_time_col, watermark)
+        .groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(*agg_cols)
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            F.unix_millis(F.col("w.end")).alias("window_end"),
+            *keys,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    event_time_col: str,
+    keys: list[str],
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggs: Optional[dict[str, str]] = None,
+) -> DataFrame:
+    """Session windows (gap-based): built-in ``session_window`` keeps merging
+    state per (key, open session) and closes a session ``gap`` after its last
+    event.  Default output: session bounds + event count."""
+    aggs = aggs or {"n_events": "count(*)"}
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    sw = F.session_window(F.col(event_time_col), gap)
+    return (
+        df.withWatermark(event_time_col, watermark)
+        .groupBy(sw.alias("s"), *[F.col(k) for k in keys])
+        .agg(*agg_cols)
+        .select(
+            F.unix_millis(F.col("s.start")).alias("session_start"),
+            F.unix_millis(F.col("s.end")).alias("session_end"),
+            *keys,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+_RUNNING_STATE = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+_RUNNING_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+
+def stateful_running_totals(
+    df: DataFrame, key_col: str, value_col: str, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key running
+    count/sum/max across *all* micro-batches — cross-batch accumulation that
+    plain windowed aggregation can't express (its state is per-window).
+
+    The operator the reference has no analog for: its clients re-scan to
+    recompute totals; here state lives with the stream.  State is 3 numbers
+    per key; Arrow moves each batch's rows, not the history."""
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cnt, total, vmax = state.get
+        else:
+            cnt, total, vmax = 0, 0.0, None
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            cnt += len(pdf)
+            total += float(vals.sum()) if len(vals) else 0.0
+            if len(vals):
+                m = float(vals.max())
+                vmax = m if vmax is None else max(vmax, m)
+        state.update((cnt, total, vmax))
+        yield pd.DataFrame(
+            [{"key": key[0], "cnt": cnt, "total": total, "vmax": vmax}]
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, _RUNNING_OUT, _RUNNING_STATE, "update", timeout
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
+    """Drain everything currently available through the memory sink and stop —
+    the test/backfill harness (``trigger(availableNow=True)`` processes all
+    pending input in bounded batches, then finishes)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append", available_now: bool = False
+):
+    """Continuous (or drain-once) parquet sink with exactly-once checkpointing."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,170 @@
+"""Structured Streaming tests: metric stream with canonical projection,
+watermarked windowed rollup, session windows, and the custom stateful
+running-totals operator.
+
+Strategy: file-source streams over tmp parquet dirs written in two "arrival"
+batches, drained with trigger(availableNow=True) into the memory sink, and
+compared against the equivalent batch computation over the same rows — the
+streaming analog of the golden-row strategy (`BaseFineoTest.verifySelectStar`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+from fineo_readerator_spark.sources import SourceSpec, TimeRange
+from fineo_readerator_spark.streaming import (
+    read_metric_stream,
+    run_available_now,
+    sessionize,
+    stateful_running_totals,
+    windowed_rollup,
+)
+
+MIN = 60_000  # one minute in epoch millis
+T0 = 1_600_000_000_000  # aligned-ish base timestamp
+
+
+def _write_events(spark, path: str, rows: list[dict]) -> None:
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _event_rows(batch: int) -> list[dict]:
+    """Two batches; batch 1 includes a row *late* w.r.t. batch 0's window."""
+    if batch == 0:
+        return [
+            {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 5_000, "user": 1, "val": 10.0},
+            {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 20_000, "user": 1, "val": 5.0},
+            {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + MIN + 1_000, "user": 2, "val": 7.0},
+            # other-tenant row must be filtered out of the stream
+            {"companykey": "org2", "metrictype": "m1", "timestamp": T0 + 6_000, "user": 9, "val": 99.0},
+        ]
+    return [
+        {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 40_000, "user": 2, "val": 3.0},
+        {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 2 * MIN + 1_000, "user": 1, "val": 1.0},
+    ]
+
+
+@pytest.fixture()
+def stream_store(spark, tmp_path):
+    src_dir = str(tmp_path / "events_src")
+    _write_events(spark, src_dir, _event_rows(0))
+    store = SchemaStore()
+    store.register_metric(
+        MetricSchema(
+            org="org1",
+            metric="m1",
+            fields=[FieldDef("user", "long"), FieldDef("value", "double", aliases=["val"])],
+        )
+    )
+    store.add_source(
+        "org1", "m1", SourceSpec(kind="historical", path=src_dir, time_range=TimeRange())
+    )
+    return store, src_dir
+
+
+def test_metric_stream_canonical_projection(spark, stream_store):
+    store, src_dir = stream_store
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    q = run_available_now(stream, "canon_stream")
+    try:
+        out = spark.sql("SELECT * FROM canon_stream").collect()
+    finally:
+        q.stop()
+    # tenant filter applied, alias val -> value, event_time derived
+    assert {r.user for r in out} == {1, 2}
+    assert sorted(r.value for r in out) == [5.0, 7.0, 10.0]
+    by_ts = {r.timestamp: r for r in out}
+    assert by_ts[T0 + 5_000].event_time.timestamp() * 1000 == T0 + 5_000
+
+
+def test_windowed_rollup_matches_batch(spark, stream_store, tmp_path):
+    store, src_dir = stream_store
+    _write_events(spark, src_dir, _event_rows(1))  # second arrival batch
+
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    rolled = windowed_rollup(
+        stream,
+        "event_time",
+        keys=["user"],
+        aggs={"n": "count(*)", "total": "sum(value)"},
+        window="1 minute",
+        watermark="10 minutes",
+    )
+    # complete mode: emit every window incl. still-open ones (append would
+    # hold back windows the watermark hasn't passed — correct for continuous
+    # sinks, wrong for a drain-everything comparison)
+    q = run_available_now(rolled, "rollup_stream", output_mode="complete")
+    try:
+        got = {
+            (r.window_start, r.user): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM rollup_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(src_dir)
+        .filter("companykey = 'org1'")
+        .groupBy(
+            (F.floor(F.col("timestamp") / MIN) * MIN).alias("window_start"), F.col("user")
+        )
+        .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+    )
+    exp = {(r.window_start, r.user): (r.n, r.total) for r in batch.collect()}
+    assert got == exp
+
+
+def test_sessionize_gap_semantics(spark, stream_store):
+    store, _ = stream_store
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    sessions = sessionize(stream, "event_time", keys=["user"], gap="30 seconds")
+    q = run_available_now(sessions, "session_stream", output_mode="complete")
+    try:
+        rows = sorted(
+            spark.sql("SELECT * FROM session_stream").collect(),
+            key=lambda r: (r.user, r.session_start),
+        )
+    finally:
+        q.stop()
+    # user 1: events at +5s and +20s merge (gap 15s < 30s) into one session
+    u1 = [r for r in rows if r.user == 1]
+    assert len(u1) == 1 and u1[0].n_events == 2
+    assert u1[0].session_start == T0 + 5_000
+    assert u1[0].session_end == T0 + 20_000 + 30_000  # last event + gap
+    u2 = [r for r in rows if r.user == 2]
+    assert len(u2) == 1 and u2[0].n_events == 1
+
+
+def test_stateful_running_totals_across_batches(spark, stream_store):
+    store, src_dir = stream_store
+    _write_events(spark, src_dir, _event_rows(1))
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    totals = stateful_running_totals(stream, "user", "value")
+    q = run_available_now(totals, "totals_stream", output_mode="update")
+    try:
+        # last emitted row per key == final running totals
+        pdf = spark.sql("SELECT * FROM totals_stream").toPandas()
+    finally:
+        q.stop()
+    final = {int(r.key): (int(r.cnt), float(r.total), float(r.vmax)) for r in pdf.groupby("key").tail(1).itertuples()}
+    assert final[1] == (3, 16.0, 10.0)  # 10 + 5 + 1
+    assert final[2] == (2, 10.0, 7.0)  # 7 + 3
+
+
+def test_stream_parquet_sink_roundtrip(spark, stream_store, tmp_path):
+    from fineo_readerator_spark.streaming import write_stream_parquet
+
+    store, _ = stream_store
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_stream_parquet(stream.drop("event_time"), out_dir, ckpt, available_now=True)
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3
+    assert sorted(r.value for r in back.collect()) == [5.0, 7.0, 10.0]
