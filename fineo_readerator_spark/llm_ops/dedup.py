@@ -210,13 +210,18 @@ def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -
     """Min-label propagation: labels converge to the min id of each connected
     component in O(diameter) rounds; every round is one shuffle join."""
     # edges are tiny relative to the corpus (LSH output): materialize once so
-    # the upstream candidate pipeline isn't re-run every propagation round
+    # the upstream candidate pipeline isn't re-run every propagation round.
+    # Only edge-touched nodes participate — every other node keeps its own
+    # label by construction, so the per-round joins scale with the duplicate
+    # graph, not the corpus.
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint(eager=False)
     )
-    labels = ids.select(F.col("id"), F.col("id").alias("label"))
+    touched = sym.select(F.col("src").alias("id")).distinct()
+    untouched = ids.join(touched, "id", "left_anti").select(F.col("id"), F.col("id").alias("label"))
+    labels = touched.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
@@ -241,7 +246,7 @@ def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -
         )
         if changed == 0:
             break
-    return labels
+    return labels.unionAll(untouched)
 
 
 def minhash_dedup(

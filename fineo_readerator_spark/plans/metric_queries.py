@@ -100,6 +100,34 @@ def m_field_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_metric_df(spark, events_store(sf_dir), ORG, METRIC, predicate=pred).select(*USER_COLS)
 
 
+def m_where_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining §2.7 WHERE/select surface in one query: BETWEEN, IS NOT
+    NULL, IS TRUE on a boolean field, the no-op ``= CAST(NULL AS T)`` leg
+    (`TestFineoReadTable`), and a CAST in the select list."""
+    fields = EVENT_FIELDS + [FieldDef("flag", "boolean")]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    derive = dict(EVENT_DERIVE)
+    derive["flag"] = "value > 100.0"
+    st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=f"{sf_dir}/events.parquet", derive=derive))
+    pred = (
+        "(flag IS TRUE AND value BETWEEN 20.0 AND 500.0 AND props IS NOT NULL) "
+        "OR value = CAST(NULL AS DOUBLE)"
+    )
+    df = build_metric_df(spark, st, ORG, METRIC, predicate=pred)
+    return df.select(
+        "timestamp", F.col("event_id").cast("int").alias("event_id_int"), "value", "flag"
+    )
+
+
+M_WHERE_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", CAST(event_id AS INT) AS event_id_int, value, '
+    "(value > 100.0) AS flag FROM events "
+    "WHERE ((value > 100.0) IS TRUE AND value BETWEEN 20.0 AND 500.0 AND props IS NOT NULL) "
+    "OR value = CAST(NULL AS DOUBLE)"
+)
+
+
 def m_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two overlapping stores union to exactly one copy of every row via the
     range cutover (nearline wins) — no row-level dedup involved."""
@@ -197,6 +225,7 @@ METRIC_QUERIES = [
         f"SELECT {_ORACLE_COLS} FROM events WHERE (event_type = 'purchase' AND value > 100.0) "
         "OR (event_type = 'error' AND value <= 50.0) OR value IS NULL",
     ),
+    QueryDef("m_where_surface", m_where_surface, M_WHERE_ORACLE),
     QueryDef("m_union_overlap", m_union_overlap, f"SELECT {_ORACLE_COLS} FROM events", bench=True),
     QueryDef(
         "m_union_pruned",
