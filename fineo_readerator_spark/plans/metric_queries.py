@@ -62,8 +62,11 @@ def events_store(sf_dir: str, split: bool = False, fields=None, track_unknown=Fa
         MetricSchema(org=ORG, metric=METRIC, fields=fields or EVENT_FIELDS, track_unknown=track_unknown)
     )
     path = f"{sf_dir}/events.parquet"
+    raw_ts = {"raw_ts_col": "ts", "raw_ts_per_milli": 1_000_000}  # parquet stores epoch nanos
     if split:
-        st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE)))
+        st.add_source(
+            ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE), **raw_ts)
+        )
         st.add_source(
             ORG,
             METRIC,
@@ -72,10 +75,13 @@ def events_store(sf_dir: str, split: bool = False, fields=None, track_unknown=Fa
                 path=path,
                 derive=dict(EVENT_DERIVE),
                 time_range=TimeRange(CUTOVER_MS, None),
+                **raw_ts,
             ),
         )
     else:
-        st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE)))
+        st.add_source(
+            ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE), **raw_ts)
+        )
     return st
 
 

@@ -149,6 +149,38 @@ def _ranges_filter(ts: Column, ranges: RangeSet) -> Optional[Column]:
     return reduce(lambda a, b: a | b, [_range_condition(ts, r) for r in ranges.ranges])
 
 
+def _push_raw_ts_filters(
+    df: DataFrame, src: SourceSpec, ranges: RangeSet, cutover: Optional[int]
+) -> DataFrame:
+    """Re-express millis time bounds on the source's RAW timestamp column.
+
+    A predicate on the derived ``raw div N`` column evaluates after the scan;
+    the equivalent bound on the raw column (``raw >= start*N``, ``raw <
+    end*N`` — exact for integer division of non-negative epochs) reaches the
+    parquet reader as a pushed filter and skips row groups by min/max stats.
+    The derived-column filters stay too (they are the semantic truth); these
+    raw twins exist purely so the scan can prune."""
+    if not src.raw_ts_col or src.raw_ts_col not in df.columns:
+        return df
+    raw = F.col(src.raw_ts_col).cast("long")
+    n = src.raw_ts_per_milli
+
+    def scaled(r: TimeRange) -> TimeRange:
+        return TimeRange(
+            None if r.start is None else r.start * n, None if r.end is None else r.end * n
+        )
+
+    if not ranges.everything and ranges.ranges:
+        df = df.filter(
+            reduce(lambda a, b: a | b, [_range_condition(raw, scaled(r)) for r in ranges.ranges])
+        )
+    if src.kind == HISTORICAL and cutover is not None:
+        df = df.filter(raw < F.lit(cutover * n))
+    if src.enforce_range and not src.time_range.is_unbounded:
+        df = df.filter(_range_condition(raw, scaled(src.time_range)))
+    return df
+
+
 def empty_metric_df(spark: SparkSession, schema: MetricSchema) -> DataFrame:
     fields = [T.StructField(schema.timestamp_field, T.LongType())]
     for fdef in schema.fields:
@@ -207,6 +239,7 @@ def build_metric_df(
         if src.kind == HISTORICAL and cutover is not None:
             # anti-overlap: nearline wins the overlap window (O5)
             df = df.filter(ts_col < F.lit(cutover))
+        df = _push_raw_ts_filters(df, src, ranges, cutover)
         df = project_canonical(df, schema, src)
         branches.append(df)
 

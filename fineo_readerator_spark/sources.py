@@ -102,6 +102,14 @@ class SourceSpec:
     # compound-key splits).  Pure Catalyst expressions: they fold into the
     # scan projection, so there is no extra pass over the data.
     derive: dict = field(default_factory=dict)
+    # When the metric timestamp is derived from a stored column by integer
+    # division (raw units per millisecond), declare it here: time-range
+    # filters are then re-expressed on the RAW column so they push into the
+    # parquet scan (row-group min/max skipping).  A filter on the derived
+    # `raw div N` expression is NOT pushable — at 100 TB that difference is
+    # reading every row group vs skipping most of them.
+    raw_ts_col: Optional[str] = None
+    raw_ts_per_milli: int = 1
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
@@ -134,6 +142,8 @@ class SourceSpec:
             "enforce_range": self.enforce_range,
             "options": dict(self.options),
             "derive": dict(self.derive),
+            "raw_ts_col": self.raw_ts_col,
+            "raw_ts_per_milli": self.raw_ts_per_milli,
         }
 
     @classmethod
@@ -148,4 +158,6 @@ class SourceSpec:
             enforce_range=d.get("enforce_range", True),
             options=dict(d.get("options", {})),
             derive=dict(d.get("derive", {})),
+            raw_ts_col=d.get("raw_ts_col"),
+            raw_ts_per_milli=d.get("raw_ts_per_milli", 1),
         )

@@ -86,3 +86,41 @@ def test_info_schema_tenant_scoped(tenant):
         "SELECT column_name, data_type FROM information_schema_columns ORDER BY ordinal_position"
     ).collect()
     assert [(r.column_name, r.data_type) for r in cols] == [("timestamp", "BIGINT"), ("f_int", "INT")]
+
+
+def test_errors_gzip_json_date_partitioned(spark, tmp_path):
+    """S9/S10: gzipped JSON error files in Hive-style year/month/day dirs.
+    The gzip codec is native to the JSON reader; date-dir predicates prune
+    at the partition level — the Spark analog of the reference's _fd0 date
+    dir pruning (`FileSystemTimestampHandler.java:83-102`)."""
+    import gzip
+
+    base = tmp_path / "errors"
+    days = {15: "d15-boom", 16: "d16-boom"}
+    for day, msg in days.items():
+        d = base / "year=2024" / "month=1" / f"day={day}"
+        d.mkdir(parents=True)
+        rows = [
+            {"apikey": ORG, "type": "error", "stage": "raw", "event": "{}",
+             "message": msg, "handled_timestamp": day * 100},
+            {"apikey": "other", "type": "error", "stage": "raw", "event": "{}",
+             "message": "not-yours", "handled_timestamp": 1},
+        ]
+        with gzip.open(d / "part-0.json.gz", "wt") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+    from fineo_readerator_spark.catalog import errors_stream_df
+
+    src = SourceSpec(kind="historical", path=str(base), fmt="json")
+    df = errors_stream_df(
+        spark, src, ORG, columns=["type", "message", "handled_timestamp", "year", "month", "day"]
+    )
+    # forced tenant filter across both days
+    assert sorted(r.message for r in df.collect()) == ["d15-boom", "d16-boom"]
+
+    pruned = df.filter("year = 2024 AND month = 1 AND day = 15")
+    assert [r.message for r in pruned.collect()] == ["d15-boom"]
+    # date-dir pruning: the date predicates land in the scan's PartitionFilters
+    # (inputFiles() reports the pre-pruning listing, so inspect the plan)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day#" in plan.split("PartitionFilters")[1][:200]
