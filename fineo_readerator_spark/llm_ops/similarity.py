@@ -105,6 +105,56 @@ def lsh_bucketed_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids over the corpus, every vector
+    assigned to its nearest cell.  Returns (df + ``__cell`` column, centroid
+    list).
+
+    Scale shape: training runs on Spark ML's distributed k-means (sampled
+    corpora work fine for a coarse quantizer); assignment is one narrow pass.
+    Persist ``__cell`` as a partition/bucket column and queries touch only
+    ``n_probe``/``n_centroids`` of the data — the classic IVF trade."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells whose centroids are
+    closest to the query (euclidean, matching the quantizer), exact cosine
+    within the probed cells.  ``n_probe = n_centroids`` degenerates to exact
+    brute force."""
+    assigned, centroids = ivf_assign(df, vec_col, n_centroids, seed)
+    dists = [
+        (i, sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    probed = assigned.filter(F.col("__cell").isin(probe)).drop("__cell")
+    return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

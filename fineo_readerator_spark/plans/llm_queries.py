@@ -26,6 +26,7 @@ from fineo_readerator_spark.llm_ops.similarity import (
     _hyperplanes,
     cosine,
     cosine_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from fineo_readerator_spark.llm_ops.textstats import (
@@ -222,6 +223,18 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (k-means coarse quantizer, 4 of 16
+    cells probed).  Rows-only: the trained centroids aren't SQL; the
+    n_probe=n_centroids ≡ brute-force equivalence is tested in
+    tests/test_llm_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, n_probe=4, seed=42
+    )
+
+
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, max_probe_dist: int = 1) -> str:
     """DuckDB oracle for s_ann_lsh with the hyperplanes inlined as literals —
     identical plane constants and arithmetic order as the Spark path."""
@@ -295,6 +308,7 @@ LLM_QUERIES = [
     QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
+    QueryDef("s_ann_ivf", s_ann_ivf, None),  # trained centroids aren't SQL
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, None),  # sha256 fake decoder
     QueryDef("mm_frame_sample", mm_frame_sample, None),  # python byte-slice fake

@@ -366,6 +366,29 @@ SELECT 'supp_only' AS tag, nk FROM (SELECT s_nationkey AS nk FROM supplier EXCEP
 """
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-level aggregation (subtotals + grand total) — Spark
+    built-in grouping sets; GROUPING() marks the rolled-up levels so NULL
+    group values stay distinguishable from NULL data."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction (o_orderdate is TIMESTAMP_NTZ)."""
     orders = load(spark, sf_dir, "orders")
@@ -400,5 +423,6 @@ RELATIONAL_QUERIES = [
     QueryDef("q_grouping_having", q_grouping_having, Q_HAVING_ORACLE),
     QueryDef("q_scalar_funcs", q_scalar_funcs, Q_SCALAR_ORACLE),
     QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
+    QueryDef("q_rollup", q_rollup, Q_ROLLUP_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
 ]

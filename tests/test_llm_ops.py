@@ -157,6 +157,20 @@ def test_lsh_topk_is_subset_with_high_recall(spark, vectors):
     assert len(approx & exact) >= 2
 
 
+def test_ivf_topk_full_probe_equals_brute_force(spark, vectors):
+    from fineo_readerator_spark.llm_ops.similarity import ivf_topk
+
+    base = [float(v) for v in vectors.filter("vec_id = 0").first().embedding]
+    rest = vectors.filter("vec_id != 0")
+    exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(rest, base, k=5).collect()]
+    # probing every cell degenerates to exact brute force
+    full = [(r.vec_id, r.cos_sim) for r in ivf_topk(rest, base, k=5, n_centroids=4, n_probe=4).collect()]
+    assert full == exact
+    # partial probe still finds the near-dup family (they share vector 0's cell)
+    part = {r.vec_id for r in ivf_topk(rest, base, k=3, n_centroids=4, n_probe=1).collect()}
+    assert {50, 51, 52} <= part
+
+
 def test_embedding_near_dup_pairs(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
