@@ -17,12 +17,21 @@ from fineo_readerator_spark.llm_ops.dedup import (
     minhash_lsh_pairs,
     minhash_dedup,
     minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_signatures,
+)
+from fineo_readerator_spark.llm_ops.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_frames,
 )
 from fineo_readerator_spark.llm_ops.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -32,11 +41,18 @@ __all__ = [
     "text_fingerprint",
     "exact_dedup",
     "minhash_signature",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash_dedup",
+    "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_topk",
     "lsh_bucketed_topk",
+    "ivf_assign",
+    "ivf_topk",
     "embedding_near_dup_pairs",
+    "attach_media_metadata",
+    "decode_and_featurize",
+    "sample_frames",
 ]

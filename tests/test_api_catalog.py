@@ -124,3 +124,40 @@ def test_errors_gzip_json_date_partitioned(spark, tmp_path):
     # (inputFiles() reports the pre-pruning listing, so inspect the plan)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "day#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_multi_tenant_isolation(spark, tmp_path):
+    """Two tenants in one JVM via spark.newSession(): isolated view
+    namespaces, each sees only its own metrics and info-schema rows (the
+    reference runs one org per server instance; newSession is the in-JVM
+    equivalent)."""
+    rows = []
+    for org, base in [("orgA", 0), ("orgB", 100)]:
+        rows += [
+            {"companykey": org, "metrictype": "m", "timestamp": base + i,
+             "writetime": base + i, "v": base + i * 10}
+            for i in range(3)
+        ]
+    path = str(tmp_path / "hist")
+    spark.createDataFrame(
+        rows, "companykey string, metrictype string, timestamp long, writetime long, v int"
+    ).write.mode("overwrite").parquet(path)
+
+    def store_for(org):
+        st = SchemaStore()
+        st.register_metric(MetricSchema(org=org, metric="m", fields=[FieldDef("v", "int")]))
+        st.add_source(org, "m", SourceSpec(kind="historical", path=path))
+        return st
+
+    sess_a = TenantSession(spark.newSession(), store_for("orgA"), "orgA")
+    sess_b = TenantSession(spark.newSession(), store_for("orgB"), "orgB")
+
+    got_a = sess_a.sql("SELECT timestamp, v FROM m ORDER BY timestamp").collect()
+    got_b = sess_b.sql("SELECT timestamp, v FROM m ORDER BY timestamp").collect()
+    assert [(r.timestamp, r.v) for r in got_a] == [(0, 0), (1, 10), (2, 20)]
+    assert [(r.timestamp, r.v) for r in got_b] == [(100, 100), (101, 110), (102, 120)]
+
+    ta = sess_a.sql("SELECT table_schema FROM information_schema_tables").collect()
+    tb = sess_b.sql("SELECT table_schema FROM information_schema_tables").collect()
+    assert {r.table_schema for r in ta} == {"orgA"}
+    assert {r.table_schema for r in tb} == {"orgB"}
