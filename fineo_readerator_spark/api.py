@@ -93,10 +93,18 @@ class TenantSession:
         )
 
     # -- query surface ----------------------------------------------------
-    def sql(self, query: str) -> DataFrame:
-        """Read-only SQL over the tenant's views."""
+    def sql(self, query: str, max_rows: Optional[int] = None) -> DataFrame:
+        """Read-only SQL over the tenant's views.
+
+        ``max_rows`` mirrors the reference's JDBC statement ``maxRowCount``
+        (`FineoJdbcMeta.java:143-159`): a plan-level LIMIT, so Spark plans a
+        TakeOrderedAndProject / CollectLimit instead of materializing the
+        full result."""
         assert_read_only(query)
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        if max_rows is not None:
+            df = df.limit(int(max_rows))
+        return df
 
     def metric_table(
         self,

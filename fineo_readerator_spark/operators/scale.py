@@ -1,0 +1,95 @@
+"""Scale-pattern operators: bucketed co-located joins and skew salting.
+
+These are the shuffle-avoidance tools a 100 TB deployment reaches for:
+
+- **Bucketing**: persist both sides of a recurring large join bucketed (and
+  sorted) on the join key; Spark's bucketed scan then feeds a sort-merge
+  join with NO exchange on either side — the join cost becomes a streamed
+  merge per bucket pair.  This is the Spark-native answer to the reference's
+  hash-key co-location in DynamoDB (compound hash key routes one org+metric
+  to one partition, `DynamoFineoCompoundKeyMapper.java:21-37`).
+- **Salting**: when one group key dominates (one org, one metric), a single
+  reducer drowns.  Two-phase aggregation over (key, salt) spreads the hot
+  key across ``salt_buckets`` reducers, then re-aggregates the partials.
+  AQE's skew-join handling covers joins; this covers aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# aggregate -> (partial expr builder, final expr builder); every entry is
+# algebraic (partials re-aggregate losslessly)
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ sorted) catalog table at ``path``.
+
+    Joins/aggregations between tables bucketed identically on their key run
+    exchange-free; keep ``num_buckets`` identical across tables you intend
+    to co-locate."""
+    writer = df.write.format("parquet").mode(mode).option("path", path)
+    writer = writer.bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket key.
+
+    The ``merge`` hint pins sort-merge join (broadcast would hide the
+    co-location); with matching bucketing the executed plan has no Exchange
+    under the join — assert it with ``assert_no_exchange_under_join``."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, on=on, how=how)
+
+
+def assert_no_exchange_under_join(df: DataFrame) -> None:
+    """Plan check: a co-located join must not shuffle either side."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan:
+        raise AssertionError(f"expected SortMergeJoin in plan:\n{plan}")
+    if "Exchange" in plan:
+        raise AssertionError(f"bucketed join still shuffles:\n{plan}")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe aggregation: ``aggs`` maps output alias -> (column, fn) with
+    fn in {sum, count, min, max} (algebraic, so partials re-aggregate
+    exactly).  Phase 1 aggregates on (keys, salt) — the hot key fans out over
+    ``salt_buckets`` reducers; phase 2 folds the partials per key.  Results
+    are identical to the unsalted aggregation for every supported fn."""
+    unknown = {fn for _, fn in aggs.values()} - set(_ALGEBRAIC)
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s) {sorted(unknown)}; supported: {sorted(_ALGEBRAIC)}")
+    salted = df.withColumn("__salt", (F.rand(seed) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[_ALGEBRAIC[fn][0](col).alias(alias) for alias, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_ALGEBRAIC[fn][1](alias).alias(alias) for alias, (_, fn) in aggs.items()]
+    )

@@ -1,0 +1,79 @@
+"""Scale-pattern operators: bucketed co-located joins (exchange-free plan)
+and salted skew-safe aggregation (identical results to unsalted)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.operators.scale import (
+    assert_no_exchange_under_join,
+    colocated_join,
+    salted_agg,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("buckets")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, str(tmp / "orders"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        str(tmp / "lineitem"),
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    joined = colocated_join(spark, left, right, ["o_orderkey"])
+    assert_no_exchange_under_join(joined)
+    # and it computes the same thing as the plain join
+    plain = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == plain
+
+
+def test_salted_agg_matches_unsalted(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    aggs = {
+        "sum_qty": ("l_quantity", "sum"),
+        "n": ("l_quantity", "count"),
+        "min_price": ("l_extendedprice", "min"),
+        "max_price": ("l_extendedprice", "max"),
+    }
+    salted = salted_agg(li, ["l_returnflag"], aggs, salt_buckets=16)
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("l_quantity").alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    got = {r.l_returnflag: (float(r.sum_qty), r.n, r.min_price, r.max_price) for r in salted.collect()}
+    exp = {r.l_returnflag: (float(r.sum_qty), r.n, r.min_price, r.max_price) for r in plain.collect()}
+    assert got == exp
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"avg_qty": ("l_quantity", "avg")})
