@@ -366,6 +366,32 @@ SELECT 'supp_only' AS tag, nk FROM (SELECT s_nationkey AS nk FROM supplier EXCEP
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    purchase value at that moment (point-in-time correctness; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    from fineo_readerator_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("timestamp"), "value"
+    )
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "timestamp")
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "timestamp", "value")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="timestamp", right_ts="timestamp",
+        right_cols=["value"],
+    )
+
+
+Q_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS "timestamp",
+       epoch_ms(r.ts) AS timestamp_right, r.value AS value_right
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-level aggregation (subtotals + grand total) — Spark
     built-in grouping sets; GROUPING() marks the rolled-up levels so NULL
@@ -424,5 +450,6 @@ RELATIONAL_QUERIES = [
     QueryDef("q_scalar_funcs", q_scalar_funcs, Q_SCALAR_ORACLE),
     QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
     QueryDef("q_rollup", q_rollup, Q_ROLLUP_ORACLE),
+    QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
 ]
