@@ -392,6 +392,41 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (attribution windows): clicks landing inside the
+    hour after each purchase by the same user.  The bin equi-join replaces
+    the inequality join Spark would otherwise run as a nested loop."""
+    from fineo_readerator_spark.operators.rangejoin import point_in_interval_join
+
+    HOUR = 3600_000
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("tsm")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("tsm").alias("click_ts")
+    )
+    windows = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("tsm").alias("w_start"),
+        (F.col("tsm") + HOUR).alias("w_end"),
+    )
+    hits = point_in_interval_join(
+        clicks, windows, on="user_id", point_ts="click_ts",
+        start_ts="w_start", end_ts="w_end", granularity=HOUR,
+    )
+    return hits.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+Q_RANGE_ORACLE = """
+SELECT p.event_id AS purchase_id, count(*) AS n_clicks
+FROM (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, epoch_ms(ts) AS tsm FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.tsm >= p.tsm AND c.tsm < p.tsm + 3600000
+GROUP BY p.event_id
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-level aggregation (subtotals + grand total) — Spark
     built-in grouping sets; GROUPING() marks the rolled-up levels so NULL
@@ -451,5 +486,6 @@ RELATIONAL_QUERIES = [
     QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
     QueryDef("q_rollup", q_rollup, Q_ROLLUP_ORACLE),
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
+    QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
 ]
