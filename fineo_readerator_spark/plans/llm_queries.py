@@ -169,6 +169,45 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline over the doubled corpus:
+    quality filter → fingerprint-normalized exact dedup (min id per
+    fingerprint) → per-(lang, source) corpus stats.  Every stage is one of
+    the registered operators; the whole chain stays declarative so Catalyst
+    collapses it into scan → project → two hash aggregations."""
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
+    docs = load(spark, sf_dir, "documents")
+    shifted = docs.select((F.col("doc_id") + _SHIFT).alias("doc_id"), *[c for c in docs.columns if c != "doc_id"])
+    corpus = _spread(docs.unionByName(shifted))  # spread the CPU-bound tokenize
+
+    scored = with_text_stats(corpus, "text")
+    good = scored.filter(F.col("quality_score") >= 0.5)
+    fp = text_fingerprint(good, "text")
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    clean = fp.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    return clean.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+P_CLEAN_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT doc_id + {_SHIFT}, text, lang, source FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, source, {text_stats_oracle_exprs('text')} FROM corpus
+),
+good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+fp AS (SELECT *, {text_fingerprint_oracle_expr('text')} FROM good),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM fp SEMI JOIN keep USING (fingerprint, doc_id)
+GROUP BY lang, source
+"""
+
+
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-encoded as an opaque binary payload column — the
     deterministic stand-in for real media blobs (see llm_ops.multimodal)."""
@@ -302,6 +341,7 @@ def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
+    QueryDef("p_clean_corpus", p_clean_corpus, P_CLEAN_ORACLE, bench=True),
     QueryDef("t_text_stats", t_text_stats, T_STATS_ORACLE, bench=True),
     QueryDef("t_lang_id", t_lang_id, T_LANG_ORACLE),
     QueryDef("t_fingerprint", t_fingerprint, T_FP_ORACLE),

@@ -212,6 +212,34 @@ def m_items_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup, batch flavor: daily buckets per
+    event_type with count/sum/min/max.  One hash aggregation over the
+    metric read (map-side partial agg: shuffle is #buckets x #types rows);
+    the streaming flavor is streaming.windowed_rollup."""
+    DAY = 86_400_000
+    df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, sort=False)
+    return (
+        df.groupBy(
+            (F.floor(F.col("timestamp") / DAY) * DAY).alias("bucket_ms"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+M_BUCKET_ORACLE = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 METRIC_QUERIES = [
     QueryDef(
         "m_select_star",
@@ -232,6 +260,7 @@ METRIC_QUERIES = [
         "OR (event_type = 'error' AND value <= 50.0) OR value IS NULL",
     ),
     QueryDef("m_where_surface", m_where_surface, M_WHERE_ORACLE),
+    QueryDef("m_time_bucket_rollup", m_time_bucket_rollup, M_BUCKET_ORACLE),
     QueryDef("m_union_overlap", m_union_overlap, f"SELECT {_ORACLE_COLS} FROM events", bench=True),
     QueryDef(
         "m_union_pruned",
