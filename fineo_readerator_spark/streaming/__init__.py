@@ -1,4 +1,5 @@
 from fineo_readerator_spark.streaming.streams import (
+    dedup_stream,
     read_metric_stream,
     read_source_stream,
     run_available_now,
@@ -9,6 +10,7 @@ from fineo_readerator_spark.streaming.streams import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_metric_stream",
     "read_source_stream",
     "run_available_now",

@@ -191,6 +191,20 @@ def stateful_running_totals(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; duplicate
+    arrivals within the watermark are dropped.  State holds one entry per key
+    and is evicted once the watermark passes — the property that lets a
+    dedup stream run forever (plain ``dropDuplicates`` on a stream would
+    grow state without bound).  The batch analog is ``llm_ops.exact_dedup``."""
+    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain everything currently available through the memory sink and stop —
     the test/backfill harness (``trigger(availableNow=True)`` processes all

@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the Spark analog of the reference's
+PlanValidator (`PlanValidator.java:47-61`): instead of asserting Drill plan
+JSON, assert what reaches the parquet scans (pushed filters, pruned columns)
+and which join strategies Catalyst picks."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.plans.metric_queries import (
+    CUTOVER_MS,
+    METRIC,
+    ORG,
+    T_HI,
+    T_LO,
+    events_store,
+)
+from fineo_readerator_spark.recombinator import build_metric_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pushed(plan: str) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def test_raw_ts_bounds_reach_the_scan(spark, sf_dir):
+    """Time-range predicates on the derived (raw div N) timestamp must appear
+    as raw-column bounds in PushedFilters — this is what turns the filter
+    into row-group skipping at scale."""
+    pred = f"timestamp >= {T_LO} AND timestamp < {T_HI}"
+    df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, predicate=pred, sort=False)
+    pushed = " | ".join(_pushed(_plan(df)))
+    assert f"GreaterThanOrEqual(ts,{T_LO * 1_000_000})" in pushed
+    assert f"LessThan(ts,{T_HI * 1_000_000})" in pushed
+
+
+def test_cutover_pushes_to_historical_scan(spark, sf_dir):
+    """The anti-overlap cutover must reach the historical parquet scan as a
+    raw-ts bound (and the nearline side carries its window start)."""
+    df = build_metric_df(spark, events_store(sf_dir, split=True), ORG, METRIC, sort=False)
+    pushed = _pushed(_plan(df))
+    assert any(f"LessThan(ts,{CUTOVER_MS * 1_000_000})" in p for p in pushed)
+    assert any(f"GreaterThanOrEqual(ts,{CUTOVER_MS * 1_000_000})" in p for p in pushed)
+
+
+def test_column_pruning_reaches_read_schema(spark, sf_dir):
+    """A two-column projection must scan two-ish columns, not the table."""
+    df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, sort=False).select(
+        "timestamp", "value"
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    assert m, "no ReadSchema in plan"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols <= {"ts", "value"}, f"over-read: {read_cols}"
+
+
+def test_user_field_filter_pushes_into_scan(spark, sf_dir):
+    df = build_metric_df(
+        spark, events_store(sf_dir), ORG, METRIC, predicate="event_type = 'purchase'", sort=False
+    )
+    pushed = " | ".join(_pushed(_plan(df)))
+    assert "EqualTo(event_type,purchase)" in pushed
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """Dimension joins must broadcast (no sort-merge shuffle for nation/region
+    sized sides)."""
+    from fineo_readerator_spark.plans.relational_queries import q5_local_supplier
+
+    plan = _plan(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

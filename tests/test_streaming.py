@@ -168,3 +168,23 @@ def test_stream_parquet_sink_roundtrip(spark, stream_store, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 3
     assert sorted(r.value for r in back.collect()) == [5.0, 7.0, 10.0]
+
+
+def test_dedup_stream_drops_duplicate_keys(spark, stream_store, tmp_path):
+    from fineo_readerator_spark.streaming import dedup_stream
+
+    store, src_dir = stream_store
+    # re-append batch 0: every event_id now arrives twice
+    _write_events(spark, src_dir, _event_rows(0))
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    deduped = dedup_stream(stream, ["event_id"]) if "event_id" in stream.columns else None
+    if deduped is None:  # schema has no event_id; dedup on (user, timestamp)
+        deduped = dedup_stream(stream, ["user", "timestamp"])
+    q = run_available_now(deduped, "dedup_stream_t", output_mode="append")
+    try:
+        out = spark.sql("SELECT * FROM dedup_stream_t").collect()
+    finally:
+        q.stop()
+    # 3 org1 rows duplicated twice -> 3 unique survive
+    assert len(out) == 3
+    assert sorted(r.value for r in out) == [5.0, 7.0, 10.0]
