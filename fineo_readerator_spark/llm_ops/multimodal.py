@@ -107,6 +107,47 @@ def decode_and_featurize(
     return df.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Image resize contract: one output row per input with the resized
+    payload and its target dims.
+
+    The pixel work is stubbed (``resize_fn=None`` produces a deterministic
+    payload of the right nominal size — codec libs aren't in this
+    container); the Spark shape is the real thing: narrow ``mapInPandas``
+    pass, one Arrow batch in flight, output schema carries the typed dims so
+    downstream ops never re-decode.  A real deployment passes a PIL/cv2
+    callable without touching the plumbing."""
+    resize = resize_fn or (
+        # deterministic fake: hash-seeded bytes, length scaled to the target area
+        lambda payload, w, h: (hashlib.sha256(payload).digest() * ((w * h) // 32 + 1))[: w * h]
+    )
+    out_schema = "id long, width int, height int, resized binary"
+    cols = [id_col, binary_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rows.append(
+                    {
+                        "id": row[id_col],
+                        "width": width,
+                        "height": height,
+                        "resized": resize(bytes(row[binary_col]), width, height),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(run, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str,

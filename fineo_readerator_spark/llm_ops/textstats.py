@@ -136,3 +136,86 @@ def text_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
 def text_fingerprint_oracle_expr(text_col: str = "text", out_col: str = "fingerprint") -> str:
     toks = f"list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'), x -> length(x) > 0)"
     return f"md5(array_to_string({toks}, ' ')) AS {out_col}"
+
+
+# --- winnowing (rolling-hash) fingerprints ---------------------------------
+
+_WIN_B = 31
+_WIN_P = 1_000_000_007
+
+
+def _win_norm(col: Column, k: int) -> Column:
+    """Winnowing canonical form: lowercase, alnum+space only, whitespace
+    collapsed, right-padded so at least one k-gram exists."""
+    clean = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
+    collapsed = F.concat_ws(" ", tokens(clean))
+    return F.rpad(collapsed, k, " ")
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4, out_col: str = "fps"
+) -> DataFrame:
+    """MOSS-style document fingerprints: polynomial rolling hash over char
+    k-grams, minimum per window of ``w`` consecutive hashes, distinct-sorted.
+
+    The hash is plain modular integer arithmetic (``sum(code * B^j) mod P``)
+    so the DuckDB oracle replays it bit-for-bit — unlike engine-native hash
+    functions.  Row-local (no shuffle); robust to formatting noise the way
+    md5-of-normalized-text (``text_fingerprint``) is not: shared substrings
+    still collide on fingerprints after local edits elsewhere."""
+    weights = [pow(_WIN_B, j, _WIN_P) for j in range(k)]
+    norm = _win_norm(F.col(text_col), k)
+
+    def gram_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, wt in enumerate(weights):
+            code = F.ascii(norm.substr(i + F.lit(j), F.lit(1)))
+            acc = (acc + code.cast("long") * F.lit(wt)) % F.lit(_WIN_P)
+        return acc
+
+    n = F.length(norm)
+    grams = F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    m = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda t: F.array_min(F.slice(grams, t, w)),
+    )
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+
+
+def winnowing_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "fps",
+) -> str:
+    """Full DuckDB oracle for ``winnowing_fingerprints`` (identical modular
+    arithmetic, incremental mod per term)."""
+    weights = [pow(_WIN_B, j, _WIN_P) for j in range(k)]
+    toks = (
+        f"list_filter(regexp_split_to_array(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9 ]', '', 'g')), '\\s+'), x -> length(x) > 0)"
+    )
+    norm = f"rpad(array_to_string({toks}, ' '), {k}, ' ')"
+    acc = "CAST(0 AS BIGINT)"
+    for j, wt in enumerate(weights):
+        acc = (
+            f"(({acc}) + ascii(substr(__n, CAST(i + {j} AS INT), 1))"
+            f" * CAST({wt} AS BIGINT)) % {_WIN_P}"
+        )
+    return f"""
+WITH n AS (SELECT {id_col}, {norm} AS __n FROM {table}),
+g AS (
+  SELECT {id_col},
+         list_transform(generate_series(1, CAST(length(__n) - {k} + 1 AS BIGINT)),
+                        i -> {acc}) AS __g
+  FROM n
+)
+SELECT {id_col},
+       list_sort(list_distinct(list_transform(
+         generate_series(1, CAST(greatest(len(__g) - {w} + 1, 1) AS BIGINT)),
+         t -> list_min(__g[CAST(t AS INT):CAST(t + {w} - 1 AS INT)])))) AS {out_col}
+FROM g
+"""

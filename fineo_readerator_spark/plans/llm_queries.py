@@ -35,6 +35,8 @@ from fineo_readerator_spark.llm_ops.textstats import (
     text_fingerprint,
     text_fingerprint_oracle_expr,
     text_stats_oracle_exprs,
+    winnowing_fingerprints,
+    winnowing_oracle_sql,
     with_text_stats,
 )
 from fineo_readerator_spark.plans.registry import QueryDef, load
@@ -86,6 +88,19 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T_FP_ORACLE = f"SELECT doc_id, {text_fingerprint_oracle_expr('text')} FROM documents"
+
+
+def t_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, exploded to
+    (doc_id, fp) rows; the polynomial hash is exact integer arithmetic so
+    the oracle replays it bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs).select("doc_id", F.explode("fps").alias("fp"))
+
+
+T_WINNOW_ORACLE = (
+    f"SELECT doc_id, unnest(fps) AS fp FROM ({winnowing_oracle_sql('documents', 'doc_id')})"
+)
 
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +360,7 @@ LLM_QUERIES = [
     QueryDef("t_text_stats", t_text_stats, T_STATS_ORACLE, bench=True),
     QueryDef("t_lang_id", t_lang_id, T_LANG_ORACLE),
     QueryDef("t_fingerprint", t_fingerprint, T_FP_ORACLE),
+    QueryDef("t_winnow_fps", t_winnow_fps, T_WINNOW_ORACLE),
     QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),

@@ -212,6 +212,33 @@ def m_items_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY field stored as base64 text decodes on read — the reference's
+    one custom UDF (`udf/conv/Base64Decoder.java:13-40`, injected at
+    `FineoRecombinatorRule.java:130-139`), here the built-in ``unbase64``.
+    The stored shape is emulated by deriving a base64 column from ``props``;
+    output hex so both engines hash the same canonical form."""
+    fields = [FieldDef("event_id", "long"), FieldDef("payload", "binary", aliases=["props_b64"])]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    derive = dict(EVENT_DERIVE)
+    derive["props_b64"] = "base64(cast(props AS binary))"
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="historical", path=f"{sf_dir}/events.parquet", derive=derive, base64_binary=True
+        ),
+    )
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    return df.select("timestamp", "event_id", F.hex(F.col("payload")).alias("payload_hex"))
+
+
+M_B64_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_id, hex(encode(props)) AS payload_hex FROM events'
+)
+
+
 def m_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous rollup, batch flavor: daily buckets per
     event_type with count/sum/min/max.  One hash aggregation over the
@@ -261,6 +288,7 @@ METRIC_QUERIES = [
     ),
     QueryDef("m_where_surface", m_where_surface, M_WHERE_ORACLE),
     QueryDef("m_time_bucket_rollup", m_time_bucket_rollup, M_BUCKET_ORACLE),
+    QueryDef("m_base64_binary", m_base64_binary, M_B64_ORACLE),
     QueryDef("m_union_overlap", m_union_overlap, f"SELECT {_ORACLE_COLS} FROM events", bench=True),
     QueryDef(
         "m_union_pruned",

@@ -214,3 +214,16 @@ def test_sample_frames_shape(spark, media):
     for r in out:
         by_id.setdefault(r.id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
+
+
+def test_resize_images_contract(spark, media):
+    from fineo_readerator_spark.llm_ops.multimodal import resize_images
+
+    out = resize_images(media, "id", "payload", width=32, height=16).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r.width, r.height) == (32, 16)
+        assert len(r.resized) == 32 * 16  # fake resize honors the target area
+    # deterministic: same input -> same bytes
+    again = resize_images(media, "id", "payload", width=32, height=16).collect()
+    assert {r.id: bytes(r.resized) for r in out} == {r.id: bytes(r.resized) for r in again}
