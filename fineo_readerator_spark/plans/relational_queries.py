@@ -366,6 +366,54 @@ SELECT 'supp_only' AS tag, nk FROM (SELECT s_nationkey AS nk FROM supplier EXCEP
 """
 
 
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a quantity threshold
+    (agg-filtered IN-subquery → semi join → 3-way join → re-aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, round(sum(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a typed field from the JSON ``props``
+    column and filter on it — the Spark-native answer to the reference's
+    dynamic ANY-typed unknown fields (the ``_fm`` world) when the payload is
+    JSON text."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        F.expr("ts div 1000000").alias("tsm"), "event_id", k.alias("k")
+    ).filter(F.col("k") >= 50)
+
+
+Q_JSON_ORACLE = """
+SELECT epoch_ms(ts) AS tsm, event_id, CAST(props->>'k' AS INT) AS k
+FROM events WHERE CAST(props->>'k' AS INT) >= 50
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the user's most recent
     purchase value at that moment (point-in-time correctness; DuckDB's
@@ -475,6 +523,8 @@ RELATIONAL_QUERIES = [
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
     QueryDef("q5_local_supplier", q5_local_supplier, Q5_ORACLE, bench=True),
     QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE, bench=True),
+    QueryDef("q18_large_volume", q18_large_volume, Q18_ORACLE),
+    QueryDef("q_json_extract", q_json_extract, Q_JSON_ORACLE),
     QueryDef("q_exists_semi", q_exists_semi, Q_EXISTS_ORACLE),
     QueryDef("q_anti_join", q_anti_join, Q_ANTI_ORACLE),
     QueryDef("q_outer_agg", q_outer_agg, Q_OUTER_ORACLE),
