@@ -40,10 +40,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two runs: the first pays one-time whole-stage-codegen JIT
+        # for that query's expressions; the second is the steady state a
+        # long-running cluster sees
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline query wall-clock, local[{}]".format(
