@@ -366,6 +366,27 @@ SELECT 'supp_only' AS tag, nk FROM (SELECT s_nationkey AS nk FROM supplier EXCEP
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: same linear-interpolation definition, so the oracle
+    matches bit-for-bit).  At true scale swap in ``approx_percentile``
+    (t-digest) — same plan shape, bounded memory."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    )
+
+
+Q_PERCENTILES_ORACLE = """
+SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.95) AS p95,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers whose orders exceed a quantity threshold
     (agg-filtered IN-subquery → semi join → 3-way join → re-aggregation)."""
@@ -525,6 +546,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q10_returned_items", q10_returned_items, Q10_ORACLE, bench=True),
     QueryDef("q18_large_volume", q18_large_volume, Q18_ORACLE),
     QueryDef("q_json_extract", q_json_extract, Q_JSON_ORACLE),
+    QueryDef("q_percentiles", q_percentiles, Q_PERCENTILES_ORACLE),
     QueryDef("q_exists_semi", q_exists_semi, Q_EXISTS_ORACLE),
     QueryDef("q_anti_join", q_anti_join, Q_ANTI_ORACLE),
     QueryDef("q_outer_agg", q_outer_agg, Q_OUTER_ORACLE),
