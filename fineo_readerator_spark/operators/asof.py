@@ -20,6 +20,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -63,10 +64,18 @@ def asof_join(
         F.col(right_ts).cast("long").alias("__rts"),
         *[F.col(c).alias(n) for c, n in zip(rcols, out_names)],
     )
-    # right rows sort before left at equal timestamps so ts-ties match
+    # right rows sort before left at equal timestamps so ts-ties match; the
+    # payload columns are a deterministic final tiebreaker so equal-(key,ts)
+    # right rows resolve identically across runs/engines (largest payload
+    # wins) instead of whichever row the shuffle ordered last
+    tiebreak = [
+        F.col(n)
+        for c, n in zip(rcols, out_names)
+        if not isinstance(right.schema[c].dataType, T.MapType)
+    ]
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(

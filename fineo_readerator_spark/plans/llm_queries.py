@@ -202,7 +202,10 @@ def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     clean = fp.join(keep, ["fingerprint", "doc_id"], "left_semi")
     return clean.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+        F.count("*").alias("n_docs"),
+        # cast pinned on BOTH sides: DuckDB sum(int) is HUGEINT, Spark's is
+        # BIGINT — the driver hashes the raw representation, so align on int64
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
 
 
@@ -217,7 +220,7 @@ scored AS (
 good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
 fp AS (SELECT *, {text_fingerprint_oracle_expr('text')} FROM good),
 keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
-SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM fp SEMI JOIN keep USING (fingerprint, doc_id)
 GROUP BY lang, source
 """

@@ -145,8 +145,9 @@ def m_union_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped entirely at resolve time (O3/O5)."""
     st = events_store(sf_dir, split=True)
     pred = f"timestamp >= {CUTOVER_MS + 3600_000}"
-    df, report = build_metric_df(spark, st, ORG, METRIC, predicate=pred, with_report=True)
-    assert len(report.scanned) == 1, f"expected historical pruned, scanned={report.scanned}"
+    # the scanned-sources assertion lives in tests/test_pruning.py (a plan
+    # test on BuildReport) — the driver-checked fn just returns the DataFrame
+    df = build_metric_df(spark, st, ORG, METRIC, predicate=pred)
     return df.select(*USER_COLS)
 
 

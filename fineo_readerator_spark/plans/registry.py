@@ -7,6 +7,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fineo_readerator_spark.session import ensure_io_confs
+
 
 @dataclass
 class QueryDef:
@@ -25,4 +27,5 @@ class QueryDef:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    ensure_io_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

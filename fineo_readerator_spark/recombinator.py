@@ -250,8 +250,12 @@ def build_metric_df(
 
     if predicate:
         out = out.filter(predicate)
+    # The ranges filter is (predicate-implied bounds ∩ time_range) — an
+    # over-approximation that is always safe to apply alongside the predicate,
+    # and REQUIRED when a time_range was passed (the predicate alone doesn't
+    # carry it, and sources without raw_ts_col never re-expressed it).
     rf = _ranges_filter(F.col(schema.timestamp_field), ranges)
-    if rf is not None and not predicate:
+    if rf is not None:
         out = out.filter(rf)
     if sort:
         out = out.orderBy(schema.timestamp_field)

@@ -47,3 +47,27 @@ def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int 
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+# Confs that every parquet read in this repo REQUIRES, and that are
+# runtime-settable: the driver's correctness harness calls queries()
+# callables on a vanilla session it builds itself (entry() may never run),
+# so each read entry point applies these idempotently.
+_IO_CONFS = {
+    # TIMESTAMP(NANOS,false) parquet columns read as epoch-nano longs
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp rendering across engines/runs
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_io_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the confs every read in this repo needs.
+
+    Called from ``plans.registry.load`` and ``sources.SourceSpec.read`` so the
+    query inventory is self-sufficient on any session the driver hands us.
+    """
+    for k, v in _IO_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark

@@ -116,6 +116,9 @@ class SourceSpec:
             raise ValueError(f"unknown source kind {self.kind!r}")
 
     def read(self, spark: SparkSession) -> DataFrame:
+        from fineo_readerator_spark.session import ensure_io_confs
+
+        ensure_io_confs(spark)
         reader = spark.read
         for k, v in self.options.items():
             reader = reader.option(k, v)

@@ -69,3 +69,17 @@ def test_select_sources_and_cutover():
 
     live, cutover = select_sources([near1, near2], r("timestamp < 50"))
     assert live == [] and cutover == 100
+
+
+def test_union_pruned_scans_one_source(spark, sf_dir):
+    """Plan test for the m_union_pruned scenario (moved out of the query fn):
+    a recent-only predicate over the split store must skip historical at
+    resolve time — BuildReport.scanned is the O3/O5 contract."""
+    from fineo_readerator_spark.plans.metric_queries import CUTOVER_MS, METRIC, ORG, events_store
+    from fineo_readerator_spark.recombinator import build_metric_df
+
+    st = events_store(sf_dir, split=True)
+    pred = f"timestamp >= {CUTOVER_MS + 3600_000}"
+    _, report = build_metric_df(spark, st, ORG, METRIC, predicate=pred, with_report=True)
+    assert len(report.scanned) == 1, f"expected historical pruned, scanned={report.scanned}"
+    assert report.skipped and "events.parquet" in report.skipped[0]
