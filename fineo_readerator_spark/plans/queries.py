@@ -12,11 +12,19 @@ from fineo_readerator_spark.plans.llm_queries import LLM_QUERIES
 from fineo_readerator_spark.plans.metric_queries import METRIC_QUERIES
 from fineo_readerator_spark.plans.registry import QueryDef
 from fineo_readerator_spark.plans.relational_queries import RELATIONAL_QUERIES
+from fineo_readerator_spark.plans.streaming_queries import STREAMING_QUERIES
 from fineo_readerator_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
 
 QUERIES: dict[str, QueryDef] = {}
 
-for q in [*METRIC_QUERIES, *RELATIONAL_QUERIES, *TPCH_EXTRA_QUERIES, *CATALOG_QUERIES, *LLM_QUERIES]:
+for q in [
+    *METRIC_QUERIES,
+    *RELATIONAL_QUERIES,
+    *TPCH_EXTRA_QUERIES,
+    *CATALOG_QUERIES,
+    *LLM_QUERIES,
+    *STREAMING_QUERIES,
+]:
     if q.name in QUERIES:
         raise ValueError(f"duplicate query name {q.name}")
     QUERIES[q.name] = q

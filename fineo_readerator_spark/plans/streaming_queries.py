@@ -1,0 +1,157 @@
+"""Driver-contract queries for the Structured Streaming surface.
+
+Each query runs a real streaming pipeline — ``readStream`` over the events
+source with the canonical metric projection, a stateful operator, a
+``trigger(availableNow=True)`` drain into the memory sink — and returns the
+drained table as a DataFrame.  Because the drain processes exactly the static
+input, the results are deterministic and (except for the custom stateful
+operator's mechanics) SQL-expressible, so these get full DuckDB oracles: the
+strongest possible evidence that the streaming operators compute the same
+answers as their batch analogs.
+
+Scale notes: the canonical projection is stateless (no shuffle added to the
+stream); windowed/session aggregations shuffle on (key, window) with
+watermark-bounded state; the stateful running-totals operator keeps 3 numbers
+per key.  The memory-sink drain is test-harness plumbing — production sinks
+are parquet/Kafka (``write_stream_parquet``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.plans.metric_queries import METRIC, ORG, events_store
+from fineo_readerator_spark.plans.registry import QueryDef
+from fineo_readerator_spark.streaming import (
+    dedup_stream,
+    read_metric_stream,
+    run_available_now,
+    sessionize,
+    stateful_running_totals,
+    windowed_rollup,
+)
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+# value -> exact integer cents: floor(value*100) evaluates the same double
+# arithmetic in Spark and DuckDB, and integer sums are order-insensitive —
+# the streaming analog of the decimal-sum convention in relational_queries
+CENTS = "cast(floor(value * 100) as bigint)"
+
+
+def _drain(df: DataFrame, name: str, mode: str) -> DataFrame:
+    q = run_available_now(df, name, output_mode=mode)
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+def st_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup per event_type over the metric
+    stream, drained complete (all windows, including still-open ones)."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    rolled = windowed_rollup(
+        stream,
+        "event_time",
+        keys=["event_type"],
+        aggs={"n": "count(*)", "total_cents": f"sum({CENTS})"},
+        window="1 hour",
+        watermark="1 hour",
+    )
+    return _drain(rolled, "st_windowed_rollup_sink", "complete")
+
+
+ST_ROLLUP_ORACLE = f"""
+SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+       (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} AS window_end,
+       event_type,
+       count(*) AS n,
+       CAST(sum({CENTS}) AS BIGINT) AS total_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (built-in ``session_window`` state
+    merging): a session closes one day after its last event."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    sessions = sessionize(
+        stream,
+        "event_time",
+        keys=["user_id"],
+        gap="1 day",
+        watermark="1 day",
+        aggs={"n_events": "count(*)"},
+    )
+    return _drain(sessions, "st_sessionize_sink", "complete")
+
+
+# gaps-and-islands: a new session starts when the previous event of the same
+# user is more than one day older; session end = last event + gap
+ST_SESSION_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {DAY_MS}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+islands AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(t) AS session_start, max(t) + {DAY_MS} AS session_end,
+       user_id, count(*) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user running
+    count/sum/max accumulated across micro-batches.  The drain's last emission
+    per key (the one with the highest running count) is the final total."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC).withColumn(
+        "value_cents", F.expr(CENTS).cast("double")
+    )
+    totals = stateful_running_totals(stream, "user_id", "value_cents")
+    drained = _drain(totals, "st_running_totals_sink", "update")
+    return (
+        drained.groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.max("cnt").alias("n_events"),
+            F.max_by("total", "cnt").cast("long").alias("total_cents"),
+            F.max_by("vmax", "cnt").cast("long").alias("max_cents"),
+        )
+    )
+
+
+ST_TOTALS_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(coalesce(sum({CENTS}), 0) AS BIGINT) AS total_cents,
+       CAST(max({CENTS}) AS BIGINT) AS max_cents
+FROM events GROUP BY user_id
+"""
+
+
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup within the watermark: first arrival per
+    (user_id, event_type) wins; the surviving key set is deterministic."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    deduped = dedup_stream(stream, ["user_id", "event_type"], watermark="1 day")
+    return _drain(deduped, "st_dedup_sink", "append").select("user_id", "event_type")
+
+
+ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+STREAMING_QUERIES = [
+    QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE),
+    QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
+    QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
+    QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),
+]

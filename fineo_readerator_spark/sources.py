@@ -115,7 +115,15 @@ class SourceSpec:
         if self.kind not in KINDS:
             raise ValueError(f"unknown source kind {self.kind!r}")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def _apply_derive(self, df: DataFrame) -> DataFrame:
+        if self.derive:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns({name: F.expr(sql) for name, sql in self.derive.items()})
+        return df
+
+    def _read_raw(self, spark: SparkSession) -> DataFrame:
+        """Batch read of the stored shape, before any derivations."""
         from fineo_readerator_spark.session import ensure_io_confs
 
         ensure_io_confs(spark)
@@ -123,16 +131,43 @@ class SourceSpec:
         for k, v in self.options.items():
             reader = reader.option(k, v)
         if self.fmt == "parquet":
-            df = reader.parquet(self.path)
-        elif self.fmt == "json":
-            df = reader.json(self.path)
-        else:
-            raise ValueError(f"unsupported source format {self.fmt!r}")
-        if self.derive:
-            from pyspark.sql import functions as F
+            return reader.parquet(self.path)
+        if self.fmt == "json":
+            return reader.json(self.path)
+        raise ValueError(f"unsupported source format {self.fmt!r}")
 
-            df = df.withColumns({name: F.expr(sql) for name, sql in self.derive.items()})
-        return df
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._apply_derive(self._read_raw(spark))
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """``readStream`` over the same source.  The declared schema is the
+        STORED shape (one driver-side metadata peek); derivations apply on
+        top of the stream, exactly as in batch — declaring the derived schema
+        instead would make the file reader return NULL for every derived
+        column, since those never exist in the files."""
+        import os
+
+        from fineo_readerator_spark.session import ensure_io_confs
+
+        ensure_io_confs(spark)
+        schema = self._read_raw(spark).schema
+        reader = spark.readStream.schema(schema)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        # FileStreamSource forces basePath to the input path unless the path
+        # is a glob, and requires basePath to be a directory — so a source
+        # pointing at a single file (snapshot fixtures) streams via an
+        # exact-match glob, which makes Spark infer the parent dir instead
+        path = self.path
+        if os.path.isfile(path):
+            path = os.path.join(os.path.dirname(path), "{" + os.path.basename(path) + "}")
+        if self.fmt == "parquet":
+            df = reader.parquet(path)
+        elif self.fmt == "json":
+            df = reader.json(path)
+        else:
+            raise ValueError(f"unsupported streaming source format {self.fmt!r}")
+        return self._apply_derive(df)
 
     def to_dict(self) -> dict:
         return {

@@ -39,24 +39,13 @@ from fineo_readerator_spark.sources import SourceSpec
 def read_source_stream(spark: SparkSession, source: SourceSpec) -> DataFrame:
     """``readStream`` over one file-backed source.
 
-    Streaming file sources need a declared schema; we take it from the files
-    already present (one driver-side metadata peek — no data scan for
-    parquet).  New files only ever *add* columns in the reference's model;
-    late-added fields surface as NULL through the canonical projection, same
-    as batch (`TestClientLikeReads.java:193-260`)."""
-    static = source.read(spark)
-    reader = spark.readStream.schema(static.schema)
-    for k, v in source.options.items():
-        reader = reader.option(k, v)
-    if source.fmt == "parquet":
-        df = reader.parquet(source.path)
-    elif source.fmt == "json":
-        df = reader.json(source.path)
-    else:
-        raise ValueError(f"unsupported streaming source format {source.fmt!r}")
-    if source.derive:
-        df = df.withColumns({name: F.expr(sql) for name, sql in source.derive.items()})
-    return df
+    Streaming file sources need a declared schema; ``SourceSpec.read_stream``
+    takes it from the files already present (one driver-side metadata peek —
+    no data scan for parquet) and applies the storage-shape derivations on
+    top, same as batch.  New files only ever *add* columns in the reference's
+    model; late-added fields surface as NULL through the canonical
+    projection, same as batch (`TestClientLikeReads.java:193-260`)."""
+    return source.read_stream(spark)
 
 
 def read_metric_stream(
