@@ -206,6 +206,57 @@ def minhash_lsh_pairs(
     )
 
 
+# Gate for resolving connected components driver-side: 2M edges ≈ 32 MB of
+# id pairs — trivially within driver heap.  The LSH candidate-edge set is
+# orders of magnitude smaller than the corpus (it holds near-duplicate pairs
+# only), so even multi-TB corpora usually fit; truly huge duplicate graphs
+# fall through to the fully-distributed propagation below.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _components_min_label(ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, label) with label = min id of the node's connected component.
+
+    Hybrid strategy, same shape as broadcast-vs-shuffle join selection: the
+    edge set is materialized once (both paths need it), counted, and resolved
+    driver-side with path-compressed union-find when it fits under
+    ``_DRIVER_CC_MAX_EDGES`` — one collect of the *edge set only* (never the
+    corpus) replaces O(log diameter) rounds of distributed joins, each of
+    which costs a full job at any scale.  Bigger graphs use pointer-doubling
+    min-label propagation, which never materializes more than (node, label)
+    pairs per round."""
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    if edges.count() > _DRIVER_CC_MAX_EDGES:
+        return _propagate_min_label(ids, edges)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root is its component's min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    spark = ids.sparkSession
+    id_field = ids.schema["id"]
+    schema = f"id {id_field.dataType.simpleString()}, label {id_field.dataType.simpleString()}"
+    touched = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    untouched = ids.join(F.broadcast(touched.select("id")), "id", "left_anti").select(
+        F.col("id"), F.col("id").alias("label")
+    )
+    return touched.unionAll(untouched)
+
+
 def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label propagation with pointer doubling: labels converge to the min
     id of each connected component in O(log diameter) rounds.
@@ -278,7 +329,7 @@ def minhash_dedup(
     reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed)
     ids = reps.select(F.col(id_col).alias("id"))
-    labels = _propagate_min_label(ids, pairs)
+    labels = _components_min_label(ids, pairs)
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
     return df.join(keep, on=id_col, how="left_semi")
 
@@ -381,7 +432,7 @@ def simhash_dedup(
         .select("id_a", "id_b")
     )
     ids = df.select(F.col(id_col).alias("id"))
-    labels = _propagate_min_label(ids, pairs)
+    labels = _components_min_label(ids, pairs)
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
     return full.join(keep, on=id_col, how="left_semi")
 
