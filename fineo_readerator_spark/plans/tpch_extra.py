@@ -9,8 +9,11 @@ scalar thresholds) against the DuckDB oracle.
 Adaptations (testdata has no partsupp/shipmode/commitdate/phone columns):
 Q9/Q11/Q17 substitute lineitem revenue for supplycost-based measures, Q19
 drops the container brackets, Q22 keeps the above-average-balance anti-join
-but groups by nation instead of phone country code.  The plan shapes — what
-the judge checks — are unchanged.
+but groups by nation instead of phone country code.  Q2 uses min observed
+unit price as the supply cost; Q4/Q12/Q21 define "late" as shipped N days
+after the order date (no commit/receipt dates); Q12 buckets by return flag
+(no shipmode); Q16/Q20 use lineitem as the part-supplier relation.  The plan
+shapes — what the judge checks — are unchanged.
 
 Determinism follows relational_queries conventions: exact decimal sums cast
 to double, ratios rounded, every top-k fully tie-broken.
@@ -23,7 +26,7 @@ different keys — the minimum for that shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fineo_readerator_spark.plans.registry import QueryDef, load
@@ -410,16 +413,257 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp → min observed unit price from lineitem
+    plays the supply-cost role): correlated-min scalar subquery per part,
+    expressed as a window min so the part-supplier aggregate is computed once
+    (a correlated rejoin would re-run the lineitem aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & F.col("p_type").like("%AR%")
+    )
+    # unit price is double division — bit-identical in any IEEE-754 engine
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    sr = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    psr = ps.join(F.broadcast(sr), ps.l_suppkey == sr.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        psr.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+), sr AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), psr AS (
+  SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM ps JOIN sr ON l_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM psr JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10 AND p_type LIKE '%AR%' AND cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no commit/receipt dates → "late" = shipped more than
+    45 days after the order date): EXISTS decorrelated to a left-semi join
+    with a mixed equi + range condition (hash join on the key, range as a
+    post-join filter — no shuffle beyond the join)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(D_1996_01_01)) & (F.col("o_orderdate") < _ntz(D_1996_04_01))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 45 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_ORACLE = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{D_1996_01_01}' AND o_orderdate < TIMESTAMP '{D_1996_04_01}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode → bucket by return flag): join + CASE
+    conditional counts of high/low-priority orders among late-shipped lines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01)) & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = f"""
+SELECT l_returnflag AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '{D_1996_01_01}' AND l_shipdate < TIMESTAMP '{D_1997_01_01}'
+GROUP BY 1
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp → lineitem is the part-supplier
+    relation): NOT-IN decorrelated to a broadcast left-anti join, then a
+    distinct-count per part attribute triple."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty → threshold on shipped
+    quantity): nested IN over a grouped HAVING, decorrelated to semi joins;
+    the quantity threshold is an exact decimal sum."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(D_1996_01_01)) & (F.col("l_shipdate") < _ntz(D_1997_01_01))
+    )
+    eligible = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr("sum(cast(l_quantity as decimal(18,2)))").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_11")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(eligible, supp.s_suppkey == eligible.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+Q20_ORACLE = f"""
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_11' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '{D_1996_01_01}' AND l_shipdate < TIMESTAMP '{D_1997_01_01}'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(cast(l_quantity as decimal(18,2))) > 60)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted ("late" = shipped >60 days after order): the
+    EXISTS/NOT-EXISTS pair collapses into one windowed pass — per order,
+    count distinct suppliers and distinct *late* suppliers; a line qualifies
+    when it is late, the order is multi-supplier, and its supplier is the
+    only late one.  One shuffle on the order key replaces two self-joins of
+    lineitem (which would re-scan the fact table twice)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        j.withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = load(spark, sf_dir, "supplier")
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        cand.join(F.broadcast(sn), cand.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
 TPCH_EXTRA_QUERIES = [
+    QueryDef("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE),
+    QueryDef("q4_order_priority", q4_order_priority, Q4_ORACLE),
     QueryDef("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
     QueryDef("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE),
     QueryDef("q8_market_share", q8_market_share, Q8_ORACLE),
     QueryDef("q9_product_profit", q9_product_profit, Q9_ORACLE),
     QueryDef("q11_important_value", q11_important_value, Q11_ORACLE),
+    QueryDef("q12_late_lines", q12_late_lines, Q12_ORACLE),
     QueryDef("q13_order_distribution", q13_order_distribution, Q13_ORACLE),
     QueryDef("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
     QueryDef("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    QueryDef("q16_supplier_cnt", q16_supplier_cnt, Q16_ORACLE),
     QueryDef("q17_small_quantity", q17_small_quantity, Q17_ORACLE),
     QueryDef("q19_disjunctive", q19_disjunctive, Q19_ORACLE),
+    QueryDef("q20_part_promotion", q20_part_promotion, Q20_ORACLE),
+    QueryDef("q21_waiting_supplier", q21_waiting_supplier, Q21_ORACLE),
     QueryDef("q22_global_sales", q22_global_sales, Q22_ORACLE),
 ]
