@@ -149,9 +149,46 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the metric stream joins a broadcast customer
+    dimension (stateless — no streaming state, the dim is re-read per
+    micro-batch), then rolls up value cents per (day window, market segment).
+    The canonical production shape: enrich first (narrow), aggregate second
+    (one shuffle on window+segment)."""
+    from fineo_readerator_spark.plans.registry import load
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    rolled = windowed_rollup(
+        enriched,
+        "event_time",
+        keys=["c_mktsegment"],
+        aggs={"n": "count(*)", "total_cents": f"sum({CENTS})"},
+        window="1 day",
+        watermark="1 day",
+    )
+    return _drain(rolled, "st_stream_static_join_sink", "complete")
+
+
+ST_SS_JOIN_ORACLE = f"""
+SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_start,
+       (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS window_end,
+       c_mktsegment,
+       count(*) AS n,
+       CAST(sum({CENTS}) AS BIGINT) AS total_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES = [
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
     QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),
+    QueryDef("st_stream_static_join", st_stream_static_join, ST_SS_JOIN_ORACLE),
 ]
