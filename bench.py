@@ -40,11 +40,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        # min of two runs: the first pays one-time whole-stage-codegen JIT
-        # for that query's expressions; the second is the steady state a
-        # long-running cluster sees
+        # min of three runs: the first pays one-time whole-stage-codegen JIT
+        # for that query's expressions; the min of the rest is the steady
+        # state a long-running cluster sees, robust to ambient load spikes
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

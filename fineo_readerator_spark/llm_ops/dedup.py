@@ -14,7 +14,6 @@ Scale design (the point of every choice here):
 from __future__ import annotations
 
 import random
-from functools import reduce
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -33,14 +32,17 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Spread a CPU-bound projection across all cores when the input is
-    under-partitioned (small-file demos, sf≤0.1 test fixtures).  A real
-    corpus has partitions ≫ cores, so this is a no-op at scale — the guard
-    exists so local runs don't serialize the tokenize+hash pass onto the
-    1-2 partitions a single small parquet file yields."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target // 2:
-        return df.repartition(target)
+    """Spread a CPU-bound projection across all cores on LOCAL masters, where
+    a single small parquet file yields 1-2 input partitions and would
+    serialize the tokenize+hash pass; the repartition is a same-process
+    exchange, so it costs microseconds.  On a real cluster the corpus has
+    partitions ≫ cores and the same repartition would be a full shuffle of
+    the corpus — skip it entirely.  (Deciding from the actual partition count
+    via ``df.rdd`` would force a plan→RDD conversion costing ~0.5 s of driver
+    time per query build, which dominates these sub-second local queries.)"""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.repartition(sc.defaultParallelism)
     return df
 
 
@@ -140,15 +142,16 @@ def minhash_signatures(
     exploded = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h")
     )
-    mins = [
-        F.min((F.lit(a).cast("long") * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return (
-        exploded.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
+    # one SQL-string expression instead of N composed Column objects: the
+    # Column algebra costs ~8 py4j round-trips per permutation (seconds of
+    # driver time per query build at N=64); a single parse of the whole
+    # aggregate list is ~10x cheaper and yields the identical plan
+    sig = (
+        "array("
+        + ",".join(f"min(({a}L * h + {b}L) % {_MERSENNE_P}L)" for a, b in params)
+        + ")"
     )
+    return exploded.groupBy("id").agg(F.expr(sig).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -226,7 +229,11 @@ def _components_min_label(ids: DataFrame, edges: DataFrame) -> DataFrame:
     min-label propagation, which never materializes more than (node, label)
     pairs per round."""
     edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    if edges.count() > _DRIVER_CC_MAX_EDGES:
+    # one job decides the path AND fetches the edges: limit(MAX+1) over the
+    # checkpointed set returns everything when the graph fits (n <= MAX rows
+    # means nothing was truncated) and a cheap overflow signal when it doesn't
+    collected = edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(collected) > _DRIVER_CC_MAX_EDGES:
         return _propagate_min_label(ids, edges)
     parent: dict = {}
 
@@ -238,7 +245,7 @@ def _components_min_label(ids: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.collect():
+    for a, b in collected:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -371,23 +378,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     th = _spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).select("id", F.xxhash64("t").alias("h"))
-    votes = th.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
+    # SQL-string aggregate list (see minhash_signatures for the py4j rationale)
+    votes_arr = (
+        "array("
+        + ",".join(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)" for i in range(64)
+        )
+        + ")"
     )
-    bit = lambda i: (1 << i) if i < 63 else -(1 << 63)  # noqa: E731  (bit 63 = sign bit)
-    sh = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.lit(bit(i)).cast("long")).otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    votes = th.groupBy("id").agg(F.expr(votes_arr).alias("v"))
+    # fold bit-votes into one long; shiftleft(1L, 63) wraps into the sign bit,
+    # matching the -(1<<63) literal of the row-local simhash64 fold
+    hashed = votes.select(
+        "id",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L,"
+            " (acc, i) -> acc | IF(element_at(v, i + 1) > 0, shiftleft(1L, i), 0L))"
+        ).alias("sh"),
     )
-    hashed = votes.select("id", sh.alias("sh"))
     # explode drops token-less docs; restore them with the empty-fold value 0
     return (
         df.select(F.col(id_col).alias("id"))

@@ -21,6 +21,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _vec_lit(vec: list[float]) -> Column:
+    """Literal double array via ONE parsed SQL string — building it from N
+    ``F.lit`` calls costs N py4j round-trips (~0.5 s of driver time per
+    64-dim vector), which dominates these sub-second queries.  ``repr``
+    round-trips doubles exactly and the ``D`` suffix pins the SQL literal to
+    DOUBLE (bare decimals parse as DECIMAL)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -46,7 +55,7 @@ def cosine_topk(
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _vec_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_digits)
     return (
         df.select(F.col(id_col), sim.alias("cos_sim"))
@@ -65,8 +74,7 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     agree] = 1 - angle/π)."""
     bits = []
     for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(v)) for v in p])
-        bits.append(F.when(_dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(F.when(_dot(vec, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)

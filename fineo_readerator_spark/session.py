@@ -42,7 +42,11 @@ def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode hosts driver + all 32 task threads + block/shuffle
+        # managers in ONE JVM; an undersized heap shows up as GC/mmap churn
+        # (system-time spikes) long before OOM.  On a real cluster this knob
+        # comes from spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
