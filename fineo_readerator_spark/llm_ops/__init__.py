@@ -20,6 +20,7 @@ from fineo_readerator_spark.llm_ops.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_halves,
     simhash_signatures,
 )
 from fineo_readerator_spark.llm_ops.multimodal import (
@@ -45,6 +46,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash_dedup",
+    "simhash_halves",
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_topk",

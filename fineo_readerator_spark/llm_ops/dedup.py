@@ -79,11 +79,21 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, windows).otherwise(full))
 
 
-def shingle_hashes(col: Column, shingle_k: int = 3) -> Column:
+def _md5_long(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a long.  Identical
+    in Spark, DuckDB and Python — the leaf that lets the whole MinHash/SimHash
+    pipeline be replayed bit-for-bit by the SQL oracle.  Slower than xxhash64
+    (md5 + hex parse vs one native hash), so production paths default to
+    xxhash64 and only the oracle-checked queries pay for portability."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes(col: Column, shingle_k: int = 3, portable: bool = False) -> Column:
     """Distinct shingle hash array (the expensive tokenize+hash pass —
     materialize this ONCE and feed it to ``minhash_signature_from``, otherwise
     each of the N permutations re-evaluates the tokenization)."""
-    return F.transform(shingles(col, shingle_k), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    leaf = _md5_long if portable else F.xxhash64
+    return F.transform(shingles(col, shingle_k), lambda s: F.pmod(leaf(s), F.lit(_MERSENNE_P)))
 
 
 def minhash_signature_from(base: Column, num_hashes: int = 64, seed: int = 42) -> Column:
@@ -128,6 +138,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig) signatures via explode + N ``min`` aggregates.
 
@@ -140,7 +151,8 @@ def minhash_signatures(
     shape."""
     params = _hash_params(num_hashes, seed)
     exploded = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h")
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k, portable)).alias("h"),
     )
     # one SQL-string expression instead of N composed Column objects: the
     # Column algebra costs ~8 py4j round-trips per permutation (seconds of
@@ -163,6 +175,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
@@ -173,9 +186,9 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # signature pass materialized once, not once per self-join side
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed).localCheckpoint(
-        eager=False
-    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, seed, portable
+    ).localCheckpoint(eager=False)
     # band join carries only (band_hash, id): the 64-long signatures never
     # enter the wide shuffle — they rejoin onto the (tiny) candidate edge set
     banded = sigs.select(
@@ -323,6 +336,7 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Fuzzy dedup: keep one representative (min id) per near-duplicate
     cluster; clusters come from LSH candidate edges + label propagation.
@@ -334,7 +348,9 @@ def minhash_dedup(
     only the group min could ever be the cluster min.  On real corpora
     (20-50 % exact-dup rate at crawl scale) this halves the dominant cost."""
     reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed)
+    pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    )
     ids = reps.select(F.col(id_col).alias("id"))
     labels = _components_min_label(ids, pairs)
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
@@ -408,35 +424,101 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_halves(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """(id, lo, hi) SimHash as two unsigned 32-bit halves carried in longs.
+
+    The split shape avoids signed-64 wraparound entirely, which keeps the
+    arithmetic identical across Spark, DuckDB (oracle) and Python (tests).
+    ``portable=False`` derives the halves from the xxhash64-based
+    ``simhash_signatures``; ``portable=True`` recomputes the votes from
+    md5-derived 32-bit token hashes (the oracle-replayable leaf)."""
+    if not portable:
+        sh = simhash_signatures(df, id_col, text_col)
+        return sh.select(
+            "id",
+            F.col("sh").bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+            F.shiftrightunsigned(F.col("sh"), 32).alias("hi"),
+        )
+    th = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hl"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("hh"),
+    )
+    votes_arr = (
+        "array("
+        + ",".join(
+            f"sum(CASE WHEN (shiftright({'hl' if i < 32 else 'hh'}, {i % 32}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
+            for i in range(64)
+        )
+        + ")"
+    )
+    votes = th.groupBy("id").agg(F.expr(votes_arr).alias("v"))
+    half = (
+        "aggregate(sequence(0, 31), 0L,"
+        " (acc, i) -> acc | IF(element_at(v, i + {off} + 1) > 0, shiftleft(1L, i), 0L))"
+    )
+    hashed = votes.select(
+        "id", F.expr(half.format(off=0)).alias("lo"), F.expr(half.format(off=32)).alias("hi")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hashed, "id", "left")
+        .select("id", F.coalesce("lo", zero).alias("lo"), F.coalesce("hi", zero).alias("hi"))
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: bucket by 16-bit chunks (pigeonhole: any pair within
     hamming ≤ 3 shares at least one of 4 chunks), verify hamming in-bucket,
     cluster, keep min id.  Exact-dup cascade first (see minhash_dedup)."""
     full = df
     df = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
-    sh = simhash_signatures(df, id_col, text_col).localCheckpoint(
+    sh = simhash_halves(df, id_col, text_col, portable).localCheckpoint(
         eager=False
     )  # hash pass runs once, not once per self-join side
+    mask = F.lit(0xFFFF)
     chunks = sh.select(
         "id",
-        "sh",
+        "lo",
+        "hi",
         F.posexplode(
-            F.array(*[F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+            F.array(
+                F.col("lo").bitwiseAND(mask),
+                F.shiftrightunsigned("lo", 16),
+                F.col("hi").bitwiseAND(mask),
+                F.shiftrightunsigned("hi", 16),
+            )
         ).alias("chunk_idx", "chunk"),
     )
-    left = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = chunks.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    left = chunks.select(
+        "chunk_idx", "chunk", F.col("id").alias("id_a"),
+        F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"),
+    )
+    right = chunks.select(
+        "chunk_idx", "chunk", F.col("id").alias("id_b"),
+        F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
+    )
     pairs = (
         left.join(right, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .filter(hamming64(F.col("sh_a"), F.col("sh_b")) <= max_hamming)
+        .filter(
+            (hamming64(F.col("lo_a"), F.col("lo_b")) + hamming64(F.col("hi_a"), F.col("hi_b")))
+            <= max_hamming
+        )
         .select("id_a", "id_b")
     )
     ids = df.select(F.col(id_col).alias("id"))

@@ -1,0 +1,195 @@
+"""DuckDB oracle SQL for the portable MinHash-LSH and SimHash dedup paths.
+
+The Spark pipelines (llm_ops.dedup) and these generators share the leaf hash
+(first-15/8 hex chars of md5 parsed as integers), the permutation constants
+(``_hash_params`` with the same seed), the banding/chunking layout, and the
+cluster rule (connected components, min id wins) — so the oracle replays the
+ENTIRE fuzzy-dedup computation bit-for-bit: signatures, candidate generation,
+verification, and the transitive-closure clustering (recursive CTE standing
+in for the distributed label propagation).
+
+Only the bucket-key hashing differs (Spark buckets band slices by xxhash64
+for shuffle economy; the oracle joins on band-slice equality directly).
+Absent a 64-bit hash collision — never observed at test scale — the candidate
+sets are identical.
+"""
+
+from __future__ import annotations
+
+from fineo_readerator_spark.llm_ops.dedup import _MERSENNE_P, _hash_params
+
+# DuckDB lacks conv(hex, 16, 10); parse hex digits positionally instead.
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexparse(expr: str, start: int, n: int) -> str:
+    """BIGINT from ``n`` hex chars of ``expr`` starting at 1-based ``start``
+    — DuckDB equivalent of Spark's ``conv(substring(md5(x), start, n), 16, 10)``."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}),"
+        f" i -> (strpos('{_HEXDIGITS}', substr({expr}, CAST(i + {start - 1} AS INT), 1)) - 1)::BIGINT"
+        f" * (1::BIGINT << (4 * ({n} - i)))))"
+    )
+
+
+def _shingle_ctes(corpus_cte: str, shingle_k: int = 3) -> str:
+    """toks → distinct word-k-shingles → portable shingle hashes, mirroring
+    ``dedup.shingles`` / ``dedup.shingle_hashes(portable=True)``."""
+    off = shingle_k - 1
+    return f"""
+__t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+  FROM {corpus_cte}
+),
+__s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {shingle_k}
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - {off}),
+                                                i -> array_to_string(toks[i:i+{off}], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM __t
+),
+__hs AS (
+  SELECT doc_id, list_transform(sh, x -> {_hexparse('md5(x)', 1, 15)} % {_MERSENNE_P}) AS hs
+  FROM __s
+)"""
+
+
+def _minhash_sig_cte(num_hashes: int, seed: int) -> str:
+    params = _hash_params(num_hashes, seed)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE_P}))" for a, b in params
+    )
+    return f"__sig AS (SELECT doc_id, [{mins}] AS sig FROM __hs)"
+
+
+def _minhash_pairs_ctes(
+    num_hashes: int, bands: int, threshold: float, seed: int, corpus_cte: str, shingle_k: int = 3
+) -> str:
+    r = num_hashes // bands
+    return f"""{_shingle_ctes(corpus_cte, shingle_k)},
+{_minhash_sig_cte(num_hashes, seed)},
+__bands AS (
+  SELECT doc_id, j, sig[{r}*j+1:{r}*j+{r}] AS band
+  FROM __sig, generate_series(0, {bands - 1}) t(j)
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __bands a JOIN __bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+),
+__pairs AS (
+  SELECT id_a, id_b,
+         round(list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0,
+               4) AS est_jaccard
+  FROM __cand JOIN __sig sa ON sa.doc_id = id_a JOIN __sig sb ON sb.doc_id = id_b
+),
+__good AS (SELECT * FROM __pairs WHERE est_jaccard >= {threshold})"""
+
+
+# transitive closure over the near-dup edge set; min reachable id = the same
+# label the distributed min-label propagation converges to
+_COMPONENT_CTES = """
+__sym AS (
+  SELECT id_a AS a, id_b AS b FROM __good
+  UNION SELECT id_b, id_a FROM __good
+),
+__comp(id, lab) AS (
+  SELECT doc_id, doc_id FROM __reps
+  UNION
+  SELECT s.b, c.lab FROM __comp c JOIN __sym s ON s.a = c.id
+),
+__keep AS (SELECT id FROM (SELECT id, min(lab) AS lab FROM __comp GROUP BY id) WHERE id = lab)"""
+
+
+def _reps_cte(corpus_sql: str) -> str:
+    """Exact-dedup cascade: min doc_id per md5(text), mirroring
+    ``dedup.exact_dedup``."""
+    return f"""__all AS ({corpus_sql}),
+__reps AS (
+  SELECT doc_id, text, n_chars FROM __all
+  WHERE doc_id IN (SELECT min(doc_id) FROM __all GROUP BY md5(text))
+)"""
+
+
+def minhash_pairs_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``minhash_lsh_pairs(portable=True)`` over ``corpus_sql``
+    (must yield doc_id, text, n_chars)."""
+    return f"""WITH __all AS ({corpus_sql}),
+{_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__all', shingle_k)}
+SELECT id_a, id_b, est_jaccard FROM __good"""
+
+
+def minhash_dedup_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``minhash_dedup(portable=True).select(doc_id, n_chars)``."""
+    return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
+{_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__reps', shingle_k)},
+{_COMPONENT_CTES}
+SELECT r.doc_id, r.n_chars FROM __reps r JOIN __keep k ON r.doc_id = k.id"""
+
+
+def _simhash_half_expr(hash_list: str) -> str:
+    """Fold 32 bit-votes over ``hash_list`` (list of 32-bit ints) into an
+    unsigned half, mirroring ``dedup.simhash_halves(portable=True)``.
+    Empty token lists: inner list_sum is NULL, NULL > 0 is false, half = 0 —
+    the same zero signature Spark restores via the left join."""
+    return (
+        "list_sum(list_transform(generate_series(0, 31), i ->"
+        " CASE WHEN list_sum(list_transform("
+        f"{hash_list}, v -> CASE WHEN (v >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        " THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END))"
+    )
+
+
+def simhash_dedup_oracle(corpus_sql: str, max_hamming: int = 3) -> str:
+    """Oracle for ``simhash_dedup(portable=True).select(doc_id, n_chars)``."""
+    return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
+__t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+  FROM __reps
+),
+__h AS (
+  SELECT doc_id,
+         list_transform(toks, x -> {_hexparse('md5(x)', 1, 8)}) AS hl,
+         list_transform(toks, x -> {_hexparse('md5(x)', 9, 8)}) AS hh
+  FROM __t
+),
+__shs AS (
+  SELECT doc_id,
+         coalesce({_simhash_half_expr('hl')}, 0) AS lo,
+         coalesce({_simhash_half_expr('hh')}, 0) AS hi
+  FROM __h
+),
+__chunks AS (
+  SELECT doc_id, lo, hi, ci,
+         CASE ci WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                 WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS chunk
+  FROM __shs, generate_series(0, 3) t(ci)
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __chunks a JOIN __chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+),
+__good AS (
+  SELECT id_a, id_b
+  FROM __cand JOIN __shs sa ON sa.doc_id = id_a JOIN __shs sb ON sb.doc_id = id_b
+  WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= {max_hamming}
+),
+{_COMPONENT_CTES}
+SELECT r.doc_id, r.n_chars FROM __reps r JOIN __keep k ON r.doc_id = k.id"""

@@ -254,20 +254,47 @@ FROM documents
 
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode+featurize over the binary payloads (deterministic
-    fake decoder — the Arrow batch path is the thing under test).  Rows-only:
-    the sha256-derived fake features aren't SQL-expressible; golden values
-    live in tests/test_llm_ops.py."""
+    """mapInPandas decode+featurize over the binary payloads.  The fake
+    decoder derives dims from sha256 bytes, which DuckDB can replay
+    (sha256 + positional hex parse), so the Arrow-batch plumbing is
+    oracle-checked end to end."""
     return decode_and_featurize(_docs_as_media(spark, sf_dir), "doc_id", "payload").select(
         "id", "width", "height", "duration_ms"
     )
 
 
+def _mm_decode_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    def byte_at(k: int) -> str:  # byte k of the sha256 digest (hex chars 2k+1..2k+2)
+        return _hexparse("s", 2 * k + 1, 2)
+
+    return f"""
+WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents)
+SELECT doc_id AS id,
+       CAST(16 + ({byte_at(0)}) % 64 AS INT) AS width,
+       CAST(16 + ({byte_at(1)}) % 64 AS INT) AS height,
+       CAST(({byte_at(2)}) * 256 + ({byte_at(3)}) AS BIGINT) AS duration_ms
+FROM h
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling contract: one row per (doc, frame_idx), stubbed
-    extraction.  Rows-only (Python byte-slicing fake)."""
+    extraction (strided byte slice).  The reported frame size is pure
+    arithmetic on the payload length, so the contract is oracle-checked."""
     frames = sample_frames(_docs_as_media(spark, sf_dir), "doc_id", "payload", n_frames=4)
     return frames.select("id", "frame_idx", F.length("frame").alias("frame_bytes"))
+
+
+# frame = payload[i::4][:64]  =>  len = min(64, ceil((len(payload) - i) / 4))
+MM_FRAMES_ORACLE = """
+SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+       CAST(CASE WHEN octet_length(encode(text)) > i
+                 THEN least(64, (octet_length(encode(text)) - i - 1) // 4 + 1)
+                 ELSE 0 END AS INT) AS frame_bytes
+FROM documents, generate_series(0, 3) t(i)
+"""
 
 
 def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,29 +358,58 @@ SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_CORPUS_SQL = (
+    "SELECT doc_id, text, n_chars FROM documents"
+    f" UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"
+)
+
+
+def _minhash_pairs_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import minhash_pairs_oracle
+
+    return minhash_pairs_oracle(_CORPUS_SQL, num_hashes=64, bands=16, threshold=0.7)
+
+
+def _minhash_dedup_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import minhash_dedup_oracle
+
+    return minhash_dedup_oracle(_CORPUS_SQL, num_hashes=64, bands=16, threshold=0.7)
+
+
+def _simhash_dedup_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import simhash_dedup_oracle
+
+    return simhash_dedup_oracle(_CORPUS_SQL, max_hamming=3)
+
+
 def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs over documents + a duplicated copy (the
-    shifted copies are exact dups, so every (id, id+SHIFT) pair must surface)."""
+    shifted copies are exact dups, so every (id, id+SHIFT) pair must surface).
+    Portable md5-leaf hashing, so the DuckDB oracle replays the signatures,
+    banding and verification bit-for-bit."""
     return minhash_lsh_pairs(
-        _docs_with_dups(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.7, portable=True,
     )
 
 
 def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fuzzy-dedup pass (LSH + label propagation) over the doubled
-    corpus.  Rows-only for the driver (the documents table deliberately
-    contains natural near-duplicates, so the kept set depends on the MinHash
-    mechanics, which aren't SQL); the pure-Python golden reference lives in
-    tests/test_llm_ops.py."""
+    """Full fuzzy-dedup pass (exact cascade + LSH + label propagation) over
+    the doubled corpus, portable hashing; the oracle replays the whole
+    pipeline including the clustering (recursive-CTE transitive closure)."""
     out = minhash_dedup(
-        _docs_with_dups(spark, sf_dir), "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.7, portable=True,
     )
     return out.select("doc_id", "n_chars")
 
 
 def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup dedup — rows-only, same reasoning as d_minhash_dedup."""
-    out = simhash_dedup(_docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    """SimHash near-dup dedup, portable hashing — oracle-checked end to end
+    like d_minhash_dedup."""
+    out = simhash_dedup(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=3, portable=True
+    )
     return out.select("doc_id", "n_chars")
 
 
@@ -369,11 +425,10 @@ LLM_QUERIES = [
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, None),  # trained centroids aren't SQL
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
-    QueryDef("mm_decode_features", mm_decode_features, None),  # sha256 fake decoder
-    QueryDef("mm_frame_sample", mm_frame_sample, None),  # python byte-slice fake
-
+    QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
+    QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
-    QueryDef("d_minhash_pairs", d_minhash_pairs, None),  # non-SQL mechanics
-    QueryDef("d_minhash_dedup", d_minhash_dedup, None, bench=True),
-    QueryDef("d_simhash_dedup", d_simhash_dedup, None),
+    QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
+    QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
+    QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle()),
 ]
