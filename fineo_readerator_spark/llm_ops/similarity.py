@@ -163,6 +163,57 @@ def ivf_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def ivf_seeded_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC coarse quantizer: the
+    ``n_centroids`` lowest-id vectors serve as cell centroids (a data-sampled
+    codebook — the zero-iteration analog of k-means init), every vector goes
+    to its nearest centroid (squared euclidean, ties to the lower centroid
+    id), and the query probes the ``n_probe`` nearest cells with exact cosine
+    inside.  Same scale shape as the k-means variant (``ivf_topk``): persist
+    the cell id as a partition/bucket column and a query touches only
+    n_probe/n_centroids of the corpus.  Unlike trained centroids, this
+    codebook is SQL-expressible, so the whole operator is oracle-checkable.
+
+    Distances are rounded (1e-9) before the argmin so floating-point
+    association differences between engines can never flip the cell choice.
+    """
+    seeds = [
+        (r[0], [float(v) for v in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def dist_sql(vec_expr: str, seed: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in seed) + ")"
+        return (
+            f"round(aggregate(zip_with({vec_expr}, {arr},"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0D, (acc, v) -> acc + v), 9)"
+        )
+
+    cell = F.expr(
+        "array_min(array("
+        + ",".join(f"named_struct('d', {dist_sql(vec_col, sv)}, 'sid', {sid}L)" for sid, sv in seeds)
+        + ")).sid"
+    )
+    # probe cells chosen driver-side with the same rounded arithmetic
+    qd = sorted(
+        (round(sum((float(q) - s) ** 2 for q, s in zip(query_vec, sv)), 9), sid)
+        for sid, sv in seeds
+    )
+    probe = [sid for _, sid in qd[:n_probe]]
+    probed = df.withColumn("__cell", cell).filter(F.col("__cell").isin(probe)).drop("__cell")
+    return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

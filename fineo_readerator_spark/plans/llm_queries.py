@@ -1,9 +1,12 @@
 """Driver-contract queries for the LLM-data-pipeline operators over the
 ``documents`` and ``embeddings`` tables.
 
-Oracle-able ops carry exact DuckDB SQL; MinHash/SimHash dedup are
-rows-only here (deterministic, but their verification-grade ground truth is
-the pure-Python reference in tests/test_llm_ops.py)."""
+EVERY query here carries an exact DuckDB oracle: the fuzzy-dedup paths use
+portable md5-leaf hashing (llm_ops.dedup_oracles replays signatures, banding,
+verification and clustering bit-for-bit), the multimodal fakes are
+sha256/length-derived and replayed positionally, and the IVF ANN uses a
+deterministic data-sampled codebook instead of trained k-means (the trained
+variant keeps its brute-force-equivalence test in tests/test_llm_ops.py)."""
 
 from __future__ import annotations
 
@@ -26,6 +29,7 @@ from fineo_readerator_spark.llm_ops.similarity import (
     _hyperplanes,
     cosine,
     cosine_topk,
+    ivf_seeded_topk,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -308,15 +312,58 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-10 (k-means coarse quantizer, 4 of 16
-    cells probed).  Rows-only: the trained centroids aren't SQL; the
-    n_probe=n_centroids ≡ brute-force equivalence is tested in
+    """IVF-bucketed approximate top-10: deterministic data-sampled codebook
+    (16 lowest-id vectors), 4 of 16 cells probed, exact cosine inside.  The
+    codebook is SQL-expressible so the whole operator is oracle-checked; the
+    k-means-trained variant (``ivf_topk``) is covered by the
+    n_probe=n_centroids ≡ brute-force equivalence test in
     tests/test_llm_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, n_probe=4, seed=42
+    return ivf_seeded_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10, n_centroids=16, n_probe=4
     )
+
+
+_IVF_DIST = (
+    "round(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 9)"
+)
+
+S_ANN_IVF_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id != 0
+  ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, embedding, sid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_IVF_DIST.format(a='embedding', b='sv')}, sid) AS rn
+  FROM (SELECT e.vec_id, e.embedding, s.sid, s.sv
+        FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id != 0)
+),
+probe AS (
+  SELECT sid FROM seeds, q
+  ORDER BY {_IVF_DIST.format(a='qv', b='sv')}, sid LIMIT 4
+),
+cells AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE rn = 1 AND sid IN (SELECT sid FROM probe)
+),
+sims AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(c.embedding)),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM cells c, q
+)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, max_probe_dist: int = 1) -> str:
@@ -423,7 +470,7 @@ LLM_QUERIES = [
     QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
-    QueryDef("s_ann_ivf", s_ann_ivf, None),  # trained centroids aren't SQL
+    QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
