@@ -1,0 +1,101 @@
+"""Deterministic sampling and frequency operators for corpus curation.
+
+A 100 TB pipeline needs REPRODUCIBLE sampling: `df.sample()` draws from a
+per-partition RNG, so the kept set changes with partitioning, retries and
+cluster size.  These operators key every decision on a portable content hash
+(md5 of the row key), which makes the sample (a) stable under repartitioning
+and speculative re-execution, (b) identical across engines — the DuckDB
+oracle replays it exactly — and (c) cheap: one codegen'd projection, no
+shuffle, filters push to the scan.
+
+`topk_frequent` / `ngram_topk` are the exact heavy-hitter shapes: map-side
+partial counts → one shuffle on the item key → per-group top-k via window or
+global top-k via TakeOrdered (per-partition heaps, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.dedup import shingles
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, 1e6): portable 60-bit md5 hash of
+    ``seed|key`` — same leaf as the portable dedup path, replayable in SQL."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided per row by hash
+    bucket — reproducible regardless of partitioning or engine."""
+    return df.filter(_bucket(F.col(key_col), seed) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant languages,
+    keep the tail): rows in strata absent from ``fractions`` are dropped.
+    One codegen'd CASE over the hash bucket — no shuffle, no RNG."""
+    thresholds = F.create_map(
+        *[x for s, frac in sorted(fractions.items()) for x in (F.lit(s), F.lit(int(frac * _BUCKETS)))]
+    )
+    thr = F.coalesce(thresholds[F.col(strata_col)], F.lit(0))
+    return df.filter(_bucket(F.col(key_col), seed) < thr)
+
+
+def sample_oracle_bucket(key_expr: str, seed: int = 42) -> str:
+    """DuckDB expression replaying ``_bucket(key)`` bit-for-bit."""
+    md5 = f"md5(concat('{seed}|', CAST({key_expr} AS VARCHAR)))"
+    parse = (
+        "list_sum(list_transform(generate_series(1, 15),"
+        f" i -> (strpos('0123456789abcdef', substr({md5}, CAST(i AS INT), 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - i)))))"
+    )
+    return f"({parse} % {_BUCKETS})"
+
+
+def sample_oracle_predicate(key_expr: str, threshold: int, seed: int = 42) -> str:
+    """DuckDB predicate replaying ``_bucket(key) < threshold``."""
+    return f"{sample_oracle_bucket(key_expr, seed)} < {threshold}"
+
+
+def topk_frequent(
+    df: DataFrame, group_cols: list[str], item_col: str, k: int
+) -> DataFrame:
+    """Exact top-k most frequent ``item_col`` values per group.
+
+    Shape: partial-aggregated count (one shuffle keyed on group+item), then a
+    window rank over the much smaller (group, item, cnt) set.  Ties break on
+    the item value so results are deterministic across engines."""
+    counts = df.groupBy(*group_cols, item_col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), item_col)
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, item_col, "cnt", "rank")
+    )
+
+
+def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 20) -> DataFrame:
+    """Global top-k word n-grams with counts (corpus vocabulary statistics).
+
+    explode → count (map-side combine keeps the shuffle at |distinct ngrams|)
+    → TakeOrderedAndProject for the top-k (per-partition heaps, no global
+    sort).  Deterministic tie-break on the ngram string."""
+    grams = df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(k)
+    )

@@ -55,9 +55,11 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.withColumns(
         {
-            "n_tokens": n_tok,
-            "n_bpe_tokens": n_bpe,
-            "n_punct": n_punct,
+            # counts as int64: DuckDB len()/length() are BIGINT and the
+            # driver's value hashing is type-representation-sensitive
+            "n_tokens": n_tok.cast("long"),
+            "n_bpe_tokens": n_bpe.cast("long"),
+            "n_punct": n_punct.cast("long"),
             "punct_ratio": punct_ratio,
             "avg_word_len": avg_wl,
             "quality_score": quality,

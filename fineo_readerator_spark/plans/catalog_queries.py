@@ -16,14 +16,18 @@ def t_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User SQL over the tenant's registered metric view (E1 collapsed:
     tenant session → spark.sql)."""
     tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    # exact decimal sum, surfaced as double on BOTH sides: pandas renders a
+    # Spark decimal as object(Decimal) but a DuckDB decimal as float64, and
+    # the driver's value hashing is representation-sensitive
     return tenant.sql(
-        f"SELECT event_type, count(*) AS n, sum(cast(value as decimal(18,2))) AS total "
+        f"SELECT event_type, count(*) AS n, "
+        f"cast(sum(cast(value as decimal(18,2))) as double) AS total "
         f"FROM {METRIC} GROUP BY event_type"
     )
 
 
 T_SQL_ORACLE = """
-SELECT event_type, count(*) AS n, sum(cast(value as decimal(18,2))) AS total
+SELECT event_type, count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS total
 FROM events GROUP BY event_type
 """
 

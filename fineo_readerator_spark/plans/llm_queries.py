@@ -460,6 +460,82 @@ def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+_SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.6, "fr": 0.6, "zh": 1.0}  # 'es' absent → dropped
+
+
+def p_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: downsample the dominant
+    language, keep the tail, drop strata not listed.  Hash-keyed, so the kept
+    set is reproducible across partitionings, retries and engines."""
+    from fineo_readerator_spark.llm_ops.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _SAMPLE_FRACTIONS, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _p_doc_sample_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import _BUCKETS, sample_oracle_bucket
+
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{s}' THEN {int(f * _BUCKETS)}" for s, f in sorted(_SAMPLE_FRACTIONS.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"SELECT doc_id, lang, n_chars FROM documents WHERE {sample_oracle_bucket('doc_id')} < {case}"
+
+
+def t_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word 3-grams by document frequency (each document's
+    distinct shingles counted once) — corpus vocabulary statistics."""
+    from fineo_readerator_spark.llm_ops.sampling import ngram_topk
+
+    return ngram_topk(load(spark, sf_dir, "documents"), "text", n=3, k=20)
+
+
+T_NGRAM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+)
+SELECT ngram, count(*) AS cnt
+FROM (SELECT unnest(sh) AS ngram FROM s)
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+"""
+
+
+def e_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 most frequent event types per user (heavy-hitter shape:
+    partial-agg count, then a window rank over the small count set)."""
+    from fineo_readerator_spark.llm_ops.sampling import topk_frequent
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    out = topk_frequent(ev, ["user_id"], "event_type", k=3)
+    # rank as long on both sides (DuckDB row_number is BIGINT; the driver's
+    # value hashing is type-representation-sensitive)
+    return out.select("user_id", "event_type", "cnt", F.col("rank").cast("long").alias("rank"))
+
+
+E_TOPK_ORACLE = """
+SELECT user_id, event_type, cnt, rank FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rank
+  FROM events GROUP BY user_id, event_type
+) WHERE rank <= 3
+"""
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_clean_corpus", p_clean_corpus, P_CLEAN_ORACLE, bench=True),
@@ -478,4 +554,7 @@ LLM_QUERIES = [
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle()),
+    QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
+    QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),
+    QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
 ]

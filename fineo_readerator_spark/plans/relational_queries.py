@@ -252,7 +252,12 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", F.expr("ts div 1000000").alias("ts_ms"), "rn")
+        # rn as long: DuckDB row_number is BIGINT and the driver's value
+        # hashing is type-representation-sensitive
+        .select(
+            "user_id", "event_id", F.expr("ts div 1000000").alias("ts_ms"),
+            F.col("rn").cast("long").alias("rn"),
+        )
     )
 
 
@@ -329,7 +334,7 @@ _SCALAR_EXPRS = [
     ("p_partkey", "p_partkey"),
     ("upper(p_brand)", "brand_u"),
     ("substring(p_type, 1, 4)", "type4"),
-    ("length(p_name)", "name_len"),
+    ("cast(length(p_name) as bigint)", "name_len"),  # int64 both sides
     ("CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END", "size_bucket"),
     ("p_partkey % 7", "k7"),
     ("abs(p_size - 25)", "size_dist"),
@@ -506,8 +511,9 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count("*").alias("n"),
-            F.grouping("l_returnflag").alias("g_rf"),
-            F.grouping("l_linestatus").alias("g_ls"),
+            # grouping() is byte in Spark, BIGINT in DuckDB; align on int64
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
         )
     )
 
@@ -525,9 +531,9 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.col("o_orderdate")
     return orders.select(
         "o_orderkey",
-        F.year(ts).alias("y"),
-        F.month(ts).alias("m"),
-        F.dayofmonth(ts).alias("d"),
+        F.year(ts).cast("long").alias("y"),
+        F.month(ts).cast("long").alias("m"),
+        F.dayofmonth(ts).cast("long").alias("d"),
         F.date_format(ts, "yyyy-MM").alias("ym"),
     )
 
@@ -536,6 +542,44 @@ Q_DATE_ORACLE = """
 SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
        day(o_orderdate) AS d, strftime(o_orderdate, '%Y-%m') AS ym
 FROM orders
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization rollup: split each user's event stream into
+    sessions separated by >30 min of inactivity, one row per session with
+    count and bounds.  One shuffle on user_id; both window passes and the
+    final aggregation reuse that partitioning (operators/sessionize.py)."""
+    from fineo_readerator_spark.operators.sessionize import session_stats
+
+    ev = load(spark, sf_dir, "events").select("user_id", F.expr("ts div 1000000").alias("ts_ms"))
+    return session_stats(ev, "user_id", "ts_ms", 1_800_000).select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.col("start_ts").alias("start_ms"),
+        F.col("end_ts").alias("end_ms"),
+    )
+
+
+Q_SESSIONIZE_ORACLE = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+m AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+s AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+FROM s GROUP BY user_id, session_idx
 """
 
 
@@ -560,4 +604,5 @@ RELATIONAL_QUERIES = [
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
+    QueryDef("q_sessionize", q_sessionize, Q_SESSIONIZE_ORACLE),
 ]

@@ -1,0 +1,87 @@
+"""Unit tests for deterministic sampling, heavy-hitter and batch-session
+operators: partition-invariance of hash sampling, per-stratum accounting,
+tie-break determinism, and gaps-and-islands session edges."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.sampling import (
+    _BUCKETS,
+    hash_sample,
+    ngram_topk,
+    stratified_sample,
+    topk_frequent,
+)
+from fineo_readerator_spark.operators.sessionize import session_stats, sessionize_batch
+
+
+def _py_bucket(key, seed=42) -> int:
+    return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:15], 16) % _BUCKETS
+
+
+def test_hash_sample_matches_python_and_is_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    kept = sorted(r.k for r in hash_sample(df, "k", 0.25).collect())
+    expected = sorted(k for k in range(2000) if _py_bucket(k) < int(0.25 * _BUCKETS))
+    assert kept == expected
+    # repartitioning must not change the kept set (df.sample() would)
+    kept_repart = sorted(r.k for r in hash_sample(df.repartition(13), "k", 0.25).collect())
+    assert kept_repart == kept
+    # fraction is approximately honored
+    assert 0.2 < len(kept) / 2000 < 0.3
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], "k long, s string"
+    )
+    out = stratified_sample(df, "s", {"a": 1.0}, "k").collect()
+    assert all(r.s == "a" for r in out)
+    assert len(out) == 200  # fraction 1.0 keeps the whole stratum
+
+
+def test_topk_frequent_tie_break(spark):
+    rows = [("u1", "x")] * 3 + [("u1", "a")] * 2 + [("u1", "b")] * 2 + [("u1", "c")]
+    df = spark.createDataFrame(rows, "u string, item string")
+    out = topk_frequent(df, ["u"], "item", 2).orderBy("rank").collect()
+    # ties (a=2, b=2) break on item value: a wins rank 2
+    assert [(r.item, r.cnt, r.rank) for r in out] == [("x", 3, 1), ("a", 2, 2)]
+
+
+def test_ngram_topk_counts_document_frequency(spark):
+    df = spark.createDataFrame(
+        [("w w w w",), ("w w w",)], "text string"
+    )  # "w w w" appears twice inside doc 1 but counts once per doc
+    out = ngram_topk(df, "text", n=3, k=5).collect()
+    assert [(r.ngram, r.cnt) for r in out] == [("w w w", 2)]
+
+
+def test_sessionize_batch_gap_edges(spark):
+    # gap boundary: delta == gap stays in-session, delta > gap starts a new one
+    rows = [(1, 0), (1, 100), (1, 101), (1, 250), (2, 0)]
+    df = spark.createDataFrame(rows, "k long, ts long")
+    out = {
+        (r.k, r.ts): r.session_idx
+        for r in sessionize_batch(df, "k", "ts", gap=100).collect()
+    }
+    assert out == {(1, 0): 0, (1, 100): 0, (1, 101): 0, (1, 250): 1, (2, 0): 0}
+
+
+def test_session_stats_tied_timestamps_one_session(spark):
+    rows = [(1, 10), (1, 10), (1, 10), (1, 500)]
+    df = spark.createDataFrame(rows, "k long, ts long")
+    out = sorted(
+        (r.session_idx, r.n_events, r.start_ts, r.end_ts)
+        for r in session_stats(df, "k", "ts", gap=100).collect()
+    )
+    assert out == [(0, 3, 10, 10), (1, 1, 500, 500)]
+
+
+def test_sample_pushes_filter_into_scan(spark, sf_dir, tmp_path):
+    # the sampling predicate is a plain projection+filter: no shuffle in plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
