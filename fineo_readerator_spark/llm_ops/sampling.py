@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fineo_readerator_spark.llm_ops.dedup import shingles
+from fineo_readerator_spark.llm_ops.dedup import _spread, shingles
 
 _BUCKETS = 1_000_000
 
@@ -92,7 +92,7 @@ def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 20) -> DataFra
     explode → count (map-side combine keeps the shuffle at |distinct ngrams|)
     → TakeOrderedAndProject for the top-k (per-partition heaps, no global
     sort).  Deterministic tie-break on the ngram string."""
-    grams = df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+    grams = _spread(df.select(text_col)).select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count("*").alias("cnt"))

@@ -82,7 +82,9 @@ class SourceSpec:
 
     kind: str  # historical | nearline | nearline_items
     path: str
-    fmt: str = "parquet"  # parquet | json (gzip json is native to the json reader)
+    # parquet | json | csv | orc (gzip json/csv are native to those readers);
+    # csv defaults to header=true + schema inference unless options override
+    fmt: str = "parquet"
     time_range: TimeRange = field(default_factory=TimeRange)
     # Does the stored data carry companykey/metrictype columns (dfs layout) or
     # a compound partition_key (dynamo layout)?  (DynamoFineoCompoundKeyMapper.java:21-37)
@@ -128,12 +130,18 @@ class SourceSpec:
 
         ensure_io_confs(spark)
         reader = spark.read
+        if self.fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
         for k, v in self.options.items():
             reader = reader.option(k, v)
         if self.fmt == "parquet":
             return reader.parquet(self.path)
         if self.fmt == "json":
             return reader.json(self.path)
+        if self.fmt == "csv":
+            return reader.csv(self.path)
+        if self.fmt == "orc":
+            return reader.orc(self.path)
         raise ValueError(f"unsupported source format {self.fmt!r}")
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -152,6 +160,8 @@ class SourceSpec:
         ensure_io_confs(spark)
         schema = self._read_raw(spark).schema
         reader = spark.readStream.schema(schema)
+        if self.fmt == "csv":
+            reader = reader.option("header", "true")
         for k, v in self.options.items():
             reader = reader.option(k, v)
         # FileStreamSource forces basePath to the input path unless the path
@@ -165,6 +175,10 @@ class SourceSpec:
             df = reader.parquet(path)
         elif self.fmt == "json":
             df = reader.json(path)
+        elif self.fmt == "csv":
+            df = reader.csv(path)
+        elif self.fmt == "orc":
+            df = reader.orc(path)
         else:
             raise ValueError(f"unsupported streaming source format {self.fmt!r}")
         return self._apply_derive(df)
