@@ -545,6 +545,55 @@ FROM orders
 """
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity by line status across explicit return-flag columns
+    (Spark relational pivot ≡ the SQL conditional-aggregation shape — one
+    scan, one shuffle on the grouping key, no per-flag passes)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(qty)
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) FILTER (l_returnflag = 'A') as double) AS qty_a,
+       cast(sum(cast(l_quantity as decimal(18,2))) FILTER (l_returnflag = 'N') as double) AS qty_n,
+       cast(sum(cast(l_quantity as decimal(18,2))) FILTER (l_returnflag = 'R') as double) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations with GROUPING() markers so
+    rolled-up NULLs stay distinguishable from NULL data."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").alias("sum_price"),
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+    )
+
+
+Q_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+       count(*) AS n,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization rollup: split each user's event stream into
     sessions separated by >30 min of inactivity, one row per session with
@@ -605,4 +654,6 @@ RELATIONAL_QUERIES = [
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
     QueryDef("q_sessionize", q_sessionize, Q_SESSIONIZE_ORACLE),
+    QueryDef("q_pivot", q_pivot, Q_PIVOT_ORACLE),
+    QueryDef("q_cube", q_cube, Q_CUBE_ORACLE),
 ]

@@ -25,6 +25,7 @@ from fineo_readerator_spark.plans.metric_queries import METRIC, ORG, events_stor
 from fineo_readerator_spark.plans.registry import QueryDef
 from fineo_readerator_spark.streaming import (
     dedup_stream,
+    interval_join_streams,
     read_metric_stream,
     run_available_now,
     sessionize,
@@ -185,10 +186,51 @@ GROUP BY 1, 2, 3
 """
 
 
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (funnel attribution): each click joins the
+    same user's purchases within the following hour.  Watermarks on both
+    sides + the two-sided time bound let Spark evict join state — the shape
+    that runs forever on unbounded inputs."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    joined = interval_join_streams(
+        clicks, purchases, "user_id", "click_time", "purchase_time",
+        upper="1 hour", watermark="1 hour",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_time").alias("click_ms"),
+        F.unix_millis("purchase_time").alias("purchase_ms"),
+    )
+    return _drain(joined, "st_ss_join_sink", "append")
+
+
+ST_INTERVAL_JOIN_ORACLE = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <= epoch_ms(c.ts) + {HOUR_MS}
+"""
+
+
 STREAMING_QUERIES = [
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
     QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),
     QueryDef("st_stream_static_join", st_stream_static_join, ST_SS_JOIN_ORACLE),
+    QueryDef("st_stream_stream_join", st_stream_stream_join, ST_INTERVAL_JOIN_ORACLE),
 ]

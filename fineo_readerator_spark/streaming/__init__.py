@@ -1,5 +1,6 @@
 from fineo_readerator_spark.streaming.streams import (
     dedup_stream,
+    interval_join_streams,
     read_metric_stream,
     read_source_stream,
     run_available_now,
@@ -11,6 +12,7 @@ from fineo_readerator_spark.streaming.streams import (
 
 __all__ = [
     "dedup_stream",
+    "interval_join_streams",
     "read_metric_stream",
     "read_source_stream",
     "run_available_now",

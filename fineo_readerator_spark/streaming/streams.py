@@ -180,6 +180,33 @@ def stateful_running_totals(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time_col: str,
+    right_time_col: str,
+    upper: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with a time-interval condition:
+    right event in ``[left_time, left_time + upper]``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, which is what lets Spark evict buffered rows: each
+    side's state holds only rows inside the watermark + interval horizon —
+    the canonical funnel/attribution join that runs forever on unbounded
+    inputs.  One shuffle per side on the key."""
+    lw = left.withWatermark(left_time_col, watermark)
+    rw = right.withWatermark(right_time_col, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_time_col] >= lw[left_time_col])
+        & (rw[right_time_col] <= F.expr(f"{left_time_col} + interval {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key_col])
+
+
 def dedup_stream(
     df: DataFrame,
     keys: list[str],
