@@ -460,6 +460,47 @@ def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def d_embed_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH bucketing (the scale path:
+    self-join on the 8-bit signature bucket instead of label groups), exact
+    cosine verification in-bucket.  Oracle inlines the same plane constants."""
+    from fineo_readerator_spark.llm_ops.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.2, n_planes=8, seed=42)
+
+
+def _d_embed_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, threshold: float = 0.2) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    def sig(vec_expr: str) -> str:
+        return " | ".join(
+            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, {dim}),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+) WHERE cos_sim >= {threshold}
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.6, "fr": 0.6, "zh": 1.0}  # 'es' absent → dropped
 
 
@@ -551,6 +592,7 @@ LLM_QUERIES = [
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
+    QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle()),

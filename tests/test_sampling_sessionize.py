@@ -80,6 +80,14 @@ def test_session_stats_tied_timestamps_one_session(spark):
     assert out == [(0, 3, 10, 10), (1, 1, 500, 500)]
 
 
+def test_sessionize_single_shuffle(spark):
+    """Both window passes and the session rollup reuse one hash partitioning
+    on the key: exactly one Exchange in the whole plan."""
+    df = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k long, ts long")
+    plan = session_stats(df, "k", "ts", gap=100)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_sample_pushes_filter_into_scan(spark, sf_dir, tmp_path):
     # the sampling predicate is a plain projection+filter: no shuffle in plan
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
