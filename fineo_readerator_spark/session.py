@@ -64,6 +64,18 @@ _IO_CONFS = {
     "spark.sql.session.timeZone": "UTC",
 }
 
+# Perf-only session defaults (results unchanged), applied ONLY when the conf
+# still holds its out-of-the-box value — a deliberate setting (get_spark, a
+# user session, spark-submit) is never clobbered.
+_PERF_CONF_DEFAULTS = {
+    # a vanilla session defaults to 200 shuffle partitions, which at
+    # correctness scale is pure task-scheduling overhead — stateful streaming
+    # queries pay it worst (one state store per partition: 20-37s/query
+    # observed at 200 vs ~3s at core count).  On a real cluster this is
+    # sized to total executor cores instead.
+    "spark.sql.shuffle.partitions": ("200", str(DEFAULT_SHUFFLE_PARTITIONS)),
+}
+
 
 def ensure_io_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply the confs every read in this repo needs.
@@ -74,4 +86,9 @@ def ensure_io_confs(spark: SparkSession) -> SparkSession:
     for k, v in _IO_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+    for k, (vanilla, ours) in _PERF_CONF_DEFAULTS.items():
+        # unset reads back as None; both unset and the out-of-the-box value
+        # count as "vanilla" — anything else was deliberately chosen upstream
+        if spark.conf.get(k, None) in (None, vanilla):
+            spark.conf.set(k, ours)
     return spark
