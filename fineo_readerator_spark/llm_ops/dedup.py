@@ -68,14 +68,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as a distinct array; short docs fall back to the whole
-    token list joined (so they still get a signature)."""
+    token list joined (so they still get a signature).
+
+    Built by iterated ``zip_with`` over shifted slices instead of
+    ``transform(sequence(i), i -> slice(toks, i, k))``: a lambda that CAPTURES
+    an outer expression re-evaluates it per element (interpreted, O(n²) per
+    row — measured ~10× slower on real docs), while ``zip_with`` lambdas only
+    touch their element arguments, so the token array is evaluated a constant
+    number of times per row."""
     toks = tokens(col)
     n = F.size(toks)
     full = F.array(F.concat_ws(" ", toks))
-    windows = F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    windows = toks
+    for j in range(2, k + 1):
+        m = F.greatest(n - j + 1, F.lit(0))
+        windows = F.zip_with(
+            F.slice(windows, 1, m),
+            F.slice(toks, j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(F.when(n >= k, windows).otherwise(full))
 
 

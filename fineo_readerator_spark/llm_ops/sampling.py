@@ -69,6 +69,53 @@ def sample_oracle_predicate(key_expr: str, threshold: int, seed: int = 42) -> st
     return f"{sample_oracle_bucket(key_expr, seed)} < {threshold}"
 
 
+def stratified_fixed_k(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (eval-set carving), chosen by ranking a
+    content hash — deterministic across partitionings, retries and engines
+    (unlike fraction sampling, which can't hit an exact count).
+
+    Shape: one shuffle keyed on the strata (window rank); the per-stratum
+    state is a k-row heap, so skewed strata cost memory O(k), not O(|stratum|).
+    Appends ``sample_rank`` (1..k)."""
+    w = Window.partitionBy(*strata_cols).orderBy(_bucket(F.col(key_col), seed), key_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_cols: list[str],
+) -> DataFrame:
+    """Streaming-fill sequence packing: walk each partition's documents in
+    ``id_col`` order and assign ``bin_id`` = (running token count before this
+    doc) div ``budget``.  Documents are never split; a bin may overflow by at
+    most one document — the standard greedy fill used to batch variable-length
+    documents into fixed token-budget training sequences.
+
+    The running sum is a window over ``part_cols`` — the packing parallelizes
+    across shards (source, date, ...) exactly as a training pipeline shards
+    its corpus; there is no global sequential dependency.  Integer ``div``
+    keeps bin boundaries exact (no float rounding at multiples of the
+    budget)."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+    # exact integer bin boundary: subtract the remainder before dividing, so
+    # the division is always by-an-exact-multiple (no float-floor edge cases)
+    bin_id = ((prev - F.pmod(prev, F.lit(budget))) / F.lit(budget)).cast("long")
+    return df.withColumn("bin_id", bin_id)
+
+
 def topk_frequent(
     df: DataFrame, group_cols: list[str], item_col: str, k: int
 ) -> DataFrame:

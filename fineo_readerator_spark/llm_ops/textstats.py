@@ -92,6 +92,183 @@ def text_stats_oracle_exprs(text_col: str = "text") -> str:
     )
 
 
+def with_quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition and shape signals plus a pass/fail rule.
+
+    Shape: explode tokens (and 2-grams) → count per (doc, term) → fold to
+    per-doc stats — every aggregate runs in whole-stage codegen with map-side
+    partial aggregation, so the shuffle carries (doc, distinct-term) counts,
+    not raw tokens.  The row-local alternative (nested ``transform``/
+    ``filter`` lambdas over the token array) evaluates interpreted and
+    rebuilds arrays per distinct term — O(|doc|²) slow-path work per row —
+    so the exploded shape wins by orders of magnitude at any scale.
+
+    Signals (ratios stay unrounded doubles — same convention as
+    ``with_text_stats``: both engines divide identical integers):
+    - distinct_word_frac: |distinct words| / |words|
+    - top_word_frac: occurrences of the most frequent word / |words|
+    - top_2gram_frac: occurrences of the most frequent word 2-gram / |2-grams|
+    - dup_2gram_frac: fraction of 2-gram slots occupied by repeats
+    - mean_word_len
+    - gopher_pass: the thresholded rule blend (a stand-in for the published
+      Gopher rules; thresholds are config, the shape is the operator)
+    """
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
+    wcounts = (
+        base.select("__id", F.explode(tokens(F.col("__text"))).alias("t"))
+        .groupBy("__id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    wstats = wcounts.groupBy("__id").agg(
+        F.sum("c").alias("__n_tok"),
+        F.count("*").alias("__n_distinct"),
+        F.max("c").alias("__top_word"),
+        F.sum(F.length("t") * F.col("c")).alias("__total_wchars"),
+    )
+    # zip_with over shifted slices, NOT transform-over-sequence: see
+    # dedup.shingles for why captured-expression lambdas are O(n²) per row
+    btoks = tokens(F.col("__text"))
+    m = F.greatest(F.size(btoks) - 1, F.lit(0))
+    g2_arr = F.zip_with(
+        F.slice(btoks, 1, m), F.slice(btoks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    gcounts = (
+        base.select("__id", F.explode(g2_arr).alias("g"))
+        .groupBy("__id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gstats = gcounts.groupBy("__id").agg(
+        F.sum("c").alias("__n_g2"),
+        F.count("*").alias("__d_g2"),
+        F.max("c").alias("__top_g2"),
+    )
+    zero = F.lit(0.0)
+    one = F.lit(1.0)
+    nt = F.coalesce(F.col("__n_tok"), F.lit(0))
+    ng = F.coalesce(F.col("__n_g2"), F.lit(0))
+    distinct_frac = F.when(nt > 0, F.col("__n_distinct") * one / nt).otherwise(zero)
+    top_word_frac = F.when(nt > 0, F.col("__top_word") * one / nt).otherwise(zero)
+    top_2gram_frac = F.when(ng > 0, F.col("__top_g2") * one / ng).otherwise(zero)
+    dup_2gram_frac = F.when(ng > 0, (ng - F.col("__d_g2")) * one / ng).otherwise(zero)
+    mean_wl = F.when(nt > 0, F.col("__total_wchars") * one / nt).otherwise(zero)
+    gopher_pass = (
+        (nt >= 15)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (distinct_frac >= 0.2)
+        & (top_word_frac <= 0.2)
+        & (dup_2gram_frac <= 0.75)
+    )
+    stats = (
+        wstats.join(gstats, "__id", "left")
+        .withColumns(
+            {
+                "n_words": nt.cast("long"),
+                "distinct_word_frac": distinct_frac,
+                "top_word_frac": top_word_frac,
+                "top_2gram_frac": top_2gram_frac,
+                "dup_2gram_frac": dup_2gram_frac,
+                "mean_word_len": mean_wl,
+                "gopher_pass": gopher_pass,
+            }
+        )
+        .select(
+            "__id", "n_words", "distinct_word_frac", "top_word_frac",
+            "top_2gram_frac", "dup_2gram_frac", "mean_word_len", "gopher_pass",
+        )
+    )
+    joined = df.join(stats, df[id_col] == stats["__id"], "left").drop("__id")
+    defaults = {
+        "n_words": F.lit(0).cast("long"),
+        "distinct_word_frac": zero,
+        "top_word_frac": zero,
+        "top_2gram_frac": zero,
+        "dup_2gram_frac": zero,
+        "mean_word_len": zero,
+        "gopher_pass": F.lit(False),
+    }
+    return joined.withColumns(
+        {name: F.coalesce(F.col(name), default) for name, default in defaults.items()}
+    )
+
+
+def quality_signals_oracle_exprs(text_col: str = "text") -> str:
+    """The same signals as DuckDB SQL (kept adjacent so the formulas evolve
+    together)."""
+    t = text_col
+    toks = f"list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> length(x) > 0)"
+    n_tok = f"len({toks})"
+    dw = f"list_distinct({toks})"
+    distinct_frac = f"CASE WHEN {n_tok} > 0 THEN len({dw}) * 1.0 / {n_tok} ELSE 0.0 END"
+    top_word = f"list_max(list_transform({dw}, g -> len(list_filter({toks}, x -> x = g))))"
+    top_word_frac = f"CASE WHEN {n_tok} > 0 THEN {top_word} * 1.0 / {n_tok} ELSE 0.0 END"
+    g2 = (
+        f"CASE WHEN {n_tok} >= 2 THEN list_transform(generate_series(1, {n_tok} - 1),"
+        f" i -> array_to_string(({toks})[i:i+1], ' ')) ELSE [] END"
+    )
+    n_g2 = f"len({g2})"
+    dg2 = f"list_distinct({g2})"
+    top_g2 = f"list_max(list_transform({dg2}, g -> len(list_filter({g2}, x -> x = g))))"
+    top_2gram_frac = f"CASE WHEN {n_g2} > 0 THEN {top_g2} * 1.0 / {n_g2} ELSE 0.0 END"
+    dup_2gram_frac = f"CASE WHEN {n_g2} > 0 THEN ({n_g2} - len({dg2})) * 1.0 / {n_g2} ELSE 0.0 END"
+    mean_wl = (
+        f"CASE WHEN {n_tok} > 0 THEN length(list_aggregate({toks}, 'string_agg', '')) * 1.0"
+        f" / {n_tok} ELSE 0.0 END"
+    )
+    gopher = (
+        f"({n_tok} >= 15 AND ({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0"
+        f" AND ({distinct_frac}) >= 0.2 AND ({top_word_frac}) <= 0.2"
+        f" AND ({dup_2gram_frac}) <= 0.75)"
+    )
+    return (
+        f"CAST({n_tok} AS BIGINT) AS n_words, {distinct_frac} AS distinct_word_frac, "
+        f"{top_word_frac} AS top_word_frac, {top_2gram_frac} AS top_2gram_frac, "
+        f"{dup_2gram_frac} AS dup_2gram_frac, {mean_wl} AS mean_word_len, "
+        f"{gopher} AS gopher_pass"
+    )
+
+
+# --- redaction --------------------------------------------------------------
+
+# (pattern, replacement) pairs chosen for Java-regex / RE2 parity: character
+# classes, \b and {m,} behave identically in both engines.  The lexicon line
+# is the stand-in for an NER-derived PII term list.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(customer|merge)\b", "<ENTITY>"),
+]
+
+
+def redact_text(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """PII-style scrubbing: chained global ``regexp_replace`` (emails, URLs,
+    a lexicon), plus per-pattern match counts BEFORE redaction.  Row-local,
+    JVM-side regex — no Python in the plan."""
+    c = F.col(text_col)
+    out = df
+    red = c
+    for i, (pat, repl) in enumerate(REDACT_PATTERNS):
+        out = out.withColumn(
+            f"n_redact_{i}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
+
+
+def redact_oracle_exprs(text_col: str = "text", out_col: str = "redacted") -> str:
+    t = text_col
+    parts = []
+    red = t
+    for i, (pat, repl) in enumerate(REDACT_PATTERNS):
+        sql_pat = pat.replace("'", "''")
+        parts.append(f"CAST(len(regexp_extract_all({t}, '{sql_pat}')) AS BIGINT) AS n_redact_{i}")
+        red = f"regexp_replace({red}, '{sql_pat}', '{repl}', 'g')"
+    parts.append(f"{red} AS {out_col}")
+    return ", ".join(parts)
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
     """Marker-stopword language heuristic: score = #marker hits per language,
     argmax wins (priority order on ties), 'und' when nothing matches."""
@@ -168,20 +345,28 @@ def winnowing_fingerprints(
     weights = [pow(_WIN_B, j, _WIN_P) for j in range(k)]
     norm = _win_norm(F.col(text_col), k)
 
-    def gram_hash(i: Column) -> Column:
-        acc = F.lit(0).cast("long")
-        for j, wt in enumerate(weights):
-            code = F.ascii(norm.substr(i + F.lit(j), F.lit(1)))
-            acc = (acc + code.cast("long") * F.lit(wt)) % F.lit(_WIN_P)
-        return acc
-
+    # Every lambda below touches only its element arguments — never a
+    # captured array expression, which Catalyst would re-evaluate per element
+    # (interpreted O(n²) per row; see dedup.shingles).  Char codes are
+    # extracted once, the k-gram rolling hashes accumulate by zip_with over
+    # shifted slices, and the window minima fold the same way.
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
     n = F.length(norm)
-    grams = F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    L = n - k + 1  # rpad guarantees n >= k, so L >= 1
+    grams = F.array_repeat(F.lit(0).cast("long"), L)
+    for j, wt in enumerate(weights):
+        grams = F.zip_with(
+            grams,
+            F.slice(codes, j + 1, L),
+            lambda a, c: (a + c * F.lit(wt)) % F.lit(_WIN_P),
+        )
     m = F.size(grams)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
-        lambda t: F.array_min(F.slice(grams, t, w)),
-    )
+    Lw = F.greatest(m - w + 1, F.lit(1))
+    # min over each w-window: least() of w shifted slices; zip_with pads the
+    # short tail with NULL and least() skips nulls, matching array_min(slice)
+    mins = F.slice(grams, 1, Lw)
+    for t in range(1, w):
+        mins = F.zip_with(mins, F.slice(grams, t + 1, Lw), lambda a, b: F.least(a, b))
     return df.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
 
 

@@ -577,6 +577,117 @@ SELECT user_id, event_type, cnt, rank FROM (
 """
 
 
+def t_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape signals and the pass/fail rule —
+    one codegen'd projection, no shuffle (llm_ops.textstats)."""
+    from fineo_readerator_spark.llm_ops.textstats import with_quality_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return with_quality_signals(docs, "text").select(
+        "doc_id", "n_words", "distinct_word_frac", "top_word_frac",
+        "top_2gram_frac", "dup_2gram_frac", "mean_word_len", "gopher_pass",
+    )
+
+
+def _t_quality_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import quality_signals_oracle_exprs
+
+    return f"SELECT doc_id, {quality_signals_oracle_exprs('text')} FROM documents"
+
+
+def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: global regex redaction (email/URL/lexicon) with
+    per-pattern pre-redaction match counts; JVM-side regex, row-local."""
+    from fineo_readerator_spark.llm_ops.textstats import redact_text
+
+    docs = load(spark, sf_dir, "documents")
+    return redact_text(docs, "text").select(
+        "doc_id", "n_redact_0", "n_redact_1", "n_redact_2", "redacted"
+    )
+
+
+def _t_redact_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import redact_oracle_exprs
+
+    return f"SELECT doc_id, {redact_oracle_exprs('text')} FROM documents"
+
+
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate over events — the
+    deterministic cross-engine sketch (llm_ops.sketches); same two-level
+    aggregation shape as ``approx_count_distinct`` but oracle-replayable."""
+    from fineo_readerator_spark.llm_ops.sketches import hll_estimate
+
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    return hll_estimate(ev, F.col("k"))
+
+
+def _a_hll_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k")
+
+
+_PACK_BUDGET = 512
+
+
+def p_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per-source streaming fill of a
+    512-token budget, then per-bin stats.  The window runs per source shard —
+    the same parallelism a sharded corpus gives a real pipeline."""
+    from fineo_readerator_spark.llm_ops.sampling import pack_sequences
+
+    docs = with_text_stats(load(spark, sf_dir, "documents"), "text")
+    packed = pack_sequences(docs, "doc_id", "n_tokens", _PACK_BUDGET, ["source"])
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+P_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks
+)
+SELECT source,
+       CAST((prev - prev % {_PACK_BUDGET}) / {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+def p_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-docs-per-source eval carve: hash-ranked window sample,
+    deterministic across partitionings/retries/engines."""
+    from fineo_readerator_spark.llm_ops.sampling import stratified_fixed_k
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_fixed_k(docs, ["source"], "doc_id", k=3).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+def _p_stratified_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import sample_oracle_bucket
+
+    return f"""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {sample_oracle_bucket('doc_id')}, doc_id) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 3
+"""
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_clean_corpus", p_clean_corpus, P_CLEAN_ORACLE, bench=True),
@@ -599,4 +710,9 @@ LLM_QUERIES = [
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
+    QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
+    QueryDef("t_redact", t_redact, _t_redact_oracle()),
+    QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
+    QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
+    QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
 ]
