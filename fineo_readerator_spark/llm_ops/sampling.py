@@ -116,6 +116,45 @@ def pack_sequences(
     return df.withColumn("bin_id", bin_id)
 
 
+def domain_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    total: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain reweighting: downsample each stratum toward a
+    target mixture (``weights`` sum to 1, ``total`` = target corpus size).
+
+    Per-stratum keep fraction = min(1, total·w_s / n_s); membership decided
+    by the portable content-hash bucket, so the kept set is identical under
+    repartitioning, retries and engines.  The per-stratum counts are a tiny
+    aggregate joined back as a BROADCAST — the corpus itself is scanned once
+    and filtered map-side, never shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    wmap = F.create_map(
+        *[x for s, wt in sorted(weights.items()) for x in (F.lit(s), F.lit(float(wt)))]
+    )
+    frac = F.least(F.lit(1.0), F.coalesce(wmap[F.col(strata_col)], F.lit(0.0)) * total / F.col("__n"))
+    thr = F.floor(frac * _BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(_bucket(F.col(key_col), seed) < thr)
+        .drop("__n")
+    )
+
+
+def domain_mix_oracle_predicate(
+    strata_expr: str, key_expr: str, weights: dict[str, float], total: int, seed: int = 42
+) -> str:
+    """DuckDB WHERE fragment replaying ``domain_mix`` given a ``__n`` column
+    carrying the stratum count (window count in the caller's CTE)."""
+    arms = " ".join(f"WHEN '{s}' THEN {float(wt)!r}" for s, wt in sorted(weights.items()))
+    frac = f"least(1.0, (CASE {strata_expr} {arms} ELSE 0.0 END) * {total} / __n)"
+    return f"{sample_oracle_bucket(key_expr, seed)} < CAST(floor({frac} * {_BUCKETS}) AS BIGINT)"
+
+
 def topk_frequent(
     df: DataFrame, group_cols: list[str], item_col: str, k: int
 ) -> DataFrame:

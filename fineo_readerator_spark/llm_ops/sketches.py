@@ -85,6 +85,174 @@ def hll_estimate(df: DataFrame, key: Column) -> DataFrame:
     )
 
 
+def _salted_md5_long(col: Column, salt: str) -> Column:
+    """Portable 60-bit hash of ``salt|key`` — the independent-hash-family
+    leaf for multi-hash sketches (Bloom, Count-Min), replayable in SQL."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _salted_md5_oracle(key_expr: str, salt: str) -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    return _hexparse(f"md5(concat('{salt}|', CAST({key_expr} AS VARCHAR)))", 1, 15)
+
+
+# --- Bloom filter ----------------------------------------------------------
+
+_BF_BITS = 1024  # m: filter size in bits (16 words of 64)
+_BF_K = 4  # hash count
+
+
+def bloom_build(df: DataFrame, key: Column) -> DataFrame:
+    """(word, bits) rows — a 1024-bit Bloom filter as up to 16 set words.
+
+    The sketch is an aggregate of row-local projections: k=4 salted-md5 bit
+    positions per key, folded with ``bit_or`` under map-side partial
+    aggregation, so the shuffle carries at most #partitions × 16 words no
+    matter how large the blocklist.  Words are mergeable across builds
+    (bit_or is associative/commutative) — union two filters by re-aggregating
+    their word rows."""
+    pos = df.select(
+        F.explode(
+            F.array(*[(_salted_md5_long(key, f"bf{i}") % _BF_BITS) for i in range(_BF_K)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # builtin shiftleft() only takes a literal shift; expr() allows a column
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, id_col: str, key: Column, bloom: DataFrame) -> DataFrame:
+    """Append ``bloom_maybe``: true iff all k bits for this row's key are set.
+
+    The filter rejoins as a BROADCAST (16 rows): at 100 TB this is the point
+    of the sketch — a blocklist membership test costs a map-side lookup per
+    row instead of a shuffle join against the blocklist."""
+    probe = df.select(F.col(id_col), key.alias("__k")).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[(_salted_md5_long(F.col("__k"), f"bf{i}") % _BF_BITS) for i in range(_BF_K)]
+            )
+        ).alias("__i", "pos"),
+    )
+    hits = (
+        probe.withColumns(
+            {"word": (F.col("pos") / 64).cast("long"), "bit": (F.col("pos") % 64).cast("int")}
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.expr("(shiftright(bits, bit) & 1) = 1"), F.lit(False)),
+        )
+        .groupBy(id_col)
+        .agg((F.sum(F.col("hit").cast("int")) == _BF_K).alias("bloom_maybe"))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "bloom_maybe", F.coalesce("bloom_maybe", F.lit(False))
+    )
+
+
+def bloom_oracle_sql(block_sql: str, probe_sql: str, id_col: str, key_expr: str) -> str:
+    """DuckDB replay of build+probe: ``block_sql`` yields the blocklist keys
+    as column ``k``; ``probe_sql`` yields (id, key) rows."""
+    bpos = ", ".join(f"({_salted_md5_oracle('k', f'bf{i}')}) % {_BF_BITS}" for i in range(_BF_K))
+    ppos = ", ".join(
+        f"({_salted_md5_oracle(key_expr, f'bf{i}')}) % {_BF_BITS}" for i in range(_BF_K)
+    )
+    return f"""
+WITH block AS ({block_sql}),
+bpos AS (SELECT unnest([{bpos}]) AS pos FROM block),
+bloom AS (SELECT pos // 64 AS word, bit_or(1::BIGINT << CAST(pos % 64 AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+probe AS ({probe_sql}),
+ppos AS (SELECT {id_col}, unnest([{ppos}]) AS pos FROM probe),
+hits AS (
+  SELECT p.{id_col},
+         sum(CASE WHEN ((b.bits >> CAST(p.pos % 64 AS INT)) & 1) = 1 THEN 1 ELSE 0 END) AS n
+  FROM ppos p LEFT JOIN bloom b ON p.pos // 64 = b.word
+  GROUP BY 1
+)
+SELECT p.{id_col}, coalesce(h.n, 0) = {_BF_K} AS bloom_maybe
+FROM probe p LEFT JOIN hits h ON p.{id_col} = h.{id_col}
+"""
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 512  # counters per row
+
+
+def countmin_build(df: DataFrame, key: Column) -> DataFrame:
+    """(d, col, cnt) cells of a 4×512 Count-Min sketch.
+
+    Fixed-size frequency state: the aggregation shuffles at most 2048
+    counters regardless of key cardinality, and cells merge across shards by
+    summing — the classic bounded-memory substitute for a full groupBy count
+    at 100 TB key cardinalities."""
+    cells = df.select(
+        F.posexplode(
+            F.array(*[(_salted_md5_long(key, f"cm{d}") % _CM_W) for d in range(_CM_D)])
+        ).alias("d", "col")
+    )
+    return cells.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Append ``est_count`` = min over rows of the key's cells — the CM upper
+    bound (est ≥ true count, inflated only by collisions).  The sketch joins
+    as a broadcast (≤2048 rows)."""
+    pos = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[(_salted_md5_long(F.col(key_col), f"cm{d}") % _CM_W) for d in range(_CM_D)]
+            )
+        ).alias("d", "col"),
+    )
+    return (
+        pos.join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def countmin_oracle_sql(source_sql: str, key_expr: str) -> str:
+    """DuckDB replay: build the sketch over ``source_sql``'s ``{key_expr}``
+    and estimate every distinct key, returning (key, est_count, true_count)."""
+    def case_col(key: str) -> str:
+        arms = " ".join(
+            f"WHEN {d} THEN ({_salted_md5_oracle(key, f'cm{d}')}) % {_CM_W}"
+            for d in range(_CM_D)
+        )
+        return f"CASE d {arms} END"
+
+    ds = ", ".join(str(d) for d in range(_CM_D))
+    return f"""
+WITH src AS ({source_sql}),
+dd AS (SELECT unnest([{ds}]) AS d),
+cpos AS (SELECT d, {case_col(key_expr)} AS col FROM src, dd),
+sk AS (SELECT d, col, count(*)::BIGINT AS cnt FROM cpos GROUP BY 1, 2),
+keys AS (SELECT DISTINCT {key_expr} AS k FROM src),
+kpos AS (SELECT k, d, {case_col('k')} AS col FROM keys, dd),
+est AS (
+  SELECT k, min(coalesce(cnt, 0))::BIGINT AS est_count
+  FROM kpos LEFT JOIN sk USING (d, col) GROUP BY 1
+),
+tru AS (SELECT {key_expr} AS k, count(*)::BIGINT AS true_count FROM src GROUP BY 1)
+SELECT k, est_count, true_count FROM est JOIN tru USING (k)
+"""
+
+
 def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
     """DuckDB replay of ``hll_estimate`` over ``SELECT {key_expr} FROM
     (source_sql)`` — identical hash, registers and estimator arithmetic."""

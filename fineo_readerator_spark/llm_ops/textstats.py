@@ -325,10 +325,11 @@ _WIN_P = 1_000_000_007
 
 def _win_norm(col: Column, k: int) -> Column:
     """Winnowing canonical form: lowercase, alnum+space only, whitespace
-    collapsed, right-padded so at least one k-gram exists."""
+    collapsed, right-padded so at least one k-gram exists.  rpad TRUNCATES
+    longer strings (both engines), so it must be guarded to the short case."""
     clean = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
     collapsed = F.concat_ws(" ", tokens(clean))
-    return F.rpad(collapsed, k, " ")
+    return F.when(F.length(collapsed) >= k, collapsed).otherwise(F.rpad(collapsed, k, " "))
 
 
 def winnowing_fingerprints(
@@ -385,7 +386,12 @@ def winnowing_oracle_sql(
         f"list_filter(regexp_split_to_array(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9 ]', '', 'g')), '\\s+'), x -> length(x) > 0)"
     )
-    norm = f"rpad(array_to_string({toks}, ' '), {k}, ' ')"
+    collapsed = f"array_to_string({toks}, ' ')"
+    # rpad truncates longer strings — pad only the short case (mirror _win_norm)
+    norm = (
+        f"CASE WHEN length({collapsed}) >= {k} THEN {collapsed}"
+        f" ELSE rpad({collapsed}, {k}, ' ') END"
+    )
     acc = "CAST(0 AS BIGINT)"
     for j, wt in enumerate(weights):
         acc = (
@@ -405,4 +411,129 @@ SELECT {id_col},
          generate_series(1, CAST(greatest(len(__g) - {w} + 1, 1) AS BIGINT)),
          t -> list_min(__g[CAST(t AS INT):CAST(t + {w} - 1 AS INT)])))) AS {out_col}
 FROM g
+"""
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+def contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared) pairs where a training document shares
+    ``min_shared``+ winnowing fingerprints with an eval/benchmark document —
+    the train/test contamination check every training pipeline runs before a
+    data release.
+
+    Scale shape: fingerprints are ~1 per ``w`` characters, so the exploded
+    (id, fp) set is a small multiple of the corpus row count; the eval side
+    is tiny by construction (a benchmark), so its exploded fingerprints join
+    as a BROADCAST — the 100 TB train side is never shuffled, just scanned,
+    fingerprinted and hash-probed map-side.  The only shuffle is the final
+    (train_id, eval_id) count aggregation over matching pairs, which scales
+    with the contamination volume, not the corpus."""
+    tf = winnowing_fingerprints(train_df, text_col, k, w).select(
+        F.col(id_col).alias("train_id"), F.explode("fps").alias("fp")
+    )
+    ef = winnowing_fingerprints(eval_df, text_col, k, w).select(
+        F.col(id_col).alias("eval_id"), F.explode("fps").alias("fp")
+    )
+    return (
+        tf.join(F.broadcast(ef), "fp")
+        .groupBy("train_id", "eval_id")
+        # fps arrays are distinct per doc, so count(*) counts distinct shared fps
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contamination_oracle_sql(
+    train_sql: str,
+    eval_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    k: int = 8,
+    w: int = 4,
+) -> str:
+    """DuckDB replay of ``contamination_pairs``; ``train_sql``/``eval_sql``
+    yield (id, text) rows."""
+    tfps = winnowing_oracle_sql(f"({train_sql})", id_col, text_col, k, w)
+    efps = winnowing_oracle_sql(f"({eval_sql})", id_col, text_col, k, w)
+    return f"""
+WITH tf AS (SELECT {id_col} AS train_id, unnest(fps) AS fp FROM ({tfps})),
+ef AS (SELECT {id_col} AS eval_id, unnest(fps) AS fp FROM ({efps}))
+SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+FROM tf JOIN ef USING (fp)
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+# --- token-window chunking -------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-token windows per document — the context-window
+    chunking step of embedding/pretraining prep.  One row per chunk:
+    (id, chunk_idx, chunk_tokens, chunk_text).
+
+    Row-local and codegen'd: the token array materializes once per document
+    in the projection, start offsets explode from a ``sequence``, and each
+    chunk is a flat ``slice``+``concat_ws`` — no captured-lambda re-evaluation
+    (see ``dedup.shingles``), no shuffle, so chunking parallelizes with the
+    scan and never moves the corpus."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__t"), F.lit(1)), F.lit(stride))
+    return (
+        base.select(id_col, "__t", F.posexplode(starts).alias("chunk_idx", "__s"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long"),
+            F.size(F.slice(F.col("__t"), F.col("__s"), chunk_tokens))
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("__t"), F.col("__s"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def chunk_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM ({source_sql})),
+s AS (
+  SELECT {id_col}, toks, unnest(generate_series(1, greatest(len(toks), 1), {stride})) AS st
+  FROM t
+)
+SELECT {id_col},
+       CAST((st - 1) / {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[CAST(st AS INT):CAST(st + {chunk_tokens} - 1 AS INT)]) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(toks[CAST(st AS INT):CAST(st + {chunk_tokens} - 1 AS INT)], ' ')
+         AS chunk_text
+FROM s
 """

@@ -688,6 +688,128 @@ SELECT source, doc_id, sample_rank FROM (
 """
 
 
+def b_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist probe: build a 1024-bit filter over the texts of
+    a deterministic 'blocked' subset, probe every document map-side via a
+    16-row broadcast — the sketch-based substitute for a shuffle semi-join."""
+    from fineo_readerator_spark.llm_ops.sketches import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    blocked = docs.filter(F.col("doc_id") % 97 == 0).select(F.col("text"))
+    bloom = bloom_build(blocked, F.col("text"))
+    return bloom_probe(docs.select("doc_id", "text"), "doc_id", F.col("text"), bloom).select(
+        "doc_id", "bloom_maybe"
+    )
+
+
+def _b_bloom_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import bloom_oracle_sql
+
+    return bloom_oracle_sql(
+        "SELECT text AS k FROM documents WHERE doc_id % 97 = 0",
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        "text",
+    )
+
+
+def a_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for every event type: fixed 4x512
+    counter state regardless of key cardinality, estimates joined against the
+    exact counts to expose the (always >=) collision inflation."""
+    from fineo_readerator_spark.llm_ops.sketches import countmin_build, countmin_estimate
+
+    ev = load(spark, sf_dir, "events").select(F.col("event_type").cast("string").alias("k"))
+    sketch = countmin_build(ev, F.col("k"))
+    keys = ev.distinct()
+    est = countmin_estimate(sketch, keys, "k")
+    true = ev.groupBy("k").agg(F.count("*").cast("long").alias("true_count"))
+    return est.join(true, "k")
+
+
+def _a_countmin_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import countmin_oracle_sql
+
+    return countmin_oracle_sql("SELECT CAST(event_type AS VARCHAR) AS k FROM events", "k")
+
+
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: the 'benchmark' is a truncated copy
+    (first 80% of tokens, shifted ids) of every 50th training doc, so each
+    one MUST surface against its source — plus whatever organic fingerprint
+    overlap exists.  Eval side broadcasts; the train corpus never shuffles."""
+    from fineo_readerator_spark.llm_ops.textstats import contamination_pairs, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.floor(F.size(toks) * 0.8).cast("int"))
+        ).alias("text"),
+    )
+    return contamination_pairs(docs, eval_df, "doc_id", "text", min_shared=3)
+
+
+def _d_decontaminate_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import contamination_oracle_sql
+
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)"
+    eval_sql = (
+        f"SELECT doc_id + {_SHIFT} AS doc_id,"
+        f" array_to_string(({toks})[1:CAST(floor(len({toks}) * 0.8) AS INT)], ' ') AS text"
+        " FROM documents WHERE doc_id % 50 = 0"
+    )
+    return contamination_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        eval_sql,
+        "doc_id",
+        "text",
+        min_shared=3,
+    )
+
+
+def p_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token windows at stride 48 — context-window chunking, row-local and
+    shuffle-free."""
+    from fineo_readerator_spark.llm_ops.textstats import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+def _p_chunk_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import chunk_oracle_sql
+
+    return chunk_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", chunk_tokens=64, stride=48
+    )
+
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src4": 0.1}
+_MIX_TOTAL = 60
+
+
+def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting toward a target source mixture:
+    hash-bucket membership, per-stratum counts joined as a broadcast."""
+    from fineo_readerator_spark.llm_ops.sampling import domain_mix
+
+    docs = load(spark, sf_dir, "documents")
+    kept = domain_mix(docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
+    return kept.select("source", "doc_id")
+
+
+def _p_domain_mix_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import domain_mix_oracle_predicate
+
+    pred = domain_mix_oracle_predicate("source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL)
+    return f"""
+WITH c AS (SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS __n FROM documents)
+SELECT source, doc_id FROM c WHERE {pred}
+"""
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_clean_corpus", p_clean_corpus, P_CLEAN_ORACLE, bench=True),
@@ -715,4 +837,9 @@ LLM_QUERIES = [
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
+    QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
+    QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
+    QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle()),
+    QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
+    QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
 ]
