@@ -1,0 +1,158 @@
+"""Sketches (HLL, Bloom, Count-Min) and pipeline-prep operators
+(chunking, packing, stratified-k, domain mix, decontamination)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.sketches import (
+    bloom_build,
+    bloom_probe,
+    countmin_build,
+    countmin_estimate,
+    hll_estimate,
+)
+from fineo_readerator_spark.llm_ops.sampling import (
+    domain_mix,
+    pack_sequences,
+    stratified_fixed_k,
+)
+from fineo_readerator_spark.llm_ops.textstats import (
+    chunk_documents,
+    contamination_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(0, 2000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+
+
+def test_hll_estimate_within_tolerance(spark, keys):
+    row = hll_estimate(keys, F.col("k")).collect()[0]
+    # m=128 registers -> ~9% standard error; allow 3 sigma
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.3
+    assert row["registers_set"] <= 128
+
+
+def test_hll_is_duplicate_insensitive(spark, keys):
+    doubled = keys.unionAll(keys)
+    a = hll_estimate(keys, F.col("k")).collect()[0]["est_distinct"]
+    b = hll_estimate(doubled, F.col("k")).collect()[0]["est_distinct"]
+    assert a == b
+
+
+def test_bloom_no_false_negatives(spark):
+    blocked = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "k string")
+    bloom = bloom_build(blocked, F.col("k"))
+    probe = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"), (5, "zzz")], "id long, k string"
+    )
+    out = {r["id"]: r["bloom_maybe"] for r in bloom_probe(probe, "id", F.col("k"), bloom).collect()}
+    assert out[1] and out[2] and out[3]  # members always hit
+    # non-members MAY false-positive but with 3 keys in 1024 bits they won't
+    assert not out[4] and not out[5]
+
+
+def test_bloom_empty_blocklist_rejects_everything(spark):
+    bloom = bloom_build(spark.createDataFrame([], "k string"), F.col("k"))
+    probe = spark.createDataFrame([(1, "x")], "id long, k string")
+    assert bloom_probe(probe, "id", F.col("k"), bloom).collect()[0]["bloom_maybe"] is False
+
+
+def test_countmin_overestimates_only(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 10 + [("c",)] * 1, "k string"
+    )
+    sketch = countmin_build(df, F.col("k"))
+    est = {
+        r["k"]: r["est_count"]
+        for r in countmin_estimate(sketch, df.distinct(), "k").collect()
+    }
+    assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
+    # 3 keys in 4x512 cells: collisions are essentially impossible
+    assert est == {"a": 100, "b": 10, "c": 1}
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "one two"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, stride=10)  # non-overlapping
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    assert len(doc1) == 10 and all(r[2] == 10 for r in doc1)
+    assert " ".join(r[3] for r in doc1) == " ".join(f"w{i}" for i in range(100))
+    assert [r[2] for r in rows if r[0] == 2] == [2]
+    # empty doc still yields one (empty) chunk, never disappears
+    assert [r[2] for r in rows if r[0] == 3] == [0]
+
+
+def test_chunk_overlap_stride(spark):
+    df = spark.createDataFrame([(1, " ".join("abcde"))], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    texts = {r["chunk_idx"]: r["chunk_text"] for r in out}
+    assert texts == {0: "a b c", 1: "c d e", 2: "e"}
+
+
+def test_pack_sequences_overflow_bound(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 30) for i in range(10)], "doc_id long, source string, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=100, part_cols=["source"])
+    bins = (
+        out.groupBy("bin_id").agg(F.sum("n_tokens").alias("t")).orderBy("bin_id").collect()
+    )
+    # greedy fill: docs never split; a bin overflows by at most one doc
+    assert all(r["t"] < 100 + 30 for r in bins)
+    assert out.count() == 10  # no doc lost
+
+
+def test_stratified_fixed_k_exact_count_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+    )
+    out = stratified_fixed_k(df, ["source"], "doc_id", k=5)
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s0": 5, "s1": 5, "s2": 5}
+    # repartitioning must not change the kept set
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_fixed_k(df.repartition(7), ["source"], "doc_id", k=5).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_domain_mix_hits_targets(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(1000)], "doc_id long, source string"
+    )
+    out = domain_mix(df, "source", "doc_id", {"s0": 0.8, "s1": 0.2}, total=100)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # hash sampling is binomial around the target: 80 and 20 within wide bands
+    assert 55 <= counts["s0"] <= 105 and 8 <= counts["s1"] <= 35
+    # absent strata are dropped entirely
+    out2 = domain_mix(df, "source", "doc_id", {"s0": 1.0}, total=100)
+    assert out2.filter(F.col("source") == "s1").count() == 0
+
+
+def test_contamination_finds_planted_overlap(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely different words " * 10)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, " ".join(f"tok{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    pairs = contamination_pairs(train, eval_df, min_shared=3).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["n_shared"] >= 3
