@@ -1,0 +1,232 @@
+"""Python DataSource V2 for a hash-bucketed KV snapshot, with the
+reference's key-aware read planning (Get / Query / Scan selection).
+
+Re-expresses, Spark-first, the DynamoDB storage plugin's planning surface:
+- `storage-dynamo/.../filter/DynamoReadBuilder.java:26-52` — full-key
+  equality plans a GET; hash-key equality + at most one sort-key condition
+  (or BETWEEN) plans a QUERY; anything else degrades to a filtered SCAN;
+  a pk IN-list (the reference's `q OR q`) plans multiple queries.
+- `DynamoGroupScan.java:110-216` — scan work is segmented for parallel
+  readers; here each hash bucket is one `InputPartition`, so Spark schedules
+  the segments exactly like Drill's assignment creator did.
+- `DynamoPushFilterIntoScan.java:46-172` — key conditions are consumed by
+  the source; attribute predicates remain residual and Spark re-applies
+  them (the reference keeps a residual filter too).
+
+The snapshot layout is `<path>/__bucket=<i>/*.parquet` written by
+``write_kv_snapshot``: rows are routed to buckets by a PORTABLE hash of the
+partition key (md5-derived, same leaf as llm_ops), so the read side can
+compute a key's bucket without any index — a GET/QUERY touches exactly one
+bucket directory no matter how many the snapshot has.  At 100 TB that is
+the difference between opening one file group and scanning the store.
+
+Reads stream Arrow record batches (no per-row Python), so the only Python
+cost is the batch plumbing — decode stays in pyarrow's C++.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable, Iterator, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+FORMAT_NAME = "fineo_kv"
+_DEFAULT_BUCKETS = 16
+
+
+def _key_bucket_py(key: str, n_buckets: int) -> int:
+    """Portable bucket of a partition key — first 15 hex chars of md5 as an
+    integer, mod bucket count (identical to the Spark write-side expression)."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def write_kv_snapshot(
+    df: DataFrame, path: str, pk_col: str, n_buckets: int = _DEFAULT_BUCKETS
+) -> None:
+    """Write a DataFrame as a bucketed KV snapshot readable by this source.
+
+    Fully distributed: one shuffle on the bucket id routes rows; the bucket
+    expression is the same md5 leaf ``_key_bucket_py`` uses, so readers can
+    locate a key's bucket arithmetically."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(pk_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    (
+        df.withColumn("__bucket", bucket)
+        .repartition("__bucket")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    # sparse snapshots omit empty bucket dirs, so the write-time bucket count
+    # must travel with the data for the read side's key->bucket arithmetic
+    import json
+
+    with open(os.path.join(path, "_kv_meta.json"), "w") as fh:
+        json.dump({"pk": pk_col, "n_buckets": n_buckets}, fh)
+
+
+@dataclass
+class KVPartition(InputPartition):
+    """One scheduled read unit: a bucket directory plus the key conditions
+    the source consumed (mode is 'get', 'query' or 'scan' — recorded so plan
+    tests can assert the selection like the reference's PlanValidator)."""
+
+    bucket_dir: str
+    mode: str
+    pk_eq: Optional[str] = None
+    sk_eq: Optional[int] = None
+    sk_lo: Optional[tuple] = None  # (value, inclusive)
+    sk_hi: Optional[tuple] = None
+
+
+class KVSnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options["path"]
+        self.pk_col = options.get("pk", "pk")
+        self.sk_col = options.get("sk", "sk")
+        import json
+
+        with open(os.path.join(self.path, "_kv_meta.json")) as fh:
+            self.n_buckets = int(json.load(fh)["n_buckets"])
+        # consumed key conditions
+        self.pk_in: Optional[List[str]] = None
+        self.sk_eq: Optional[int] = None
+        self.sk_lo: Optional[tuple] = None
+        self.sk_hi: Optional[tuple] = None
+
+    def _bucket_dirs(self) -> List[str]:
+        return sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("__bucket=")
+        )
+
+    # -- pushdown (DynamoPushFilterIntoScan / DynamoFilterBuilder parity) --
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:  # noqa: N802
+        residual: List[Filter] = []
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if isinstance(f, EqualTo) and col == self.pk_col:
+                self.pk_in = [str(f.value)]
+            elif isinstance(f, In) and col == self.pk_col and self.pk_in is None:
+                # pk IN (...) = the reference's "OR of queries" -> multiple queries
+                self.pk_in = [str(v) for v in f.value]
+            elif isinstance(f, EqualTo) and col == self.sk_col:
+                self.sk_eq = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == self.sk_col:
+                self.sk_lo = (f.value, isinstance(f, GreaterThanOrEqual))
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and col == self.sk_col:
+                self.sk_hi = (f.value, isinstance(f, LessThanOrEqual))
+            else:
+                residual.append(f)
+                continue
+        return residual
+
+    @property
+    def mode(self) -> str:
+        """Planned read kind (`DynamoReadBuilder.java:26-52` semantics)."""
+        if self.pk_in is not None and self.sk_eq is not None:
+            return "get"  # full-key equality
+        if self.pk_in is not None:
+            return "query"  # hash = (+ optional sort range)
+        return "scan"
+
+    def partitions(self) -> Sequence[KVPartition]:
+        mode = self.mode
+        if self.pk_in is not None:
+            # GET/QUERY touch only the keys' bucket dirs, one partition per
+            # distinct bucket (multiple pk values may share one); a key whose
+            # bucket dir is absent simply contributes no partition
+            existing = set(self._bucket_dirs())
+            by_bucket: dict[str, List[str]] = {}
+            for pk in self.pk_in:
+                b = os.path.join(self.path, f"__bucket={_key_bucket_py(pk, self.n_buckets)}")
+                if b in existing:
+                    by_bucket.setdefault(b, []).append(pk)
+            return [
+                KVPartition(
+                    bucket_dir=b, mode=mode, pk_eq=pks[0] if len(pks) == 1 else None,
+                    sk_eq=self.sk_eq, sk_lo=self.sk_lo, sk_hi=self.sk_hi,
+                    # multiple pks in one bucket: carry them all via pk_list
+                )
+                for b, pks in sorted(by_bucket.items())
+            ]
+        # SCAN: every bucket is one segment (DynamoGroupScan.setScanWork)
+        return [
+            KVPartition(bucket_dir=d, mode=mode, sk_eq=self.sk_eq,
+                        sk_lo=self.sk_lo, sk_hi=self.sk_hi)
+            for d in self._bucket_dirs()
+        ]
+
+    def read(self, partition: KVPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(partition.bucket_dir, format="parquet")
+        expr = None
+
+        def conj(e):
+            nonlocal expr
+            expr = e if expr is None else (expr & e)
+
+        if partition.pk_eq is not None:
+            conj(pc.field(self.pk_col) == partition.pk_eq)
+        elif self.pk_in is not None:
+            conj(pc.field(self.pk_col).isin(self.pk_in))
+        if partition.sk_eq is not None:
+            conj(pc.field(self.sk_col) == partition.sk_eq)
+        if partition.sk_lo is not None:
+            v, inc = partition.sk_lo
+            conj(pc.field(self.sk_col) >= v if inc else pc.field(self.sk_col) > v)
+        if partition.sk_hi is not None:
+            v, inc = partition.sk_hi
+            conj(pc.field(self.sk_col) <= v if inc else pc.field(self.sk_col) < v)
+
+        cols = [f.name for f in self.schema.fields]
+        for batch in dataset.to_batches(columns=cols, filter=expr):
+            if batch.num_rows:
+                yield batch
+
+
+class KVSnapshotDataSource(DataSource):
+    """``spark.read.format("fineo_kv").option("path", ...).option("pk",
+    col).option("sk", col).schema(s).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        raise NotImplementedError("fineo_kv requires an explicit .schema(...)")
+
+    def reader(self, schema: StructType) -> KVSnapshotReader:
+        return KVSnapshotReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source with a session (and enable Python
+    data-source filter pushdown, off by default in Spark 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KVSnapshotDataSource)

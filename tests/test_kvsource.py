@@ -1,0 +1,136 @@
+"""Python DataSource V2 KV snapshot: Get/Query/Scan selection, bucket
+pruning, sort-range pushdown, residual filters (reference:
+DynamoReadBuilder / DynamoGroupScan / TestDynamoFilterPushdown)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from fineo_readerator_spark.kvsource import (
+    KVSnapshotReader,
+    _key_bucket_py,
+    register,
+    write_kv_snapshot,
+)
+
+SCHEMA = "pk string, sk long, val double"
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kv") / "snap")
+    df = spark.createDataFrame(
+        [(f"user{i % 20}", i, float(i) / 2) for i in range(1000)], SCHEMA
+    )
+    write_kv_snapshot(df, path, "pk", n_buckets=8)
+    register(spark)
+    return path
+
+
+def _load(spark, path):
+    return (
+        spark.read.format("fineo_kv")
+        .schema(SCHEMA)
+        .option("path", path)
+        .option("pk", "pk")
+        .option("sk", "sk")
+        .load()
+    )
+
+
+def test_scan_reads_everything(spark, snapshot):
+    assert _load(spark, snapshot).count() == 1000
+
+
+def test_query_by_pk_matches_and_prunes(spark, snapshot):
+    got = sorted(
+        r["sk"] for r in _load(spark, snapshot).filter(F.col("pk") == "user3").collect()
+    )
+    assert got == list(range(3, 1000, 20))
+
+
+def test_get_full_key(spark, snapshot):
+    rows = _load(spark, snapshot).filter((F.col("pk") == "user3") & (F.col("sk") == 43)).collect()
+    assert [(r["pk"], r["sk"], r["val"]) for r in rows] == [("user3", 43, 21.5)]
+
+
+def test_sort_range_between(spark, snapshot):
+    got = sorted(
+        r["sk"]
+        for r in _load(spark, snapshot)
+        .filter((F.col("pk") == "user3") & (F.col("sk") >= 100) & (F.col("sk") < 300))
+        .collect()
+    )
+    assert got == list(range(103, 300, 20))
+
+
+def test_pk_in_list_multiple_queries(spark, snapshot):
+    got = _load(spark, snapshot).filter(F.col("pk").isin("user1", "user2")).count()
+    assert got == 100
+
+
+def test_residual_filter_applied(spark, snapshot):
+    # val predicate is NOT consumable by the source; Spark must re-apply it
+    got = _load(spark, snapshot).filter((F.col("pk") == "user3") & (F.col("val") > 400.0)).collect()
+    assert sorted(r["sk"] for r in got) == list(range(803, 1000, 20))
+
+
+# -- plan-selection assertions (PlanValidator-style, on the reader itself) --
+
+
+def _reader(snapshot, filters):
+    r = KVSnapshotReader(
+        schema=None, options={"path": snapshot, "pk": "pk", "sk": "sk"}
+    )
+    residual = list(r.pushFilters(filters))
+    return r, residual
+
+
+def test_selection_get(snapshot):
+    r, residual = _reader(snapshot, [EqualTo(("pk",), "user3"), EqualTo(("sk",), 43)])
+    assert r.mode == "get" and residual == []
+    parts = r.partitions()
+    assert len(parts) == 1
+    assert parts[0].bucket_dir.endswith(f"__bucket={_key_bucket_py('user3', 8)}")
+
+
+def test_selection_query_with_range(snapshot):
+    r, residual = _reader(
+        snapshot,
+        [EqualTo(("pk",), "user3"), GreaterThanOrEqual(("sk",), 10), LessThan(("sk",), 99)],
+    )
+    assert r.mode == "query" and residual == []
+    assert len(r.partitions()) == 1
+
+
+def test_selection_scan_with_residual(snapshot):
+    import os
+
+    r, residual = _reader(snapshot, [GreaterThanOrEqual(("val",), 1.0)])
+    assert r.mode == "scan"
+    assert len(residual) == 1  # attribute filter stays with Spark
+    n_dirs = len([d for d in os.listdir(snapshot) if d.startswith("__bucket=")])
+    assert len(r.partitions()) == n_dirs  # every populated bucket is a segment
+
+
+def test_selection_in_list(snapshot):
+    r, residual = _reader(snapshot, [In(("pk",), ("user1", "user2", "user3"))])
+    assert r.mode == "query" and residual == []
+    buckets = {p.bucket_dir for p in r.partitions()}
+    expect = {_key_bucket_py(u, 8) for u in ("user1", "user2", "user3")}
+    assert buckets == {f"{snapshot}/__bucket={b}" for b in expect}
+
+
+def test_key_filters_consumed_in_plan(spark, snapshot):
+    # pushed key predicates vanish from the post-scan Filter node: only the
+    # null guards remain ("residual = none" in reference PlanValidator terms)
+    df = _load(spark, snapshot).filter((F.col("pk") == "user3") & (F.col("sk") >= 100))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "user3" not in plan and "100" not in plan
+    # an attribute predicate the source cannot consume stays in the plan
+    df2 = _load(spark, snapshot).filter(F.col("val") > 400.0)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "400" in plan2
