@@ -35,14 +35,20 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -94,7 +100,7 @@ class KVPartition(InputPartition):
 
     bucket_dir: str
     mode: str
-    pk_eq: Optional[str] = None
+    pk_eq: Optional[object] = None  # typed key value (str only for bucketing)
     sk_eq: Optional[int] = None
     sk_lo: Optional[tuple] = None  # (value, inclusive)
     sk_hi: Optional[tuple] = None
@@ -115,6 +121,12 @@ class KVSnapshotReader(DataSourceReader):
         self.sk_eq: Optional[int] = None
         self.sk_lo: Optional[tuple] = None
         self.sk_hi: Optional[tuple] = None
+        # consumed attribute (non-key) conditions — the reference's filter
+        # expressions (`DynamoFilterSpec.java:25-46`): attribute_exists /
+        # attribute_not_exists map to IsNotNull/IsNull, document-path
+        # `contains`/`begins_with` map to the string leaves.  Evaluated by
+        # the Arrow dataset reader inside every partition.
+        self.attr_conds: List[tuple] = []  # (kind, col, value)
 
     def _bucket_dirs(self) -> List[str]:
         return sorted(
@@ -127,18 +139,43 @@ class KVSnapshotReader(DataSourceReader):
     def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:  # noqa: N802
         residual: List[Filter] = []
         for f in filters:
-            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                # nested document paths stay residual (Spark re-applies)
+                residual.append(f)
+                continue
+            col = attr[0]
             if isinstance(f, EqualTo) and col == self.pk_col:
-                self.pk_in = [str(f.value)]
+                self.pk_in = [f.value]  # typed; bucket arithmetic stringifies
             elif isinstance(f, In) and col == self.pk_col and self.pk_in is None:
                 # pk IN (...) = the reference's "OR of queries" -> multiple queries
-                self.pk_in = [str(v) for v in f.value]
+                self.pk_in = list(f.value)
             elif isinstance(f, EqualTo) and col == self.sk_col:
                 self.sk_eq = f.value
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == self.sk_col:
                 self.sk_lo = (f.value, isinstance(f, GreaterThanOrEqual))
             elif isinstance(f, (LessThan, LessThanOrEqual)) and col == self.sk_col:
                 self.sk_hi = (f.value, isinstance(f, LessThanOrEqual))
+            elif isinstance(f, IsNull):
+                # attribute_not_exists (`DynamoFilterSpec.java:34`); distinct
+                # from `a = null`, which SQL folds to never-true before it
+                # reaches the source (`DynamoFilterBuilder.java:49-54`)
+                self.attr_conds.append(("isnull", col, None))
+            elif isinstance(f, IsNotNull):
+                self.attr_conds.append(("notnull", col, None))
+            elif isinstance(f, EqualNullSafe):
+                # `a <=> null` IS the null check; `a <=> v` is equality that
+                # can never match a stored null — Arrow `==` already drops
+                # nulls, so both legs push cleanly
+                self.attr_conds.append(
+                    ("isnull", col, None) if f.value is None else ("eq", col, f.value)
+                )
+            elif isinstance(f, StringContains):
+                self.attr_conds.append(("contains", col, f.value))
+            elif isinstance(f, StringStartsWith):
+                self.attr_conds.append(("startswith", col, f.value))
+            elif isinstance(f, StringEndsWith):
+                self.attr_conds.append(("endswith", col, f.value))
             else:
                 residual.append(f)
                 continue
@@ -162,7 +199,7 @@ class KVSnapshotReader(DataSourceReader):
             existing = set(self._bucket_dirs())
             by_bucket: dict[str, List[str]] = {}
             for pk in self.pk_in:
-                b = os.path.join(self.path, f"__bucket={_key_bucket_py(pk, self.n_buckets)}")
+                b = os.path.join(self.path, f"__bucket={_key_bucket_py(str(pk), self.n_buckets)}")
                 if b in existing:
                     by_bucket.setdefault(b, []).append(pk)
             return [
@@ -203,6 +240,19 @@ class KVSnapshotReader(DataSourceReader):
         if partition.sk_hi is not None:
             v, inc = partition.sk_hi
             conj(pc.field(self.sk_col) <= v if inc else pc.field(self.sk_col) < v)
+        for kind, acol, val in self.attr_conds:
+            if kind == "isnull":
+                conj(pc.field(acol).is_null())
+            elif kind == "notnull":
+                conj(~pc.field(acol).is_null())
+            elif kind == "eq":
+                conj(pc.field(acol) == val)
+            elif kind == "contains":
+                conj(pc.match_substring(pc.field(acol), val))
+            elif kind == "startswith":
+                conj(pc.starts_with(pc.field(acol), val))
+            elif kind == "endswith":
+                conj(pc.ends_with(pc.field(acol), val))
 
         cols = [f.name for f in self.schema.fields]
         for batch in dataset.to_batches(columns=cols, filter=expr):

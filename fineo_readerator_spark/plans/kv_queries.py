@@ -1,0 +1,140 @@
+"""Driver-contract queries for the KV snapshot source's read planning.
+
+These make the Get / Query / Scan selection surface driver-checkable —
+the reference asserts exactly this in its own tests
+(`storage-dynamo/.../filter/TestDynamoFilterPushdown.java:130-340`,
+`DynamoReadBuilder.java:26-52`):
+
+- ``kv_get``    — full-key equality → GET (one bucket dir, exact row)
+- ``kv_query``  — hash-key equality + sort-key range → QUERY (one bucket)
+- ``kv_scan``   — attribute-only predicates → segmented SCAN with
+  IsNotNull + contains pushed into the Arrow reader
+  (`DynamoFilterSpec.java:25-46` attribute_exists / contains parity)
+  and a non-key range left residual for Spark to re-apply.
+
+The snapshot is derived from the driver's ``orders`` table
+(pk=o_custkey, sk=o_orderkey, plus ``o_promo`` — a NULL-able derived
+attribute so the scan exercises null-semantics pushdown) and cached
+under ``<repo>/.kv_cache/<sf>/orders_kv``; each DuckDB oracle recomputes
+the identical result straight from the ``orders`` view, with the key
+literals expressed as subqueries so the same SQL holds at every scale
+factor.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fineo_readerator_spark.kvsource import register, write_kv_snapshot
+from fineo_readerator_spark.plans.registry import QueryDef, load
+
+N_BUCKETS = 8
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_promo", T.StringType()),
+    ]
+)
+
+_PROMO = "CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority END"
+_COLS = "o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderpriority"
+_MIN_CK = "(SELECT min(o_custkey) FROM orders)"
+
+
+def snapshot_path(sf_dir: str) -> Path:
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "orders_kv"
+
+
+def ensure_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Build the bucketed snapshot once per scale factor (cached by the
+    ``_kv_meta.json`` marker ``write_kv_snapshot`` writes last)."""
+    path = snapshot_path(sf_dir)
+    if not (path / "_kv_meta.json").exists():
+        df = load(spark, sf_dir, "orders").selectExpr(*_COLS.split(", "), f"{_PROMO} AS o_promo")
+        write_kv_snapshot(df, str(path), "o_custkey", n_buckets=N_BUCKETS)
+    return str(path)
+
+
+def read_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark)
+    return (
+        spark.read.format("fineo_kv")
+        .option("path", ensure_snapshot(spark, sf_dir))
+        .option("pk", "o_custkey")
+        .option("sk", "o_orderkey")
+        .schema(KV_SCHEMA)
+        .load()
+    )
+
+
+def _min_keys(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Scale-independent key literals: the smallest custkey, and its
+    smallest orderkey (the oracle derives the same values by subquery)."""
+    orders = load(spark, sf_dir, "orders")
+    pk0 = orders.agg(F.min("o_custkey")).first()[0]
+    sk0 = orders.filter(F.col("o_custkey") == pk0).agg(F.min("o_orderkey")).first()[0]
+    return pk0, sk0
+
+
+def kv_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-key point read → GET plan: exactly one bucket dir opened."""
+    pk0, sk0 = _min_keys(spark, sf_dir)
+    return read_kv(spark, sf_dir).filter(
+        (F.col("o_custkey") == pk0) & (F.col("o_orderkey") == sk0)
+    )
+
+
+def kv_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-key equality + exclusive sort-key lower bound → QUERY plan."""
+    pk0, sk0 = _min_keys(spark, sf_dir)
+    return read_kv(spark, sf_dir).filter(
+        (F.col("o_custkey") == pk0) & (F.col("o_orderkey") > sk0)
+    )
+
+
+def kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No key condition → segmented SCAN over every bucket.
+
+    IsNotNull(o_promo) + contains(o_orderstatus) push into the Arrow
+    reader; the o_totalprice range is not a key condition so it stays
+    residual and Spark re-applies it (the reference keeps a residual
+    filter the same way, `DynamoPushFilterIntoScan.java:46-172`)."""
+    return read_kv(spark, sf_dir).filter(
+        F.col("o_promo").isNotNull()
+        & F.col("o_orderstatus").contains("F")
+        & (F.col("o_totalprice") > 50000.0)
+    )
+
+
+KV_ORACLE_GET = f"""
+SELECT {_COLS}, {_PROMO} AS o_promo FROM orders
+WHERE o_custkey = {_MIN_CK}
+  AND o_orderkey = (SELECT min(o_orderkey) FROM orders WHERE o_custkey = {_MIN_CK})
+"""
+
+KV_ORACLE_QUERY = f"""
+SELECT {_COLS}, {_PROMO} AS o_promo FROM orders
+WHERE o_custkey = {_MIN_CK}
+  AND o_orderkey > (SELECT min(o_orderkey) FROM orders WHERE o_custkey = {_MIN_CK})
+"""
+
+KV_ORACLE_SCAN = f"""
+SELECT {_COLS}, {_PROMO} AS o_promo FROM orders
+WHERE ({_PROMO}) IS NOT NULL AND contains(o_orderstatus, 'F') AND o_totalprice > 50000.0
+"""
+
+KV_QUERIES = [
+    QueryDef("kv_get", kv_get, KV_ORACLE_GET),
+    QueryDef("kv_query", kv_query, KV_ORACLE_QUERY),
+    QueryDef("kv_scan", kv_scan, KV_ORACLE_SCAN, bench=True),
+]

@@ -3,11 +3,29 @@
 Every entry is one implemented operator/query from SURVEY.md §2 (plus the
 LLM-pipeline extensions); the driver runs each Spark builder against its
 DuckDB oracle at sf0.01 and hashes the results.
+
+ORDERING MATTERS: the driver's correctness harness checks only the first
+50 registry entries per round.  With 90+ queries, a static order starves
+whatever sits past the cutoff (round 2 shipped 41 judge-verified-but-
+driver-unseen queries).  So the registry self-schedules: queries are
+ordered least-recently-driver-verified first, by scanning the committed
+``CORRECTNESS_r*.json`` results at the repo root.  A query that has never
+had a green driver row sorts before one verified last round, which sorts
+before one verified this round — over successive rounds the 50-query
+window rotates through the whole inventory.  Ties break by static
+priority: the reference's own surface (metric/KV/catalog) and the LLM +
+streaming extensions come before the TPC-H extras (which exceed the
+reference's declared surface, SURVEY §2.4/§2.7).
 """
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from fineo_readerator_spark.plans.catalog_queries import CATALOG_QUERIES
+from fineo_readerator_spark.plans.kv_queries import KV_QUERIES
 from fineo_readerator_spark.plans.llm_queries import LLM_QUERIES
 from fineo_readerator_spark.plans.metric_queries import METRIC_QUERIES
 from fineo_readerator_spark.plans.registry import QueryDef
@@ -15,16 +33,59 @@ from fineo_readerator_spark.plans.relational_queries import RELATIONAL_QUERIES
 from fineo_readerator_spark.plans.streaming_queries import STREAMING_QUERIES
 from fineo_readerator_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
 
-QUERIES: dict[str, QueryDef] = {}
-
-for q in [
+# static priority (tiebreaker within the same last-verified round)
+_ALL: list[QueryDef] = [
     *METRIC_QUERIES,
-    *RELATIONAL_QUERIES,
-    *TPCH_EXTRA_QUERIES,
+    *KV_QUERIES,
     *CATALOG_QUERIES,
     *LLM_QUERIES,
     *STREAMING_QUERIES,
-]:
+    *RELATIONAL_QUERIES,
+    *TPCH_EXTRA_QUERIES,
+]
+
+
+def _last_green_round() -> dict[str, int]:
+    """Latest round in which each query got a fully-green driver row.
+
+    A row counts as green when rows+schema matched and the value hash
+    (when present — rows-only checks have none) did not mismatch."""
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def _ordered(queries: list[QueryDef]) -> list[QueryDef]:
+    verified = _last_green_round()
+    indexed = sorted(
+        enumerate(queries), key=lambda iq: (verified.get(iq[1].name, 0), iq[0])
+    )
+    return [q for _, q in indexed]
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+for q in _ordered(_ALL):
     if q.name in QUERIES:
         raise ValueError(f"duplicate query name {q.name}")
     QUERIES[q.name] = q

@@ -134,3 +134,112 @@ def test_key_filters_consumed_in_plan(spark, snapshot):
     df2 = _load(spark, snapshot).filter(F.col("val") > 400.0)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "400" in plan2
+
+
+# -- attribute-condition pushdown (DynamoFilterSpec.java:25-46 parity) --
+
+
+def test_null_semantics_pushed(snapshot):
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    r, residual = _reader(snapshot, [IsNull(("val",)), IsNotNull(("pk",))])
+    assert residual == []  # attribute_exists / attribute_not_exists consumed
+    assert ("isnull", "val", None) in r.attr_conds
+    assert ("notnull", "pk", None) in r.attr_conds
+    assert r.mode == "scan"  # null checks are not key conditions
+
+
+def test_string_leaves_pushed(snapshot):
+    from pyspark.sql.datasource import StringContains, StringEndsWith, StringStartsWith
+
+    r, residual = _reader(
+        snapshot,
+        [
+            StringContains(("pk",), "ser"),
+            StringStartsWith(("pk",), "us"),
+            StringEndsWith(("pk",), "3"),
+        ],
+    )
+    assert residual == []
+    kinds = {k for k, _, _ in r.attr_conds}
+    assert kinds == {"contains", "startswith", "endswith"}
+
+
+def test_null_and_contains_results(spark, snapshot, tmp_path_factory):
+    # end-to-end over a snapshot with actual NULL attribute values
+    path = str(tmp_path_factory.mktemp("kvnull") / "snap")
+    df = spark.createDataFrame(
+        [(f"k{i}", i, None if i % 3 == 0 else f"tag-{i % 5}") for i in range(300)],
+        "pk string, sk long, label string",
+    )
+    write_kv_snapshot(df, path, "pk", n_buckets=4)
+    register(spark)
+    kv = (
+        spark.read.format("fineo_kv")
+        .schema("pk string, sk long, label string")
+        .option("path", path)
+        .option("pk", "pk")
+        .option("sk", "sk")
+        .load()
+    )
+    assert kv.filter(F.col("label").isNull()).count() == 100
+    assert kv.filter(F.col("label").isNotNull()).count() == 200
+    got = kv.filter(F.col("label").contains("tag-2")).count()
+    assert got == len([i for i in range(300) if i % 3 and i % 5 == 2])
+    assert kv.filter(F.col("label").startswith("tag-")).count() == 200
+    # a = NULL (not null-safe) must match nothing — never rewritten to isNull
+    assert kv.filter(F.col("label") == F.lit(None).cast("string")).count() == 0
+
+
+def test_driver_contract_modes(spark):
+    # the registry's kv_get/kv_query/kv_scan plan the modes the reference
+    # asserts (TestDynamoFilterPushdown.java:130-340): replay their filter
+    # shapes against a reader and check mode + touched buckets
+    from fineo_readerator_spark.plans.kv_queries import (
+        N_BUCKETS,
+        ensure_snapshot,
+        kv_get,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    snap = ensure_snapshot(spark, sf)
+    r, residual = _reader_opts(
+        snap,
+        {"pk": "o_custkey", "sk": "o_orderkey"},
+        [EqualTo(("o_custkey",), 0), EqualTo(("o_orderkey",), 0)],
+    )
+    assert r.mode == "get" and residual == []
+    parts = r.partitions()
+    assert len(parts) <= 1
+    if parts:
+        assert parts[0].bucket_dir.endswith(f"__bucket={_key_bucket_py('0', N_BUCKETS)}")
+
+    r, residual = _reader_opts(
+        snap,
+        {"pk": "o_custkey", "sk": "o_orderkey"},
+        [EqualTo(("o_custkey",), 0), GreaterThanOrEqual(("o_orderkey",), 1)],
+    )
+    assert r.mode == "query" and residual == []
+
+    from pyspark.sql.datasource import GreaterThan, IsNotNull, StringContains
+
+    r, residual = _reader_opts(
+        snap,
+        {"pk": "o_custkey", "sk": "o_orderkey"},
+        [
+            IsNotNull(("o_promo",)),
+            StringContains(("o_orderstatus",), "F"),
+            GreaterThan(("o_totalprice",), 50000.0),
+        ],
+    )
+    assert r.mode == "scan"
+    assert len(residual) == 1  # non-key range stays with Spark
+    # and the end-to-end result matches a plain parquet read of the snapshot
+    got = kv_get(spark, sf).count()
+    assert got == 1
+
+
+def _reader_opts(snapshot, opts, filters):
+    r = KVSnapshotReader(schema=None, options={"path": snapshot, **opts})
+    residual = list(r.pushFilters(filters))
+    return r, residual
