@@ -34,22 +34,29 @@ def main() -> None:
     bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
     # warm up JVM/codegen/file-listing so timings reflect steady state
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    next(iter(bench_queries.values())).fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        next(iter(bench_queries.values())).fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # the per-query loop reports it; warm-up must never kill the run
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in bench_queries.items():
         # min of three runs: the first pays one-time whole-stage-codegen JIT
         # for that query's expressions; the min of the rest is the steady
         # state a long-running cluster sees, robust to ambient load spikes
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     out = {
         "metric": "headline query wall-clock, local[{}]".format(
@@ -60,6 +67,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -557,12 +557,22 @@ def ngram_jaccard_pairs(
     group_cols: Optional[list[str]] = None,
     n: int = 3,
     threshold: float = 0.5,
+    allow_ungrouped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within the same group.
 
     This is the *verification-grade* measure (MinHash estimates it); the
     group columns bound the O(n²) comparison — at scale you pass LSH buckets
-    or metadata partitions, never the whole corpus."""
+    or metadata partitions, never the whole corpus.  Calling without
+    ``group_cols`` is an O(n²) cartesian product over the whole input; that
+    is only sane on an already-tiny candidate set, so it must be opted into
+    explicitly with ``allow_ungrouped=True``."""
+    if not group_cols and not allow_ungrouped:
+        raise ValueError(
+            "ngram_jaccard_pairs without group_cols is a full cartesian "
+            "product; pass LSH-bucket/group columns, or allow_ungrouped=True "
+            "if the input is a small pre-filtered candidate set"
+        )
     sh = F.array_distinct(shingles(F.col(text_col), n))
     gcols = group_cols or []
     base = df.select(*gcols, F.col(id_col).alias("id"), sh.alias("sh"))

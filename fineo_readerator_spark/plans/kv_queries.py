@@ -133,8 +133,90 @@ SELECT {_COLS}, {_PROMO} AS o_promo FROM orders
 WHERE ({_PROMO}) IS NOT NULL AND contains(o_orderstatus, 'F') AND o_totalprice > 50000.0
 """
 
+KV_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def nested_snapshot_path(sf_dir: str) -> Path:
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "events_kv_nested"
+
+
+def ensure_nested_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Bucketed snapshot of ``events`` carrying LIST- and MAP-typed attribute
+    columns (the Dynamo L/SS and M attribute kinds,
+    `DynamoRecordReader.java:279-378`), pk=user_id, sk=event_id."""
+    path = nested_snapshot_path(sf_dir)
+    if not (path / "_kv_meta.json").exists():
+        ev = (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type")
+            .withColumn(
+                "tags", F.array(F.col("event_type"), (F.col("user_id") % 5).cast("string"))
+            )
+            .withColumn(
+                "attrs",
+                F.create_map(
+                    F.lit("u"), F.col("user_id").cast("string"),
+                    F.lit("et"), F.col("event_type"),
+                ),
+            )
+        )
+        write_kv_snapshot(ev, str(path), "user_id", n_buckets=N_BUCKETS)
+    return str(path)
+
+
+def kv_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested attribute decode through the Arrow DSv2 reader: list/map-typed
+    columns stream as Arrow nested types end-to-end (no per-row Python), the
+    Spark-first analog of the reference's nested MAP/LIST vector decode
+    (`DynamoRecordReader.java:279-378`).  Hash-key equality plans a QUERY
+    touching exactly one bucket dir; the projection extracts scalars from the
+    nested values so the oracle compares exact strings."""
+    register(spark)
+    pk0 = load(spark, sf_dir, "events").agg(F.min("user_id")).first()[0]
+    df = (
+        spark.read.format("fineo_kv")
+        .option("path", ensure_nested_snapshot(spark, sf_dir))
+        .option("pk", "user_id")
+        .option("sk", "event_id")
+        .schema(KV_NESTED_SCHEMA)
+        .load()
+        .filter(F.col("user_id") == pk0)
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.element_at("tags", 1).alias("tag_first"),
+        F.element_at("tags", 2).alias("tag_bucket"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.col("attrs")["u"].alias("attr_u"),
+        F.col("attrs")["et"].alias("attr_et"),
+    )
+
+
+KV_ORACLE_NESTED = """
+SELECT user_id, event_id, event_type,
+       event_type AS tag_first,
+       CAST(user_id % 5 AS VARCHAR) AS tag_bucket,
+       CAST(2 AS BIGINT) AS n_tags,
+       CAST(user_id AS VARCHAR) AS attr_u,
+       event_type AS attr_et
+FROM events WHERE user_id = (SELECT min(user_id) FROM events)
+"""
+
+
 KV_QUERIES = [
     QueryDef("kv_get", kv_get, KV_ORACLE_GET),
     QueryDef("kv_query", kv_query, KV_ORACLE_QUERY),
     QueryDef("kv_scan", kv_scan, KV_ORACLE_SCAN, bench=True),
+    QueryDef("kv_nested", kv_nested, KV_ORACLE_NESTED),
 ]

@@ -828,7 +828,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
-    QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle()),
+    QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
@@ -839,7 +839,7 @@ LLM_QUERIES = [
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
-    QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle()),
+    QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle(), bench=True),
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
 ]

@@ -3,10 +3,13 @@ reference's own declared query surface, SURVEY.md §2.7) over the driver's
 ``events`` table, each with a DuckDB oracle.
 
 The ``events`` parquet plays the role of a tenant metric store
-(FIXTURES.md F6): ``ts`` (epoch-nanos long under nanosAsLong) maps to the
-metric ``timestamp`` (epoch millis), and we derive the internal
+(FIXTURES.md F6): the stored ``ts`` column maps to the metric ``timestamp``
+(epoch millis, `FineoTable.java:96`), and we derive the internal
 ``companykey``/``metrictype`` columns the reference requires on every stored
-row (`FineoCommon.java:17-20`).
+row (`FineoCommon.java:17-20`).  The ``epoch_ms(ts)`` derive token resolves
+against the stored dtype at read time (``sources.SourceSpec._apply_derive``)
+so both testdata generations — timestamp[us] today, epoch-nanos long in
+earlier rounds — produce identical millis.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fineo_readerator_spark.functions.scalars import epoch_millis
 from fineo_readerator_spark.operators.expander import expand_items
 from fineo_readerator_spark.plans.registry import QueryDef, load
 from fineo_readerator_spark.recombinator import build_metric_df
@@ -37,10 +41,11 @@ EVENT_FIELDS = [
     FieldDef("props", "string"),
 ]
 
-# storage-shape adapter: epoch-nanos → epoch-millis + internal required cols
+# storage-shape adapter: stored ts → epoch-millis + internal required cols
+# (epoch_ms() is the type-adaptive derive token, resolved per stored dtype)
 EVENT_DERIVE = {
-    "timestamp": "ts div 1000000",
-    "writetime": "ts div 1000000",
+    "timestamp": "epoch_ms(ts)",
+    "writetime": "epoch_ms(ts)",
     "companykey": f"'{ORG}'",
     "metrictype": f"'{METRIC}'",
 }
@@ -62,7 +67,9 @@ def events_store(sf_dir: str, split: bool = False, fields=None, track_unknown=Fa
         MetricSchema(org=ORG, metric=METRIC, fields=fields or EVENT_FIELDS, track_unknown=track_unknown)
     )
     path = f"{sf_dir}/events.parquet"
-    raw_ts = {"raw_ts_col": "ts", "raw_ts_per_milli": 1_000_000}  # parquet stores epoch nanos
+    # raw_ts_per_milli only applies when ts is integer-typed (epoch nanos);
+    # timestamp[us] fixtures push timestamp-literal bounds instead
+    raw_ts = {"raw_ts_col": "ts", "raw_ts_per_milli": 1_000_000}
     if split:
         st.add_source(
             ORG, METRIC, SourceSpec(kind="historical", path=path, derive=dict(EVENT_DERIVE), **raw_ts)
@@ -191,8 +198,9 @@ def m_items_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV-item expansion round-trip: collapse events into the nearline item
     shape (ids list + {write-id -> value} maps per key), expand one row per
     write-id, and recover the original rows (DynamoExpanderBatch semantics)."""
-    ev = load(spark, sf_dir, "events").select(
-        F.expr("ts div 1000000").alias("timestamp"),
+    ev_raw = load(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        epoch_millis(ev_raw, "ts").alias("timestamp"),
         F.col("event_id").cast("string").alias("wid"),
         "user_id",
         "event_type",
@@ -211,6 +219,121 @@ def m_items_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+def _items_nested_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "events_items_nested"
+
+
+def ensure_nested_items_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per scale factor) a nearline item-shape parquet snapshot
+    of ``events`` that carries NESTED attribute values — the storage shape
+    the reference's Dynamo reader decodes into nested MAP/LIST vectors
+    (`DynamoRecordReader.java:279-378`):
+
+    - compound hash key ``partition_key = org + metric``
+      (`DynamoFineoCompoundKeyMapper.java:21-37`), ``sort_key = timestamp``;
+    - an ``ids`` array of write-ids per key plus one ``{write-id -> value}``
+      map per stored field (`DynamoExpanderBatch.java:38-42`);
+    - two of those fields are nested: ``tags`` (list-of-string, the L/SS
+      attribute kinds) and ``attrs`` (map-of-string, the M attribute kind),
+      derived deterministically from the row so a DuckDB oracle can rebuild
+      the exact stringified form.
+    """
+    import os
+
+    path = _items_nested_path(sf_dir)
+    if not (path / "_SUCCESS").exists():
+        ev_raw = load(spark, sf_dir, "events")
+        ev = (
+            ev_raw.select(
+                epoch_millis(ev_raw, "ts").alias("ts_ms"),
+                F.col("event_id").cast("string").alias("wid"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .withColumn(
+                "tags", F.array(F.col("event_type"), (F.col("user_id") % 5).cast("string"))
+            )
+            .withColumn(
+                "attrs",
+                F.create_map(
+                    F.lit("u"), F.col("user_id").cast("string"),
+                    F.lit("et"), F.col("event_type"),
+                ),
+            )
+        )
+        field_cols = ["user_id", "event_type", "value", "tags", "attrs"]
+        items = (
+            ev.groupBy("ts_ms")
+            .agg(
+                F.collect_list("wid").alias("ids"),
+                *[
+                    F.map_from_entries(F.collect_list(F.struct("wid", c))).alias(c)
+                    for c in field_cols
+                ],
+            )
+            .select(
+                F.lit(ORG + METRIC).alias("partition_key"),
+                F.col("ts_ms").alias("sort_key"),
+                "ids",
+                *field_cols,
+            )
+        )
+        items.write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def m_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested KV attribute decode END-TO-END: item-shape snapshot (compound
+    key + {write-id -> value} maps, two of them nested list/map) → source
+    read → row expander → compound-key split → recombinator projection, with
+    the nested fields surfacing in the ``_fm`` radio map as deterministic
+    JSON (reference: `DynamoRecordReader.java:279-378` nested vector decode +
+    `TestFineoRadio`-style unknown-field reads).  ``_write_id`` reads back as
+    the canonical ``event_id`` through the alias mechanism
+    (`AliasFieldNameManager.java:27-48`)."""
+    fields = [
+        FieldDef("event_id", "long", aliases=["_write_id"]),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double"),
+    ]
+    st = SchemaStore()
+    st.register_metric(
+        MetricSchema(org=ORG, metric=METRIC, fields=fields, track_unknown=True)
+    )
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="nearline_items",
+            path=ensure_nested_items_snapshot(spark, sf_dir),
+            compound_key=True,
+        ),
+    )
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    return df.select(
+        "timestamp",
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("_fm")["tags"].alias("tags_json"),
+        F.col("_fm")["attrs"].alias("attrs_json"),
+    )
+
+
+M_ITEMS_NESTED_ORACLE = """
+SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value,
+       '["' || event_type || '","' || (user_id % 5) || '"]' AS tags_json,
+       '{"u":"' || user_id || '","et":"' || event_type || '"}' AS attrs_json
+FROM events
+"""
 
 
 def m_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,4 +435,5 @@ METRIC_QUERIES = [
         m_items_expand,
         'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value FROM events',
     ),
+    QueryDef("m_items_nested", m_items_nested, M_ITEMS_NESTED_ORACLE),
 ]

@@ -21,13 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fineo_readerator_spark.functions.scalars import epoch_millis
 from fineo_readerator_spark.plans.registry import QueryDef, load
 
 
 def _ts(y: int, m: int, d: int):
     """TIMESTAMP_NTZ literal: orders/lineitem date columns are millis-precision
     naive timestamps (timestamp[ms] parquet → TIMESTAMP_NTZ in Spark, naive
-    TIMESTAMP in DuckDB); the events table alone is nanos."""
+    TIMESTAMP in DuckDB); events.ts converts via the type-adaptive
+    ``epoch_millis`` helper."""
     return F.expr(f"timestamp_ntz'{y:04d}-{m:02d}-{d:02d} 00:00:00'")
 
 
@@ -255,7 +257,7 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rn as long: DuckDB row_number is BIGINT and the driver's value
         # hashing is type-representation-sensitive
         .select(
-            "user_id", "event_id", F.expr("ts div 1000000").alias("ts_ms"),
+            "user_id", "event_id", epoch_millis(ev, "ts").alias("ts_ms"),
             F.col("rn").cast("long").alias("rn"),
         )
     )
@@ -430,7 +432,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.select(
-        F.expr("ts div 1000000").alias("tsm"), "event_id", k.alias("k")
+        epoch_millis(ev, "ts").alias("tsm"), "event_id", k.alias("k")
     ).filter(F.col("k") >= 50)
 
 
@@ -446,8 +448,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ASOF JOIN is the oracle)."""
     from fineo_readerator_spark.operators.asof import asof_join
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("timestamp"), "value"
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "user_id", "event_type", epoch_millis(ev, "ts").alias("timestamp"), "value"
     )
     clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "timestamp")
     purchases = ev.filter("event_type = 'purchase'").select("user_id", "timestamp", "value")
@@ -473,8 +476,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineo_readerator_spark.operators.rangejoin import point_in_interval_join
 
     HOUR = 3600_000
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("tsm")
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "user_id", "event_type", epoch_millis(ev, "ts").alias("tsm")
     )
     clicks = ev.filter("event_type = 'click'").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("tsm").alias("click_ts")
@@ -601,7 +605,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregation reuse that partitioning (operators/sessionize.py)."""
     from fineo_readerator_spark.operators.sessionize import session_stats
 
-    ev = load(spark, sf_dir, "events").select("user_id", F.expr("ts div 1000000").alias("ts_ms"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("user_id", epoch_millis(ev, "ts").alias("ts_ms"))
     return session_stats(ev, "user_id", "ts_ms", 1_800_000).select(
         "user_id",
         "session_idx",

@@ -227,7 +227,7 @@ FROM events c JOIN events p
 
 
 STREAMING_QUERIES = [
-    QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE),
+    QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
     QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),

@@ -80,7 +80,10 @@ def project_canonical(df: DataFrame, schema: MetricSchema, source: SourceSpec) -
       ``_fm MAP<string,string>`` when the metric tracks unknown fields
       (`RecombinatorRecordBatch.java:117-158`, `TestFineoRadio`).  Values are
       stringified: Spark maps are monomorphic (documented deviation from
-      Drill's union vectors).
+      Drill's union vectors).  Nested map/list/set attribute values — which
+      the reference decodes into nested MAP/LIST vectors
+      (`DynamoRecordReader.java:279-378`) — stringify as deterministic JSON
+      (``to_json``), so nested structure survives the radio map losslessly.
     """
     cols: list[Column] = []
     ts = schema.timestamp_field
@@ -105,9 +108,16 @@ def project_canonical(df: DataFrame, schema: MetricSchema, source: SourceSpec) -
         known = schema.known_stored_names()
         leftover = [c for c in df.columns if c not in known]
         if leftover:
+
+            def as_radio_string(c: str) -> Column:
+                dt = df.schema[c].dataType
+                if isinstance(dt, (T.MapType, T.ArrayType, T.StructType)):
+                    return F.to_json(F.col(c))
+                return F.col(c).cast(T.StringType())
+
             entries = F.map_from_arrays(
                 F.array(*[F.lit(c) for c in leftover]),
-                F.array(*[F.col(c).cast(T.StringType()) for c in leftover]),
+                F.array(*[as_radio_string(c) for c in leftover]),
             )
             fm = F.map_filter(entries, lambda _k, v: v.isNotNull())
         else:
@@ -154,30 +164,51 @@ def _push_raw_ts_filters(
 ) -> DataFrame:
     """Re-express millis time bounds on the source's RAW timestamp column.
 
-    A predicate on the derived ``raw div N`` column evaluates after the scan;
-    the equivalent bound on the raw column (``raw >= start*N``, ``raw <
-    end*N`` — exact for integer division of non-negative epochs) reaches the
-    parquet reader as a pushed filter and skips row groups by min/max stats.
+    A predicate on the derived epoch-millis column evaluates after the scan;
+    the equivalent bound on the raw column reaches the parquet reader as a
+    pushed filter and skips row groups by min/max stats.  The bound literal
+    adapts to the raw column's ACTUAL dtype:
+
+    - integer raw units: ``raw >= start*N`` / ``raw < end*N`` (exact for
+      integer division of non-negative epochs);
+    - timestamp[us]/timestamp_ntz: ``raw >= timestamp_micros(start*1000)``
+      cast to the column's exact type — constant-folded to a plain literal
+      before pushdown, so row-group skipping still applies.  Comparing a
+      scaled ``cast(raw as long)`` here instead would silently compare epoch
+      SECONDS against nanos-scaled bounds (wrong by 1e9).
+
     The derived-column filters stay too (they are the semantic truth); these
     raw twins exist purely so the scan can prune."""
     if not src.raw_ts_col or src.raw_ts_col not in df.columns:
         return df
-    raw = F.col(src.raw_ts_col).cast("long")
+    dtype = df.schema[src.raw_ts_col].dataType
+    is_time = isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
+    raw = F.col(src.raw_ts_col) if is_time else F.col(src.raw_ts_col).cast("long")
     n = src.raw_ts_per_milli
 
-    def scaled(r: TimeRange) -> TimeRange:
-        return TimeRange(
-            None if r.start is None else r.start * n, None if r.end is None else r.end * n
-        )
+    def bound(ms: int) -> Column:
+        if is_time:
+            b = F.timestamp_micros(F.lit(ms * 1000))
+            if isinstance(dtype, T.TimestampNTZType):
+                # UTC session tz (ensure_io_confs) makes this cast exact
+                b = b.cast("timestamp_ntz")
+            return b
+        return F.lit(ms * n)
+
+    def cond(r: TimeRange) -> Column:
+        c = F.lit(True)
+        if r.start is not None:
+            c = c & (raw >= bound(r.start))
+        if r.end is not None:
+            c = c & (raw < bound(r.end))
+        return c
 
     if not ranges.everything and ranges.ranges:
-        df = df.filter(
-            reduce(lambda a, b: a | b, [_range_condition(raw, scaled(r)) for r in ranges.ranges])
-        )
+        df = df.filter(reduce(lambda a, b: a | b, [cond(r) for r in ranges.ranges]))
     if src.kind == HISTORICAL and cutover is not None:
-        df = df.filter(raw < F.lit(cutover * n))
+        df = df.filter(raw < bound(cutover))
     if src.enforce_range and not src.time_range.is_unbounded:
-        df = df.filter(_range_condition(raw, scaled(src.time_range)))
+        df = df.filter(cond(src.time_range))
     return df
 
 

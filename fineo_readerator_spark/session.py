@@ -35,10 +35,12 @@ def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata parquet carries TIMESTAMP(NANOS) columns, which Spark has
-        # no native type for; read them as raw nanos longs and convert with
-        # functions.nanos_to_* helpers (DuckDB reads the same columns as
-        # TIMESTAMP_NS — oracles compare on epoch millis).
+        # current testdata stores events.ts as TIMESTAMP(MICROS) (reads as
+        # TIMESTAMP_NTZ); earlier fixture generations used TIMESTAMP(NANOS),
+        # which Spark can only read as raw nanos longs under this legacy
+        # conf.  Keeping it on is a no-op for micros data and makes a driver
+        # flip back to nanos readable; all conversions go through the
+        # type-adaptive functions.epoch_millis / epoch_ms() derive token.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -58,7 +60,8 @@ def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int 
 # callables on a vanilla session it builds itself (entry() may never run),
 # so each read entry point applies these idempotently.
 _IO_CONFS = {
-    # TIMESTAMP(NANOS,false) parquet columns read as epoch-nano longs
+    # no-op on the current TIMESTAMP(MICROS) fixtures; lets TIMESTAMP(NANOS)
+    # fixture generations read as epoch-nano longs instead of erroring
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic timestamp rendering across engines/runs
     "spark.sql.session.timeZone": "UTC",

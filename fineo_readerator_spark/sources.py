@@ -22,10 +22,18 @@ storage at all.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Derive SQL may call the pseudo-function ``epoch_ms(col)`` (same spelling as
+# the DuckDB oracle); it resolves at read time against the column's ACTUAL
+# stored dtype — timestamp[us] fixtures and epoch-nanos-long fixtures both
+# derive the same epoch-millis BIGINT, so a driver testdata type flip never
+# breaks the query surface again.
+_EPOCH_MS_TOKEN = re.compile(r"\bepoch_ms\(\s*(\w+)\s*\)")
 
 HISTORICAL = "historical"
 NEARLINE = "nearline"
@@ -117,11 +125,28 @@ class SourceSpec:
         if self.kind not in KINDS:
             raise ValueError(f"unknown source kind {self.kind!r}")
 
+    def _resolve_derive_sql(self, df: DataFrame, sql: str) -> str:
+        """Expand ``epoch_ms(col)`` tokens per the stored column's dtype."""
+        from fineo_readerator_spark.functions.scalars import epoch_ms_sql
+
+        def repl(m: re.Match) -> str:
+            col = m.group(1)
+            if col not in df.columns:
+                raise ValueError(f"epoch_ms({col}): no such stored column in {self.path}")
+            # integer-typed raw time defaults to epoch nanos (the only raw
+            # integer shape the fixtures have shipped) unless declared
+            per = self.raw_ts_per_milli if col == self.raw_ts_col else 1_000_000
+            return "(" + epoch_ms_sql(df.schema[col].dataType, col, per) + ")"
+
+        return _EPOCH_MS_TOKEN.sub(repl, sql)
+
     def _apply_derive(self, df: DataFrame) -> DataFrame:
         if self.derive:
             from pyspark.sql import functions as F
 
-            df = df.withColumns({name: F.expr(sql) for name, sql in self.derive.items()})
+            df = df.withColumns(
+                {name: F.expr(self._resolve_derive_sql(df, sql)) for name, sql in self.derive.items()}
+            )
         return df
 
     def _read_raw(self, spark: SparkSession) -> DataFrame:

@@ -113,11 +113,19 @@ def test_simhash_dedup_exact_dups_collide(spark, docs):
 def test_ngram_jaccard_exact_values(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1).collect()
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", n=3, threshold=0.1, allow_ungrouped=True
+        ).collect()
     }
     assert pairs[(0, 1)] == 1.0
     # doc0 has 7 3-shingles, doc5 has 8; 7 shared → 7 / 8
     assert pairs[(0, 5)] == pytest.approx(7 / 8)
+
+
+def test_ngram_jaccard_ungrouped_requires_opt_in(spark, docs):
+    """The whole-corpus cartesian is a scale hazard; it must be explicit."""
+    with pytest.raises(ValueError, match="cartesian"):
+        ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1)
 
 
 # --- similarity -----------------------------------------------------------

@@ -30,15 +30,25 @@ def _pushed(plan: str) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def _ts_lit(ms: int) -> str:
+    """PushedFilters renders timestamp bounds as ISO LocalDateTime (the
+    fixtures' ts is timestamp[us]); whole-minute bounds print to minutes."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M")
+
+
 def test_raw_ts_bounds_reach_the_scan(spark, sf_dir):
-    """Time-range predicates on the derived (raw div N) timestamp must appear
+    """Time-range predicates on the derived epoch-millis timestamp must appear
     as raw-column bounds in PushedFilters — this is what turns the filter
-    into row-group skipping at scale."""
+    into row-group skipping at scale.  With timestamp[us] fixtures the bound
+    is a timestamp literal (a scaled long here would be the seconds-vs-nanos
+    bug VERDICT r3 #2 warned about)."""
     pred = f"timestamp >= {T_LO} AND timestamp < {T_HI}"
     df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, predicate=pred, sort=False)
     pushed = " | ".join(_pushed(_plan(df)))
-    assert f"GreaterThanOrEqual(ts,{T_LO * 1_000_000})" in pushed
-    assert f"LessThan(ts,{T_HI * 1_000_000})" in pushed
+    assert f"GreaterThanOrEqual(ts,{_ts_lit(T_LO)}" in pushed
+    assert f"LessThan(ts,{_ts_lit(T_HI)}" in pushed
 
 
 def test_cutover_pushes_to_historical_scan(spark, sf_dir):
@@ -46,8 +56,8 @@ def test_cutover_pushes_to_historical_scan(spark, sf_dir):
     raw-ts bound (and the nearline side carries its window start)."""
     df = build_metric_df(spark, events_store(sf_dir, split=True), ORG, METRIC, sort=False)
     pushed = _pushed(_plan(df))
-    assert any(f"LessThan(ts,{CUTOVER_MS * 1_000_000})" in p for p in pushed)
-    assert any(f"GreaterThanOrEqual(ts,{CUTOVER_MS * 1_000_000})" in p for p in pushed)
+    assert any(f"LessThan(ts,{_ts_lit(CUTOVER_MS)}" in p for p in pushed)
+    assert any(f"GreaterThanOrEqual(ts,{_ts_lit(CUTOVER_MS)}" in p for p in pushed)
 
 
 def test_column_pruning_reaches_read_schema(spark, sf_dir):
