@@ -9,6 +9,8 @@ DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -342,33 +344,43 @@ def winnowing_fingerprints(
     so the DuckDB oracle replays it bit-for-bit — unlike engine-native hash
     functions.  Row-local (no shuffle); robust to formatting noise the way
     md5-of-normalized-text (``text_fingerprint``) is not: shared substrings
-    still collide on fingerprints after local edits elsewhere."""
-    weights = [pow(_WIN_B, j, _WIN_P) for j in range(k)]
-    norm = _win_norm(F.col(text_col), k)
+    still collide on fingerprints after local edits elsewhere.
 
-    # Every lambda below touches only its element arguments — never a
-    # captured array expression, which Catalyst would re-evaluate per element
-    # (interpreted O(n²) per row; see dedup.shingles).  Char codes are
-    # extracted once, the k-gram rolling hashes accumulate by zip_with over
-    # shifted slices, and the window minima fold the same way.
-    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
-    n = F.length(norm)
-    L = n - k + 1  # rpad guarantees n >= k, so L >= 1
-    grams = F.array_repeat(F.lit(0).cast("long"), L)
-    for j, wt in enumerate(weights):
-        grams = F.zip_with(
-            grams,
-            F.slice(codes, j + 1, L),
-            lambda a, c: (a + c * F.lit(wt)) % F.lit(_WIN_P),
-        )
-    m = F.size(grams)
-    Lw = F.greatest(m - w + 1, F.lit(1))
-    # min over each w-window: least() of w shifted slices; zip_with pads the
-    # short tail with NULL and least() skips nulls, matching array_min(slice)
-    mins = F.slice(grams, 1, Lw)
-    for t in range(1, w):
-        mins = F.zip_with(mins, F.slice(grams, t + 1, Lw), lambda a, b: F.least(a, b))
-    return df.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+    Execution split: normalization is Catalyst (codegen'd regexes); the
+    rolling-hash + window-min numerics are an Arrow-batched pandas UDF of
+    vectorized numpy slice arithmetic.  A pure-expression formulation needs a
+    chain of k+w ``zip_with`` higher-order functions, which Spark evaluates
+    interpreted with the whole operand subtree duplicated per step —
+    megabyte-scale task binaries and ~40ms/row even on 300-char documents.
+    The numpy path is the same O(n·(k+w)) arithmetic at C speed; per value
+    ``code*weight < 128·P`` and the running sum stays under ``129·P``, well
+    inside int64, so the per-step mod matches the expression/DuckDB residues
+    exactly."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    weights = [pow(_WIN_B, j, _WIN_P) for j in range(k)]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fps(norm: pd.Series) -> pd.Series:
+        out = []
+        for s in norm:
+            codes = np.frombuffer(s.encode("ascii", "replace"), dtype=np.uint8).astype(
+                np.int64
+            )
+            L = codes.size - k + 1  # _win_norm rpads so L >= 1
+            grams = np.zeros(L, dtype=np.int64)
+            for j, wt in enumerate(weights):
+                grams += codes[j : j + L] * wt
+                grams %= _WIN_P
+            Lw = max(L - w + 1, 1)
+            mins = grams[:Lw].copy()
+            for t in range(1, w):
+                s2 = grams[t : t + Lw]
+                np.minimum(mins[: s2.size], s2, out=mins[: s2.size])
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _fps(_win_norm(F.col(text_col), k)))
 
 
 def winnowing_oracle_sql(

@@ -37,9 +37,9 @@ def server(spark, tmp_path_factory):
     srv.stop()
 
 
-def _post(url, body, key=KEY):
+def _post(url, body, key=KEY, path="/query"):
     req = urllib.request.Request(
-        f"{url}/query",
+        f"{url}{path}",
         data=json.dumps(body).encode(),
         headers={"content-type": "application/json", **({"x-api-key": key} if key else {})},
     )
@@ -84,3 +84,51 @@ def test_max_rows_cap(server):
 def test_analysis_error_is_client_error(server):
     status, out = _post(server, {"sql": "SELECT nope FROM metricA"})
     assert status == 400 and "error" in out
+
+
+# -- Avatica-style statement/frame paging (FineoJdbcMeta.java:143-159) -----
+
+
+def test_paging_through_frames(server):
+    """A result larger than one frame pages via statement_id/offset and
+    reassembles exactly; the final frame closes the statement."""
+    sql = "SELECT timestamp, f_int FROM metricA ORDER BY timestamp"
+    status, first = _post(server, {"sql": sql, "frame_size": 2})
+    assert status == 200
+    assert first["offset"] == 0 and first["done"] is False
+    assert len(first["rows"]) == 2 and "statement_id" in first
+    stmt = first["statement_id"]
+
+    rows = list(first["rows"])
+    done, offset = False, len(rows)
+    while not done:
+        status, frame = _post(
+            server, {"statement_id": stmt, "offset": offset, "frame_size": 2}, path="/fetch"
+        )
+        assert status == 200 and frame["offset"] == offset
+        rows += frame["rows"]
+        offset += len(frame["rows"])
+        done = frame["done"]
+    assert [r["f_int"] for r in rows] == [0, 10, 20, 30, 40]
+
+    # drained to done => statement auto-closed
+    status, out = _post(server, {"statement_id": stmt, "offset": offset}, path="/fetch")
+    assert status == 404
+
+
+def test_paging_single_frame_has_no_statement(server):
+    """A result that fits one frame is complete immediately — no cursor kept."""
+    status, out = _post(server, {"sql": "SELECT * FROM metricA", "frame_size": 100})
+    assert status == 200 and out["done"] is True and "statement_id" not in out
+
+
+def test_paging_offset_is_forward_only(server):
+    status, first = _post(server, {"sql": "SELECT f_int FROM metricA", "frame_size": 1})
+    stmt = first["statement_id"]
+    status, out = _post(server, {"statement_id": stmt, "offset": 0}, path="/fetch")
+    assert status == 400 and "forward-only" in out["error"]
+    # cursor survives a rejected rewind; close releases it
+    status, out = _post(server, {"statement_id": stmt}, path="/close")
+    assert status == 200 and out["closed"] is True
+    status, _ = _post(server, {"statement_id": stmt, "offset": 1}, path="/fetch")
+    assert status == 404
