@@ -76,8 +76,12 @@ def stratified_fixed_k(
     content hash — deterministic across partitionings, retries and engines
     (unlike fraction sampling, which can't hit an exact count).
 
-    Shape: one shuffle keyed on the strata (window rank); the per-stratum
-    state is a k-row heap, so skewed strata cost memory O(k), not O(|stratum|).
+    Shape: one shuffle keyed on the strata (window rank).  Skew-safety comes
+    from Spark's ``WindowGroupLimit`` rewrite of rank-filter windows: a
+    map-side partial top-k runs BEFORE the exchange (pinned by
+    ``tests/test_llm_ops.py::test_stratified_k_partial_topk_before_shuffle``),
+    so a pathological single-stratum corpus shuffles at most k rows per map
+    partition — k x #partitions rows into the reducer, never |stratum|.
     Appends ``sample_rank`` (1..k)."""
     w = Window.partitionBy(*strata_cols).orderBy(_bucket(F.col(key_col), seed), key_col)
     return (

@@ -260,6 +260,17 @@ def build_metric_df(
     for src in live:
         df = src.read(spark)
         if src.kind == NEARLINE_ITEMS:
+            if src.compound_key:
+                # tenant hash-key equality on the STORED column, before the
+                # expander: a plain literal `=` reaches the parquet scan
+                # (row-group stats / dictionary skipping), where the post-split
+                # `substring(partition_key) = org` below never pushes.  This
+                # is the reference's Dynamo hash-key condition
+                # (`DynamoFineoCompoundKeyMapper.java:21-37`): at scale it is
+                # the difference between reading one tenant and every tenant.
+                from fineo_readerator_spark.operators.expander import PARTITION_KEY
+
+                df = df.filter(F.col(PARTITION_KEY) == F.lit(org + metric))
             df = expand_items(df)
             if src.compound_key:
                 df = split_compound_key(df, org, schema.timestamp_field)

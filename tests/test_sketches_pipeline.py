@@ -132,6 +132,19 @@ def test_stratified_fixed_k_exact_count_and_determinism(spark):
     assert ids1 == ids2
 
 
+def test_stratified_k_partial_topk_before_shuffle(spark):
+    """Skew-safety pin: the rank filter must compile to a map-side
+    WindowGroupLimit BELOW the exchange, so a single giant stratum shuffles
+    at most k rows per map partition (not the whole stratum)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+    )
+    out = stratified_fixed_k(df, ["source"], "doc_id", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = plan.split("Exchange", 1)[-1]
+    assert "WindowGroupLimit" in pre_exchange
+
+
 def test_domain_mix_hits_targets(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 2}") for i in range(1000)], "doc_id long, source string"
