@@ -31,6 +31,7 @@ from fineo_readerator_spark.llm_ops.multimodal import (
 from fineo_readerator_spark.llm_ops.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    semantic_dedup,
     ivf_assign,
     ivf_topk,
     lsh_bucketed_topk,
@@ -50,6 +51,7 @@ __all__ = [
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "semantic_dedup",
     "lsh_bucketed_topk",
     "ivf_assign",
     "ivf_topk",

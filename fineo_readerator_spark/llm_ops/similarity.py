@@ -163,6 +163,41 @@ def ivf_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def seeded_codebook(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic data-sampled codebook: the ``n_centroids`` lowest-id
+    vectors (the zero-iteration analog of k-means init).  SQL-expressible,
+    so operators built on it are oracle-checkable."""
+    return [
+        (r[0], [float(v) for v in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+
+def seeded_cell_expr(vec_col: str, seeds: list[tuple[int, list[float]]]) -> Column:
+    """Cell id of a vector against a seeded codebook: nearest centroid by
+    squared euclidean, distances rounded (1e-9) before the argmin so
+    floating-point association differences between engines can never flip
+    the cell choice; ties go to the lower centroid id."""
+
+    def dist_sql(vec_expr: str, seed: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in seed) + ")"
+        return (
+            f"round(aggregate(zip_with({vec_expr}, {arr},"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0D, (acc, v) -> acc + v), 9)"
+        )
+
+    return F.expr(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {dist_sql(vec_col, sv)}, 'sid', {sid}L)" for sid, sv in seeds
+        )
+        + ")).sid"
+    )
+
+
 def ivf_seeded_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -186,24 +221,8 @@ def ivf_seeded_topk(
     Distances are rounded (1e-9) before the argmin so floating-point
     association differences between engines can never flip the cell choice.
     """
-    seeds = [
-        (r[0], [float(v) for v in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
-
-    def dist_sql(vec_expr: str, seed: list[float]) -> str:
-        arr = "array(" + ",".join(f"{float(v)!r}D" for v in seed) + ")"
-        return (
-            f"round(aggregate(zip_with({vec_expr}, {arr},"
-            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-            " 0D, (acc, v) -> acc + v), 9)"
-        )
-
-    cell = F.expr(
-        "array_min(array("
-        + ",".join(f"named_struct('d', {dist_sql(vec_col, sv)}, 'sid', {sid}L)" for sid, sv in seeds)
-        + ")).sid"
-    )
+    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+    cell = seeded_cell_expr(vec_col, seeds)
     # probe cells chosen driver-side with the same rounded arithmetic
     qd = sorted(
         (round(sum((float(q) - s) ** 2 for q, s in zip(query_vec, sv)), 9), sid)
@@ -212,6 +231,47 @@ def ivf_seeded_topk(
     probe = [sid for _, sid in qd[:n_probe]]
     probed = df.withColumn("__cell", cell).filter(F.col("__cell").isin(probe)).drop("__cell")
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space coarsely, then drop items that
+    are semantically redundant WITHIN their cluster — near-identical meaning,
+    not just near-identical bytes, which is what embedding-space dedup adds
+    over MinHash/SimHash.
+
+    Policy: assign every vector to a deterministic seeded cell
+    (``seeded_codebook``); inside each cell a vector is dropped iff a
+    LOWER-id vector sits at cosine ≥ threshold (dominance rule — the
+    keep-lowest-id analog of SemDeDup's keep-one-per-near-dup-group, chosen
+    over transitive clustering so the whole operator stays one join +
+    anti-join, fully SQL-expressible for the oracle).
+
+    Scale shape: the candidate self-join is cell-bounded O(Σ|cell|²), never
+    corpus-global — size the codebook ~√N cells at 100 TB and each cell's
+    comparison set stays constant; the anti-join on the dropped-id set is a
+    broadcast in practice (near-dups are sparse).  Appends ``cell`` to the
+    kept rows so downstream sampling can stratify by semantic region."""
+    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+    assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds))
+    a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, on=id_col, how="left_anti")
 
 
 def embedding_near_dup_pairs(

@@ -174,6 +174,64 @@ def d_embed_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings ∪ an id-shifted copy:
+    every vector occurs twice (cosine exactly 1.0 with its copy, same cell),
+    so each shifted duplicate MUST be dominated away — plus whatever organic
+    in-cell redundancy clears the 0.9 threshold.  Keeps (vec_id, label,
+    cell)."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "label", "embedding")
+    )
+    kept = semantic_dedup(corpus, "vec_id", "embedding", n_centroids=16, threshold=0.9)
+    return kept.select("vec_id", "label", F.col("cell").cast("long").alias("cell"))
+
+
+_SEM_COS = (
+    "round(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+_SEM_DIST = (
+    "round(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 9)"
+)
+
+
+def _d_semantic_dedup_oracle() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SHIFT}, label, embedding FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, label, embedding, sid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_SEM_DIST.format(a='embedding', b='sv')}, sid) AS rn
+  FROM (SELECT c.vec_id, c.label, c.embedding, s.sid, s.sv
+        FROM corpus c CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, label, embedding, sid AS cell FROM assign WHERE rn = 1),
+dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_SEM_COS.format(a='a.embedding', b='b.embedding')} >= 0.9
+)
+SELECT vec_id, label, CAST(cell AS BIGINT) AS cell FROM cells
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 D_EMBED_ORACLE = """
 SELECT id_a, id_b, cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -825,6 +883,7 @@ LLM_QUERIES = [
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
+    QueryDef("d_semantic_dedup", d_semantic_dedup, _d_semantic_dedup_oracle()),
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),

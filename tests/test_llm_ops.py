@@ -187,6 +187,20 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert all(r.cos_sim >= 0.99 for r in pairs)
 
 
+def test_semantic_dedup_drops_dominated_keeps_lowest(spark, vectors):
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
+
+    kept = semantic_dedup(vectors, "vec_id", "embedding", n_centroids=4, threshold=0.99)
+    ids = {r.vec_id for r in kept.collect()}
+    # the perturbed copies of vector 0 share its cell at cosine > 0.99:
+    # only the lowest id of the family survives
+    assert 0 in ids and not {50, 51, 52} & ids
+    # dissimilar vectors are untouched
+    assert {1, 2, 3} <= ids
+    # kept rows carry their semantic cell for downstream stratification
+    assert "cell" in kept.columns
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 
