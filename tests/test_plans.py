@@ -79,6 +79,25 @@ def test_user_field_filter_pushes_into_scan(spark, sf_dir):
     assert "EqualTo(event_type,purchase)" in pushed
 
 
+def test_load_normalizes_nanos_long_time_columns(spark, tmp_path):
+    """If a fixture generation ships time columns as epoch-nanos longs (the
+    rounds-1-2 physical shape), ``load`` must normalize them to
+    TIMESTAMP_NTZ so every comparison site keeps working — the round-3
+    regression, inverted."""
+    from pyspark.sql import types as T
+
+    from fineo_readerator_spark.plans.registry import load
+
+    ns = 1_705_000_000_123_456_789  # 2024-01-11T19:06:40.123456789Z
+    spark.createDataFrame([(1, ns)], "event_id long, ts long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    df = load(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    row = df.selectExpr("unix_millis(cast(ts as timestamp)) AS ms").first()
+    assert row["ms"] == ns // 1_000_000
+
+
 def test_small_dims_broadcast(spark, sf_dir):
     """Dimension joins must broadcast (no sort-merge shuffle for nation/region
     sized sides)."""
