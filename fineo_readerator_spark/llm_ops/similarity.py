@@ -260,7 +260,11 @@ def semantic_dedup(
     broadcast in practice (near-dups are sparse).  Appends ``cell`` to the
     kept rows so downstream sampling can stratify by semantic region."""
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
-    assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds))
+    # checkpoint: the argmin-over-codebook expression would otherwise
+    # re-evaluate once per self-join side plus once for the final anti-join
+    assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
+        eager=False
+    )
     a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     dominated = (
