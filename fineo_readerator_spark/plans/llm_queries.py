@@ -383,6 +383,59 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_layout_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "embeddings_ivf"
+
+
+def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF index AT REST: embeddings written once,
+    partitioned by their seeded-codebook cell (``partitionBy("cell")`` →
+    one directory per cell).  This is the piece that makes IVF an index
+    rather than a per-query filter: a probe reads n_probe/n_centroids of
+    the DIRECTORIES (Catalyst partition pruning), so at 100 TB the
+    non-probed cells are never listed, opened or scanned."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        seeded_cell_expr,
+        seeded_codebook,
+    )
+
+    path = _ivf_layout_path(sf_dir)
+    if not (path / "_SUCCESS").exists():
+        emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        seeds = seeded_codebook(emb, "vec_id", "embedding", 16)
+        assigned = emb.withColumn("cell", seeded_cell_expr("embedding", seeds))
+        assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+            str(path)
+        )
+    return str(path)
+
+
+def s_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the cell-partitioned layout: probe cells become a
+    partition filter (directory pruning — asserted in
+    tests/test_llm_ops.py::test_ivf_layout_prunes_partitions), exact cosine
+    inside the probed cells only.  Same answer as ``s_ann_ivf``; the
+    difference is WHERE the selectivity is applied — at the file listing,
+    not per row."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, seeded_codebook
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    seeds = seeded_codebook(rest, "vec_id", "embedding", 16)
+    qd = sorted(
+        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), sid)
+        for sid, sv in seeds
+    )
+    probe = [sid for _, sid in qd[:4]]
+    layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir))
+    probed = layout.filter(F.col("cell").isin(probe))
+    return cosine_topk(probed, qv, k=10)
+
+
 _IVF_DIST = (
     "round(list_sum(list_transform(generate_series(1, len({a})),"
     " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
@@ -879,6 +932,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
+    QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),

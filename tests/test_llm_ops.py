@@ -187,6 +187,25 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert all(r.cos_sim >= 0.99 for r in pairs)
 
 
+def test_ivf_layout_prunes_partitions(spark, tmp_path):
+    """The cell-partitioned IVF layout must turn a probe into directory
+    pruning: the scan's PartitionFilters carry the cell predicate and only
+    the probed cells' files are read."""
+    import random as _r
+
+    rng = _r.Random(1)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
+    path = str(tmp_path / "ivf")
+    df.repartition("cell").write.partitionBy("cell").parquet(path)
+
+    layout = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    plan = layout._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # only the probed directories' rows are scanned
+    assert layout.count() == 20
+
+
 def test_semantic_dedup_drops_dominated_keeps_lowest(spark, vectors):
     from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
 
