@@ -108,14 +108,19 @@ class ReadServer:
         api_key: str,
         max_rows: int = DEFAULT_MAX_ROWS,
         frame_size: int = DEFAULT_FRAME_SIZE,
+        max_statements: int = 64,
     ):
         self.tenant = tenant
         self.api_key = api_key
         self.max_rows = max_rows
         self.frame_size = frame_size
+        # abandoned cursors (client paged partway and left) would otherwise
+        # pin their iterators forever; bound them and evict oldest-first,
+        # the way an Avatica server bounds open statements per connection
+        self.max_statements = max_statements
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
-        self._statements: dict[str, _Cursor] = {}
+        self._statements: dict[str, _Cursor] = {}  # insertion-ordered
         self._stmt_seq = itertools.count(1)
         self._stmt_lock = threading.Lock()
 
@@ -144,6 +149,9 @@ class ReadServer:
         payload = {"columns": cursor.columns, "rows": rows, "offset": 0, "done": done}
         if not done:
             with self._stmt_lock:
+                while len(self._statements) >= self.max_statements:
+                    # evict the longest-open cursor (dict preserves insertion)
+                    self._statements.pop(next(iter(self._statements)))
                 stmt_id = f"s{next(self._stmt_seq)}"
                 self._statements[stmt_id] = cursor
             payload["statement_id"] = stmt_id

@@ -122,6 +122,42 @@ def test_paging_single_frame_has_no_statement(server):
     assert status == 200 and out["done"] is True and "statement_id" not in out
 
 
+def test_statement_cap_evicts_oldest(spark, tmp_path):
+    """Opening more cursors than max_statements closes the oldest, so
+    abandoned clients cannot pin iterators forever (handle() used directly —
+    the transport adds nothing here)."""
+    from fineo_readerator_spark.api import TenantSession
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+    from fineo_readerator_spark.server import ReadServer
+    from fineo_readerator_spark.sources import SourceSpec
+
+    rows = [
+        {"companykey": ORG, "metrictype": "m", "timestamp": i, "writetime": i, "f_int": i}
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "companykey string, metrictype string, timestamp long, writetime long, f_int int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "h"))
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric="m", fields=[FieldDef("f_int", "int")]))
+    st.add_source(ORG, "m", SourceSpec(kind="historical", path=str(tmp_path / "h")))
+    srv = ReadServer(TenantSession(spark, st, ORG), api_key=KEY, max_statements=2)
+
+    opened = []
+    for _ in range(3):
+        status, out = srv.handle(KEY, {"sql": "SELECT f_int FROM m", "frame_size": 2})
+        assert status == 200 and "statement_id" in out
+        opened.append(out["statement_id"])
+    # the first statement was evicted by the third
+    status, out = srv.handle(KEY, {"statement_id": opened[0], "offset": 2}, "/fetch")
+    assert status == 404
+    # the newest two still page
+    status, out = srv.handle(
+        KEY, {"statement_id": opened[2], "offset": 2, "frame_size": 2}, "/fetch"
+    )
+    assert status == 200 and len(out["rows"]) == 2 and out["done"] is False
+
+
 def test_paging_offset_is_forward_only(server):
     status, first = _post(server, {"sql": "SELECT f_int FROM metricA", "frame_size": 1})
     stmt = first["statement_id"]
