@@ -280,3 +280,102 @@ SELECT round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
        count(*) AS registers_set
 FROM regs
 """
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+) -> DataFrame:
+    """Fixed-bin histogram quantile estimates — the mergeable quantile
+    companion to the HLL/Bloom/Count-Min family (corpus curation reads
+    p50/p90/p99 of lengths and quality scores constantly; exact percentiles
+    need a global sort).
+
+    Sketch state is the bin-count table: ``bin = floor((x - lo) / width)``
+    feeds one map-side-combined hash aggregation, so the shuffle carries
+    #occupied-bins rows no matter the corpus size, and two sketches merge by
+    adding counts (what a 1000-executor rollup or a cross-day union needs).
+    The cumulative walk + quantile lookup then run on the BIN TABLE
+    (cardinality = value-range / width), not the data — the windowed cumsum
+    is single-partition but over dozens of rows.
+
+    Estimate = inclusive upper edge of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` (one-sided, at most ``width`` above the true
+    quantile).  All decisions are integer comparisons on exact counts and
+    IEEE-identical floor/div, so DuckDB replays the result bit-for-bit.
+
+    Returns one row per quantile: (q, n_rows, bin, est).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    bin_id = F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    bins = (
+        df.filter(v.isNotNull())
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = bins.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "n",
+        F.sum("cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    hits = cum.select(qs, "bin", "cum", "n").filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    return (
+        hits.groupBy("q")
+        .agg(F.max("n").alias("n_rows"), F.min("bin").alias("bin"))
+        .select(
+            "q",
+            "n_rows",
+            "bin",
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))).alias("est"),
+        )
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    width: float,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+) -> str:
+    """DuckDB replay of ``histogram_quantiles`` — identical binning, counts
+    and quantile-rank comparisons."""
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    w = repr(float(width))
+    lo_r = repr(float(lo))
+    return f"""
+WITH v AS (
+  SELECT CAST({value_expr} AS DOUBLE) AS x FROM ({source_sql})
+  WHERE {value_expr} IS NOT NULL
+),
+b AS (
+  SELECT CAST(floor((x - {lo_r}) / {w}) AS BIGINT) AS bin, count(*)::BIGINT AS cnt
+  FROM v GROUP BY 1
+),
+c AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum, sum(cnt) OVER ()::BIGINT AS n
+  FROM b
+),
+q AS (SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS q)
+SELECT q, max(n)::BIGINT AS n_rows,
+       min(CASE WHEN cum >= ceil(q * n) THEN bin END)::BIGINT AS bin,
+       CAST({lo_r} AS DOUBLE)
+         + (min(CASE WHEN cum >= ceil(q * n) THEN bin END) + 1) * CAST({w} AS DOUBLE) AS est
+FROM q CROSS JOIN c
+GROUP BY q
+"""

@@ -824,6 +824,24 @@ def _b_bloom_oracle() -> str:
     )
 
 
+def a_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value via the fixed-bin histogram quantile
+    sketch: #occupied-bins of mergeable state, no global sort (the
+    quantile companion to the HLL/Bloom/Count-Min family)."""
+    from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", width=25.0, quantiles=(0.5, 0.9, 0.99))
+
+
+def _a_quantile_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql(
+        "SELECT value FROM events", "value", width=25.0, quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 def a_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates for every event type: fixed 4x512
     counter state regardless of key cardinality, estimates joined against the
@@ -952,6 +970,7 @@ LLM_QUERIES = [
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
+    QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),
     QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle(), bench=True),
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
