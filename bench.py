@@ -32,6 +32,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
+    # diagnosis hook: SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset in isolation
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        bench_queries = {n: bench_queries[n] for n in names if n in bench_queries}
     # warm up JVM/codegen/file-listing so timings reflect steady state
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
@@ -66,6 +71,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient-load forensics: the r4→r5 regression triage showed ±40%
+        # run-to-run swings on sub-second queries tracking machine load, so
+        # record it with every snapshot to make noise attributable
+        "load_avg": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors

@@ -46,7 +46,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max-rows", type=int, default=None, help="statement row cap")
     p.add_argument(
-        "--cpus", type=int, default=8, help="local[] parallelism (default 8)"
+        "--cpus",
+        type=int,
+        default=8,
+        help="shuffle partitions (default 8); local[N] parallelism comes from "
+        "the SPARK_GRAFT_CPUS env var",
     )
     return p
 

@@ -50,17 +50,23 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id row per exact text hash.  One hash-partitioned
-    aggregation; at 100 TB this is the cheapest dedup pass and always runs
-    first to shrink the fuzzy-dedup input."""
-    h = F.md5(F.col(text_col))
-    keep = (
-        df.select(F.col(id_col), h.alias("__h"))
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__h")
+    """Keep the lowest-id row per exact text hash, as ONE shuffle: rows hash-
+    partition by md5(text) and ``row_number() = 1`` keeps the winner.  Spark's
+    WindowGroupLimit pushes the rank filter below the exchange (partial top-1
+    per hash on the map side), so the shuffle carries ~one row per distinct
+    hash per mapper.  At 100 TB this beats the agg + semi-join formulation
+    outright: the kept-id set there is ~N rows (one per distinct hash), far
+    too big to broadcast, so the semi-join becomes a SECOND full-corpus
+    shuffle — and when the input is a union, Catalyst pushes the semi-join
+    through it and evaluates the whole aggregate subtree once per branch."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 # --- MinHash + LSH --------------------------------------------------------

@@ -233,6 +233,62 @@ def ivf_seeded_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def _gate_cell_sizing(
+    n_rows: int, n_cells: int, max_rows_per_cell: int, allow_oversized_cells: bool
+) -> None:
+    """The in-cell self-join is O(rows_per_cell²); an undersized codebook at
+    corpus scale silently degrades toward the full cartesian (16 cells over
+    10⁹ rows ≈ (N/16)² comparisons per cell).  Like the
+    ``ngram_jaccard_pairs`` cartesian gate, scale hazards must be opted into
+    explicitly, never defaulted into."""
+    est = n_rows / max(n_cells, 1)
+    if est > max_rows_per_cell and not allow_oversized_cells:
+        raise ValueError(
+            f"semantic_dedup cell sizing: ~{est:,.0f} rows/cell over {n_cells} "
+            f"cells exceeds max_rows_per_cell={max_rows_per_cell:,}; the "
+            "in-cell self-join is O(rows_per_cell**2) — size the codebook to "
+            "~sqrt(N) cells, or pass allow_oversized_cells=True / a larger "
+            "max_rows_per_cell if the comparison volume is intended"
+        )
+
+
+def semantic_dedup_assigned(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.9,
+    round_digits: int = 6,
+    n_cells: int | None = None,
+    max_rows_per_cell: int = 100_000,
+    allow_oversized_cells: bool = False,
+) -> DataFrame:
+    """Core SemDeDup dominance rule over a frame that ALREADY carries its
+    cell assignment — the path a persisted cell layout takes (assignment read
+    back as a partition column, zero per-query argmin recompute; same
+    materialize-once pattern as the IVF layout).  Pass ``n_cells`` so the
+    sizing gate can run without an extra distinct-count job."""
+    if n_cells is not None:
+        _gate_cell_sizing(
+            assigned.count(), n_cells, max_rows_per_cell, allow_oversized_cells
+        )
+    a = assigned.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        F.col(cell_col).alias("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    dominated = (
+        a.join(b, "__cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, on=id_col, how="left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -240,6 +296,8 @@ def semantic_dedup(
     n_centroids: int = 16,
     threshold: float = 0.9,
     round_digits: int = 6,
+    max_rows_per_cell: int = 100_000,
+    allow_oversized_cells: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): cluster the embedding space coarsely, then drop items that

@@ -331,7 +331,12 @@ def _win_norm(col: Column, k: int) -> Column:
     longer strings (both engines), so it must be guarded to the short case."""
     clean = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
     collapsed = F.concat_ws(" ", tokens(clean))
-    return F.when(F.length(collapsed) >= k, collapsed).otherwise(F.rpad(collapsed, k, " "))
+    padded = F.when(F.length(collapsed) >= k, collapsed).otherwise(
+        F.rpad(collapsed, k, " ")
+    )
+    # concat_ws turns a NULL token array into "" — force NULL-in NULL-out so
+    # the DuckDB oracle (which propagates NULL end-to-end) stays bit-identical
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(padded)
 
 
 def winnowing_fingerprints(
@@ -364,6 +369,9 @@ def winnowing_fingerprints(
     def _fps(norm: pd.Series) -> pd.Series:
         out = []
         for s in norm:
+            if s is None:  # NULL text propagates as NULL, matching the oracle
+                out.append(None)
+                continue
             codes = np.frombuffer(s.encode("ascii", "replace"), dtype=np.uint8).astype(
                 np.int64
             )

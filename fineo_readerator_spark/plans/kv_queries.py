@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fineo_readerator_spark.kvsource import register, write_kv_snapshot
-from fineo_readerator_spark.plans.registry import QueryDef, load
+from fineo_readerator_spark.plans.registry import (
+    QueryDef,
+    load,
+    snapshot_is_fresh,
+    source_fingerprint,
+    stamp_snapshot,
+)
 
 N_BUCKETS = 8
 
@@ -59,9 +65,11 @@ def ensure_snapshot(spark: SparkSession, sf_dir: str) -> str:
     """Build the bucketed snapshot once per scale factor (cached by the
     ``_kv_meta.json`` marker ``write_kv_snapshot`` writes last)."""
     path = snapshot_path(sf_dir)
-    if not (path / "_kv_meta.json").exists():
+    fp = source_fingerprint(sf_dir, "orders")
+    if not snapshot_is_fresh(path, fp):
         df = load(spark, sf_dir, "orders").selectExpr(*_COLS.split(", "), f"{_PROMO} AS o_promo")
         write_kv_snapshot(df, str(path), "o_custkey", n_buckets=N_BUCKETS)
+        stamp_snapshot(path, fp)
     return str(path)
 
 
@@ -154,7 +162,8 @@ def ensure_nested_snapshot(spark: SparkSession, sf_dir: str) -> str:
     columns (the Dynamo L/SS and M attribute kinds,
     `DynamoRecordReader.java:279-378`), pk=user_id, sk=event_id."""
     path = nested_snapshot_path(sf_dir)
-    if not (path / "_kv_meta.json").exists():
+    fp = source_fingerprint(sf_dir, "events")
+    if not snapshot_is_fresh(path, fp):
         ev = (
             load(spark, sf_dir, "events")
             .select("user_id", "event_id", "event_type")
@@ -170,6 +179,7 @@ def ensure_nested_snapshot(spark: SparkSession, sf_dir: str) -> str:
             )
         )
         write_kv_snapshot(ev, str(path), "user_id", n_buckets=N_BUCKETS)
+        stamp_snapshot(path, fp)
     return str(path)
 
 

@@ -401,15 +401,22 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
         seeded_cell_expr,
         seeded_codebook,
     )
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
 
     path = _ivf_layout_path(sf_dir)
-    if not (path / "_SUCCESS").exists():
+    fp = source_fingerprint(sf_dir, "embeddings")
+    if not snapshot_is_fresh(path, fp):
         emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
         seeds = seeded_codebook(emb, "vec_id", "embedding", 16)
         assigned = emb.withColumn("cell", seeded_cell_expr("embedding", seeds))
         assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
             str(path)
         )
+        stamp_snapshot(path, fp)
     return str(path)
 
 

@@ -243,10 +243,15 @@ def ensure_nested_items_snapshot(spark: SparkSession, sf_dir: str) -> str:
       derived deterministically from the row so a DuckDB oracle can rebuild
       the exact stringified form.
     """
-    import os
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
 
     path = _items_nested_path(sf_dir)
-    if not (path / "_SUCCESS").exists():
+    fp = source_fingerprint(sf_dir, "events")
+    if not snapshot_is_fresh(path, fp):
         ev_raw = load(spark, sf_dir, "events")
         ev = (
             ev_raw.select(
@@ -285,6 +290,7 @@ def ensure_nested_items_snapshot(spark: SparkSession, sf_dir: str) -> str:
             )
         )
         items.write.mode("overwrite").parquet(str(path))
+        stamp_snapshot(path, fp)
     return str(path)
 
 

@@ -26,6 +26,48 @@ class QueryDef:
     bench: bool = False
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """Identity of a driver table's parquet on disk: resolved path plus
+    per-file (name, size, mtime).  Snapshot caches embed this so a
+    regenerated fixture at the same path rebuilds the cache instead of
+    serving stale data, and two sf dirs sharing a basename can never serve
+    each other's snapshot."""
+    import hashlib
+    from pathlib import Path
+
+    src = Path(sf_dir).resolve() / f"{table}.parquet"
+    h = hashlib.sha1(str(src).encode())
+    files = [src] if src.is_file() else (sorted(src.rglob("*")) if src.exists() else [])
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def snapshot_is_fresh(path, fingerprint: str) -> bool:
+    """True when the snapshot at ``path`` was built from sources matching
+    ``fingerprint`` (the stamp is written LAST, so it doubles as the
+    build-completed marker)."""
+    import json
+    from pathlib import Path
+
+    try:
+        meta = json.loads((Path(path) / "_src_fingerprint.json").read_text())
+        return meta.get("fingerprint") == fingerprint
+    except (OSError, ValueError):
+        return False
+
+
+def stamp_snapshot(path, fingerprint: str) -> None:
+    import json
+    from pathlib import Path
+
+    (Path(path) / "_src_fingerprint.json").write_text(
+        json.dumps({"fingerprint": fingerprint})
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a driver table, normalizing time columns to TIMESTAMP_NTZ.
 

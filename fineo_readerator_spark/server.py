@@ -136,8 +136,13 @@ class ReadServer:
         sql = body.get("sql")
         if not isinstance(sql, str) or not sql.strip():
             return 400, {"error": "missing 'sql'"}
-        limit = min(int(body.get("max_rows", self.max_rows)), self.max_rows)
-        frame_size = min(int(body.get("frame_size", self.frame_size)), self.max_rows)
+        try:
+            limit = min(self._int_param(body, "max_rows", self.max_rows), self.max_rows)
+            frame_size = min(
+                self._int_param(body, "frame_size", self.frame_size), self.max_rows
+            )
+        except ValueError as e:
+            return 400, {"error": str(e)}
         try:
             df = self.tenant.sql(sql, max_rows=limit)
             cursor = _Cursor(df.columns, df.toLocalIterator())
@@ -157,26 +162,52 @@ class ReadServer:
             payload["statement_id"] = stmt_id
         return 200, payload
 
+    @staticmethod
+    def _int_param(body: dict, key: str, default: int) -> int:
+        """Positive-int body param or ValueError with a client-facing message."""
+        raw = body.get(key, default)
+        try:
+            val = int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(f"invalid {key!r}: {raw!r} is not an integer") from None
+        if val < 1:
+            raise ValueError(f"invalid {key!r}: must be >= 1, got {val}")
+        return val
+
     def _handle_fetch(self, body: dict) -> tuple[int, dict]:
         stmt_id = body.get("statement_id")
         with self._stmt_lock:
             cursor = self._statements.get(stmt_id)
         if cursor is None:
             return 404, {"error": f"unknown statement {stmt_id!r} (closed or never opened)"}
-        frame_size = min(int(body.get("frame_size", self.frame_size)), self.max_rows)
-        with cursor.lock:
-            offset = body.get("offset", cursor.offset)
-            if offset != cursor.offset:
-                # forward-only, like Avatica: rewinding means re-executing
-                return 400, {
-                    "error": f"offset {offset} not at cursor position {cursor.offset}; "
-                    "cursors are forward-only — re-execute to rewind"
-                }
-            frame_offset = cursor.offset
-            rows, done = cursor.next_frame(frame_size)
-        if done:
+        try:
+            frame_size = min(
+                self._int_param(body, "frame_size", self.frame_size), self.max_rows
+            )
+        except ValueError as e:
+            return 400, {"error": str(e)}
+        try:
+            with cursor.lock:
+                offset = body.get("offset", cursor.offset)
+                if offset != cursor.offset:
+                    # forward-only, like Avatica: rewinding means re-executing
+                    return 400, {
+                        "error": f"offset {offset} not at cursor position {cursor.offset}; "
+                        "cursors are forward-only — re-execute to rewind"
+                    }
+                frame_offset = cursor.offset
+                rows, done = cursor.next_frame(frame_size)
+        except Exception as e:  # mid-iteration Spark failure must still reply
             with self._stmt_lock:
                 self._statements.pop(stmt_id, None)
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+        with self._stmt_lock:
+            if done:
+                self._statements.pop(stmt_id, None)
+            elif stmt_id in self._statements:
+                # refresh recency so eviction approximates LRU: an actively
+                # paging cursor must outlive newer abandoned ones
+                self._statements[stmt_id] = self._statements.pop(stmt_id)
         return 200, {"rows": rows, "offset": frame_offset, "done": done}
 
     def _handle_close(self, body: dict) -> tuple[int, dict]:
@@ -201,9 +232,12 @@ class ReadServer:
                 except (ValueError, json.JSONDecodeError):
                     self._reply(400, {"error": "invalid JSON body"})
                     return
-                status, payload = server.handle(
-                    self.headers.get(API_KEY_HEADER), body, self.path
-                )
+                try:
+                    status, payload = server.handle(
+                        self.headers.get(API_KEY_HEADER), body, self.path
+                    )
+                except Exception as e:  # last-resort: always answer with JSON
+                    status, payload = 500, {"error": f"{type(e).__name__}: {e}"}
                 self._reply(status, payload)
 
             def _reply(self, status: int, payload: dict) -> None:

@@ -191,6 +191,38 @@ def test_null_and_contains_results(spark, snapshot, tmp_path_factory):
     assert kv.filter(F.col("label") == F.lit(None).cast("string")).count() == 0
 
 
+def test_snapshot_cache_fingerprint_staleness(tmp_path):
+    """Snapshot caches rebuild when the source fixture is regenerated and
+    never serve a different sf dir sharing the same basename (ADVICE r4)."""
+    import os
+
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    sf_a = tmp_path / "a" / "sf0.5"
+    sf_b = tmp_path / "b" / "sf0.5"  # same basename, different dir
+    for d in (sf_a, sf_b):
+        d.mkdir(parents=True)
+        (d / "orders.parquet").write_bytes(b"PAR1fake")
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    fp_a = source_fingerprint(str(sf_a), "orders")
+    assert not snapshot_is_fresh(snap, fp_a)  # no stamp yet
+    stamp_snapshot(snap, fp_a)
+    assert snapshot_is_fresh(snap, fp_a)
+    # same basename, different location -> different fingerprint -> stale
+    assert source_fingerprint(str(sf_b), "orders") != fp_a
+    assert not snapshot_is_fresh(snap, source_fingerprint(str(sf_b), "orders"))
+    # regenerating the fixture at the same path invalidates the cache
+    (sf_a / "orders.parquet").write_bytes(b"PAR1fake-v2!")
+    os.utime(sf_a / "orders.parquet", ns=(1, 1))
+    assert source_fingerprint(str(sf_a), "orders") != fp_a
+
+
 def test_driver_contract_modes(spark):
     # the registry's kv_get/kv_query/kv_scan plan the modes the reference
     # asserts (TestDynamoFilterPushdown.java:130-340): replay their filter

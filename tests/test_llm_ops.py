@@ -128,6 +128,20 @@ def test_ngram_jaccard_ungrouped_requires_opt_in(spark, docs):
         ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1)
 
 
+def test_winnowing_null_text_propagates_null(spark):
+    """NULL text → NULL fingerprints (the oracle propagates NULL end-to-end;
+    the pandas UDF must neither crash nor fingerprint padding — ADVICE r4)."""
+    from fineo_readerator_spark.llm_ops.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.fps for r in winnowing_fingerprints(df).collect()}
+    assert rows[1] is None
+    assert rows[0]  # real text still fingerprints
+    assert rows[2] is not None  # empty string is not NULL — pads and hashes
+
+
 # --- similarity -----------------------------------------------------------
 
 

@@ -158,6 +158,59 @@ def test_statement_cap_evicts_oldest(spark, tmp_path):
     assert status == 200 and len(out["rows"]) == 2 and out["done"] is False
 
 
+def test_bad_frame_size_is_client_error(server):
+    """Non-numeric / zero / negative frame_size or max_rows must come back
+    as a 400 JSON error, never a dropped connection (ADVICE r4)."""
+    for bad in ("nope", 0, -3, None):
+        status, out = _post(server, {"sql": "SELECT 1", "frame_size": bad})
+        assert status == 400 and "frame_size" in out["error"], (bad, out)
+    status, out = _post(server, {"sql": "SELECT 1", "max_rows": "many"})
+    assert status == 400 and "max_rows" in out["error"]
+    # and on /fetch too, without killing the cursor's server
+    status, first = _post(server, {"sql": "SELECT f_int FROM metricA", "frame_size": 1})
+    stmt = first["statement_id"]
+    status, out = _post(
+        server, {"statement_id": stmt, "frame_size": 0}, path="/fetch"
+    )
+    assert status == 400 and "frame_size" in out["error"]
+    _post(server, {"statement_id": stmt}, path="/close")
+
+
+def test_fetch_refreshes_lru_recency(spark, tmp_path):
+    """An actively-paging cursor survives statement churn: each successful
+    fetch refreshes its recency so eviction is LRU, not insertion-ordered
+    (ADVICE r4)."""
+    rows = [
+        {"companykey": ORG, "metrictype": "m", "timestamp": i, "writetime": i, "f_int": i}
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "companykey string, metrictype string, timestamp long, writetime long, f_int int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "h"))
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric="m", fields=[FieldDef("f_int", "int")]))
+    st.add_source(ORG, "m", SourceSpec(kind="historical", path=str(tmp_path / "h")))
+    srv = ReadServer(TenantSession(spark, st, ORG), api_key=KEY, max_statements=2)
+
+    status, a = srv.handle(KEY, {"sql": "SELECT f_int FROM m", "frame_size": 2})
+    status, b = srv.handle(KEY, {"sql": "SELECT f_int FROM m", "frame_size": 2})
+    # page statement A: it is now most-recently-used despite being oldest
+    status, out = srv.handle(
+        KEY, {"statement_id": a["statement_id"], "offset": 2, "frame_size": 2}, "/fetch"
+    )
+    assert status == 200
+    # a third statement evicts B (LRU), not A
+    status, c = srv.handle(KEY, {"sql": "SELECT f_int FROM m", "frame_size": 2})
+    status, out = srv.handle(
+        KEY, {"statement_id": a["statement_id"], "offset": 4, "frame_size": 2}, "/fetch"
+    )
+    assert status == 200
+    status, out = srv.handle(
+        KEY, {"statement_id": b["statement_id"], "offset": 2, "frame_size": 2}, "/fetch"
+    )
+    assert status == 404
+
+
 def test_paging_offset_is_forward_only(server):
     status, first = _post(server, {"sql": "SELECT f_int FROM metricA", "frame_size": 1})
     stmt = first["statement_id"]
