@@ -315,25 +315,21 @@ def semantic_dedup(
     Scale shape: the candidate self-join is cell-bounded O(Σ|cell|²), never
     corpus-global — size the codebook ~√N cells at 100 TB and each cell's
     comparison set stays constant; the anti-join on the dropped-id set is a
-    broadcast in practice (near-dups are sparse).  Appends ``cell`` to the
-    kept rows so downstream sampling can stratify by semantic region."""
+    broadcast in practice (near-dups are sparse).  An undersized codebook is
+    a scale trap (16 cells over 10⁹ rows ≈ (N/16)² comparisons per cell), so
+    ``max_rows_per_cell`` gates it: exceeding the bound raises unless
+    ``allow_oversized_cells=True``.  Appends ``cell`` to the kept rows so
+    downstream sampling can stratify by semantic region."""
+    _gate_cell_sizing(df.count(), n_centroids, max_rows_per_cell, allow_oversized_cells)
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     # checkpoint: the argmin-over-codebook expression would otherwise
     # re-evaluate once per self-join side plus once for the final anti-join
     assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
         eager=False
     )
-    a = assigned.select("cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = assigned.select("cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    dominated = (
-        a.join(b, "cell")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits))
-        .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
+    return semantic_dedup_assigned(
+        assigned, id_col, vec_col, "cell", threshold, round_digits
     )
-    return assigned.join(dominated, on=id_col, how="left_anti")
 
 
 def embedding_near_dup_pairs(

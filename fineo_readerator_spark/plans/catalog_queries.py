@@ -70,8 +70,78 @@ SELECT * FROM (VALUES
 """
 
 
+def _tenant_table_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "tenant_registry"
+
+
+def ensure_tenant_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a stored tenant table that registers org ``beta`` — a
+    tenant that exists NOWHERE except this stored registry, so resolving it
+    proves discovery-from-storage (`OrgLoader.java:30-40`)."""
+    from fineo_readerator_spark.plans.metric_queries import EVENT_DERIVE, EVENT_FIELDS
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+    from fineo_readerator_spark.schema_store import MetricSchema
+
+    path = _tenant_table_path(sf_dir)
+    fp = source_fingerprint(sf_dir, "events")
+    if not snapshot_is_fresh(path, fp):
+        st = events_store(sf_dir)
+        st.register_metric(
+            MetricSchema(org="beta", metric=METRIC, fields=list(EVENT_FIELDS))
+        )
+        # same storage-shape adapter as acme, but the derived tenant key is
+        # beta's — the org/metric filter (P1) must match the derived identity
+        beta_derive = dict(EVENT_DERIVE)
+        beta_derive["companykey"] = "'beta'"
+        st.add_source(
+            "beta",
+            METRIC,
+            SourceSpec(
+                kind="historical",
+                path=f"{sf_dir}/events.parquet",
+                derive=beta_derive,
+                raw_ts_col="ts",
+                raw_ts_per_milli=1_000_000,
+            ),
+        )
+        st.write_tenant_table(spark, str(path))
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def t_stored_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant enumeration from a STORED table end-to-end: the registry is
+    read back from parquet (`SchemaStore.from_tenant_table`, the OrgLoader
+    stored-table path), org ``beta`` — registered only in that table — is
+    resolved into a TenantSession, and user SQL runs over its metric view.
+    A green row here proves the whole discover → register → resolve → query
+    chain, not just the serialization round-trip."""
+    from fineo_readerator_spark.schema_store import SchemaStore
+
+    store = SchemaStore.from_tenant_table(spark, ensure_tenant_table(spark, sf_dir))
+    tenant = TenantSession(spark, store, "beta")
+    return tenant.sql(
+        f"SELECT event_type, min(user_id) AS min_user, max(user_id) AS max_user, "
+        f"count(*) AS n FROM {METRIC} GROUP BY event_type"
+    )
+
+
+T_STORED_REGISTRY_ORACLE = """
+SELECT event_type, min(user_id) AS min_user, max(user_id) AS max_user, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 CATALOG_QUERIES = [
     QueryDef("t_sql_entry", t_sql_entry, T_SQL_ORACLE),
     QueryDef("e_errors_forced_filter", e_errors_forced_filter, E_ERRORS_ORACLE),
     QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
+    QueryDef("t_stored_registry", t_stored_registry, T_STORED_REGISTRY_ORACLE),
 ]

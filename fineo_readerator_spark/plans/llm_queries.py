@@ -232,6 +232,50 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+def d_semantic_dedup_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the MATERIALIZED cell layout: the assignment is read
+    back as a partition column of the IVF cell layout (one codebook build
+    per corpus version, the commit-fd006d5 pattern), so query time does ZERO
+    argmin recompute — tests/test_llm_ops.py::test_semantic_layout_reuses_cells
+    pins that no codebook distance expression appears in this plan.  At
+    100 TB the difference is one corpus-wide projection per query vs none;
+    the cell layout also co-locates each cell's rows, so the in-cell
+    self-join's shuffle reads presorted partition directories."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup_assigned
+
+    layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir)).select(
+        "vec_id", "label", "embedding", F.col("cell").cast("long").alias("cell")
+    )
+    kept = semantic_dedup_assigned(
+        layout, "vec_id", "embedding", cell_col="cell", threshold=0.35, n_cells=16
+    )
+    return kept.select("vec_id", "label", "cell")
+
+
+def _d_semantic_dedup_layout_oracle() -> str:
+    # same seeded codebook as the IVF layout (16 lowest-id vectors of the
+    # vec_id != 0 corpus), dominance at the layout query's 0.35 threshold
+    return f"""
+WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id != 0),
+seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, label, embedding, sid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_SEM_DIST.format(a='embedding', b='sv')}, sid) AS rn
+  FROM (SELECT c.vec_id, c.label, c.embedding, s.sid, s.sv
+        FROM corpus c CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, label, embedding, sid AS cell FROM assign WHERE rn = 1),
+dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_SEM_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+)
+SELECT vec_id, label, CAST(cell AS BIGINT) AS cell FROM cells
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 D_EMBED_ORACLE = """
 SELECT id_a, id_b, cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -957,12 +1001,15 @@ LLM_QUERIES = [
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
-    QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE),
+    QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
-    QueryDef("d_semantic_dedup", d_semantic_dedup, _d_semantic_dedup_oracle()),
+    QueryDef("d_semantic_dedup", d_semantic_dedup, _d_semantic_dedup_oracle(), bench=True),
+    QueryDef(
+        "d_semantic_dedup_layout", d_semantic_dedup_layout, _d_semantic_dedup_layout_oracle()
+    ),
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),

@@ -342,6 +342,63 @@ FROM events
 """
 
 
+def m_union_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composition in ONE plan: a split metric served by historical
+    parquet (owning ``timestamp < CUTOVER`` via the anti-overlap filter, O5)
+    UNION a nearline item-shape store with NESTED attribute values (owning
+    ``[CUTOVER, ∞)``) — so a single ``build_metric_df`` exercises cutover +
+    compound-key split + row expander + alias decode (``_write_id`` →
+    ``event_id``) + nested-to-JSON ``_fm`` on both branches at once
+    (`ConvertFineoMarkerIntoFilteredInputTables.java:121-181` overlap rules
+    composed with `DynamoExpanderBatch` + `TestFineoRadio` semantics).  The
+    historical branch derives the same nested tags/attrs shapes the item
+    snapshot stores, so both branches radio identical JSON."""
+    fields = [
+        FieldDef("event_id", "long", aliases=["_write_id"]),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double"),
+    ]
+    st = SchemaStore()
+    st.register_metric(
+        MetricSchema(org=ORG, metric=METRIC, fields=fields, track_unknown=True)
+    )
+    derive = dict(EVENT_DERIVE)
+    derive["tags"] = "array(event_type, cast(user_id % 5 as string))"
+    derive["attrs"] = "map('u', cast(user_id as string), 'et', event_type)"
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="historical",
+            path=f"{sf_dir}/events.parquet",
+            derive=derive,
+            raw_ts_col="ts",
+            raw_ts_per_milli=1_000_000,
+        ),
+    )
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="nearline_items",
+            path=ensure_nested_items_snapshot(spark, sf_dir),
+            compound_key=True,
+            time_range=TimeRange(CUTOVER_MS, None),
+        ),
+    )
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    return df.select(
+        "timestamp",
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("_fm")["tags"].alias("tags_json"),
+        F.col("_fm")["attrs"].alias("attrs_json"),
+    )
+
+
 def m_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY field stored as base64 text decodes on read — the reference's
     one custom UDF (`udf/conv/Base64Decoder.java:13-40`, injected at
@@ -441,5 +498,6 @@ METRIC_QUERIES = [
         m_items_expand,
         'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value FROM events',
     ),
-    QueryDef("m_items_nested", m_items_nested, M_ITEMS_NESTED_ORACLE),
+    QueryDef("m_items_nested", m_items_nested, M_ITEMS_NESTED_ORACLE, bench=True),
+    QueryDef("m_union_items_nested", m_union_items_nested, M_ITEMS_NESTED_ORACLE),
 ]

@@ -182,6 +182,49 @@ class SchemaStore:
             )
         return json.dumps({"metrics": out}, indent=2)
 
+    # -- stored tenant table (OrgLoader parity) ----------------------------
+    def write_tenant_table(self, spark, path: str) -> None:
+        """Persist the registry as a STORED TABLE — one row per (org, metric)
+        carrying the serialized schema+sources entry.  The reference loads
+        its org list from hardcoded config *or a DynamoDB tenant table*
+        (`fineo-adapter-drill/.../plugin/OrgLoader.java:30-40`,
+        `FineoStoragePluginConfig` orgs); this is the stored-table half,
+        re-expressed as a parquet registry any metadata store could serve.
+        Registry-sized data (rows = #metrics), never the data path."""
+        rows = []
+        for (org, metric), schema in sorted(self._metrics.items()):
+            entry = {
+                "schema": schema.to_dict(),
+                "sources": [s.to_dict() for s in self._sources.get((org, metric), [])],
+            }
+            rows.append((org, metric, json.dumps(entry)))
+        spark.createDataFrame(
+            rows, "org string, metric string, entry_json string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def from_tenant_table(cls, spark, path: str) -> "SchemaStore":
+        """Discover every tenant registered in a stored tenant table and
+        build the registry from it — the Spark analog of
+        `OrgLoader.load():30-40` enumerating orgs from the Dynamo tenant
+        table at plugin refresh.  The collect is registry-sized (one row per
+        metric) driver-side metadata, the same scale as the reference's org
+        list."""
+        store = cls()
+        for r in spark.read.parquet(path).collect():
+            entry = json.loads(r.entry_json)
+            sd = entry["schema"]
+            schema = MetricSchema(
+                org=sd["org"],
+                metric=sd["metric"],
+                fields=[FieldDef.from_dict(f) for f in sd.get("fields", [])],
+                track_unknown=sd.get("track_unknown", False),
+            )
+            store.register_metric(schema)
+            for s in entry.get("sources", []):
+                store.add_source(schema.org, schema.metric, SourceSpec.from_dict(s))
+        return store
+
     @classmethod
     def from_json(cls, text: str) -> "SchemaStore":
         store = cls()

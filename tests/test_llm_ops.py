@@ -220,6 +220,42 @@ def test_ivf_layout_prunes_partitions(spark, tmp_path):
     assert layout.count() == 20
 
 
+def test_semantic_dedup_undersized_codebook_raises(spark, vectors):
+    """An undersized codebook on a large frame must raise, not silently run
+    an O((N/cells)²) in-cell cartesian (VERDICT r4 'scale trap')."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
+
+    with pytest.raises(ValueError, match="rows/cell"):
+        semantic_dedup(
+            vectors, "vec_id", "embedding", n_centroids=2, max_rows_per_cell=10
+        )
+    # explicit opt-in still runs
+    kept = semantic_dedup(
+        vectors,
+        "vec_id",
+        "embedding",
+        n_centroids=2,
+        max_rows_per_cell=10,
+        allow_oversized_cells=True,
+        threshold=0.99,
+    )
+    assert kept.count() > 0
+
+
+def test_semantic_layout_reuses_cells(spark):
+    """The layout-backed semantic dedup must read cells from the stored
+    partition column — no codebook argmin recompute in the plan."""
+    from fineo_readerator_spark.plans.llm_queries import d_semantic_dedup_layout
+
+    df = d_semantic_dedup_layout(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the seeded-codebook assignment expression is an array_min over
+    # named_structs of distances; its absence proves the cell column came
+    # from the materialized layout, not a per-query recompute
+    assert "array_min" not in plan and "named_struct" not in plan
+    assert df.count() > 0
+
+
 def test_semantic_dedup_drops_dominated_keeps_lowest(spark, vectors):
     from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
 

@@ -98,6 +98,120 @@ def test_load_normalizes_nanos_long_time_columns(spark, tmp_path):
     assert row["ms"] == ns // 1_000_000
 
 
+def test_union_items_nested_composition(spark, sf_dir):
+    """The historical + nearline-items composition must, in ONE plan: scan
+    both sources, push the cutover to the historical raw-ts column, push the
+    tenant hash-key equality to the item snapshot's partition_key (pre-
+    expander), and surface nested attrs as `_fm` JSON on both branches."""
+    from fineo_readerator_spark.plans.metric_queries import m_union_items_nested
+
+    import contextlib
+    import io
+
+    df = m_union_items_nested(spark, sf_dir)
+    # formatted explain: the one-line toString truncates long scan nodes
+    # BEFORE their PushedFilters section
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = " | ".join(_pushed(plan))
+    # anti-overlap cutover reaches the historical parquet scan
+    assert f"LessThan(ts,{_ts_lit(CUTOVER_MS)}" in pushed
+    # tenant hash-key equality reaches the item snapshot scan pre-expander
+    assert f"EqualTo(partition_key,{ORG}{METRIC})" in pushed
+    # both physical sources are scanned in one plan
+    assert "events.parquet" in plan and "events_items_nested" in plan
+    # nearline window start applies to the item sort_key
+    assert f"GreaterThanOrEqual(sort_key,{CUTOVER_MS})" in pushed
+
+
+def test_epoch_ms_derive_identical_across_storage_dtypes(spark, tmp_path):
+    """The driver's fixtures have shipped time columns as parquet
+    TIMESTAMP(MICROS), TIMESTAMP(NANOS) (read as epoch-nanos longs under the
+    legacy conf), and could ship plain int64 epoch nanos.  The epoch_ms()
+    derive token must produce IDENTICAL epoch-millis output for all three
+    physical shapes of the same instants, and the time bounds must reach
+    each scan's PushedFilters in the shape the scan can use (timestamp
+    literal vs scaled long) — so the next fixture type flip is caught here,
+    not by the driver (VERDICT r4 #8)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fineo_readerator_spark.recombinator import build_metric_df
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+    from fineo_readerator_spark.sources import SourceSpec
+
+    ms_vals = [1704672000000, 1705363199999, 1705363200123]  # straddle T_HI
+    ids = list(range(len(ms_vals)))
+    for d in ("nanos_long", "ts_us", "ts_ns"):
+        (tmp_path / d).mkdir()
+
+    shapes = {}
+    # (a) plain int64 epoch-nanos column
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": [m * 1_000_000 for m in ms_vals]}),
+        str(tmp_path / "nanos_long" / "events.parquet"),
+    )
+    shapes["nanos_long"] = 1_000_000
+    # (b) parquet TIMESTAMP(MICROS) -> Spark TIMESTAMP_NTZ
+    pq.write_table(
+        pa.table(
+            {"event_id": ids, "ts": pa.array([m * 1000 for m in ms_vals], pa.timestamp("us"))}
+        ),
+        str(tmp_path / "ts_us" / "events.parquet"),
+    )
+    shapes["ts_us"] = 1_000_000
+    # (c) parquet TIMESTAMP(NANOS) — reads as epoch-nanos long under the
+    # nanosAsLong legacy conf (the rounds-1-2 generation)
+    pq.write_table(
+        pa.table(
+            {"event_id": ids, "ts": pa.array([m * 1_000_000 for m in ms_vals], pa.timestamp("ns"))}
+        ),
+        str(tmp_path / "ts_ns" / "events.parquet"),
+        version="2.6",
+        coerce_timestamps=None,
+    )
+    shapes["ts_ns"] = 1_000_000
+
+    pred = f"timestamp >= {T_LO} AND timestamp < {T_HI}"
+    results, pushed_by_shape = {}, {}
+    for shape, per_milli in shapes.items():
+        st = SchemaStore()
+        st.register_metric(
+            MetricSchema(org=ORG, metric=METRIC, fields=[FieldDef("event_id", "long")])
+        )
+        st.add_source(
+            ORG,
+            METRIC,
+            SourceSpec(
+                kind="historical",
+                path=str(tmp_path / shape / "events.parquet"),
+                derive={
+                    "timestamp": "epoch_ms(ts)",
+                    "companykey": f"'{ORG}'",
+                    "metrictype": f"'{METRIC}'",
+                },
+                raw_ts_col="ts",
+                raw_ts_per_milli=per_milli,
+            ),
+        )
+        df = build_metric_df(spark, st, ORG, METRIC, predicate=pred, sort=False)
+        results[shape] = sorted(
+            (r.event_id, r.timestamp) for r in df.select("event_id", "timestamp").collect()
+        )
+        pushed_by_shape[shape] = " | ".join(_pushed(_plan(df)))
+
+    # identical derive output for identical instants, regardless of storage
+    assert results["nanos_long"] == results["ts_us"] == results["ts_ns"]
+    assert results["ts_us"] == [(0, ms_vals[0]), (1, ms_vals[1])]
+    # bounds reach each scan in its native shape
+    assert f"GreaterThanOrEqual(ts,{T_LO * 1_000_000})" in pushed_by_shape["nanos_long"]
+    assert f"LessThan(ts,{T_HI * 1_000_000})" in pushed_by_shape["nanos_long"]
+    assert f"GreaterThanOrEqual(ts,{_ts_lit(T_LO)}" in pushed_by_shape["ts_us"]
+    assert f"GreaterThanOrEqual(ts,{T_LO * 1_000_000})" in pushed_by_shape["ts_ns"]
+
+
 def test_small_dims_broadcast(spark, sf_dir):
     """Dimension joins must broadcast (no sort-merge shuffle for nation/region
     sized sides)."""
