@@ -120,6 +120,36 @@ def pack_sequences(
     return df.withColumn("bin_id", bin_id)
 
 
+def shard_for_training(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic training-export sharding: every row gets a ``shard`` in
+    ``[0, n_shards)`` from its content-hash bucket and a ``shard_pos`` (its
+    key-ordered position within the shard) — the reproducible write layout a
+    training pipeline needs so that re-running the export (or re-reading it
+    elsewhere) yields byte-identical shard files.
+
+    Scale shape: the hash assignment is a codegen'd projection (no shuffle);
+    the position window shuffles once on ``shard`` — the SAME exchange a
+    ``repartition(n_shards, "shard").sortWithinPartitions(key)`` writer
+    needs anyway, so Catalyst reuses it and sharding adds no extra pass.
+    Hash sharding also balances skew: shard sizes differ by O(√(N/shards)),
+    unlike range sharding on a skewed key."""
+    shard = F.pmod(_bucket(F.col(key_col), seed), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def shard_oracle_exprs(key_expr: str, n_shards: int, seed: int = 42) -> tuple[str, str]:
+    """DuckDB (shard, shard_pos) expressions replaying ``shard_for_training``."""
+    shard = f"CAST(({sample_oracle_bucket(key_expr, seed)} % {n_shards}) AS INT)"
+    pos = f"CAST(row_number() OVER (PARTITION BY {shard} ORDER BY {key_expr}) AS BIGINT)"
+    return shard, pos
+
+
 def domain_mix(
     df: DataFrame,
     strata_col: str,

@@ -159,6 +159,55 @@ SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def s_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 neighbors for THREE query vectors in one plan — the
+    corpus scans once for the whole batch (broadcast queries + per-query
+    WindowGroupLimit top-k), vs once per query in the single-vector path."""
+    from fineo_readerator_spark.llm_ops.similarity import ann_batch_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return ann_batch_topk(corpus, queries, k=5)
+
+
+_BATCH_COS = (
+    "round(list_sum(list_transform(generate_series(1, len(c.embedding)),"
+    " i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+S_ANN_BATCH_ORACLE = f"""
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_BATCH_COS} AS cos_sim,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {_BATCH_COS} DESC, c.vec_id) AS INT) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 3 AND c.vec_id >= 3
+) WHERE rank <= 5
+"""
+
+
+def p_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding of the document corpus:
+    (doc_id, shard, shard_pos) — reproducible shard files regardless of
+    cluster partitioning."""
+    from fineo_readerator_spark.llm_ops.sampling import shard_for_training
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shard_for_training(docs, "doc_id", n_shards=8)
+
+
+def _p_shard_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import shard_oracle_exprs
+
+    shard, pos = shard_oracle_exprs("doc_id", 8)
+    return f"SELECT doc_id, {shard} AS shard, {pos} AS shard_pos FROM documents"
+
+
 def d_embed_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a label group (exact
     in-group verification; LSH bucketing is the tested scale path)."""
@@ -1002,6 +1051,8 @@ LLM_QUERIES = [
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
     QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
+    QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
+    QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),

@@ -270,6 +270,49 @@ def test_semantic_dedup_drops_dominated_keeps_lowest(spark, vectors):
     assert "cell" in kept.columns
 
 
+def test_ann_batch_topk_matches_single_query(spark, vectors):
+    """The batch path must agree with cosine_topk run per query, and the
+    corpus side must broadcast-join (scan once, no corpus shuffle)."""
+    from fineo_readerator_spark.llm_ops.similarity import ann_batch_topk
+
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = vectors.filter(F.col("vec_id") >= 2)
+    batch = ann_batch_topk(corpus, queries, k=3)
+    got = {
+        qid: [(r.vec_id, r.cos_sim) for r in rows]
+        for qid, rows in (
+            (q, sorted((r for r in batch.collect() if r.query_id == q), key=lambda r: r.rank))
+            for q in (0, 1)
+        )
+    }
+    for q in (0, 1):
+        qv = [float(v) for v in vectors.filter(F.col("vec_id") == q).first()["embedding"]]
+        single = [(r.vec_id, r.cos_sim) for r in cosine_topk(corpus, qv, k=3).collect()]
+        assert got[q] == single
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+def test_shard_for_training_deterministic(spark, docs):
+    """Shard assignment survives repartitioning bit-for-bit and positions are
+    a contiguous 1..n sequence per shard."""
+    from fineo_readerator_spark.llm_ops.sampling import shard_for_training
+
+    a = shard_for_training(docs, "doc_id", n_shards=4).collect()
+    b = shard_for_training(docs.repartition(7), "doc_id", n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in a} == {
+        (r.doc_id, r.shard, r.shard_pos) for r in b
+    }
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
 # --- multimodal plumbing --------------------------------------------------
 
 
