@@ -381,6 +381,60 @@ GROUP BY lang, source
 """
 
 
+def p_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT half of a training-data pipeline, composed in one plan:
+    quality filter → fingerprint-normalized exact dedup → deterministic
+    shard assignment → per-shard greedy sequence packing.  Each stage is a
+    registered operator; the chain stays declarative, so Catalyst collapses
+    filter+fingerprint into the scan projection and the shard/pack windows
+    share one exchange on ``shard`` (the same partitioning the shard writer
+    needs).  Output: (doc_id, shard, shard_pos, bin_id) — a reproducible
+    write manifest for fixed-token-budget training sequences."""
+    from pyspark.sql.window import Window
+
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+    from fineo_readerator_spark.llm_ops.sampling import pack_sequences, shard_for_training
+
+    docs = load(spark, sf_dir, "documents")
+    scored = with_text_stats(_spread(docs), "text")
+    good = scored.filter(F.col("quality_score") >= 0.5)
+    fp = text_fingerprint(good, "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    clean = (
+        fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    sharded = shard_for_training(clean.select("doc_id", "n_tokens"), "doc_id", n_shards=8)
+    packed = pack_sequences(sharded, "doc_id", "n_tokens", budget=1024, part_cols=["shard"])
+    return packed.select("doc_id", "shard", "shard_pos", "bin_id")
+
+
+def _p_pipeline_export_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import shard_oracle_exprs
+
+    shard, _ = shard_oracle_exprs("doc_id", 8)
+    return f"""
+WITH scored AS (SELECT doc_id, text, {text_stats_oracle_exprs('text')} FROM documents),
+good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+fp AS (SELECT *, {text_fingerprint_oracle_expr('text')} FROM good),
+clean AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+),
+sharded AS (SELECT doc_id, n_tokens, {shard} AS shard FROM clean),
+pos AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS shard_pos,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM sharded
+)
+SELECT doc_id, shard, shard_pos, CAST(prev // 1024 AS BIGINT) AS bin_id FROM pos
+"""
+
+
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-encoded as an opaque binary payload column — the
     deterministic stand-in for real media blobs (see llm_ops.multimodal)."""
@@ -1053,6 +1107,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
+    QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
