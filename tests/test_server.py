@@ -211,6 +211,27 @@ def test_fetch_refreshes_lru_recency(spark, tmp_path):
     assert status == 404
 
 
+def test_fetch_mid_iteration_failure_returns_500_and_closes(spark):
+    """A Spark error raised while draining toLocalIterator must produce a
+    500 JSON reply (not a dropped connection) and release the cursor."""
+    from fineo_readerator_spark.server import _Cursor
+
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric="m", fields=[FieldDef("f_int", "int")]))
+    srv = ReadServer(TenantSession(spark, st, ORG), api_key=KEY)
+
+    def boom():
+        yield {"f_int": 1}
+        raise RuntimeError("executor lost")
+
+    srv._statements["s1"] = _Cursor(["f_int"], iter(boom()))
+    status, out = srv.handle(KEY, {"statement_id": "s1", "frame_size": 5}, "/fetch")
+    assert status == 500 and "executor lost" in out["error"]
+    # cursor released: a retry is a clean 404, not a wedged statement
+    status, _ = srv.handle(KEY, {"statement_id": "s1"}, "/fetch")
+    assert status == 404
+
+
 def test_paging_offset_is_forward_only(server):
     status, first = _post(server, {"sql": "SELECT f_int FROM metricA", "frame_size": 1})
     stmt = first["statement_id"]
