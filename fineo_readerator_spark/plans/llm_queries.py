@@ -381,6 +381,31 @@ GROUP BY lang, source
 """
 
 
+def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (group-wise vector mean) — the class-
+    centroid primitive behind clustering, retrieval calibration and
+    SemDeDup-style codebook seeding.  posexplode → one hash aggregation on
+    (label, pos): map-side partial avg makes the shuffle #labels × dim rows
+    regardless of corpus size; the blobs themselves never move."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val")
+    )
+
+
+S_CENTROIDS_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+  FROM embeddings
+)
+SELECT label, CAST(u.pos AS INT) AS pos, round(avg(u.v), 6) AS centroid_val
+FROM ex GROUP BY label, pos
+"""
+
+
 def p_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPORT half of a training-data pipeline, composed in one plan:
     quality filter → fingerprint-normalized exact dedup → deterministic
@@ -1108,6 +1133,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
+    QueryDef("s_label_centroids", s_label_centroids, S_CENTROIDS_ORACLE),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
