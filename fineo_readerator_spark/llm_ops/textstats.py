@@ -118,17 +118,12 @@ def with_quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "d
     from fineo_readerator_spark.llm_ops.dedup import _spread
 
     base = _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")))
-    wcounts = (
-        base.select("__id", F.explode(tokens(F.col("__text"))).alias("t"))
-        .groupBy("__id", "t")
-        .agg(F.count("*").alias("c"))
-    )
-    wstats = wcounts.groupBy("__id").agg(
-        F.sum("c").alias("__n_tok"),
-        F.count("*").alias("__n_distinct"),
-        F.max("c").alias("__top_word"),
-        F.sum(F.length("t") * F.col("c")).alias("__total_wchars"),
-    )
+    # ONE tokenize + explode pass for both term kinds (word=0, 2-gram=1):
+    # the two-chain formulation scanned and tokenized the corpus twice and
+    # shuffled four times; tagging terms with their kind folds that into one
+    # (id, kind, term) count + one per-doc aggregate.  The counts are the
+    # same integers either way, so every downstream ratio (and the oracle)
+    # is unchanged.
     # zip_with over shifted slices, NOT transform-over-sequence: see
     # dedup.shingles for why captured-expression lambdas are O(n²) per row
     btoks = tokens(F.col("__text"))
@@ -136,15 +131,26 @@ def with_quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "d
     g2_arr = F.zip_with(
         F.slice(btoks, 1, m), F.slice(btoks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
     )
-    gcounts = (
-        base.select("__id", F.explode(g2_arr).alias("g"))
-        .groupBy("__id", "g")
+    tagged = F.concat(
+        F.transform(btoks, lambda t: F.struct(F.lit(0).alias("k"), t.alias("t"))),
+        F.transform(g2_arr, lambda g: F.struct(F.lit(1).alias("k"), g.alias("t"))),
+    )
+    counts = (
+        base.select("__id", F.explode(tagged).alias("kt"))
+        .select("__id", F.col("kt.k").alias("k"), F.col("kt.t").alias("t"))
+        .groupBy("__id", "k", "t")
         .agg(F.count("*").alias("c"))
     )
-    gstats = gcounts.groupBy("__id").agg(
-        F.sum("c").alias("__n_g2"),
-        F.count("*").alias("__d_g2"),
-        F.max("c").alias("__top_g2"),
+    is_w = F.col("k") == 0
+    is_g = F.col("k") == 1
+    stats_agg = counts.groupBy("__id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("__n_tok"),
+        F.count(F.when(is_w, F.lit(True))).alias("__n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("__top_word"),
+        F.sum(F.when(is_w, F.length("t") * F.col("c"))).alias("__total_wchars"),
+        F.sum(F.when(is_g, F.col("c"))).alias("__n_g2"),
+        F.count(F.when(is_g, F.lit(True))).alias("__d_g2"),
+        F.max(F.when(is_g, F.col("c"))).alias("__top_g2"),
     )
     zero = F.lit(0.0)
     one = F.lit(1.0)
@@ -164,7 +170,7 @@ def with_quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "d
         & (dup_2gram_frac <= 0.75)
     )
     stats = (
-        wstats.join(gstats, "__id", "left")
+        stats_agg
         .withColumns(
             {
                 "n_words": nt.cast("long"),
