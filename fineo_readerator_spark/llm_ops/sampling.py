@@ -150,6 +150,29 @@ def shard_oracle_exprs(key_expr: str, n_shards: int, seed: int = 42) -> tuple[st
     return shard, pos
 
 
+def write_training_shards(
+    df: DataFrame, key_col: str, n_shards: int, path: str, seed: int = 42
+) -> None:
+    """Materialize the deterministic shard layout on disk: one directory per
+    shard (`shard=K/`), rows key-sorted within each shard file — the write
+    half of ``shard_for_training``'s manifest, so re-running the export (on
+    any cluster size or partitioning) reproduces identical shard contents.
+
+    One exchange total: ``repartition(n_shards, shard)`` is the same
+    partitioning the ``shard_pos`` window needs, so Catalyst computes the
+    positions inside the write partitioning; ``sortWithinPartitions`` orders
+    rows without a second shuffle.  Each shard directory gets exactly one
+    ordered parquet file per write task."""
+    manifest = shard_for_training(df, key_col, n_shards, seed)
+    (
+        manifest.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def domain_mix(
     df: DataFrame,
     strata_col: str,

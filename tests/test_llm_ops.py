@@ -296,6 +296,36 @@ def test_ann_batch_topk_matches_single_query(spark, vectors):
     assert "WindowGroupLimit" in plan  # partial top-k before the exchange
 
 
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    """The shard writer produces one directory per shard with rows key-sorted
+    inside, matching the manifest exactly, and a re-run reproduces identical
+    shard contents."""
+    from fineo_readerator_spark.llm_ops.sampling import (
+        shard_for_training,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, "doc_id", n_shards=3, path=path)
+    out = spark.read.parquet(path)
+    manifest = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shard_for_training(docs, "doc_id", 3).collect()
+    }
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in out.collect()} == manifest
+    # in-file order is by key within each shard directory
+    for shard in {s for _, s, _ in manifest}:
+        rows = spark.read.parquet(f"{path}/shard={shard}").collect()
+        # no shuffle on read of a single file: collect order == file order
+        ids = [r.doc_id for r in rows]
+        assert ids == sorted(ids)
+    # re-run reproduces identical contents
+    write_training_shards(docs.repartition(5), "doc_id", n_shards=3, path=path)
+    assert {
+        (r.doc_id, r.shard, r.shard_pos) for r in spark.read.parquet(path).collect()
+    } == manifest
+
+
 def test_shard_for_training_deterministic(spark, docs):
     """Shard assignment survives repartitioning bit-for-bit and positions are
     a contiguous 1..n sequence per shard."""
