@@ -139,9 +139,65 @@ FROM events GROUP BY event_type
 """
 
 
+def t_multi_metric_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One org, TWO metric tables (the reference registers every metric of
+    an org as its own table, `FineoSchema.java:37-61`), joined through the
+    tenant SQL surface: ``purchases`` and ``clicks`` are carved from the
+    stored events by a derived ``metrictype``, so each metric view sees only
+    its own slice via the standard org/metric filter (P1) — then plain SQL
+    joins the two views per user."""
+    from fineo_readerator_spark.plans.metric_queries import EVENT_DERIVE, EVENT_FIELDS
+    from fineo_readerator_spark.schema_store import MetricSchema, SchemaStore
+
+    st = SchemaStore()
+    derive = dict(EVENT_DERIVE)
+    derive["metrictype"] = (
+        "CASE WHEN event_type = 'purchase' THEN 'purchases' ELSE 'clicks' END"
+    )
+    for metric in ("purchases", "clicks"):
+        st.register_metric(MetricSchema(org=ORG, metric=metric, fields=list(EVENT_FIELDS)))
+        st.add_source(
+            ORG,
+            metric,
+            SourceSpec(
+                kind="historical",
+                path=f"{sf_dir}/events.parquet",
+                derive=derive,
+                raw_ts_col="ts",
+                raw_ts_per_milli=1_000_000,
+            ),
+        )
+    tenant = TenantSession(spark, st, ORG)
+    return tenant.sql(
+        """
+        SELECT p.user_id,
+               count(*) AS n_purchases,
+               cast(sum(cast(p.value AS decimal(18,2))) AS double) AS purchase_value,
+               max(c.n_clicks) AS n_clicks
+        FROM purchases p
+        JOIN (SELECT user_id, count(*) AS n_clicks FROM clicks GROUP BY user_id) c
+          ON p.user_id = c.user_id
+        GROUP BY p.user_id
+        """
+    )
+
+
+T_MULTI_METRIC_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type != 'purchase' GROUP BY user_id)
+SELECT p.user_id, count(*) AS n_purchases,
+       cast(sum(cast(p.value AS decimal(18,2))) AS double) AS purchase_value,
+       max(c.n_clicks) AS n_clicks
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY p.user_id
+"""
+
+
 CATALOG_QUERIES = [
     QueryDef("t_sql_entry", t_sql_entry, T_SQL_ORACLE),
     QueryDef("e_errors_forced_filter", e_errors_forced_filter, E_ERRORS_ORACLE),
     QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
     QueryDef("t_stored_registry", t_stored_registry, T_STORED_REGISTRY_ORACLE),
+    QueryDef("t_multi_metric_join", t_multi_metric_join, T_MULTI_METRIC_ORACLE),
 ]
