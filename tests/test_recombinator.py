@@ -273,6 +273,56 @@ def test_unknown_fields_land_in_fm(spark, tmp_path):
     assert got[1]["_fm"] == {"extra_num": "8"}
 
 
+def test_alias_merge_exhaustive_over_presence_and_nulls(spark):
+    """The alias-merge contract (SURVEY §7.4 hard part #1,
+    `RecombinatorRecordBatch.doWork:179-227`), checked EXHAUSTIVELY: for
+    every subset of stored candidate columns present in the source and every
+    per-row null pattern over them, the canonical field must read the first
+    non-null candidate in priority order [canonical, alias1, alias2]; absent
+    everywhere → NULL; unknown columns land in ``_fm`` iff non-null; no
+    candidate ever leaks into ``_fm``."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from fineo_readerator_spark.recombinator import project_canonical
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema
+    from fineo_readerator_spark.sources import SourceSpec
+
+    candidates = ["f", "a1", "a2"]
+    schema = MetricSchema(
+        org="o",
+        metric="m",
+        fields=[FieldDef("f", "int", aliases=["a1", "a2"])],
+        track_unknown=True,
+    )
+    src = SourceSpec(kind="historical", path="unused")
+    for present in itertools.chain.from_iterable(
+        itertools.combinations(candidates, k) for k in range(len(candidates) + 1)
+    ):
+        rows = []
+        # every null pattern over the present candidates; distinct values
+        # per candidate so the winner is identifiable (f=100.., a1=200..,
+        # a2=300..)
+        for bits in itertools.product([False, True], repeat=len(present)):
+            row = {"timestamp": len(rows), "extra": f"x{len(rows)}"}
+            for j, (c, live) in enumerate(zip(present, bits)):
+                row[c] = (candidates.index(c) + 1) * 100 + len(rows) if live else None
+            rows.append(row)
+        fields = "timestamp long, extra string, " + ", ".join(f"{c} int" for c in present)
+        df = spark.createDataFrame([Row(**r) for r in rows], fields.rstrip(", "))
+        out = {r["timestamp"]: r for r in project_canonical(df, schema, src).collect()}
+        for i, row in enumerate(rows):
+            got = out[i]
+            expect = next(
+                (row[c] for c in candidates if c in present and row[c] is not None), None
+            )
+            assert got["f"] == expect, (present, row, got)
+            fm = got["_fm"] or {}
+            assert fm.get("extra") == row["extra"]
+            assert not set(fm) & set(candidates), (present, fm)
+
+
 def test_alias_column_not_duplicated_in_fm(spark, tmp_path):
     """A stored alias feeding a known field must NOT also appear in _fm
     (TestFineoRadio.testKnownAliasKnownField:129)."""
