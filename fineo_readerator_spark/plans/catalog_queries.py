@@ -70,6 +70,72 @@ SELECT * FROM (VALUES
 """
 
 
+def _errors_dated_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "errors_dated"
+
+
+def ensure_errors_dated(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference's error-file layout — JSON records in
+    year/month/day directories (`FineoStoragePlugin.java:123-133`, test
+    layout `fs/BaseFineoTestWithErrorReads.java:103-130`) — derived
+    deterministically from ``documents`` so a DuckDB oracle can replay the
+    date arithmetic."""
+    from fineo_readerator_spark.plans.registry import (
+        load,
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    path = _errors_dated_path(sf_dir)
+    fp = source_fingerprint(sf_dir, "documents")
+    if not snapshot_is_fresh(path, fp):
+        from pyspark.sql import functions as F
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "source",
+            F.lit(2024).alias("year"),
+            (F.col("doc_id") % 3 + 1).cast("int").alias("month"),
+            (F.col("doc_id") % 5 + 1).cast("int").alias("day"),
+        )
+        docs.repartition("month", "day").write.mode("overwrite").partitionBy(
+            "year", "month", "day"
+        ).json(str(path))
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def e_errors_date_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors table over the y/m/d directory layout with a date predicate:
+    the forced apikey filter applies AND the month/day equality reaches the
+    scan as PartitionFilters, so only the matching date directories are
+    listed and read (`FileSystemTimestampHandler.java:83-102` directory
+    pruning, Catalyst-native here — pinned by
+    tests/test_plans.py::test_errors_date_dirs_prune)."""
+    from pyspark.sql import functions as F
+
+    src = SourceSpec(kind="historical", fmt="json", path=ensure_errors_dated(spark, sf_dir))
+    df = errors_stream_df(
+        spark, src, org="src7", apikey_column="source",
+        columns=["doc_id", "lang", "n_chars", "month", "day"],
+    )
+    return df.filter((F.col("month") == 2) & (F.col("day") == 3)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+E_ERRORS_DATED_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE source = 'src7' AND doc_id % 3 + 1 = 2 AND doc_id % 5 + 1 = 3
+"""
+
+
 def _tenant_table_path(sf_dir: str):
     from pathlib import Path
 
@@ -200,4 +266,5 @@ CATALOG_QUERIES = [
     QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
     QueryDef("t_stored_registry", t_stored_registry, T_STORED_REGISTRY_ORACLE),
     QueryDef("t_multi_metric_join", t_multi_metric_join, T_MULTI_METRIC_ORACLE),
+    QueryDef("e_errors_date_pruned", e_errors_date_pruned, E_ERRORS_DATED_ORACLE),
 ]

@@ -212,6 +212,29 @@ def test_epoch_ms_derive_identical_across_storage_dtypes(spark, tmp_path):
     assert f"GreaterThanOrEqual(ts,{T_LO * 1_000_000})" in pushed_by_shape["ts_ns"]
 
 
+def test_errors_date_dirs_prune(spark, sf_dir):
+    """The errors date predicate must turn into PartitionFilters (directory
+    pruning): only the matching month/day dirs are listed and scanned."""
+    import contextlib
+    import io
+
+    from fineo_readerator_spark.plans.catalog_queries import e_errors_date_pruned
+
+    df = e_errors_date_pruned(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf, plan[:2000]
+    # the equalities Catalyst prunes directories with (inputFiles() lists
+    # pre-pruning, so the PartitionFilters section IS the assertion surface)
+    assert "month" in pf.group(1) and "= 2" in pf.group(1), pf.group(1)
+    assert "day" in pf.group(1) and "= 3" in pf.group(1), pf.group(1)
+    # and the forced tenant filter still reaches the data scan
+    assert "EqualTo(source,src7)" in plan
+
+
 def test_small_dims_broadcast(spark, sf_dir):
     """Dimension joins must broadcast (no sort-merge shuffle for nation/region
     sized sides)."""
