@@ -399,6 +399,91 @@ def m_union_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _formats_path(sf_dir: str, fmt: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / f"events_{fmt}"
+
+
+def ensure_format_snapshots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize events in the reference's non-parquet file formats — ORC
+    and gzipped CSV (`S9`: Drill dfs reads parquet/JSON/gzip; CSV/ORC round
+    out the Spark reader surface).  Time is pre-derived to epoch-millis so
+    CSV schema inference can't misread the timestamp shape."""
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+    ev_raw = load(spark, sf_dir, "events")
+    base = ev_raw.select(
+        epoch_millis(ev_raw, "ts").alias("ts_ms"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    orc_path = _formats_path(sf_dir, "orc")
+    if not snapshot_is_fresh(orc_path, fp):
+        base.write.mode("overwrite").orc(str(orc_path))
+        stamp_snapshot(orc_path, fp)
+    csv_path = _formats_path(sf_dir, "csvgz")
+    if not snapshot_is_fresh(csv_path, fp):
+        base.write.mode("overwrite").option("header", "true").option(
+            "compression", "gzip"
+        ).csv(str(csv_path))
+        stamp_snapshot(csv_path, fp)
+    return str(orc_path), str(csv_path)
+
+
+def m_formats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One metric served by an ORC store (historical, pre-cutover) and a
+    gzipped-CSV store (nearline window) — the S9 format surface composed
+    through the same recombinator plan as the parquet sources, with the
+    cutover resolving the overlap."""
+    orc_path, csv_path = ensure_format_snapshots(spark, sf_dir)
+    fields = [
+        FieldDef("event_id", "long"),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double"),
+    ]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    derive = {
+        "timestamp": "ts_ms",
+        "writetime": "ts_ms",
+        "companykey": f"'{ORG}'",
+        "metrictype": f"'{METRIC}'",
+    }
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(kind="historical", path=orc_path, fmt="orc", derive=dict(derive)),
+    )
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="nearline",
+            path=csv_path,
+            fmt="csv",
+            derive=dict(derive),
+            time_range=TimeRange(CUTOVER_MS, None),
+        ),
+    )
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    return df.select("timestamp", "event_id", "user_id", "event_type", "value")
+
+
+M_FORMATS_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value FROM events'
+)
+
+
 def m_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY field stored as base64 text decodes on read — the reference's
     one custom UDF (`udf/conv/Base64Decoder.java:13-40`, injected at
@@ -500,4 +585,5 @@ METRIC_QUERIES = [
     ),
     QueryDef("m_items_nested", m_items_nested, M_ITEMS_NESTED_ORACLE, bench=True),
     QueryDef("m_union_items_nested", m_union_items_nested, M_ITEMS_NESTED_ORACLE),
+    QueryDef("m_formats_union", m_formats_union, M_FORMATS_ORACLE),
 ]
