@@ -250,8 +250,10 @@ def t_multi_metric_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_MULTI_METRIC_ORACLE = """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+-- IS DISTINCT FROM, not !=: the Spark side's CASE ELSE branch routes NULL
+-- event_type to 'clicks', so the oracle must keep NULLs too
 c AS (SELECT user_id, count(*) AS n_clicks FROM events
-      WHERE event_type != 'purchase' GROUP BY user_id)
+      WHERE event_type IS DISTINCT FROM 'purchase' GROUP BY user_id)
 SELECT p.user_id, count(*) AS n_purchases,
        cast(sum(cast(p.value AS decimal(18,2))) AS double) AS purchase_value,
        max(c.n_clicks) AS n_clicks
