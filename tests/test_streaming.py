@@ -170,6 +170,34 @@ def test_stream_parquet_sink_roundtrip(spark, stream_store, tmp_path):
     assert sorted(r.value for r in back.collect()) == [5.0, 7.0, 10.0]
 
 
+def test_stream_checkpoint_recovery_exactly_once(spark, stream_store, tmp_path):
+    """Stop → new data arrives while the query is down → restart from the
+    SAME checkpoint: only the unseen batch is processed, nothing replays.
+    This is the exactly-once restart contract a production stream relies on
+    (checkpointed file-source offsets + idempotent parquet sink)."""
+    from fineo_readerator_spark.streaming import write_stream_parquet
+
+    store, src_dir = stream_store
+    stream = read_metric_stream(spark, store, "org1", "m1")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_stream_parquet(stream.drop("event_time"), out_dir, ckpt, available_now=True)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 3  # batch-0 org1 rows
+
+    # data lands while the query is DOWN
+    _write_events(spark, src_dir, _event_rows(1))
+
+    # restart with a fresh plan object but the same checkpoint
+    stream2 = read_metric_stream(spark, store, "org1", "m1")
+    q2 = write_stream_parquet(stream2.drop("event_time"), out_dir, ckpt, available_now=True)
+    q2.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    # 3 (batch 0, processed before the stop) + 2 (batch 1) — and NO replays
+    assert back.count() == 5
+    assert sorted(r.value for r in back.collect()) == [1.0, 3.0, 5.0, 7.0, 10.0]
+    assert back.select("user", "timestamp", "value").distinct().count() == 5
+
+
 def test_dedup_stream_drops_duplicate_keys(spark, stream_store, tmp_path):
     from fineo_readerator_spark.streaming import dedup_stream
 
