@@ -170,6 +170,63 @@ def test_stream_parquet_sink_roundtrip(spark, stream_store, tmp_path):
     assert sorted(r.value for r in back.collect()) == [5.0, 7.0, 10.0]
 
 
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """A row arriving later than the watermark allows must be DROPPED from an
+    append-mode windowed aggregate (its window already finalized) — the
+    late-data bound that keeps streaming state finite at scale."""
+    src_dir = str(tmp_path / "late_src")
+    # batch 0: one row far ahead — advances the event-time watermark
+    _write_events(
+        spark,
+        src_dir,
+        [{"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 60 * MIN, "user": 1, "val": 1.0}],
+    )
+    store = SchemaStore()
+    store.register_metric(
+        MetricSchema(
+            org="org1",
+            metric="m1",
+            fields=[FieldDef("user", "long"), FieldDef("value", "double", aliases=["val"])],
+        )
+    )
+    store.add_source("org1", "m1", SourceSpec(kind="historical", path=src_dir, time_range=TimeRange()))
+
+    out_dir, ckpt = str(tmp_path / "late_out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = read_metric_stream(spark, store, "org1", "m1")
+        rolled = windowed_rollup(
+            stream, "event_time", keys=["user"], aggs={"n": "count(*)"},
+            window="1 minute", watermark="10 minutes",
+        )
+        q = (
+            rolled.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # batch 1: one row 60 min BELOW the watermark (must be discarded) plus
+    # one far ahead, so the watermark passes the first row's window end and
+    # append mode finalizes it
+    _write_events(
+        spark,
+        src_dir,
+        [
+            {"companykey": "org1", "metrictype": "m1", "timestamp": T0, "user": 2, "val": 9.0},
+            {"companykey": "org1", "metrictype": "m1", "timestamp": T0 + 80 * MIN, "user": 3, "val": 2.0},
+        ],
+    )
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    # the late row's window never appears — it was dropped at the input, not
+    # merely held back
+    assert all(r.user != 2 for r in rows), rows
+    # the finalized first window DID emit, proving append-mode emission works
+    assert [r.n for r in rows if r.user == 1] == [1], rows
+
+
 def test_stream_checkpoint_recovery_exactly_once(spark, stream_store, tmp_path):
     """Stop → new data arrives while the query is down → restart from the
     SAME checkpoint: only the unseen batch is processed, nothing replays.
