@@ -31,7 +31,13 @@ def main() -> None:
     spark = get_spark("fineo-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench_queries = {name: q for name, q in QUERIES.items() if q.bench}
+    # FIXED alphabetical order: the registry self-reorders every round (the
+    # driver-rotation scheduler), so iterating it would shift each query's
+    # position in the shared JVM run-to-run and muddy cross-round per-query
+    # comparisons (the r4 regression-triage lesson)
+    bench_queries = {
+        name: QUERIES[name] for name in sorted(QUERIES) if QUERIES[name].bench
+    }
     # diagnosis hook: SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset in isolation
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
@@ -48,20 +54,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in bench_queries.items():
-        # min of three runs: the first pays one-time whole-stage-codegen JIT
-        # for that query's expressions; the min of the rest is the steady
-        # state a long-running cluster sees, robust to ambient load spikes
-        best = float("inf")
-        try:
-            for _ in range(3):
+    # Three ROUND-ROBIN passes over the whole suite, per-query min across
+    # passes.  Back-to-back repeats of one query all share the same JVM
+    # moment, so a GC/JIT phase landing on that moment taints all three
+    # samples (observed: a 0.6s query timing 3.3s late in a 24-query run,
+    # unreproducible in isolation).  Interleaving measures each query at
+    # three well-separated JVM states; the min is the steady state.  Pass 1
+    # also pays each query's one-time codegen JIT, so passes 2-3 are clean.
+    for pass_no in range(3):
+        for name, q in bench_queries.items():
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # one broken query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
+            except Exception as exc:  # one broken query must not zero the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+        # between passes: drop cached relations queries may have left behind
+        # and let the JVM settle, so pass boundaries don't bleed state
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline query wall-clock, local[{}]".format(

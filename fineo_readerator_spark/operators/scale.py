@@ -42,11 +42,45 @@ def write_bucketed(
 
     Joins/aggregations between tables bucketed identically on their key run
     exchange-free; keep ``num_buckets`` identical across tables you intend
-    to co-locate."""
+    to co-locate.
+
+    The pre-write ``repartition(num_buckets, bucket_cols)`` uses the same
+    Murmur3 hash as the bucket assignment, so each task holds exactly one
+    bucket and every bucket lands in ONE file.  That matters twice at scale:
+    no small-file explosion (tasks × buckets files otherwise), and Spark's
+    bucketed scan only reports the ``sortBy`` order for single-file buckets —
+    with it, the co-located sort-merge join drops its Sort nodes too, not
+    just the Exchanges."""
+    df = df.repartition(num_buckets, *[df[c] for c in bucket_cols])
     writer = df.write.format("parquet").mode(mode).option("path", path)
     writer = writer.bucketBy(num_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Attach an ALREADY-WRITTEN bucketed layout to this session's catalog.
+
+    ``write_bucketed`` both writes and registers, but the catalog entry dies
+    with the session while the files (bucket ids encoded in their names)
+    persist.  A new session re-attaches with external-table DDL instead of
+    rewriting the data — at 100 TB the layout is built once per corpus
+    version and every later session is metadata-only."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+    sort = ", ".join(sort_cols or bucket_cols)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) SORTED BY ({sort}) "
+        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
 
 
 def colocated_join(

@@ -484,6 +484,88 @@ M_FORMATS_ORACLE = (
 )
 
 
+def _fs_layout_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "fs_layout"
+
+
+def ensure_fs_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference's versioned dfs directory layout
+    ``<base>/<version>/<format>/<org>/<metric>`` so discovery has something
+    real to walk (`SubTableScanBuilder.java:106-112`):
+
+    - ``v0``: a stale ETL generation holding only even event_ids — a reader
+      that scans anything but the latest version double-counts or
+      under-counts, so the oracle hash proves version cutover.
+    - ``v1`` (latest): the complete corpus split disjointly across a parquet
+      dir and a CSV dir (multi-format discovery within one version).
+    - ``v1/parquet/acme/ghost``: rows for a metric NOT in the schema store —
+      discovery must hide it (`TestClientLikeReads.java:324-434`)."""
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    root = _fs_layout_path(sf_dir)
+    fp = source_fingerprint(sf_dir, "events")
+    if not snapshot_is_fresh(root, fp):
+        ev_raw = load(spark, sf_dir, "events")
+        base = ev_raw.select(
+            epoch_millis(ev_raw, "ts").alias("ts_ms"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        in_csv = F.col("event_id") % 3 == 0
+        base.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            str(root / "v0" / "parquet" / ORG / METRIC)
+        )
+        base.filter(~in_csv).write.mode("overwrite").parquet(
+            str(root / "v1" / "parquet" / ORG / METRIC)
+        )
+        base.filter(in_csv).write.mode("overwrite").option("header", "true").csv(
+            str(root / "v1" / "csv" / ORG / METRIC)
+        )
+        base.limit(5).write.mode("overwrite").parquet(
+            str(root / "v1" / "parquet" / ORG / "ghost")
+        )
+        stamp_snapshot(root, fp)
+    return str(root)
+
+
+def m_discovered_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources discovered from the versioned dfs layout, not hand-registered
+    (S2's filesystem half: `SubTableScanBuilder.java:44-112`).  The walk
+    selects the latest version, emits one source per (format, org, metric)
+    dir, and skips the unregistered ``ghost`` dir; the result must be the
+    full corpus exactly once — any stale-version read or ghost leak breaks
+    the value hash."""
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    base = ensure_fs_layout(spark, sf_dir)
+    fields = [
+        FieldDef("event_id", "long"),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double"),
+    ]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    derive = {
+        "timestamp": "ts_ms",
+        "writetime": "ts_ms",
+        "companykey": f"'{ORG}'",
+        "metrictype": f"'{METRIC}'",
+    }
+    discover_fs_sources(st, base, derive=derive)
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    return df.select("timestamp", "event_id", "user_id", "event_type", "value")
+
+
 def m_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY field stored as base64 text decodes on read — the reference's
     one custom UDF (`udf/conv/Base64Decoder.java:13-40`, injected at
@@ -586,4 +668,5 @@ METRIC_QUERIES = [
     QueryDef("m_items_nested", m_items_nested, M_ITEMS_NESTED_ORACLE, bench=True),
     QueryDef("m_union_items_nested", m_union_items_nested, M_ITEMS_NESTED_ORACLE),
     QueryDef("m_formats_union", m_formats_union, M_FORMATS_ORACLE),
+    QueryDef("m_discovered_version", m_discovered_version, M_FORMATS_ORACLE),
 ]

@@ -30,6 +30,7 @@ from fineo_readerator_spark.plans.llm_queries import LLM_QUERIES
 from fineo_readerator_spark.plans.metric_queries import METRIC_QUERIES
 from fineo_readerator_spark.plans.registry import QueryDef
 from fineo_readerator_spark.plans.relational_queries import RELATIONAL_QUERIES
+from fineo_readerator_spark.plans.scale_queries import SCALE_QUERIES
 from fineo_readerator_spark.plans.streaming_queries import STREAMING_QUERIES
 from fineo_readerator_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
 
@@ -41,6 +42,7 @@ _ALL: list[QueryDef] = [
     *LLM_QUERIES,
     *STREAMING_QUERIES,
     *RELATIONAL_QUERIES,
+    *SCALE_QUERIES,
     *TPCH_EXTRA_QUERIES,
 ]
 

@@ -1,0 +1,174 @@
+"""Driver-checkable scale-pattern queries: bucketed co-located join and
+salted skew-safe aggregation.
+
+These register the `operators/scale.py` shuffle-avoidance tools as
+oracle-verified queries, so the two patterns a 100 TB deployment leans on
+hardest — pre-bucketed recurring joins and hot-key aggregation — carry
+driver-green correctness evidence, not just plan tests.  The reference
+co-locates by storage key (compound Dynamo hash key routes one org+metric
+to one partition, `fineo-adapter-drill/.../dynamo/
+DynamoFineoCompoundKeyMapper.java:21-37`); bucketing is the Spark-native
+equivalent for the historical store.
+
+Layout lifecycle mirrors the KV/IVF snapshots: built once per corpus
+fingerprint under `.kv_cache`, then *re-attached* (external-table DDL, no
+rewrite) by later sessions.  Salting results are exact — the salted
+aggregates go through decimal partials, so the two-phase fold is
+bit-identical to DuckDB's single-phase aggregation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.operators.scale import (
+    colocated_join,
+    register_bucketed,
+    salted_agg,
+    write_bucketed,
+)
+from fineo_readerator_spark.plans.registry import (
+    QueryDef,
+    load,
+    snapshot_is_fresh,
+    source_fingerprint,
+    stamp_snapshot,
+)
+
+N_BUCKETS = 8
+
+# same exact-decimal building blocks as relational_queries.py: sums are
+# exact in both engines, cast to double only at the end
+_DEC_QTY = "cast(l_quantity as decimal(18,2))"
+_DEC_PRICE = "cast(l_extendedprice as decimal(18,2))"
+_DISC = "cast(1 - l_discount as decimal(4,2))"
+
+
+def _layout_root(sf_dir: str) -> Path:
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "bucketed"
+
+
+def _table_names(sf_dir: str) -> tuple[str, str]:
+    # sf-scoped names so two sf dirs in one session can't collide
+    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_").replace("-", "_")
+    return f"bl_orders_{tag}", f"bl_lineitem_{tag}"
+
+
+def ensure_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem persisted bucketed on the join key (orderkey).
+
+    Stale fingerprint → rewrite; fresh files but a new session → re-attach
+    with DDL only.  Either way the session ends with both catalog tables
+    carrying the bucket spec, which is what lets the scan feed the join
+    exchange-free."""
+    root = _layout_root(sf_dir)
+    t_orders, t_lineitem = _table_names(sf_dir)
+    fp = source_fingerprint(sf_dir, "orders") + source_fingerprint(sf_dir, "lineitem")
+    if not snapshot_is_fresh(root, fp):
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        lineitem = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+        )
+        root.mkdir(parents=True, exist_ok=True)
+        write_bucketed(orders, t_orders, ["o_orderkey"], N_BUCKETS, str(root / "orders"))
+        write_bucketed(
+            lineitem, t_lineitem, ["o_orderkey"], N_BUCKETS, str(root / "lineitem")
+        )
+        stamp_snapshot(root, fp)
+    else:
+        register_bucketed(
+            spark, t_orders, ["o_orderkey"], N_BUCKETS, str(root / "orders")
+        )
+        register_bucketed(
+            spark, t_lineitem, ["o_orderkey"], N_BUCKETS, str(root / "lineitem")
+        )
+    return t_orders, t_lineitem
+
+
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem over the bucketed layout, rolled up per priority.
+
+    Both scan legs read co-bucketed single-file buckets, so the sort-merge
+    join runs with no Exchange (pinned by
+    tests/test_scale_ops.py::test_colocated_query_plan_is_exchange_free);
+    at 100 TB the recurring fact-fact join costs a streamed per-bucket
+    merge instead of a full shuffle of both tables."""
+    t_orders, t_lineitem = ensure_bucketed_layout(spark, sf_dir)
+    joined = colocated_join(spark, t_orders, t_lineitem, ["o_orderkey"])
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(f"cast(sum({_DEC_QTY}) as double)").alias("sum_qty"),
+            F.expr(f"cast(sum({_DEC_PRICE} * {_DISC}) as double)").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_COLOCATED_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       cast(sum({_DEC_QTY}) as double) AS sum_qty,
+       cast(sum({_DEC_PRICE} * {_DISC}) as double) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rollup through two-phase salted aggregation.
+
+    l_returnflag has 3 distinct values over the whole fact table — the
+    shape where one reducer per key drowns at scale.  ``salted_agg`` fans
+    each key over (key, salt) partials and folds them; the decimal sums
+    make the fold exact, so the result is bit-identical to the unsalted
+    (DuckDB) aggregation."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        lineitem,
+        keys=["l_returnflag"],
+        aggs={
+            "n_lines": ("l_orderkey", "count"),
+            "sum_qty": (F.expr(_DEC_QTY), "sum"),
+            "revenue": (F.expr(f"{_DEC_PRICE} * {_DISC}"), "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_lines",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("revenue").cast("double").alias("revenue"),
+        "max_price",
+    ).orderBy("l_returnflag")
+
+
+Q_SALTED_ORACLE = f"""
+SELECT l_returnflag,
+       count(l_orderkey) AS n_lines,
+       cast(sum({_DEC_QTY}) as double) AS sum_qty,
+       cast(sum({_DEC_PRICE} * {_DISC}) as double) AS revenue,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+SCALE_QUERIES = [
+    QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE),
+    QueryDef("q_salted_hot_agg", q_salted_hot_agg, Q_SALTED_ORACLE),
+]

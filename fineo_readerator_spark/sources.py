@@ -238,3 +238,64 @@ class SourceSpec:
             raw_ts_col=d.get("raw_ts_col"),
             raw_ts_per_milli=d.get("raw_ts_per_milli", 1),
         )
+
+
+_FS_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def discover_fs_sources(
+    store,
+    base: str,
+    version: Optional[str] = None,
+    derive: Optional[dict] = None,
+    **spec_kwargs,
+):
+    """Enumerate historical sources from the reference's dfs layout
+    ``<base>/<version>/<format>/<org>/<metric>`` and register them on
+    ``store`` (`SubTableScanBuilder.java:44-112`: the builder walks the
+    configured version's format dirs and emits one sub-scan per existing
+    ``<org>/<metricId>`` dir).
+
+    - ``version=None`` selects the LATEST version dir (lexicographic max);
+      the reference pins the version in plugin config
+      (`SubTableScanBuilder.java:106-112`) — pass it explicitly for that.
+      Older versions are never scanned: a re-ETL publishes a new version
+      dir and readers cut over atomically by name.
+    - Dirs for metrics absent from the schema store are SKIPPED: a deleted
+      metric hides its data even though files persist
+      (`TestClientLikeReads.java:324-434`).
+    - ``derive``/``spec_kwargs`` apply to every discovered spec (the
+      storage-shape adapter, e.g. ``epoch_ms`` derivations).
+
+    This is resolve-time metadata walking (one listing of the layout tree,
+    never file contents); at 100 TB it touches O(orgs × metrics)
+    directory entries, not data.
+    """
+    from pathlib import Path
+
+    root = Path(base)
+    versions = sorted(p.name for p in root.iterdir() if p.is_dir()) if root.is_dir() else []
+    if not versions:
+        return []
+    ver = version if version is not None else versions[-1]
+    added = []
+    for fmt_dir in sorted((root / ver).iterdir()):
+        if fmt_dir.name not in _FS_FORMATS or not fmt_dir.is_dir():
+            continue
+        for org_dir in sorted(p for p in fmt_dir.iterdir() if p.is_dir()):
+            for metric_dir in sorted(p for p in org_dir.iterdir() if p.is_dir()):
+                org, metric = org_dir.name, metric_dir.name
+                try:
+                    store.get_metric(org, metric)
+                except KeyError:
+                    continue  # deleted/unregistered metric: data stays hidden
+                spec = SourceSpec(
+                    kind=HISTORICAL,
+                    path=str(metric_dir),
+                    fmt=fmt_dir.name,
+                    derive=dict(derive or {}),
+                    **spec_kwargs,
+                )
+                store.add_source(org, metric, spec)
+                added.append((org, metric, spec))
+    return added

@@ -77,3 +77,46 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], {"avg_qty": ("l_quantity", "avg")})
+
+
+def test_colocated_query_plan_is_exchange_free(spark):
+    """The registered q_colocated_join runs its fact-fact join without a
+    shuffle on either side (the layout is what the driver exercises)."""
+    from fineo_readerator_spark.plans.scale_queries import (
+        ensure_bucketed_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t_orders, t_lineitem = ensure_bucketed_layout(spark, sf)
+    joined = colocated_join(spark, t_orders, t_lineitem, ["o_orderkey"])
+    assert_no_exchange_under_join(joined)
+
+
+def test_bucketed_layout_reattaches_without_rewrite(spark):
+    """A fresh session (catalog empty, files fresh) re-registers the layout
+    via DDL: same bucket spec, same exchange-free plan, no data rewrite."""
+    from fineo_readerator_spark.plans.scale_queries import (
+        _layout_root,
+        _table_names,
+        ensure_bucketed_layout,
+        q_colocated_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ensure_bucketed_layout(spark, sf)  # built (or fresh from a prior test)
+    before = sorted(
+        (p.name, p.stat().st_mtime_ns)
+        for p in _layout_root(sf).rglob("*.parquet")
+    )
+    # simulate the driver's new session: catalog entries gone, files kept
+    for t in _table_names(sf):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    t_orders, t_lineitem = ensure_bucketed_layout(spark, sf)
+    after = sorted(
+        (p.name, p.stat().st_mtime_ns)
+        for p in _layout_root(sf).rglob("*.parquet")
+    )
+    assert before == after, "re-attach must not rewrite the layout"
+    joined = colocated_join(spark, t_orders, t_lineitem, ["o_orderkey"])
+    assert_no_exchange_under_join(joined)
+    assert q_colocated_join(spark, sf).count() == 5

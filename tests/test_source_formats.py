@@ -86,3 +86,58 @@ def test_csv_orc_streaming_reads(spark, tmp_path):
         q.awaitTermination(60)
         got = sorted(r.val for r in spark.sql(f"SELECT val FROM fmt_{fmt}").collect())
         assert got == [0, 1, 2]
+
+
+# --- versioned-layout discovery (SubTableScanBuilder.java:44-112) ----------
+
+
+def _discovery_store():
+    from fineo_readerator_spark.schema_store import (
+        FieldDef,
+        MetricSchema,
+        SchemaStore,
+    )
+
+    st = SchemaStore()
+    st.register_metric(
+        MetricSchema(
+            org="acme",
+            metric="events",
+            fields=[FieldDef("event_id", "long"), FieldDef("value", "double")],
+        )
+    )
+    return st
+
+
+def test_discovery_selects_latest_version_and_skips_ghost(spark, sf_dir):
+    from fineo_readerator_spark.plans.metric_queries import ensure_fs_layout
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    base = ensure_fs_layout(spark, sf_dir)
+    st = _discovery_store()
+    added = discover_fs_sources(st, base)
+    paths = [spec.path for _, _, spec in added]
+    assert paths, "nothing discovered"
+    assert all("/v1/" in p for p in paths), paths  # v0 (stale) never scanned
+    assert not any("ghost" in p for p in paths), paths  # unregistered: hidden
+    fmts = sorted(spec.fmt for _, _, spec in added)
+    assert fmts == ["csv", "parquet"]  # both format dirs of the version
+
+
+def test_discovery_explicit_version_pins_old_generation(spark, sf_dir):
+    from fineo_readerator_spark.plans.metric_queries import ensure_fs_layout
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    base = ensure_fs_layout(spark, sf_dir)
+    st = _discovery_store()
+    added = discover_fs_sources(st, base, version="v0")
+    assert added and all("/v0/" in spec.path for _, _, spec in added)
+
+
+def test_discovered_metric_reads_full_corpus_once(spark, sf_dir):
+    from fineo_readerator_spark.plans.metric_queries import m_discovered_version
+
+    df = m_discovered_version(spark, sf_dir)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert df.count() == total
+    assert df.select("event_id").distinct().count() == total
