@@ -563,3 +563,87 @@ SELECT {id_col},
          AS chunk_text
 FROM s
 """
+
+
+# --- corpus-trained bigram LM scoring (CCNet-style perplexity filter) ------
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 0.5
+) -> DataFrame:
+    """Per-document average log-likelihood under a word-bigram model trained
+    on the corpus itself — the perplexity-style quality signal the CCNet
+    pipeline uses to bucket documents (low avg log-prob ≈ unnatural text).
+
+    Add-k smoothing: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with
+    ``c(w1)`` the bigram-context count (so probabilities normalize exactly)
+    and ``V`` the corpus vocabulary size.
+
+    Scale shape: bigram construction is row-local (``transform`` over the
+    token array — no shuffle, no UDF); the model is two hash aggregations
+    whose output is bounded by vocabulary (≤ V² bigram rows, V context
+    rows), broadcast back onto the exploded bigrams; the final per-doc fold
+    is one aggregation.  At 100 TB the model tables stay vocabulary-sized —
+    they never grow with the corpus — so both joins stay broadcasts; only
+    the corpus-sized stages are scans.
+
+    Determinism: counts are exact integers; only the final ``avg(ln ...)``
+    is floating point, rounded to 6 decimals (sub-ulp engine differences in
+    ``ln`` vanish at that precision).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    bi = base.filter(F.col("__n") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr("transform(slice(__t, 1, __n - 1), (w, i) -> struct(w AS w1, __t[i + 1] AS w2))")
+        ).alias("__b"),
+    ).select(id_col, "__b.w1", "__b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    vocab = (
+        base.select(F.explode("__t").alias("__w"))
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+    scored = (
+        bi.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log((F.col("__c12") + F.lit(k)) / (F.col("__c1") + F.lit(k) * F.col("__v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logp"),
+    )
+
+
+def bigram_lm_oracle_sql(
+    source_sql: str, text_col: str = "text", id_col: str = "doc_id", k: float = 0.5
+) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'), x -> length(x) > 0)"
+    )
+    return f"""
+WITH tok AS (SELECT {id_col}, {toks} AS t FROM ({source_sql})),
+bi AS (
+  SELECT {id_col}, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT {id_col}, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tok)),
+s AS (
+  SELECT bi.{id_col}, ln((c12.c12 + {k}) / (c1.c1 + {k} * v.v)) AS lp
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT {id_col}, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+FROM s GROUP BY {id_col}
+"""

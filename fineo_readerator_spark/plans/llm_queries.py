@@ -867,6 +867,23 @@ SELECT user_id, event_type, cnt, rank FROM (
 """
 
 
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram log-likelihood under a corpus-trained LM —
+    the CCNet-style perplexity bucket signal (llm_ops.textstats).  The
+    model tables are vocabulary-bounded and broadcast; only the scans are
+    corpus-sized."""
+    from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "text", "doc_id")
+
+
+def _t_bigram_lm_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql("SELECT doc_id, text FROM documents")
+
+
 def t_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + shape signals and the pass/fail rule —
     one codegen'd projection, no shuffle (llm_ops.textstats)."""
@@ -1149,6 +1166,7 @@ LLM_QUERIES = [
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
+    QueryDef("t_bigram_lm", t_bigram_lm, _t_bigram_lm_oracle()),
     QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),

@@ -391,3 +391,32 @@ def test_resize_images_contract(spark, media):
     # deterministic: same input -> same bytes
     again = resize_images(media, "id", "payload", width=32, height=16).collect()
     assert {r.id: bytes(r.resized) for r in out} == {r.id: bytes(r.resized) for r in again}
+
+
+def test_bigram_lm_scores_null_and_short_docs(spark):
+    from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "single"),           # no bigrams -> excluded
+            (3, None),               # NULL text -> excluded
+            (4, "the cat"),          # one bigram seen twice corpus-wide
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_bigrams == 5 and out[4].n_bigrams == 1
+    # "the cat" occurs twice among 6 bigrams with context "the" (x3): the
+    # repeated bigram must score higher than doc 1's average over rarer ones
+    assert out[4].avg_logp > out[1].avg_logp
+
+
+def test_bigram_lm_model_joins_are_broadcast(spark, sf_dir):
+    from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # vocab-bounded model must not shuffle-join
