@@ -192,6 +192,22 @@ def minhash_signatures(
     return exploded.groupBy("id").agg(F.expr(sig).alias("sig"))
 
 
+def _band_explode(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band_idx, band_hash): one row per signature band.  band_hash is
+    xxhash64 over the band's r positions — a 64-bit stand-in for
+    all-r-positions-equal (collision odds are negligible next to the
+    est_jaccard verification that follows every band match)."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -217,15 +233,7 @@ def minhash_lsh_pairs(
     ).localCheckpoint(eager=False)
     # band join carries only (band_hash, id): the 64-long signatures never
     # enter the wide shuffle — they rejoin onto the (tiny) candidate edge set
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _band_explode(sigs, bands, r)
     left = banded.select("band_idx", "band_hash", F.col("id").alias("id_a"))
     right = banded.select("band_idx", "band_hash", F.col("id").alias("id_b"))
     cand = (
@@ -593,4 +601,103 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", inter * F.lit(1.0) / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- incremental dedup against a persisted signature store -----------------
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> None:
+    """Persist the corpus's MinHash state so future batches dedupe against
+    it WITHOUT rescanning the corpus — the daily-ingest shape at 100 TB:
+    the store is written once (and appended per accepted batch), and each
+    delta pays only its own signature pass plus a band-keyed join.
+
+    Layout: ``<path>/sigs`` = (id, sig[num_hashes]); ``<path>/bands`` =
+    (id, band_hash) partitioned by band_idx, so a probe scans one band dir
+    per band.  At cluster scale, additionally bucket ``bands`` by
+    band_hash (``operators.scale.write_bucketed``) to make the delta join
+    co-located."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, portable)
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    # band-explode from the WRITTEN sigs: the signature aggregation runs
+    # once, not once per output table
+    stored = df.sparkSession.read.parquet(f"{path}/sigs")
+    _band_explode(stored, bands, r).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(f"{path}/bands")
+
+
+def incremental_minhash_flags(
+    store_path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Flag delta docs that near-duplicate the stored corpus: one row per
+    delta doc with (n_dup_bases, best_est, is_dup).
+
+    Cost shape: signatures for the DELTA only; the stored corpus
+    contributes its (band_hash, id) rows to an equi-join and its signatures
+    only onto the verified candidate set.  Nothing rescans base text."""
+    spark = delta.sparkSession
+    r = num_hashes // bands
+    base_bands = spark.read.parquet(f"{store_path}/bands").select(
+        "band_idx", "band_hash", F.col("id").alias("base_id")
+    )
+    base_sigs = spark.read.parquet(f"{store_path}/sigs").select(
+        F.col("id").alias("base_id"), F.col("sig").alias("sig_b")
+    )
+    d_sigs = minhash_signatures(
+        delta, id_col, text_col, num_hashes, shingle_k, seed, portable
+    ).localCheckpoint(eager=False)
+    cand = (
+        _band_explode(d_sigs, bands, r)
+        .join(base_bands, ["band_idx", "band_hash"])
+        .select("id", "base_id")
+        .dropDuplicates(["id", "base_id"])
+    )
+    agree = F.aggregate(
+        F.zip_with("sig", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    verified = (
+        cand.join(d_sigs, "id")
+        .join(base_sigs, "base_id")
+        .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
+        .filter(F.col("est") >= threshold)
+    )
+    hits = verified.groupBy("id").agg(
+        F.countDistinct("base_id").alias("n_dup_bases"),
+        F.max("est").alias("best_est"),
+    )
+    return (
+        delta.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_dup_bases", F.lit(0)).alias("n_dup_bases"),
+            "best_est",
+            F.col("n_dup_bases").isNotNull().alias("is_dup"),
+        )
     )

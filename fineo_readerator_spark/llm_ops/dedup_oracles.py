@@ -193,3 +193,49 @@ __good AS (
 ),
 {_COMPONENT_CTES}
 SELECT r.doc_id, r.n_chars FROM __reps r JOIN __keep k ON r.doc_id = k.id"""
+
+
+def incremental_flags_oracle(
+    corpus_sql: str,
+    delta_pred: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``incremental_minhash_flags(portable=True)``: the delta is
+    ``corpus_sql`` rows matching ``delta_pred``, the stored base is the rest.
+    Signatures depend only on the text, so recomputing them over the full
+    corpus here equals the Spark side's store + fresh-delta split."""
+    r = num_hashes // bands
+    return f"""WITH __all AS ({corpus_sql}),
+{_shingle_ctes('__all', shingle_k)},
+{_minhash_sig_cte(num_hashes, seed)},
+__bands AS (
+  SELECT doc_id, j, sig[{r}*j+1:{r}*j+{r}] AS band
+  FROM __sig, generate_series(0, {bands - 1}) t(j)
+),
+__cand AS (
+  SELECT DISTINCT d.doc_id AS id, b.doc_id AS base_id
+  FROM __bands d JOIN __bands b ON d.j = b.j AND d.band = b.band
+  WHERE ({delta_pred.replace('doc_id', 'd.doc_id')})
+    AND NOT ({delta_pred.replace('doc_id', 'b.doc_id')})
+),
+__ver AS (
+  SELECT id, base_id,
+         round(list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0,
+               4) AS est
+  FROM __cand JOIN __sig sa ON sa.doc_id = id JOIN __sig sb ON sb.doc_id = base_id
+),
+__hits AS (
+  SELECT id, count(DISTINCT base_id) AS n, max(est) AS best
+  FROM __ver WHERE est >= {threshold} GROUP BY id
+)
+SELECT a.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_dup_bases,
+       h.best AS best_est,
+       h.n IS NOT NULL AS is_dup
+FROM __all a LEFT JOIN __hits h ON h.id = a.doc_id
+WHERE {delta_pred.replace('doc_id', 'a.doc_id')}"""

@@ -741,6 +741,53 @@ def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def _minhash_store_path(sf_dir: str):
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "minhash_store"
+
+
+def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Signature store for the base corpus (doc_id % 5 != 0), built once per
+    corpus fingerprint — the persisted state the incremental path probes."""
+    from fineo_readerator_spark.llm_ops.dedup import write_signature_store
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    path = _minhash_store_path(sf_dir)
+    fp = source_fingerprint(sf_dir, "documents")
+    if not snapshot_is_fresh(path, fp):
+        base = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        write_signature_store(base, str(path), portable=True)
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: flag a delta batch (doc_id % 5 == 0) against the
+    PERSISTED signature store of the rest of the corpus — signatures are
+    computed for the delta only; the base contributes stored (band, id)
+    rows to one equi-join and stored signatures onto the candidate set.
+    The base corpus text is never rescanned (the 100 TB ingest shape)."""
+    from fineo_readerator_spark.llm_ops.dedup import incremental_minhash_flags
+
+    store = ensure_minhash_store(spark, sf_dir)
+    delta = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return incremental_minhash_flags(store, delta, portable=True)
+
+
+def _d_incremental_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import incremental_flags_oracle
+
+    return incremental_flags_oracle(
+        "SELECT doc_id, text FROM documents", "doc_id % 5 = 0"
+    )
+
+
 def d_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup, portable hashing — oracle-checked end to end
     like d_minhash_dedup."""
@@ -1162,6 +1209,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
+    QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle()),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),

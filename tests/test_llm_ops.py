@@ -420,3 +420,35 @@ def test_bigram_lm_model_joins_are_broadcast(spark, sf_dir):
     plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan  # vocab-bounded model must not shuffle-join
+
+
+def test_incremental_dedup_probes_store_without_base_rescan(spark, tmp_path):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        incremental_minhash_flags,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words entirely in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    write_signature_store(base, store)
+    # band table is partitioned by band_idx: a probe opens band dirs, and at
+    # cluster scale the join key (band_idx, band_hash) is bucketable
+    band_dirs = [p.name for p in (tmp_path / "store" / "bands").iterdir() if p.is_dir()]
+    assert sorted(band_dirs) == sorted(f"band_idx={i}" for i in range(16))
+
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # = doc 1
+            (11, "unrelated brand new content appears right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_minhash_flags(store, delta).collect()}
+    assert out[10].is_dup and out[10].n_dup_bases == 1 and out[10].best_est == 1.0
+    assert not out[11].is_dup and out[11].n_dup_bases == 0 and out[11].best_est is None
