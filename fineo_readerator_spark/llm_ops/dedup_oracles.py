@@ -195,19 +195,17 @@ __good AS (
 SELECT r.doc_id, r.n_chars FROM __reps r JOIN __keep k ON r.doc_id = k.id"""
 
 
-def incremental_flags_oracle(
+def _incremental_ver_ctes(
     corpus_sql: str,
     delta_pred: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.7,
-    seed: int = 42,
-    shingle_k: int = 3,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    shingle_k: int,
 ) -> str:
-    """Oracle for ``incremental_minhash_flags(portable=True)``: the delta is
-    ``corpus_sql`` rows matching ``delta_pred``, the stored base is the rest.
-    Signatures depend only on the text, so recomputing them over the full
-    corpus here equals the Spark side's store + fresh-delta split."""
+    """CTE chain up to ``__ver``: delta×base band candidates with their
+    signature-agreement estimate (shared by the batch flags oracle and the
+    streaming pairs oracle)."""
     r = num_hashes // bands
     return f"""WITH __all AS ({corpus_sql}),
 {_shingle_ctes('__all', shingle_k)},
@@ -228,7 +226,38 @@ __ver AS (
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0,
                4) AS est
   FROM __cand JOIN __sig sa ON sa.doc_id = id JOIN __sig sb ON sb.doc_id = base_id
-),
+)"""
+
+
+def incremental_pairs_oracle(
+    corpus_sql: str,
+    delta_pred: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for the streaming store probe: every verified delta×base
+    near-dup pair."""
+    return f"""{_incremental_ver_ctes(corpus_sql, delta_pred, num_hashes, bands, seed, shingle_k)}
+SELECT id AS doc_id, base_id, est FROM __ver WHERE est >= {threshold}"""
+
+
+def incremental_flags_oracle(
+    corpus_sql: str,
+    delta_pred: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``incremental_minhash_flags(portable=True)``: the delta is
+    ``corpus_sql`` rows matching ``delta_pred``, the stored base is the rest.
+    Signatures depend only on the text, so recomputing them over the full
+    corpus here equals the Spark side's store + fresh-delta split."""
+    return f"""{_incremental_ver_ctes(corpus_sql, delta_pred, num_hashes, bands, seed, shingle_k)},
 __hits AS (
   SELECT id, count(DISTINCT base_id) AS n, max(est) AS best
   FROM __ver WHERE est >= {threshold} GROUP BY id
