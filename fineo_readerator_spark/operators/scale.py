@@ -10,8 +10,9 @@ These are the shuffle-avoidance tools a 100 TB deployment reaches for:
   to one partition, `DynamoFineoCompoundKeyMapper.java:21-37`).
 - **Salting**: when one group key dominates (one org, one metric), a single
   reducer drowns.  Two-phase aggregation over (key, salt) spreads the hot
-  key across ``salt_buckets`` reducers, then re-aggregates the partials.
-  AQE's skew-join handling covers joins; this covers aggregations.
+  key across ``salt_buckets`` reducers, then re-aggregates the partials;
+  ``salted_join`` does the same for joins AQE's runtime skew handling
+  can't reach (stream-static joins, misleading stats).
 """
 
 from __future__ import annotations
@@ -127,3 +128,36 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[_ALGEBRAIC[fn][1](alias).alias(alias) for alias, (_, fn) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_from: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` is skewed on the join key and ``small`` is too
+    large to broadcast: big rows take a deterministic salt from
+    ``salt_from`` (any well-distributed column — MUST be deterministic per
+    row so task retries re-derive the same salt), the small side replicates
+    ``n_salt``-fold, and the join key widens to (on..., salt) — the hot
+    key's rows spread over ``n_salt`` reducers instead of drowning one.
+
+    AQE's skew-join handles most batch cases at runtime; this is for the
+    shapes AQE can't touch (stream-static joins, badly-split stats).  Only
+    inner/left joins are legal: the replicated small side would multiply
+    its unmatched rows under right/full semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    # merge hint: broadcast would make the salting pointless, shuffle-hash
+    # re-concentrates per-key; sort-merge on the widened key is the shape
+    # the salt exists for
+    return salted_big.join(replicated.hint("merge"), on + ["__salt"], how).drop("__salt")

@@ -1209,7 +1209,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
-    QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle()),
+    QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),

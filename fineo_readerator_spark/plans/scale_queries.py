@@ -169,6 +169,6 @@ ORDER BY l_returnflag
 
 
 SCALE_QUERIES = [
-    QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE),
+    QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE, bench=True),
     QueryDef("q_salted_hot_agg", q_salted_hot_agg, Q_SALTED_ORACLE),
 ]

@@ -120,3 +120,37 @@ def test_bucketed_layout_reattaches_without_rewrite(spark):
     joined = colocated_join(spark, t_orders, t_lineitem, ["o_orderkey"])
     assert_no_exchange_under_join(joined)
     assert q_colocated_join(spark, sf).count() == 5
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from fineo_readerator_spark.operators.scale import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    salted = salted_join(ev, dim, ["event_type"], salt_from="event_id")
+    plain = ev.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    got = {
+        r.event_type: (r.n, round(r.avg_dev, 6))
+        for r in salted.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.avg(F.col("value") - F.col("type_avg")).alias("avg_dev"))
+        .collect()
+    }
+    exp = {
+        r.event_type: (r.n, round(r.avg_dev, 6))
+        for r in plain.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.avg(F.col("value") - F.col("type_avg")).alias("avg_dev"))
+        .collect()
+    }
+    assert got == exp
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_rejects_replicating_outer(spark, sf_dir):
+    from fineo_readerator_spark.operators.scale import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        salted_join(ev, ev.limit(5), ["event_type"], salt_from="event_id", how="full")
