@@ -592,6 +592,29 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     return str(path)
 
 
+def s_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: a metadata predicate (label = 3) composed
+    with IVF cell pruning over the materialized layout — the probe-cell
+    partition filter prunes directories at the file listing AND the label
+    equality pushes into the parquet scan, so non-probed cells are never
+    opened and non-matching rows die at the row-group.  The filter applies
+    BEFORE top-k (post-filtering an unfiltered top-k would under-fill k)."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, seeded_codebook
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    seeds = seeded_codebook(rest, "vec_id", "embedding", 16)
+    qd = sorted(
+        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), sid)
+        for sid, sv in seeds
+    )
+    probe = [sid for _, sid in qd[:4]]
+    layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir))
+    probed = layout.filter(F.col("cell").isin(probe)).filter(F.col("label") == 3)
+    return cosine_topk(probed, qv, k=10)
+
+
 def s_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over the cell-partitioned layout: probe cells become a
     partition filter (directory pruning — asserted in
@@ -654,6 +677,22 @@ sims AS (
 )
 SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
+
+
+# the filtered variant's oracle is the IVF oracle with `label` carried
+# through assignment and applied inside the probed cells, before top-k
+S_ANN_FILTERED_ORACLE = (
+    S_ANN_IVF_ORACLE.replace(
+        "SELECT vec_id, embedding, sid,", "SELECT vec_id, embedding, label, sid,"
+    )
+    .replace(
+        "SELECT e.vec_id, e.embedding, s.sid",
+        "SELECT e.vec_id, e.embedding, e.label, s.sid",
+    )
+    .replace("WHERE rn = 1 AND sid IN", "WHERE rn = 1 AND label = 3 AND sid IN")
+)
+
+
 
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, max_probe_dist: int = 1) -> str:
@@ -1194,6 +1233,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
     QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
+    QueryDef("s_ann_filtered", s_ann_filtered, S_ANN_FILTERED_ORACLE),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
