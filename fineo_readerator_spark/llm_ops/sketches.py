@@ -379,3 +379,37 @@ SELECT q, max(n)::BIGINT AS n_rows,
 FROM q CROSS JOIN c
 GROUP BY q
 """
+
+
+def bloom_words(df: DataFrame, key: Column) -> list[int]:
+    """Driver-side materialization of ``bloom_build``: the filter as a dense
+    16-long word list.  The collect is ≤16 rows — sketch-sized, never
+    data-sized — so this is safe at any corpus scale."""
+    words = [0] * (_BF_BITS // 64)
+    for r in bloom_build(df, key).collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_member_sql(words: list[int], key_sql: str) -> str:
+    """Row-local membership test as a SQL boolean: the 16 filter words embed
+    in the plan as literals, so probing costs k md5s per row — no join, no
+    shuffle, no broadcast.
+
+    The pre-join use: ``big.filter(F.expr(bloom_member_sql(words, key)))``
+    drops the vast majority of non-matching big-side rows BEFORE the join's
+    exchange (no false negatives, so a subsequent exact join returns exactly
+    the unfiltered join's result).  Spark's runtime bloom join filters do
+    this adaptively; the explicit form works where AQE's doesn't reach —
+    cross-session reuse (persist the 16 words), streaming sources, or
+    filters built from a different pipeline stage."""
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for i in range(_BF_K):
+        md5 = f"CAST(conv(substring(md5(concat('bf{i}|', CAST({key_sql} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        pos = f"({md5} % {_BF_BITS})"
+        tests.append(
+            f"((shiftright(element_at({arr}, CAST({pos} div 64 AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1L) = 1L)"
+        )
+    return "(" + " AND ".join(tests) + ")"

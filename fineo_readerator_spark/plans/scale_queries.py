@@ -168,7 +168,52 @@ ORDER BY l_returnflag
 """
 
 
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: the BUILDING-segment customer keys compress
+    into a 1024-bit filter (16 longs collected driver-side), embedded as a
+    row-local predicate on the orders scan — most non-matching orders die
+    before the join's exchange.  No false negatives, so the exact join
+    after the filter returns precisely the plain join's result (which is
+    the oracle).  At 100 TB this is the explicit form of a runtime bloom
+    join filter: reusable across sessions and on streaming sources where
+    AQE's adaptive version can't apply."""
+    from fineo_readerator_spark.llm_ops.sketches import bloom_member_sql, bloom_words
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words = bloom_words(cust, F.col("c_custkey"))
+    orders = load(spark, sf_dir, "orders").filter(
+        F.expr(bloom_member_sql(words, "o_custkey"))
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_BLOOM_PREJOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = [
     QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE, bench=True),
     QueryDef("q_salted_hot_agg", q_salted_hot_agg, Q_SALTED_ORACLE),
+    QueryDef("q_bloom_prejoin", q_bloom_prejoin, Q_BLOOM_PREJOIN_ORACLE),
 ]

@@ -169,3 +169,24 @@ def test_contamination_finds_planted_overlap(spark):
     pairs = contamination_pairs(train, eval_df, min_shared=3).collect()
     assert [(r["train_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
     assert pairs[0]["n_shared"] >= 3
+
+
+def test_bloom_member_sql_no_false_negatives_and_selective(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fineo_readerator_spark.llm_ops.sketches import bloom_member_sql, bloom_words
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words = bloom_words(cust, F.col("c_custkey"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    passed = orders.filter(F.expr(bloom_member_sql(words, "o_custkey")))
+    true_match = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    n_orders, n_passed, n_true = orders.count(), passed.count(), true_match.count()
+    # no false negatives: every truly-matching order passes the filter
+    assert passed.join(cust, passed.o_custkey == cust.c_custkey).count() == n_true
+    # selective: the filter kills a meaningful share of non-matching rows
+    assert n_true <= n_passed < n_orders
