@@ -484,6 +484,34 @@ M_FORMATS_ORACLE = (
 )
 
 
+def m_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry-driven evolution, both directions in one read: a
+    field added AFTER the data was written (``late_score``) reads as typed
+    NULL (`TestClientLikeReads.java:193-260`), and a DELETED field
+    (``props``) vanishes from the row type even though the bytes persist
+    (`TestClientLikeReads.java:324-434`).  The projection selects every
+    non-internal column, so a deletion failure reintroduces ``props`` and
+    breaks the driver's schema match — the query itself is the assertion."""
+    fields = EVENT_FIELDS + [FieldDef("late_score", "double")]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(kind="historical", path=f"{sf_dir}/events.parquet", derive=dict(EVENT_DERIVE)),
+    )
+    st.drop_field(ORG, METRIC, "props")
+    df = build_metric_df(spark, st, ORG, METRIC, sort=False)
+    internal = {"companykey", "metrictype", "writetime", "_fm"}
+    return df.select(*[c for c in df.columns if c not in internal])
+
+
+M_EVOLUTION_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value, '
+    "CAST(NULL AS DOUBLE) AS late_score FROM events"
+)
+
+
 def _fs_layout_path(sf_dir: str):
     from pathlib import Path
 
@@ -669,4 +697,5 @@ METRIC_QUERIES = [
     QueryDef("m_union_items_nested", m_union_items_nested, M_ITEMS_NESTED_ORACLE),
     QueryDef("m_formats_union", m_formats_union, M_FORMATS_ORACLE),
     QueryDef("m_discovered_version", m_discovered_version, M_FORMATS_ORACLE),
+    QueryDef("m_schema_evolution", m_schema_evolution, M_EVOLUTION_ORACLE),
 ]
