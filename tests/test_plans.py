@@ -243,3 +243,42 @@ def test_small_dims_broadcast(spark, sf_dir):
     plan = _plan(q5_local_supplier(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_s_ann_filtered_prunes_cells_and_pushes_label(spark):
+    """Filtered ANN: probe cells reach PartitionFilters (directory pruning)
+    and the label equality reaches PushedFilters (row-group skipping)."""
+    from fineo_readerator_spark.plans.llm_queries import s_ann_filtered
+
+    df = s_ann_filtered(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan or "cell IN" in plan, plan
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan, plan
+
+
+def test_q_salted_hot_agg_fans_out_over_salt(spark):
+    """Two-phase salted aggregation: the partial aggregate groups on
+    (key, __salt) — the hot key spreads before the exchange."""
+    from fineo_readerator_spark.plans.scale_queries import q_salted_hot_agg
+
+    df = q_salted_hot_agg(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+
+
+def test_q_bloom_prejoin_filters_before_join(spark):
+    """The bloom membership predicate sits on the orders side below the
+    join, so non-matching rows die before any exchange."""
+    from fineo_readerator_spark.plans.scale_queries import q_bloom_prejoin
+
+    df = q_bloom_prejoin(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_at = min(
+        (plan.find(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(j) != -1),
+        default=-1,
+    )
+    bloom_at = plan.find("shiftright(element_at(")
+    assert join_at != -1 and bloom_at != -1, plan
+    # executedPlan prints top-down: the join node appears before (above) the
+    # scan-side filter that contains the bloom expression
+    assert bloom_at > join_at, plan
