@@ -70,6 +70,25 @@ SELECT * FROM (VALUES
 """
 
 
+def i_schemata_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.7 INFORMATION_SCHEMA legs — CATALOGS and SCHEMATA
+    with tenant scoping (one FINEO catalog; only the tenant's own schema
+    visible, `TestFineoInfoSchema.java:68-158`)."""
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    return tenant.sql(
+        """
+        SELECT c.catalog_name, s.schema_name
+        FROM information_schema_catalogs c
+        JOIN information_schema_schemata s ON s.catalog_name = c.catalog_name
+        """
+    )
+
+
+I_SCHEMATA_ORACLE = (
+    "SELECT * FROM (VALUES ('FINEO', 'acme')) t(catalog_name, schema_name)"
+)
+
+
 def _errors_dated_path(sf_dir: str):
     from pathlib import Path
 
@@ -266,6 +285,7 @@ CATALOG_QUERIES = [
     QueryDef("t_sql_entry", t_sql_entry, T_SQL_ORACLE),
     QueryDef("e_errors_forced_filter", e_errors_forced_filter, E_ERRORS_ORACLE),
     QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
+    QueryDef("i_schemata_catalogs", i_schemata_catalogs, I_SCHEMATA_ORACLE),
     QueryDef("t_stored_registry", t_stored_registry, T_STORED_REGISTRY_ORACLE),
     QueryDef("t_multi_metric_join", t_multi_metric_join, T_MULTI_METRIC_ORACLE),
     QueryDef("e_errors_date_pruned", e_errors_date_pruned, E_ERRORS_DATED_ORACLE),
