@@ -49,40 +49,53 @@ def _rho(suffix: Column) -> Column:
     )
 
 
-def hll_registers(df: DataFrame, key: Column) -> DataFrame:
-    """(bucket, m_j) rows for non-empty registers — the mergeable sketch
-    state.  Missing buckets mean register value 0."""
+def hll_registers(df: DataFrame, key: Column, group_cols: tuple = ()) -> DataFrame:
+    """(group_cols..., bucket, m_j) rows for non-empty registers — the
+    mergeable sketch state (missing buckets mean register value 0).  With
+    ``group_cols`` this is one sketch per group; register ``max`` is
+    associative/commutative, so the same expression maintains the registers
+    INCREMENTALLY as a streaming aggregation — the stored registers ARE the
+    state, and estimates finalize on read (``hll_finalize``)."""
     h = _md5_long(key)
     return (
         df.select(
+            *group_cols,
             h.bitwiseAND(F.lit(_M - 1)).alias("bucket"),
             _rho(F.shiftright(h, _P)).alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
 
 
-def hll_estimate(df: DataFrame, key: Column) -> DataFrame:
-    """Single-row DataFrame: (est_distinct double, registers_set long).
+def _estimate_sql() -> str:
+    """The HLL estimator over a group of (bucket, m_j) rows, with the
+    small-range (linear counting) correction; no large-range correction is
+    needed at 60 hash bits."""
+    big = 1 << (_W + 1)
+    raw = (
+        f"{_ALPHA!r}D * {_M} * {_M} * {big}"
+        f" / (sum(shiftleft(1L, {_W + 1} - m_j)) + ({_M} - count(*)) * {big}L)"
+    )
+    return (
+        f"round(CASE WHEN {raw} <= 2.5D * {_M} AND count(*) < {_M}"
+        f" THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))"
+        f" ELSE {raw} END, 2)"
+    )
 
-    Standard HLL estimator with the small-range (linear counting)
-    correction; no large-range correction is needed at 60 hash bits."""
-    regs = hll_registers(df, key)
-    return regs.agg(
-        F.expr(
-            f"""
-            round(CASE WHEN {_ALPHA!r}D * {_M} * {_M} * {1 << (_W + 1)}
-                       / (sum(shiftleft(1L, {_W + 1} - m_j)) + ({_M} - count(*)) * {1 << (_W + 1)}L)
-                       <= 2.5D * {_M} AND count(*) < {_M}
-                  THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))
-                  ELSE {_ALPHA!r}D * {_M} * {_M} * {1 << (_W + 1)}
-                       / (sum(shiftleft(1L, {_W + 1} - m_j)) + ({_M} - count(*)) * {1 << (_W + 1)}L)
-                  END, 2)
-            """
-        ).alias("est_distinct"),
+
+def hll_finalize(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """(group_cols..., est_distinct double, registers_set long) from stored
+    register rows — the read-time half of the sketch."""
+    return regs.groupBy(*group_cols).agg(
+        F.expr(_estimate_sql()).alias("est_distinct"),
         F.count("*").cast("long").alias("registers_set"),
     )
+
+
+def hll_estimate(df: DataFrame, key: Column) -> DataFrame:
+    """Single-row DataFrame: (est_distinct double, registers_set long)."""
+    return hll_finalize(hll_registers(df, key))
 
 
 def _salted_md5_long(col: Column, salt: str) -> Column:
@@ -413,3 +426,33 @@ def bloom_member_sql(words: list[int], key_sql: str) -> str:
             f" CAST({pos} % 64 AS INT)) & 1L) = 1L)"
         )
     return "(" + " AND ".join(tests) + ")"
+
+
+def hll_grouped_oracle_sql(source_sql: str, group_col: str, key_expr: str) -> str:
+    """DuckDB replay of per-group HLL registers + finalize (the grouped /
+    streaming variant of ``hll_oracle_sql``)."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    h = _hexparse(f"md5({key_expr})", 1, 15)
+    big = 1 << (_W + 1)
+    est = (
+        f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
+        f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
+    )
+    return f"""
+WITH h AS (
+  SELECT {group_col}, {h} AS h FROM ({source_sql})
+),
+regs AS (
+  SELECT {group_col}, h & {_M - 1} AS bucket,
+         max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}
+                  ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j
+  FROM h GROUP BY 1, 2
+)
+SELECT {group_col},
+       round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
+             THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))
+             ELSE {est} END, 2) AS est_distinct,
+       count(*) AS registers_set
+FROM regs GROUP BY {group_col}
+"""

@@ -226,6 +226,36 @@ FROM events c JOIN events p
 """
 
 
+def st_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimate per event_type via the portable
+    HLL: the stream maintains the (key, bucket) → max(rho) register rows
+    incrementally — register max is associative/commutative, so the
+    streaming aggregation state IS the mergeable sketch (≤128 ints per
+    key, bounded regardless of stream length).  Estimates finalize on
+    read from the drained register table, the stored-registers /
+    estimate-on-read split a production sketch store uses.  Streaming
+    can't chain two aggregations in one query; this composition is the
+    idiomatic workaround, and the DuckDB oracle replays both halves."""
+    from fineo_readerator_spark.llm_ops.sketches import hll_finalize, hll_registers
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    regs = hll_registers(
+        stream, F.col("user_id").cast("string"), group_cols=("event_type",)
+    )
+    drained = _drain(regs, "st_hll_sink", "complete")
+    return hll_finalize(drained, ("event_type",))
+
+
+def _st_hll_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import hll_grouped_oracle_sql
+
+    return hll_grouped_oracle_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events",
+        "event_type",
+        "k",
+    )
+
+
 def st_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: a document stream (doc_id % 5 == 0) probes
     the PERSISTED MinHash signature store of the rest of the corpus and
@@ -297,6 +327,7 @@ def _st_store_probe_oracle() -> str:
 STREAMING_QUERIES = [
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_store_probe", st_store_probe, _st_store_probe_oracle()),
+    QueryDef("st_hll_distinct", st_hll_distinct, _st_hll_oracle()),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
     QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),
