@@ -75,8 +75,10 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
         # between passes: drop cached relations queries may have left behind
-        # and let the JVM settle, so pass boundaries don't bleed state
+        # and force a collection, so a GC phase lands at the pass boundary
+        # instead of inside some query's measurement
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline query wall-clock, local[{}]".format(
