@@ -70,6 +70,17 @@ SELECT * FROM (VALUES
 """
 
 
+def t_values_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VALUES(1)`` connectivity smoke through the tenant SQL surface —
+    the reference proxy's liveness check (readerator/proxy test, SURVEY
+    §2.7 last bullet)."""
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    return tenant.sql("SELECT 1 AS one")
+
+
+T_VALUES_ORACLE = "SELECT 1 AS one"
+
+
 def i_schemata_catalogs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining §2.7 INFORMATION_SCHEMA legs — CATALOGS and SCHEMATA
     with tenant scoping (one FINEO catalog; only the tenant's own schema
@@ -286,6 +297,7 @@ CATALOG_QUERIES = [
     QueryDef("e_errors_forced_filter", e_errors_forced_filter, E_ERRORS_ORACLE),
     QueryDef("i_info_schema", i_info_schema, I_INFO_SCHEMA_ORACLE),
     QueryDef("i_schemata_catalogs", i_schemata_catalogs, I_SCHEMATA_ORACLE),
+    QueryDef("t_values_smoke", t_values_smoke, T_VALUES_ORACLE),
     QueryDef("t_stored_registry", t_stored_registry, T_STORED_REGISTRY_ORACLE),
     QueryDef("t_multi_metric_join", t_multi_metric_join, T_MULTI_METRIC_ORACLE),
     QueryDef("e_errors_date_pruned", e_errors_date_pruned, E_ERRORS_DATED_ORACLE),

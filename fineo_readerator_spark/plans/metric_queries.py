@@ -484,6 +484,27 @@ M_FORMATS_ORACLE = (
 )
 
 
+def m_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY + LIMIT through the metric layer (§2.5: tests
+    always append ORDER BY, `BaseFineoTest.java:61-95`; JDBC maxRowCount,
+    `FineoJdbcMeta.java:143-159`).  Unlike the timestamp-sorted reads, the
+    LIMIT makes row MEMBERSHIP depend on the sort, so the driver hash
+    verifies ordering semantics, not just content; the key set
+    (event_type, value DESC, event_id) is collision-free."""
+    df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, sort=False)
+    return (
+        df.orderBy(F.col("event_type"), F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+        .select("timestamp", "event_id", "event_type", "value")
+    )
+
+
+M_ORDER_LIMIT_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_id, event_type, value FROM events '
+    "ORDER BY event_type, value DESC, event_id LIMIT 100"
+)
+
+
 def m_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-registry-driven evolution, both directions in one read: a
     field added AFTER the data was written (``late_score``) reads as typed
@@ -698,4 +719,5 @@ METRIC_QUERIES = [
     QueryDef("m_formats_union", m_formats_union, M_FORMATS_ORACLE),
     QueryDef("m_discovered_version", m_discovered_version, M_FORMATS_ORACLE),
     QueryDef("m_schema_evolution", m_schema_evolution, M_EVOLUTION_ORACLE),
+    QueryDef("m_order_limit", m_order_limit, M_ORDER_LIMIT_ORACLE),
 ]
