@@ -256,7 +256,9 @@ def discover_fs_sources(
     configured version's format dirs and emits one sub-scan per existing
     ``<org>/<metricId>`` dir).
 
-    - ``version=None`` selects the LATEST version dir (lexicographic max);
+    - ``version=None`` selects the LATEST version dir under NATURAL order
+      (digit runs compare numerically, so ``v10`` > ``v9`` — a plain
+      lexicographic max would pick ``v9`` forever after the tenth re-ETL);
       the reference pins the version in plugin config
       (`SubTableScanBuilder.java:106-112`) — pass it explicitly for that.
       Older versions are never scanned: a re-ETL publishes a new version
@@ -273,8 +275,15 @@ def discover_fs_sources(
     """
     from pathlib import Path
 
+    def natural(name: str):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
     root = Path(base)
-    versions = sorted(p.name for p in root.iterdir() if p.is_dir()) if root.is_dir() else []
+    versions = (
+        sorted((p.name for p in root.iterdir() if p.is_dir()), key=natural)
+        if root.is_dir()
+        else []
+    )
     if not versions:
         return []
     ver = version if version is not None else versions[-1]

@@ -141,3 +141,18 @@ def test_discovered_metric_reads_full_corpus_once(spark, sf_dir):
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert df.count() == total
     assert df.select("event_id").distinct().count() == total
+
+
+def test_discovery_version_order_is_natural(tmp_path):
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    base = tmp_path / "layout"
+    for v in ("v1", "v9", "v10"):
+        d = base / v / "parquet" / "acme" / "events"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"")
+    st = _discovery_store()
+    added = discover_fs_sources(st, str(base))
+    assert added and all("/v10/" in spec.path for _, _, spec in added), [
+        spec.path for _, _, spec in added
+    ]
