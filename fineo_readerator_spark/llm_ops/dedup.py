@@ -606,6 +606,16 @@ def ngram_jaccard_pairs(
 
 # --- incremental dedup against a persisted signature store -----------------
 
+_STORE_SIGS_SCHEMA = "id long, sig array<bigint>"
+_STORE_BANDS_SCHEMA = "id long, band_hash bigint, band_idx int"
+_STORE_PARAM_DEFAULTS = {
+    "num_hashes": 64,
+    "bands": 16,
+    "shingle_k": 3,
+    "seed": 42,
+    "portable": False,
+}
+
 
 def write_signature_store(
     df: DataFrame,
@@ -625,53 +635,81 @@ def write_signature_store(
 
     Layout: ``<path>/sigs`` = (id, sig[num_hashes]); ``<path>/bands`` =
     (id, band_hash) partitioned by band_idx, so a probe scans one band dir
-    per band.  At cluster scale, additionally bucket ``bands`` by
-    band_hash (``operators.scale.write_bucketed``) to make the delta join
+    per band; ``<path>/_store_meta.json`` = the hash-family parameters,
+    written LAST (doubles as the build-completed marker).  Probes take
+    their parameters FROM the meta, so a store built with one family can
+    never be silently probed with another (mismatched bands/seed/leaf
+    would return false negatives with no error).  At cluster scale,
+    additionally bucket ``bands`` by band_hash
+    (``operators.scale.write_bucketed``) to make the delta join
     co-located."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    import json
+    from pathlib import Path
+
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, portable)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     # band-explode from the WRITTEN sigs: the signature aggregation runs
-    # once, not once per output table
-    stored = df.sparkSession.read.parquet(f"{path}/sigs")
+    # once, not once per output table (explicit schema: an EMPTY corpus
+    # writes a file-less sigs dir that schema inference cannot read)
+    stored = df.sparkSession.read.schema(_STORE_SIGS_SCHEMA).parquet(f"{path}/sigs")
     _band_explode(stored, bands, r).write.mode("overwrite").partitionBy(
         "band_idx"
     ).parquet(f"{path}/bands")
+    (Path(path) / "_store_meta.json").write_text(
+        json.dumps(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "seed": seed,
+                "portable": portable,
+            }
+        )
+    )
 
 
-def incremental_minhash_flags(
+def read_store_meta(store_path: str) -> dict:
+    """The store's hash-family parameters (pre-meta stores fall back to the
+    historical defaults, which is what they were built with)."""
+    import json
+    from pathlib import Path
+
+    try:
+        return {
+            **_STORE_PARAM_DEFAULTS,
+            **json.loads((Path(store_path) / "_store_meta.json").read_text()),
+        }
+    except OSError:
+        return dict(_STORE_PARAM_DEFAULTS)
+
+
+def probe_signature_store(
+    delta_sigs: DataFrame,
     store_path: str,
-    delta: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
     threshold: float = 0.7,
-    seed: int = 42,
-    portable: bool = False,
 ) -> DataFrame:
-    """Flag delta docs that near-duplicate the stored corpus: one row per
-    delta doc with (n_dup_bases, best_est, is_dup).
-
-    Cost shape: signatures for the DELTA only; the stored corpus
-    contributes its (band_hash, id) rows to an equi-join and its signatures
-    only onto the verified candidate set.  Nothing rescans base text."""
-    spark = delta.sparkSession
-    r = num_hashes // bands
-    base_bands = spark.read.parquet(f"{store_path}/bands").select(
-        "band_idx", "band_hash", F.col("id").alias("base_id")
-    )
-    base_sigs = spark.read.parquet(f"{store_path}/sigs").select(
-        F.col("id").alias("base_id"), F.col("sig").alias("sig_b")
-    )
-    d_sigs = minhash_signatures(
-        delta, id_col, text_col, num_hashes, shingle_k, seed, portable
-    ).localCheckpoint(eager=False)
+    """Verified near-dup pairs (id, base_id, est) between delta signatures
+    and the stored corpus — the shared core of the batch flags and the
+    streaming probe.  ``delta_sigs`` is (id, sig) rows, batch OR streaming
+    (every step here is stream-legal: row-local banding, stream-static
+    equi-joins, pair-dedup state).  Band parameters come from the store's
+    meta, never from the caller.  Explicit read schemas make an empty
+    store (brand-new tenant) an empty result, not an inference error."""
+    spark = delta_sigs.sparkSession
+    meta = read_store_meta(store_path)
+    num_hashes = meta["num_hashes"]
+    r = num_hashes // meta["bands"]
+    base_bands = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(
+        f"{store_path}/bands"
+    ).select("band_idx", "band_hash", F.col("id").alias("base_id"))
+    base_sigs = spark.read.schema(_STORE_SIGS_SCHEMA).parquet(
+        f"{store_path}/sigs"
+    ).select(F.col("id").alias("base_id"), F.col("sig").alias("sig_b"))
     cand = (
-        _band_explode(d_sigs, bands, r)
+        _band_explode(delta_sigs, meta["bands"], r)
         .join(base_bands, ["band_idx", "band_hash"])
         .select("id", "base_id")
         .dropDuplicates(["id", "base_id"])
@@ -681,12 +719,40 @@ def incremental_minhash_flags(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    verified = (
-        cand.join(d_sigs, "id")
+    return (
+        cand.join(delta_sigs, "id")
         .join(base_sigs, "base_id")
         .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
         .filter(F.col("est") >= threshold)
+        .select("id", "base_id", "est")
     )
+
+
+def incremental_minhash_flags(
+    store_path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Flag delta docs that near-duplicate the stored corpus: one row per
+    delta doc with (n_dup_bases, best_est, is_dup).
+
+    Cost shape: signatures for the DELTA only (computed with the STORE's
+    hash family, from its meta); the stored corpus contributes its
+    (band_hash, id) rows to an equi-join and its signatures only onto the
+    verified candidate set.  Nothing rescans base text."""
+    meta = read_store_meta(store_path)
+    d_sigs = minhash_signatures(
+        delta,
+        id_col,
+        text_col,
+        meta["num_hashes"],
+        meta["shingle_k"],
+        meta["seed"],
+        meta["portable"],
+    ).localCheckpoint(eager=False)
+    verified = probe_signature_store(d_sigs, store_path, threshold)
     hits = verified.groupBy("id").agg(
         F.countDistinct("base_id").alias("n_dup_bases"),
         F.max("est").alias("best_est"),

@@ -266,9 +266,10 @@ SELECT k, est_count, true_count FROM est JOIN tru USING (k)
 """
 
 
-def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
-    """DuckDB replay of ``hll_estimate`` over ``SELECT {key_expr} FROM
-    (source_sql)`` — identical hash, registers and estimator arithmetic."""
+def _hll_oracle_core(source_sql: str, key_expr: str, group_col: str | None) -> str:
+    """One DuckDB replay of registers + estimator for both the global and
+    the grouped/streaming HLL — a single copy of the hash, rho and
+    linear-counting arithmetic that must stay bit-identical to Spark's."""
     from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
 
     h = _hexparse(f"md5({key_expr})", 1, 15)
@@ -277,22 +278,37 @@ def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
         f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
         f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
     )
+    g = f"{group_col}, " if group_col else ""
+    regs_gb = "GROUP BY 1, 2" if group_col else "GROUP BY 1"
+    final_gb = f"GROUP BY {group_col}" if group_col else ""
     return f"""
 WITH h AS (
-  SELECT {h} AS h FROM ({source_sql})
+  SELECT {g}{h} AS h FROM ({source_sql})
 ),
 regs AS (
-  SELECT h & {_M - 1} AS bucket,
+  SELECT {g}h & {_M - 1} AS bucket,
          max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}
                   ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j
-  FROM h GROUP BY 1
+  FROM h {regs_gb}
 )
-SELECT round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
+SELECT {g}round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
              THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))
              ELSE {est} END, 2) AS est_distinct,
        count(*) AS registers_set
-FROM regs
+FROM regs {final_gb}
 """
+
+
+def hll_oracle_sql(source_sql: str, key_expr: str) -> str:
+    """DuckDB replay of ``hll_estimate`` — identical hash, registers and
+    estimator arithmetic."""
+    return _hll_oracle_core(source_sql, key_expr, None)
+
+
+def hll_grouped_oracle_sql(source_sql: str, group_col: str, key_expr: str) -> str:
+    """DuckDB replay of per-group HLL registers + finalize (the grouped /
+    streaming variant)."""
+    return _hll_oracle_core(source_sql, key_expr, group_col)
 
 
 # --- histogram quantile sketch ---------------------------------------------
@@ -426,33 +442,3 @@ def bloom_member_sql(words: list[int], key_sql: str) -> str:
             f" CAST({pos} % 64 AS INT)) & 1L) = 1L)"
         )
     return "(" + " AND ".join(tests) + ")"
-
-
-def hll_grouped_oracle_sql(source_sql: str, group_col: str, key_expr: str) -> str:
-    """DuckDB replay of per-group HLL registers + finalize (the grouped /
-    streaming variant of ``hll_oracle_sql``)."""
-    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
-
-    h = _hexparse(f"md5({key_expr})", 1, 15)
-    big = 1 << (_W + 1)
-    est = (
-        f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
-        f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
-    )
-    return f"""
-WITH h AS (
-  SELECT {group_col}, {h} AS h FROM ({source_sql})
-),
-regs AS (
-  SELECT {group_col}, h & {_M - 1} AS bucket,
-         max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}
-                  ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j
-  FROM h GROUP BY 1, 2
-)
-SELECT {group_col},
-       round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
-             THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))
-             ELSE {est} END, 2) AS est_distinct,
-       count(*) AS registers_set
-FROM regs GROUP BY {group_col}
-"""

@@ -20,18 +20,15 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(spark: SparkSession, df: DataFrame) -> int:
-    """Total bytes of the files backing ``df``, via the Hadoop FileSystem
-    API (works for local paths, HDFS and object stores alike) — metadata
-    calls only, never data."""
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` in ONE Hadoop FileSystem call
+    (``getContentSummary``) — a per-file ``getFileStatus`` loop would be
+    thousands of sequential driver round-trips on exactly the
+    many-small-files directories this module exists to fix."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    total = 0
-    for uri in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = p.getFileSystem(hconf)
-        total += fs.getFileStatus(p).getLen()
-    return total
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).getContentSummary(p).getLength()
 
 
 def compact(
@@ -51,7 +48,7 @@ def compact(
     (pinned by tests/test_layout.py).  Without: a plain ``repartition``
     (round-robin) that only fixes the file-count problem."""
     df = spark.read.format(fmt).load(src_path)
-    n_files = max(1, math.ceil(_dir_bytes(spark, df) / target_bytes))
+    n_files = max(1, math.ceil(_dir_bytes(spark, src_path) / target_bytes))
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:

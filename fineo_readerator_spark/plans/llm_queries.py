@@ -592,14 +592,11 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     return str(path)
 
 
-def s_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered vector search: a metadata predicate (label = 3) composed
-    with IVF cell pruning over the materialized layout — the probe-cell
-    partition filter prunes directories at the file listing AND the label
-    equality pushes into the parquet scan, so non-probed cells are never
-    opened and non-matching rows die at the row-group.  The filter applies
-    BEFORE top-k (post-filtering an unfiltered top-k would under-fill k)."""
-    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, seeded_codebook
+def _ivf_probe(spark: SparkSession, sf_dir: str, n_probe: int = 4):
+    """Shared probe derivation for the layout-backed ANN queries: the query
+    vector, its ``n_probe`` nearest codebook cells (same rounded-distance
+    tie-break everywhere), and the cell-pruned layout frame."""
+    from fineo_readerator_spark.llm_ops.similarity import seeded_codebook
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
@@ -609,10 +606,22 @@ def s_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), sid)
         for sid, sv in seeds
     )
-    probe = [sid for _, sid in qd[:4]]
+    probe = [sid for _, sid in qd[:n_probe]]
     layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir))
-    probed = layout.filter(F.col("cell").isin(probe)).filter(F.col("label") == 3)
-    return cosine_topk(probed, qv, k=10)
+    return qv, layout.filter(F.col("cell").isin(probe))
+
+
+def s_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: a metadata predicate (label = 3) composed
+    with IVF cell pruning over the materialized layout — the probe-cell
+    partition filter prunes directories at the file listing AND the label
+    equality pushes into the parquet scan, so non-probed cells are never
+    opened and non-matching rows die at the row-group.  The filter applies
+    BEFORE top-k (post-filtering an unfiltered top-k would under-fill k)."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
+
+    qv, probed = _ivf_probe(spark, sf_dir)
+    return cosine_topk(probed.filter(F.col("label") == 3), qv, k=10)
 
 
 def s_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,19 +631,9 @@ def s_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the probed cells only.  Same answer as ``s_ann_ivf``; the
     difference is WHERE the selectivity is applied — at the file listing,
     not per row."""
-    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, seeded_codebook
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
 
-    emb = load(spark, sf_dir, "embeddings")
-    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    rest = emb.filter(F.col("vec_id") != 0)
-    seeds = seeded_codebook(rest, "vec_id", "embedding", 16)
-    qd = sorted(
-        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), sid)
-        for sid, sv in seeds
-    )
-    probe = [sid for _, sid in qd[:4]]
-    layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir))
-    probed = layout.filter(F.col("cell").isin(probe))
+    qv, probed = _ivf_probe(spark, sf_dir)
     return cosine_topk(probed, qv, k=10)
 
 
@@ -799,7 +798,9 @@ def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
 
     path = _minhash_store_path(sf_dir)
     fp = source_fingerprint(sf_dir, "documents")
-    if not snapshot_is_fresh(path, fp):
+    # meta-less = built before params were persisted with the store (this
+    # one used portable=True, NOT the pre-meta fallback defaults) — rebuild
+    if not snapshot_is_fresh(path, fp) or not (path / "_store_meta.json").exists():
         base = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
         write_signature_store(base, str(path), portable=True)
         stamp_snapshot(path, fp)
@@ -816,7 +817,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = ensure_minhash_store(spark, sf_dir)
     delta = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return incremental_minhash_flags(store, delta, portable=True)
+    return incremental_minhash_flags(store, delta)  # hash family from store meta
 
 
 def _d_incremental_oracle() -> str:

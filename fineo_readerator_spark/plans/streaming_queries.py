@@ -262,56 +262,36 @@ def st_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits every verified near-dup pair in append mode.
 
     Fully stateless except the pair-dedup: signatures are the row-local
-    single-pass fold (no aggregation, so no watermark needed), banding is a
-    row-local posexplode, and the store contributes static (band, id) +
-    signature tables to stream-static equi-joins.  This is the streaming
-    face of ``d_incremental_dedup`` — same store, same verification, batch
-    flags vs append-mode pair emission."""
+    single-pass fold (no aggregation, so no watermark needed) computed with
+    the STORE's hash family (from its meta — a drifted parameter would be
+    silent false negatives), and verification is the same
+    ``probe_signature_store`` the batch flags use, here running its
+    stream-static joins per micro-batch."""
     from fineo_readerator_spark.llm_ops.dedup import (
         minhash_signature_from,
+        probe_signature_store,
+        read_store_meta,
         shingle_hashes,
     )
     from fineo_readerator_spark.plans.llm_queries import ensure_minhash_store
-
     from fineo_readerator_spark.sources import SourceSpec
 
     store = ensure_minhash_store(spark, sf_dir)
-    bands, r, num_hashes = 16, 4, 64
+    meta = read_store_meta(store)
     # SourceSpec.read_stream handles the single-file-fixture glob workaround
     delta = (
         SourceSpec(kind="historical", path=f"{sf_dir}/documents.parquet")
         .read_stream(spark)
         .filter(F.col("doc_id") % 5 == 0)
     )
-    sig = minhash_signature_from(shingle_hashes(F.col("text"), 3, portable=True), num_hashes)
-    banded = delta.select(F.col("doc_id").alias("id"), sig.alias("sig")).select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j),
-            )
-        ).alias("band_idx", "band_hash"),
+    sig = minhash_signature_from(
+        shingle_hashes(F.col("text"), meta["shingle_k"], portable=meta["portable"]),
+        meta["num_hashes"],
+        meta["seed"],
     )
-    base_bands = spark.read.parquet(f"{store}/bands").select(
-        "band_idx", "band_hash", F.col("id").alias("base_id")
-    )
-    base_sigs = spark.read.parquet(f"{store}/sigs").select(
-        F.col("id").alias("base_id"), F.col("sig").alias("sig_b")
-    )
-    agree = F.aggregate(
-        F.zip_with("sig", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        banded.join(base_bands, ["band_idx", "band_hash"])
-        .dropDuplicates(["id", "base_id"])
-        .join(base_sigs, "base_id")
-        .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
-        .filter(F.col("est") >= 0.7)
-        .select(F.col("id").alias("doc_id"), "base_id", "est")
+    d_sigs = delta.select(F.col("doc_id").alias("id"), sig.alias("sig"))
+    pairs = probe_signature_store(d_sigs, store, threshold=0.7).select(
+        F.col("id").alias("doc_id"), "base_id", "est"
     )
     return _drain(pairs, "st_store_probe_sink", "append")
 

@@ -102,3 +102,40 @@ def test_incremental_flags_empty_delta(spark, tmp_path):
     write_signature_store(base, store)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert incremental_minhash_flags(store, empty).count() == 0
+
+
+def test_signature_store_empty_base_probes_clean(spark, tmp_path):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        incremental_minhash_flags,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "empty_store")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_signature_store(empty, store)  # brand-new tenant: no corpus yet
+    delta = spark.createDataFrame([(10, "first ever document")], "doc_id long, text string")
+    out = incremental_minhash_flags(store, delta).collect()
+    assert len(out) == 1 and not out[0].is_dup and out[0].n_dup_bases == 0
+
+
+def test_signature_store_probe_uses_stored_params(spark, tmp_path):
+    """A store built with a non-default hash family must be probed with
+    THAT family (from its meta) — a caller can no longer pass mismatched
+    parameters and get silent false negatives."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        incremental_minhash_flags,
+        read_store_meta,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "p_store")
+    base = spark.createDataFrame(
+        [(1, "identical text stored right here today")], "doc_id long, text string"
+    )
+    write_signature_store(base, store, bands=8, seed=7, portable=True)
+    assert read_store_meta(store)["bands"] == 8
+    delta = spark.createDataFrame(
+        [(10, "identical text stored right here today")], "doc_id long, text string"
+    )
+    out = incremental_minhash_flags(store, delta).collect()
+    assert out[0].is_dup and out[0].best_est == 1.0
