@@ -64,3 +64,38 @@ def test_compact_unsorted_only_fixes_file_count(spark, sf_dir, tmp_path):
     n = compact(spark, frag, out, target_bytes=10 * 1024 * 1024)
     assert n == 1 and len(_parquet_files(out)) == 1
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zorder_compaction_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    from fineo_readerator_spark.operators.layout import compact_zorder
+
+    frag = str(tmp_path / "zfrag")
+    out = str(tmp_path / "zout")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(32).write.parquet(frag)
+    compact_zorder(spark, frag, out, ["user_id", "event_id"], target_bytes=8 * 1024)
+    files = _parquet_files(out)
+    assert len(files) > 3
+    assert spark.read.parquet(out).count() == ev.count()
+
+    g = ev.agg({"user_id": "max", "event_id": "max"}).first()
+    gmin = ev.agg({"user_id": "min", "event_id": "min"}).first()
+    spans = {"user_id": [], "event_id": []}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            idx = md.schema.names.index(col)
+            st = md.row_group(0).column(idx).statistics
+            mn, mx = st.min, st.max
+            for rg in range(1, md.num_row_groups):
+                s2 = md.row_group(rg).column(idx).statistics
+                mn, mx = min(mn, s2.min), max(mx, s2.max)
+            spans[col].append(mx - mn)
+    for col, gspan in (
+        ("user_id", g["max(user_id)"] - gmin["min(user_id)"]),
+        ("event_id", g["max(event_id)"] - gmin["min(event_id)"]),
+    ):
+        avg_span = sum(spans[col]) / len(spans[col])
+        # every file covering the full range would give ratio 1.0; z-order
+        # must narrow BOTH dimensions at once (1-D sort narrows only one)
+        assert avg_span / gspan < 0.65, (col, avg_span, gspan)
