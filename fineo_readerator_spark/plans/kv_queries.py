@@ -224,7 +224,49 @@ FROM events WHERE user_id = (SELECT min(user_id) FROM events)
 """
 
 
+def kv_cross_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fact×KV shape in ONE plan: the metric table
+    (historical parquet through the recombinator) joins the KV snapshot
+    (Arrow DSv2 source) — the composition the reference serves with two
+    separate storage plugins under one Drill query.  Both sides aggregate
+    BEFORE the join (partial aggregation shrinks each store's contribution
+    to one row per key), so the join input is key-cardinality-sized, not
+    corpus-sized."""
+    from fineo_readerator_spark.plans.metric_queries import (
+        METRIC,
+        ORG,
+        events_store,
+    )
+    from fineo_readerator_spark.recombinator import build_metric_df
+
+    ev = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, sort=False)
+    ev_agg = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    kv_agg = read_kv(spark, sf_dir).groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias(
+            "total_spend"
+        ),
+    )
+    return (
+        ev_agg.join(kv_agg, ev_agg.user_id == kv_agg.o_custkey)
+        .select("user_id", "n_events", "n_orders", "total_spend")
+        .orderBy("user_id")
+    )
+
+
+KV_ORACLE_CROSS = """
+SELECT user_id, n_events, n_orders, total_spend
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+JOIN (SELECT o_custkey, count(*) AS n_orders,
+             cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_spend
+      FROM orders GROUP BY o_custkey) o
+  ON user_id = o_custkey
+ORDER BY user_id
+"""
+
+
 KV_QUERIES = [
+    QueryDef("kv_cross_store_join", kv_cross_store_join, KV_ORACLE_CROSS),
     QueryDef("kv_get", kv_get, KV_ORACLE_GET),
     QueryDef("kv_query", kv_query, KV_ORACLE_QUERY),
     QueryDef("kv_scan", kv_scan, KV_ORACLE_SCAN, bench=True),
