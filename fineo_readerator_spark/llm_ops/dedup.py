@@ -192,13 +192,17 @@ def minhash_signatures(
     return exploded.groupBy("id").agg(F.expr(sig).alias("sig"))
 
 
-def _band_explode(sigs: DataFrame, bands: int, r: int) -> DataFrame:
-    """(id, band_idx, band_hash): one row per signature band.  band_hash is
-    xxhash64 over the band's r positions — a 64-bit stand-in for
-    all-r-positions-equal (collision odds are negligible next to the
-    est_jaccard verification that follows every band match)."""
+def _band_explode(sigs: DataFrame, bands: int, r: int, keep: tuple = ()) -> DataFrame:
+    """(id, keep..., band_idx, band_hash): one row per signature band.
+    band_hash is xxhash64 over the band's r positions — a 64-bit stand-in
+    for all-r-positions-equal (collision odds are negligible next to the
+    est_jaccard verification that follows every band match).  ``keep``
+    carries extra columns (e.g. the sig itself) through the explode,
+    row-locally — a consumer that needs them must NOT join back to the
+    input, which on a stream would be a stateful stream-stream self-join."""
     return sigs.select(
         "id",
+        *keep,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -646,7 +650,6 @@ def write_signature_store(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     import json
-    from pathlib import Path
 
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, portable)
@@ -658,7 +661,9 @@ def write_signature_store(
     _band_explode(stored, bands, r).write.mode("overwrite").partitionBy(
         "band_idx"
     ).parquet(f"{path}/bands")
-    (Path(path) / "_store_meta.json").write_text(
+    _fs_write_text(
+        df.sparkSession,
+        f"{path}/_store_meta.json",
         json.dumps(
             {
                 "num_hashes": num_hashes,
@@ -667,23 +672,53 @@ def write_signature_store(
                 "seed": seed,
                 "portable": portable,
             }
-        )
+        ),
     )
 
 
-def read_store_meta(store_path: str) -> dict:
-    """The store's hash-family parameters (pre-meta stores fall back to the
-    historical defaults, which is what they were built with)."""
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem — the sigs and
+    bands go through Spark writers, so the meta must use the SAME
+    filesystem (local pathlib would crash on s3a/hdfs store paths AFTER
+    the data was written, leaving a complete-looking meta-less store)."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_store_meta(spark, store_path: str) -> dict:
+    """The store's hash-family parameters.  A missing or unreadable meta is
+    an ERROR, never a silent fallback: probing with a guessed family
+    returns false negatives with no signal, which is strictly worse than
+    failing (the meta is written last, so its absence also means the build
+    never finished)."""
     import json
-    from pathlib import Path
 
     try:
-        return {
-            **_STORE_PARAM_DEFAULTS,
-            **json.loads((Path(store_path) / "_store_meta.json").read_text()),
-        }
-    except OSError:
-        return dict(_STORE_PARAM_DEFAULTS)
+        fs, p = _hadoop_fs(spark, f"{store_path}/_store_meta.json")
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw.decode("utf-8"))
+    except Exception as e:
+        raise ValueError(
+            f"signature store at {store_path!r} has no readable _store_meta.json "
+            "(incomplete or pre-meta build) — rebuild it with write_signature_store"
+        ) from e
+    return {**_STORE_PARAM_DEFAULTS, **meta}
 
 
 def probe_signature_store(
@@ -693,13 +728,19 @@ def probe_signature_store(
 ) -> DataFrame:
     """Verified near-dup pairs (id, base_id, est) between delta signatures
     and the stored corpus — the shared core of the batch flags and the
-    streaming probe.  ``delta_sigs`` is (id, sig) rows, batch OR streaming
-    (every step here is stream-legal: row-local banding, stream-static
-    equi-joins, pair-dedup state).  Band parameters come from the store's
-    meta, never from the caller.  Explicit read schemas make an empty
-    store (brand-new tenant) an empty result, not an inference error."""
+    streaming probe.  ``delta_sigs`` is (id, sig) rows, batch OR streaming.
+    Band parameters come from the store's meta, never from the caller.
+    Explicit read schemas make an empty store (brand-new tenant) an empty
+    result, not an inference error.
+
+    Stream-safety: the sig rides THROUGH the banding explode (row-local),
+    so every candidate verifies against the signature of the exact row
+    that banded — there is no join back to ``delta_sigs``, which on a
+    stream would be an unbounded stream-stream self-join and would pair a
+    re-ingested id's old bands with its new signature.  The only stateful
+    step is the (id, base_id) pair-dedup; joins are stream-static."""
     spark = delta_sigs.sparkSession
-    meta = read_store_meta(store_path)
+    meta = read_store_meta(spark, store_path)
     num_hashes = meta["num_hashes"]
     r = num_hashes // meta["bands"]
     base_bands = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(
@@ -709,9 +750,8 @@ def probe_signature_store(
         f"{store_path}/sigs"
     ).select(F.col("id").alias("base_id"), F.col("sig").alias("sig_b"))
     cand = (
-        _band_explode(delta_sigs, meta["bands"], r)
+        _band_explode(delta_sigs, meta["bands"], r, keep=("sig",))
         .join(base_bands, ["band_idx", "band_hash"])
-        .select("id", "base_id")
         .dropDuplicates(["id", "base_id"])
     )
     agree = F.aggregate(
@@ -720,8 +760,7 @@ def probe_signature_store(
         lambda acc, v: acc + v,
     )
     return (
-        cand.join(delta_sigs, "id")
-        .join(base_sigs, "base_id")
+        cand.join(base_sigs, "base_id")
         .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
         .filter(F.col("est") >= threshold)
         .select("id", "base_id", "est")
@@ -742,7 +781,7 @@ def incremental_minhash_flags(
     hash family, from its meta); the stored corpus contributes its
     (band_hash, id) rows to an equi-join and its signatures only onto the
     verified candidate set.  Nothing rescans base text."""
-    meta = read_store_meta(store_path)
+    meta = read_store_meta(delta.sparkSession, store_path)
     d_sigs = minhash_signatures(
         delta,
         id_col,

@@ -68,9 +68,18 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
     the 1-D sort-clustered rewrite, for tables filtered on more than one
     column (tenant + time, label + id).  Interleaving from the HIGH bit
     down makes the key's prefix alternate dimensions, which is what gives
-    all columns balanced locality."""
+    all columns balanced locality.  Returns ``None`` for an empty input
+    (no bounds to scale against); ``len(cols) * bits`` must fit in the 63
+    value bits of a signed long."""
     from pyspark.sql import functions as F
 
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"z-order key needs {len(cols) * bits} bits but a signed long "
+            f"holds 63: bit 63 flips the sign (mis-sorting those rows first) "
+            f"and higher shifts wrap; use bits <= {63 // len(cols)} for "
+            f"{len(cols)} columns"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -78,7 +87,14 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
+        if b[f"__mn_{c}"] is None:
+            return None  # empty input: no bounds, no meaningful key
         mn, mx = float(b[f"__mn_{c}"]), float(b[f"__mx_{c}"])
+        if not (math.isfinite(mn) and math.isfinite(mx)):
+            raise ValueError(
+                f"z-order column {c!r} has non-finite bounds ({mn}, {mx}); "
+                "filter NaN/inf rows before clustering"
+            )
         span = (mx - mn) or 1.0
         scaled.append(
             f"CAST(least(greatest((CAST({c} AS DOUBLE) - {mn!r}) / {span!r}, 0.0D), 1.0D)"
@@ -108,11 +124,14 @@ def compact_zorder(
     df = spark.read.format(fmt).load(src_path)
     n_files = max(1, math.ceil(_dir_bytes(spark, src_path) / target_bytes))
     z = zorder_column(df, zorder_cols, bits)
-    out = (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
+    if z is None:  # empty source: nothing to cluster, plain rewrite
+        out = df.repartition(n_files)
+    else:
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     out.write.format(fmt).mode("overwrite").save(dest_path)
     return n_files

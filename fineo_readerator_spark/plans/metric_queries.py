@@ -492,8 +492,16 @@ def m_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies ordering semantics, not just content; the key set
     (event_type, value DESC, event_id) is collision-free."""
     df = build_metric_df(spark, events_store(sf_dir), ORG, METRIC, sort=False)
+    # NULLS LAST pinned EXPLICITLY on every key in both engines: Spark ASC
+    # defaults to NULLS FIRST, DuckDB to NULLS LAST — with a LIMIT that
+    # default divergence changes row membership the moment a sort column
+    # is ever NULL
     return (
-        df.orderBy(F.col("event_type"), F.col("value").desc(), F.col("event_id"))
+        df.orderBy(
+            F.col("event_type").asc_nulls_last(),
+            F.col("value").desc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        )
         .limit(100)
         .select("timestamp", "event_id", "event_type", "value")
     )
@@ -501,7 +509,8 @@ def m_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M_ORDER_LIMIT_ORACLE = (
     'SELECT epoch_ms(ts) AS "timestamp", event_id, event_type, value FROM events '
-    "ORDER BY event_type, value DESC, event_id LIMIT 100"
+    "ORDER BY event_type NULLS LAST, value DESC NULLS LAST, event_id NULLS LAST "
+    "LIMIT 100"
 )
 
 

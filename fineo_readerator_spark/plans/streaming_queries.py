@@ -277,7 +277,7 @@ def st_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineo_readerator_spark.sources import SourceSpec
 
     store = ensure_minhash_store(spark, sf_dir)
-    meta = read_store_meta(store)
+    meta = read_store_meta(spark, store)
     # SourceSpec.read_stream handles the single-file-fixture glob workaround
     delta = (
         SourceSpec(kind="historical", path=f"{sf_dir}/documents.parquet")

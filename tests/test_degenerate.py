@@ -133,9 +133,18 @@ def test_signature_store_probe_uses_stored_params(spark, tmp_path):
         [(1, "identical text stored right here today")], "doc_id long, text string"
     )
     write_signature_store(base, store, bands=8, seed=7, portable=True)
-    assert read_store_meta(store)["bands"] == 8
+    assert read_store_meta(spark, store)["bands"] == 8
     delta = spark.createDataFrame(
         [(10, "identical text stored right here today")], "doc_id long, text string"
     )
     out = incremental_minhash_flags(store, delta).collect()
     assert out[0].is_dup and out[0].best_est == 1.0
+
+
+def test_read_store_meta_missing_raises(spark, tmp_path):
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.dedup import read_store_meta
+
+    with pytest.raises(ValueError, match="rebuild"):
+        read_store_meta(spark, str(tmp_path / "nope"))

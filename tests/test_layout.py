@@ -99,3 +99,20 @@ def test_zorder_compaction_narrows_both_dimensions(spark, sf_dir, tmp_path):
         # every file covering the full range would give ratio 1.0; z-order
         # must narrow BOTH dimensions at once (1-D sort narrows only one)
         assert avg_span / gspan < 0.65, (col, avg_span, gspan)
+
+
+def test_zorder_rejects_key_overflow_and_handles_empty(spark, tmp_path):
+    import pytest
+
+    from fineo_readerator_spark.operators.layout import compact_zorder, zorder_column
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with pytest.raises(ValueError, match="63"):
+        zorder_column(df, ["a", "b", "c", "d"], bits=16)  # 64 bits: sign flip
+    assert zorder_column(df, ["a", "b", "c", "d"], bits=15) is not None
+
+    # empty source: plain rewrite, no crash
+    src, dst = str(tmp_path / "esrc"), str(tmp_path / "edst")
+    spark.createDataFrame([], "a long, b long").write.parquet(src)
+    compact_zorder(spark, src, dst, ["a", "b"])
+    assert spark.read.parquet(dst).count() == 0
