@@ -339,6 +339,58 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row statistics report a dataset release ships with — corpus
+    size, token volume, language mix, duplication rate, quality pass rate —
+    computed in a SINGLE scan: every signal is a row-local projection
+    (token stats, Gopher pass, md5) folded by one global aggregation, so
+    at 100 TB the card costs one pass and a handful of counters per
+    partition.  Ratios are exact integer counts divided once at the end
+    (rounded 6), never floating aggregations."""
+    from fineo_readerator_spark.llm_ops.textstats import with_quality_signals
+
+    docs = with_text_stats(load(spark, sf_dir, "documents"), "text")
+    docs = with_quality_signals(docs, "text")
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("long")) * F.lit(1.0) / F.count("*"), 6
+        ).alias("pct_en"),
+        F.round(
+            F.sum(F.col("gopher_pass").cast("long")) * F.lit(1.0) / F.count("*"), 6
+        ).alias("gopher_pass_rate"),
+        F.round(
+            (F.count("*") - F.countDistinct(F.md5("text"))) * F.lit(1.0) / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def _p_dataset_card_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import (
+        quality_signals_oracle_exprs,
+        text_stats_oracle_exprs,
+    )
+
+    return f"""
+WITH s AS (
+  SELECT lang, text, {text_stats_oracle_exprs('text')}, {quality_signals_oracle_exprs('text')}
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pct_en,
+       round(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS gopher_pass_rate,
+       round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6) AS dup_rate,
+       round(avg(quality_score), 6) AS avg_quality
+FROM s
+"""
+
+
 def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data cleaning pipeline over the doubled corpus:
     quality filter → fingerprint-normalized exact dedup (min id per
@@ -1224,6 +1276,7 @@ SELECT source, doc_id FROM c WHERE {pred}
 
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
+    QueryDef("p_dataset_card", p_dataset_card, _p_dataset_card_oracle()),
     QueryDef("p_clean_corpus", p_clean_corpus, P_CLEAN_ORACLE, bench=True),
     QueryDef("t_text_stats", t_text_stats, T_STATS_ORACLE, bench=True),
     QueryDef("t_lang_id", t_lang_id, T_LANG_ORACLE),
