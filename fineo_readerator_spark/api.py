@@ -45,6 +45,22 @@ def assert_read_only(sql: str) -> None:
         )
 
 
+# runtime options a tenant may set, mirroring the reference's fixed option
+# surface (`ALTER SYSTEM/SESSION SET ...` at startup,
+# `FineoDrillStartupSetup.java:15-31`); anything else is rejected — conf keys
+# are a security/stability surface, not a free-for-all
+_SESSION_OPTIONS = {
+    "spark.sql.shuffle.partitions",
+    "spark.sql.session.timeZone",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.files.maxPartitionBytes",
+}
+_ALTER_SET = re.compile(
+    r"^\s*alter\s+(?:system|session)\s+set\s+`?([\w.]+)`?\s*=\s*(.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 class TenantSession:
     """All reads for one tenant.  Metric tables and the errors stream are temp
     views whose definitions already carry the tenant filters, so no SQL string
@@ -99,7 +115,20 @@ class TenantSession:
         ``max_rows`` mirrors the reference's JDBC statement ``maxRowCount``
         (`FineoJdbcMeta.java:143-159`): a plan-level LIMIT, so Spark plans a
         TakeOrderedAndProject / CollectLimit instead of materializing the
-        full result."""
+        full result.
+
+        ``ALTER SYSTEM|SESSION SET <option> = <value>`` (the reference's
+        option statements, §2.7) maps to allowlisted runtime conf changes
+        and returns the (key, value) row Spark's SET produces."""
+        m = _ALTER_SET.match(query)
+        if m:
+            key, value = m.group(1), m.group(2).strip("'\"")
+            if key not in _SESSION_OPTIONS:
+                raise ReadOnlyViolation(
+                    f"option {key!r} is not tenant-settable; allowed: "
+                    f"{sorted(_SESSION_OPTIONS)}"
+                )
+            return self.spark.sql(f"SET {key}={value}")
         assert_read_only(query)
         df = self.spark.sql(query)
         if max_rows is not None:

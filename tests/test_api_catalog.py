@@ -199,3 +199,25 @@ def test_multi_tenant_isolation(spark, tmp_path):
     tb = sess_b.sql("SELECT table_schema FROM information_schema_tables").collect()
     assert {r.table_schema for r in ta} == {"orgA"}
     assert {r.table_schema for r in tb} == {"orgB"}
+
+
+def test_alter_session_set_allowlisted_option(spark, sf_dir):
+    from fineo_readerator_spark.api import ReadOnlyViolation, TenantSession
+    from fineo_readerator_spark.plans.metric_queries import ORG, events_store
+
+    import pytest
+
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = tenant.sql("ALTER SESSION SET spark.sql.shuffle.partitions = 7")
+        assert out.collect()  # SET returns the (key, value) row
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # non-allowlisted conf keys are rejected, not applied
+        with pytest.raises(ReadOnlyViolation, match="not tenant-settable"):
+            tenant.sql("ALTER SYSTEM SET spark.sql.warehouse.dir = '/tmp/x'")
+        # and writes are still writes
+        with pytest.raises(ReadOnlyViolation):
+            tenant.sql("INSERT INTO events VALUES (1)")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
