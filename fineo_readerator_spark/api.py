@@ -47,13 +47,17 @@ def assert_read_only(sql: str) -> None:
 
 # runtime options a tenant may set, mirroring the reference's fixed option
 # surface (`ALTER SYSTEM/SESSION SET ...` at startup,
-# `FineoDrillStartupSetup.java:15-31`); anything else is rejected — conf keys
-# are a security/stability surface, not a free-for-all
-_SESSION_OPTIONS = {
-    "spark.sql.shuffle.partitions",
-    "spark.sql.session.timeZone",
-    "spark.sql.adaptive.enabled",
-    "spark.sql.files.maxPartitionBytes",
+# `FineoDrillStartupSetup.java:15-31`); anything else is rejected — conf
+# keys are a security/stability surface, not a free-for-all.  Option scope
+# is the SparkSession, matching the reference's one-org-per-server
+# deployment (`FineoServer.java:64-67`); the allowlist therefore holds
+# PERF-ONLY knobs — nothing that changes query RESULTS (the session
+# timezone, for instance, must never be here: on a shared SparkSession one
+# tenant's change would silently shift another tenant's timestamps).
+_SESSION_OPTIONS: dict = {
+    "spark.sql.shuffle.partitions": int,
+    "spark.sql.adaptive.enabled": lambda v: v.lower() in ("true", "false"),
+    "spark.sql.files.maxPartitionBytes": int,
 }
 _ALTER_SET = re.compile(
     r"^\s*alter\s+(?:system|session)\s+set\s+`?([\w.]+)`?\s*=\s*(.+?)\s*;?\s*$",
@@ -122,12 +126,20 @@ class TenantSession:
         and returns the (key, value) row Spark's SET produces."""
         m = _ALTER_SET.match(query)
         if m:
-            key, value = m.group(1), m.group(2).strip("'\"")
+            key, value = m.group(1), m.group(2)
+            if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+                value = value[1:-1]  # matching surrounding quotes only
             if key not in _SESSION_OPTIONS:
                 raise ReadOnlyViolation(
                     f"option {key!r} is not tenant-settable; allowed: "
                     f"{sorted(_SESSION_OPTIONS)}"
                 )
+            try:
+                ok = _SESSION_OPTIONS[key](value)
+            except (TypeError, ValueError):
+                ok = False
+            if ok is False:
+                raise ReadOnlyViolation(f"invalid value {value!r} for option {key!r}")
             return self.spark.sql(f"SET {key}={value}")
         assert_read_only(query)
         df = self.spark.sql(query)

@@ -612,6 +612,9 @@ def ngram_jaccard_pairs(
 
 _STORE_SIGS_SCHEMA = "id long, sig array<bigint>"
 _STORE_BANDS_SCHEMA = "id long, band_hash bigint, band_idx int"
+# the parameter keys every store meta MUST carry (write_signature_store
+# always writes all of them; a meta missing any is a corrupt build — there
+# is deliberately NO default fallback, see read_store_meta)
 _STORE_PARAM_DEFAULTS = {
     "num_hashes": 64,
     "bands": 16,
@@ -676,18 +679,14 @@ def write_signature_store(
     )
 
 
-def _hadoop_fs(spark, path: str):
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
-
-
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem — the sigs and
     bands go through Spark writers, so the meta must use the SAME
     filesystem (local pathlib would crash on s3a/hdfs store paths AFTER
     the data was written, leaving a complete-looking meta-less store)."""
-    fs, p = _hadoop_fs(spark, path)
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
     out = fs.create(p, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -696,29 +695,50 @@ def _fs_write_text(spark, path: str, text: str) -> None:
 
 
 def read_store_meta(spark, store_path: str) -> dict:
-    """The store's hash-family parameters.  A missing or unreadable meta is
-    an ERROR, never a silent fallback: probing with a guessed family
-    returns false negatives with no signal, which is strictly worse than
-    failing (the meta is written last, so its absence also means the build
-    never finished)."""
+    """The store's hash-family parameters.  A missing/incomplete meta is an
+    ERROR, never a silent fallback: probing with a guessed family returns
+    false negatives with no signal, which is strictly worse than failing
+    (the meta is written last, so its absence also means the build never
+    finished).  Transient IO failures (permissions, object-store 503s)
+    re-raise as-is — they do NOT mean the store needs a rebuild."""
     import json
 
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, f"{store_path}/_store_meta.json")
     try:
-        fs, p = _hadoop_fs(spark, f"{store_path}/_store_meta.json")
-        stream = fs.open(p)
-        try:
-            raw = bytes(
-                spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
-        meta = json.loads(raw.decode("utf-8"))
-    except Exception as e:
+        exists = fs.exists(p)
+    except Exception:
+        raise  # transient FS failure: not a rebuild situation
+    if not exists:
         raise ValueError(
-            f"signature store at {store_path!r} has no readable _store_meta.json "
+            f"signature store at {store_path!r} has no _store_meta.json "
             "(incomplete or pre-meta build) — rebuild it with write_signature_store"
+        )
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    try:
+        meta = json.loads(raw.decode("utf-8"))
+    except ValueError as e:
+        raise ValueError(
+            f"signature store meta at {store_path!r} is corrupt — rebuild it "
+            "with write_signature_store"
         ) from e
-    return {**_STORE_PARAM_DEFAULTS, **meta}
+    missing = set(_STORE_PARAM_DEFAULTS) - set(meta)
+    if missing:
+        # write_signature_store always writes every key: a partial meta is a
+        # corrupt build, and guessing the absent parameters would be the
+        # silent-false-negative mode this file exists to prevent
+        raise ValueError(
+            f"signature store meta at {store_path!r} is missing {sorted(missing)} "
+            "— rebuild it with write_signature_store"
+        )
+    return dict(meta)
 
 
 def probe_signature_store(

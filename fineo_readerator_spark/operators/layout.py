@@ -25,10 +25,10 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     (``getContentSummary``) — a per-file ``getFileStatus`` loop would be
     thousands of sequential driver round-trips on exactly the
     many-small-files directories this module exists to fix."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).getContentSummary(p).getLength()
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    return fs.getContentSummary(p).getLength()
 
 
 def compact(
@@ -85,10 +85,14 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     b = df.agg(*aggs).first()
     top = (1 << bits) - 1
+    # an all-NULL column carries zero skipping information — drop IT, not
+    # the whole key (conflating "one blind column" with "empty input" would
+    # silently lose clustering on the populated columns too)
+    live = [c for c in cols if b[f"__mn_{c}"] is not None]
+    if not live:
+        return None  # empty input (or all columns NULL): no meaningful key
     scaled = []
-    for c in cols:
-        if b[f"__mn_{c}"] is None:
-            return None  # empty input: no bounds, no meaningful key
+    for c in live:
         mn, mx = float(b[f"__mn_{c}"]), float(b[f"__mx_{c}"])
         if not (math.isfinite(mn) and math.isfinite(mx)):
             raise ValueError(
@@ -100,7 +104,7 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
             f"CAST(least(greatest((CAST({c} AS DOUBLE) - {mn!r}) / {span!r}, 0.0D), 1.0D)"
             f" * {top} AS BIGINT)"
         )
-    n = len(cols)
+    n = len(live)
     terms = []
     for i in range(bits):  # bit i of each column -> interleaved position
         for j, s in enumerate(scaled):

@@ -341,12 +341,15 @@ SELECT id_a, id_b, cos_sim FROM (
 
 def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row statistics report a dataset release ships with — corpus
-    size, token volume, language mix, duplication rate, quality pass rate —
-    computed in a SINGLE scan: every signal is a row-local projection
-    (token stats, Gopher pass, md5) folded by one global aggregation, so
-    at 100 TB the card costs one pass and a handful of counters per
-    partition.  Ratios are exact integer counts divided once at the end
-    (rounded 6), never floating aggregations."""
+    size, token volume, language mix, duplication rate, quality pass rate.
+
+    Cost shape: the token/md5/quality signals are row-local projections,
+    but the Gopher repetition signals come from ``with_quality_signals``,
+    which aggregates the exploded terms per doc and joins them back — so
+    the card costs two corpus scans plus a term-cardinality shuffle and a
+    doc-cardinality join, all corpus-bounded (nothing quadratic, nothing
+    driver-sized).  Ratios are exact integer counts divided once at the
+    end (rounded 6), never floating aggregations."""
     from fineo_readerator_spark.llm_ops.textstats import with_quality_signals
 
     docs = with_text_stats(load(spark, sf_dir, "documents"), "text")

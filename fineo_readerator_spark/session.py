@@ -95,3 +95,12 @@ def ensure_io_confs(spark: SparkSession) -> SparkSession:
         if spark.conf.get(k, None) in (None, vanilla):
             spark.conf.set(k, ours)
     return spark
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — the one
+    copy of this incantation; works identically for local, HDFS and
+    object-store paths."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p

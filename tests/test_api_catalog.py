@@ -221,3 +221,14 @@ def test_alter_session_set_allowlisted_option(spark, sf_dir):
             tenant.sql("INSERT INTO events VALUES (1)")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_alter_session_rejects_invalid_value(spark, sf_dir):
+    import pytest
+
+    from fineo_readerator_spark.api import ReadOnlyViolation, TenantSession
+    from fineo_readerator_spark.plans.metric_queries import ORG, events_store
+
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    with pytest.raises(ReadOnlyViolation, match="invalid value"):
+        tenant.sql("ALTER SESSION SET spark.sql.shuffle.partitions = ten")

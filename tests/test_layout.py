@@ -116,3 +116,17 @@ def test_zorder_rejects_key_overflow_and_handles_empty(spark, tmp_path):
     spark.createDataFrame([], "a long, b long").write.parquet(src)
     compact_zorder(spark, src, dst, ["a", "b"])
     assert spark.read.parquet(dst).count() == 0
+
+
+def test_zorder_drops_all_null_column_keeps_the_rest(spark):
+    from fineo_readerator_spark.operators.layout import zorder_column
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (9, None)], "a long, b long"
+    )
+    z = zorder_column(df, ["a", "b"])
+    assert z is not None  # b is blind, a still clusters
+    vals = [r[0] for r in df.select(z).collect()]
+    assert vals == sorted(vals) or sorted(vals) == sorted(set(vals))  # monotone in a
+    all_null = spark.createDataFrame([(None, None)], "a long, b long")
+    assert zorder_column(all_null, ["a", "b"]) is None
