@@ -242,3 +242,37 @@ def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 20) -> DataFra
         .orderBy(F.desc("cnt"), "ngram")
         .limit(k)
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple = (0.8, 0.1, 0.1),
+    seed: int = 42,
+) -> DataFrame:
+    """Append a deterministic ``split`` column ('train'/'val'/'test') from
+    the row key's hash bucket — the content-addressed 3-way carve every
+    training pipeline needs.  Hash membership (not ``randomSplit``) makes
+    the assignment stable under repartitioning, retries, incremental
+    appends (a doc keeps its split when the corpus grows) and across
+    engines — the oracle replays it exactly.  Row-local projection: no
+    shuffle, no state."""
+    if len(fractions) != 3 or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be 3 values summing to 1, got {fractions}")
+    b = _bucket(F.col(key_col), seed)
+    t1 = int(fractions[0] * 1_000_000)
+    t2 = t1 + int(fractions[1] * 1_000_000)
+    split = (
+        F.when(b < t1, F.lit("train")).when(b < t2, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_oracle_expr(key_expr: str, fractions: tuple = (0.8, 0.1, 0.1), seed: int = 42) -> str:
+    t1 = int(fractions[0] * 1_000_000)
+    t2 = t1 + int(fractions[1] * 1_000_000)
+    b = sample_oracle_bucket(key_expr, seed)
+    return (
+        f"CASE WHEN {b} < {t1} THEN 'train' WHEN {b} < {t2} THEN 'val' "
+        f"ELSE 'test' END"
+    )

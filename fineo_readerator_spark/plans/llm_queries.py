@@ -936,6 +936,31 @@ SELECT id_a, id_b, cos_sim FROM (
 _SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.6, "fr": 0.6, "zh": 1.0}  # 'es' absent → dropped
 
 
+def p_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 80/10/10 split rolled up per (split, lang) — the
+    carve is a row-local hash projection (llm_ops.sampling), so a doc
+    keeps its split under repartitioning, retries and corpus growth."""
+    from fineo_readerator_spark.llm_ops.sampling import train_val_test_split
+
+    docs = train_val_test_split(load(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def _p_split_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import split_oracle_expr
+
+    return f"""
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT {split_oracle_expr('doc_id')} AS split, lang, n_chars FROM documents)
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 def p_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling: downsample the dominant
     language, keep the tail, drop strata not listed.  Hash-keyed, so the kept
@@ -1309,6 +1334,7 @@ LLM_QUERIES = [
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
+    QueryDef("p_train_val_test", p_train_val_test, _p_split_oracle()),
     QueryDef("t_ngram_topk", t_ngram_topk, T_NGRAM_ORACLE, bench=True),
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
     QueryDef("t_bigram_lm", t_bigram_lm, _t_bigram_lm_oracle()),

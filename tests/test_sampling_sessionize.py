@@ -93,3 +93,45 @@ def test_sample_pushes_filter_into_scan(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_train_val_test_split_stable_and_proportional(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fineo_readerator_spark.llm_ops.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = train_val_test_split(docs, "doc_id")
+    b = train_val_test_split(docs.repartition(13), "doc_id")
+    # stable under repartitioning: identical assignment per doc
+    assert (
+        a.select("doc_id", "split")
+        .exceptAll(b.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert 0.6 < counts.get("train", 0) / n < 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # appending rows never reassigns existing ones
+    grown = train_val_test_split(
+        docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)), "doc_id"
+    )
+    assert (
+        grown.filter(F.col("doc_id") < 1_000_000)
+        .select("doc_id", "split")
+        .exceptAll(a.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_train_val_test_split_rejects_bad_fractions(spark, sf_dir):
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, "doc_id", fractions=(0.9, 0.2, 0.1))
