@@ -89,3 +89,34 @@ def test_where_grammar_matches_duckdb(spark, sf_dir, duck, pred):
     rows = duck.execute(f"SELECT {cols} FROM events WHERE {oracle_pred}").fetchall()
     exp = sorted(tuple(str(v) for v in r) for r in rows)
     assert got == exp, f"predicate {pred!r}: {len(got)} vs {len(exp)} rows"
+
+
+# --- same grammar through the SPLIT two-store metric -----------------------
+# historical + nearline over one parquet with the anti-overlap cutover: the
+# engine's core composition (union + cutover + pruning + predicate) must be
+# row-identical to the single-table oracle for every predicate — any
+# double-read of the overlap region or over-pruned source shows up as a
+# row-count/hash break.
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate())
+def test_split_store_cutover_matches_duckdb(spark, sf_dir, duck, pred):
+    df = build_metric_df(
+        spark,
+        events_store(sf_dir, split=True),
+        ORG,
+        METRIC,
+        predicate=pred,
+        sort=False,
+    ).select(*USER_COLS)
+    got = sorted(tuple(str(r[c]) for c in USER_COLS) for r in df.collect())
+    oracle_pred = pred.replace("timestamp", "epoch_ms(ts)")
+    cols = 'epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value, props'
+    rows = duck.execute(f"SELECT {cols} FROM events WHERE {oracle_pred}").fetchall()
+    exp = sorted(tuple(str(v) for v in r) for r in rows)
+    assert got == exp, f"split-store predicate {pred!r}: {len(got)} vs {len(exp)} rows"
