@@ -7,6 +7,8 @@ the combinatorial space between them.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -73,8 +75,13 @@ def duck(sf_dir):
     return con
 
 
+# deep-fuzz knob: FUZZ_EXAMPLES=150 for an offline hunt; default stays
+# cheap enough for the routine suite
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "15"))
+
+
 @settings(
-    max_examples=15,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -100,7 +107,7 @@ def test_where_grammar_matches_duckdb(spark, sf_dir, duck, pred):
 
 
 @settings(
-    max_examples=12,
+    max_examples=max(_EXAMPLES - 3, 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
