@@ -568,24 +568,44 @@ FROM s
 # --- corpus-trained bigram LM scoring (CCNet-style perplexity filter) ------
 
 
+#: Sentinel that out-of-vocabulary tokens map to before bigram counting.
+#: Contains a NUL byte, which the whitespace tokenizer can never strip, so a
+#: natural token colliding with it is not a practical concern — and even if
+#: one did, it would simply share the UNK context, which is the OOV semantic.
+UNK_TOKEN = "\x00unk\x00"
+
+
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    vocab_size: int = 100_000,
 ) -> DataFrame:
     """Per-document average log-likelihood under a word-bigram model trained
     on the corpus itself — the perplexity-style quality signal the CCNet
     pipeline uses to bucket documents (low avg log-prob ≈ unnatural text).
 
+    The model is trained on a **capped vocabulary**: the top ``vocab_size``
+    tokens by corpus frequency (ties broken by token, ascending, so the cut
+    is deterministic); every other token maps to a single ``UNK_TOKEN``
+    context first.  This is the CCNet shape — it both bounds the model and
+    improves the signal (hapax legomena, URLs and typos stop fragmenting
+    the context distribution).
+
     Add-k smoothing: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with
     ``c(w1)`` the bigram-context count (so probabilities normalize exactly)
-    and ``V`` the corpus vocabulary size.
+    and ``V`` the number of distinct mapped tokens (≤ vocab_size + 1).
 
     Scale shape: bigram construction is row-local (``transform`` over the
-    token array — no shuffle, no UDF); the model is two hash aggregations
-    whose output is bounded by vocabulary (≤ V² bigram rows, V context
-    rows), broadcast back onto the exploded bigrams; the final per-doc fold
-    is one aggregation.  At 100 TB the model tables stay vocabulary-sized —
-    they never grow with the corpus — so both joins stay broadcasts; only
-    the corpus-sized stages are scans.
+    token array — no shuffle, no UDF); vocabulary selection is one
+    map-side-combined token count followed by a TakeOrdered of
+    ``vocab_size`` rows; the vocab table (≤ vocab_size rows) and the
+    context-count table ``c1`` (≤ vocab_size + 1 rows) are parameter-bounded
+    and safe to broadcast.  The bigram-count table ``c12`` is bounded only
+    by (V+1)² — at web scale that can be tens of GB, so it carries **no
+    broadcast hint**: AQE sizes that join from runtime statistics and falls
+    back to a shuffle join when it outgrows the broadcast threshold.
 
     Determinism: counts are exact integers; only the final ``avg(ln ...)``
     is floating point, rounded to 6 decimals (sub-ulp engine differences in
@@ -593,9 +613,22 @@ def bigram_lm_scores(
     """
     from pyspark.sql import functions as F
 
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
         "__n", F.size("__t")
+    )
+    unigrams = base.select(F.explode("__t").alias("__w"))
+    # Top-V by (count desc, token asc): a TakeOrdered over the token-count
+    # aggregate — never more than vocab_size rows leave the executors.
+    vocab = (
+        unigrams.groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .select("__w")
     )
     bi = base.filter(F.col("__n") >= 2).select(
         id_col,
@@ -603,16 +636,35 @@ def bigram_lm_scores(
             F.expr("transform(slice(__t, 1, __n - 1), (w, i) -> struct(w AS w1, __t[i + 1] AS w2))")
         ).alias("__b"),
     ).select(id_col, "__b.w1", "__b.w2")
-    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
-    vocab = (
-        base.select(F.explode("__t").alias("__w"))
-        .agg(F.countDistinct("__w").alias("__v"))
+    v1 = vocab.select(F.col("__w").alias("w1"), F.lit(True).alias("__in1"))
+    v2 = vocab.select(F.col("__w").alias("w2"), F.lit(True).alias("__in2"))
+    bim = (
+        bi.join(F.broadcast(v1), ["w1"], "left")
+        .join(F.broadcast(v2), ["w2"], "left")
+        .select(
+            id_col,
+            F.when(F.col("__in1"), F.col("w1")).otherwise(F.lit(UNK_TOKEN)).alias("m1"),
+            F.when(F.col("__in2"), F.col("w2")).otherwise(F.lit(UNK_TOKEN)).alias("m2"),
+        )
+    )
+    c12 = bim.groupBy("m1", "m2").agg(F.count("*").alias("__c12"))
+    c1 = c12.groupBy("m1").agg(F.sum("__c12").alias("__c1"))
+    # V for smoothing = distinct mapped tokens (capped vocab ∪ maybe-UNK).
+    vcnt = (
+        unigrams.join(
+            F.broadcast(vocab.withColumn("__in", F.lit(True))), ["__w"], "left"
+        )
+        .select(
+            F.when(F.col("__in"), F.col("__w")).otherwise(F.lit(UNK_TOKEN)).alias("__mw")
+        )
+        .agg(F.countDistinct("__mw").alias("__v"))
     )
     scored = (
-        bi.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        # c12 is corpus-vocabulary-derived and NOT parameter-bounded in the
+        # broadcast sense — deliberately unhinted so AQE picks the strategy.
+        bim.join(c12, ["m1", "m2"])
+        .join(F.broadcast(c1), ["m1"])
+        .crossJoin(F.broadcast(vcnt))
         .withColumn(
             "__lp",
             F.log((F.col("__c12") + F.lit(k)) / (F.col("__c1") + F.lit(k) * F.col("__v"))),
@@ -625,24 +677,39 @@ def bigram_lm_scores(
 
 
 def bigram_lm_oracle_sql(
-    source_sql: str, text_col: str = "text", id_col: str = "doc_id", k: float = 0.5
+    source_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    vocab_size: int = 100_000,
 ) -> str:
     toks = (
         f"list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'), x -> length(x) > 0)"
     )
+    unk = "chr(0) || 'unk' || chr(0)"
     return f"""
 WITH tok AS (SELECT {id_col}, {toks} AS t FROM ({source_sql})),
+uni AS (SELECT unnest(t) AS w FROM tok),
+vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS wc FROM uni GROUP BY w)
+  ORDER BY wc DESC, w ASC LIMIT {vocab_size}
+),
 bi AS (
-  SELECT {id_col}, t[i] AS w1, t[i + 1] AS w2
+  SELECT {id_col},
+         CASE WHEN t[i] IN (SELECT w FROM vocab) THEN t[i] ELSE {unk} END AS m1,
+         CASE WHEN t[i + 1] IN (SELECT w FROM vocab) THEN t[i + 1] ELSE {unk} END AS m2
   FROM (SELECT {id_col}, t, unnest(generate_series(1, len(t) - 1)) AS i
         FROM tok WHERE len(t) >= 2)
 ),
-c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
-c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM tok)),
+c12 AS (SELECT m1, m2, count(*) AS c12 FROM bi GROUP BY m1, m2),
+c1 AS (SELECT m1, sum(c12) AS c1 FROM c12 GROUP BY m1),
+v AS (
+  SELECT count(DISTINCT CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE {unk} END) AS v
+  FROM uni
+),
 s AS (
   SELECT bi.{id_col}, ln((c12.c12 + {k}) / (c1.c1 + {k} * v.v)) AS lp
-  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  FROM bi JOIN c12 USING (m1, m2) JOIN c1 USING (m1) CROSS JOIN v
 )
 SELECT {id_col}, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
 FROM s GROUP BY {id_col}

@@ -1036,19 +1036,20 @@ SELECT user_id, event_type, cnt, rank FROM (
 
 def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average bigram log-likelihood under a corpus-trained LM —
-    the CCNet-style perplexity bucket signal (llm_ops.textstats).  The
-    model tables are vocabulary-bounded and broadcast; only the scans are
-    corpus-sized."""
+    the CCNet-style perplexity bucket signal (llm_ops.textstats).  Trained
+    on a capped top-V vocabulary (OOV → one UNK context) so the model
+    tables are parameter-bounded; vocab_size=16 against the synthetic
+    ~31-token corpus deliberately exercises the UNK path."""
     from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
 
     docs = load(spark, sf_dir, "documents")
-    return bigram_lm_scores(docs, "text", "doc_id")
+    return bigram_lm_scores(docs, "text", "doc_id", vocab_size=16)
 
 
 def _t_bigram_lm_oracle() -> str:
     from fineo_readerator_spark.llm_ops.textstats import bigram_lm_oracle_sql
 
-    return bigram_lm_oracle_sql("SELECT doc_id, text FROM documents")
+    return bigram_lm_oracle_sql("SELECT doc_id, text FROM documents", vocab_size=16)
 
 
 def t_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:

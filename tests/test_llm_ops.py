@@ -413,13 +413,49 @@ def test_bigram_lm_scores_null_and_short_docs(spark):
     assert out[4].avg_logp > out[1].avg_logp
 
 
-def test_bigram_lm_model_joins_are_broadcast(spark, sf_dir):
+def test_bigram_lm_vocab_cap_maps_oov_to_unk(spark):
     from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = bigram_lm_scores(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan  # vocab-bounded model must not shuffle-join
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the cat")],
+        "doc_id long, text string",
+    )
+    full = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df).collect()}
+    # full vocab: c(the,cat)=2 beats c(the,dog)=1
+    assert full[1] == full[3] and full[2] < full[1]
+    capped = {
+        r.doc_id: r.avg_logp
+        for r in bigram_lm_scores(df, vocab_size=1).collect()
+    }
+    # vocab={'the'} -> cat/dog both collapse to UNK: all docs score identically
+    assert capped[1] == capped[2] == capped[3]
+
+
+def test_bigram_lm_corpus_model_table_is_not_hinted(spark):
+    """The (m1, m2) bigram-count table grows with corpus vocabulary squared —
+    it must carry NO broadcast hint (AQE sizes that join); only the
+    parameter-bounded tables (vocab, c1, V) may be hinted."""
+    import inspect
+    import re
+
+    from fineo_readerator_spark.llm_ops.textstats import bigram_lm_scores
+
+    # the vocab cap must exist and have a sane default
+    p = inspect.signature(bigram_lm_scores).parameters["vocab_size"]
+    assert isinstance(p.default, int) and p.default >= 1
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bigram_lm_scores(df)._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        # a hint directly above the Aggregate producing c12 would force-broadcast
+        # the corpus-derived bigram model
+        assert not re.search(r"Aggregate \[m1#\d+, m2#\d+\]", nxt), (
+            "bigram-count table (c12) must not be broadcast-hinted:\n" + plan
+        )
 
 
 def test_incremental_dedup_probes_store_without_base_rescan(spark, tmp_path):
@@ -452,3 +488,42 @@ def test_incremental_dedup_probes_store_without_base_rescan(spark, tmp_path):
     out = {r.doc_id: r for r in incremental_minhash_flags(store, delta).collect()}
     assert out[10].is_dup and out[10].n_dup_bases == 1 and out[10].best_est == 1.0
     assert not out[11].is_dup and out[11].n_dup_bases == 0 and out[11].best_est is None
+
+
+def test_signature_store_interrupted_rebuild_reads_incomplete(spark, tmp_path, monkeypatch):
+    """A parameter-changing rebuild that dies mid-write must NOT leave the
+    old meta alongside new sigs — the meta is deleted up front, so an
+    interrupted rebuild reads as incomplete, never as valid-with-stale-params."""
+    import fineo_readerator_spark.llm_ops.dedup as dedup_mod
+    from fineo_readerator_spark.llm_ops.dedup import (
+        read_store_meta,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    write_signature_store(base, store, seed=42)
+    assert read_store_meta(spark, store)["seed"] == 42
+
+    # rebuild with a DIFFERENT hash family, crashing after sigs are written
+    orig = dedup_mod._band_explode
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated mid-rebuild crash")
+
+    monkeypatch.setattr(dedup_mod, "_band_explode", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        write_signature_store(base, store, seed=99)
+    monkeypatch.setattr(dedup_mod, "_band_explode", orig)
+
+    # the old seed=42 meta must be gone: probing the half-rebuilt store with
+    # the stale family would be a silent false negative
+    with pytest.raises(ValueError, match="no _store_meta"):
+        read_store_meta(spark, store)
+
+    # a completed rebuild recovers the store
+    write_signature_store(base, store, seed=99)
+    assert read_store_meta(spark, store)["seed"] == 99
