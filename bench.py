@@ -28,6 +28,18 @@ from fineo_readerator_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # bench hygiene gate: ambient load swings sub-second query timings ±40%
+    # (the r4→r5 triage lesson), so check BEFORE starting the JVM and tag the
+    # output when the machine is not quiet — a tagged run is forensics, not
+    # evidence.  Warn-and-tag rather than refuse: the per-round driver run
+    # must still produce a JSON line.
+    load_start = os.getloadavg()[0]
+    if load_start > 1.0:
+        print(
+            f"WARNING: 1-min load average {load_start:.2f} > 1.0 — timings "
+            "will be noisy; re-run on an idle machine for comparable numbers",
+            file=sys.stderr,
+        )
     spark = get_spark("fineo-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,8 +103,13 @@ def main() -> None:
         # ambient-load forensics: the r4→r5 regression triage showed ±40%
         # run-to-run swings on sub-second queries tracking machine load, so
         # record it with every snapshot to make noise attributable
+        # end-of-run load includes the bench's own 32 threads — the hygiene
+        # signal is load BEFORE the JVM started
         "load_avg": round(os.getloadavg()[0], 2),
+        "load_avg_start": round(load_start, 2),
     }
+    if load_start > 1.0:
+        out["load_warning"] = "machine not idle at bench start; timings noisy"
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -54,10 +54,37 @@ def assert_read_only(sql: str) -> None:
 # PERF-ONLY knobs — nothing that changes query RESULTS (the session
 # timezone, for instance, must never be here: on a shared SparkSession one
 # tenant's change would silently shift another tenant's timestamps).
+def _norm_int(lo: int, hi: int):
+    """Canonical-form int normalizer: digits only (no sign, no ``1_0``
+    underscore forms Python's int() would accept), bounded to [lo, hi] —
+    a tenant setting shuffle.partitions=0 on the shared session would break
+    planning for every other tenant.  Returns the normalized string that is
+    actually passed to SET (never the raw input)."""
+
+    def norm(v: str) -> str:
+        if not v.isascii() or not v.isdigit():
+            raise ValueError(f"not a plain decimal integer: {v!r}")
+        n = int(v)
+        if not lo <= n <= hi:
+            raise ValueError(f"{n} outside allowed range [{lo}, {hi}]")
+        return str(n)
+
+    return norm
+
+
+def _norm_bool(v: str) -> str:
+    low = v.lower()
+    if low not in ("true", "false"):
+        raise ValueError(f"not a boolean: {v!r}")
+    return low
+
+
+# each option maps to a normalizer: raises ValueError on bad input, returns
+# the canonical value string that is passed to SET
 _SESSION_OPTIONS: dict = {
-    "spark.sql.shuffle.partitions": int,
-    "spark.sql.adaptive.enabled": lambda v: v.lower() in ("true", "false"),
-    "spark.sql.files.maxPartitionBytes": int,
+    "spark.sql.shuffle.partitions": _norm_int(1, 100_000),
+    "spark.sql.adaptive.enabled": _norm_bool,
+    "spark.sql.files.maxPartitionBytes": _norm_int(65_536, 16 * 1024**3),
 }
 _ALTER_SET = re.compile(
     r"^\s*alter\s+(?:system|session)\s+set\s+`?([\w.]+)`?\s*=\s*(.+?)\s*;?\s*$",
@@ -135,12 +162,12 @@ class TenantSession:
                     f"{sorted(_SESSION_OPTIONS)}"
                 )
             try:
-                ok = _SESSION_OPTIONS[key](value)
-            except (TypeError, ValueError):
-                ok = False
-            if ok is False:
-                raise ReadOnlyViolation(f"invalid value {value!r} for option {key!r}")
-            return self.spark.sql(f"SET {key}={value}")
+                normalized = _SESSION_OPTIONS[key](value)
+            except (TypeError, ValueError) as e:
+                raise ReadOnlyViolation(
+                    f"invalid value {value!r} for option {key!r}: {e}"
+                ) from e
+            return self.spark.sql(f"SET {key}={normalized}")
         assert_read_only(query)
         df = self.spark.sql(query)
         if max_rows is not None:

@@ -655,6 +655,12 @@ def write_signature_store(
     import json
 
     r = num_hashes // bands
+    # Invalidate FIRST: a rebuild over an existing store must delete the old
+    # meta before touching sigs/bands, or a crash mid-rebuild leaves stale
+    # parameters alongside new data — a store read_store_meta would accept
+    # but probe with the wrong hash family (silent false negatives).  With
+    # the meta gone, an interrupted rebuild reads as incomplete instead.
+    _fs_delete(df.sparkSession, f"{path}/_store_meta.json")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed, portable)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     # band-explode from the WRITTEN sigs: the signature aggregation runs
@@ -677,6 +683,16 @@ def write_signature_store(
             }
         ),
     )
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Delete a file through the Hadoop FileSystem (no-op when absent) —
+    same-filesystem rationale as :func:`_fs_write_text`."""
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, False)
 
 
 def _fs_write_text(spark, path: str, text: str) -> None:

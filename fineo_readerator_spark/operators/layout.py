@@ -31,6 +31,26 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(p).getLength()
 
 
+def _assert_dest_outside_src(spark: SparkSession, src_path: str, dest_path: str) -> None:
+    """``mode('overwrite')`` onto the path a lazy read is still scanning
+    either fails mid-write or destroys the source, depending on
+    format/committer — refuse up front.  Paths are compared fully
+    qualified + normalized through the Hadoop Path machinery so
+    ``file:///a/b`` and ``/a/b/`` compare equal."""
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, sp = hadoop_fs(spark, src_path)
+    _, dp = hadoop_fs(spark, dest_path)
+    src = str(fs.makeQualified(sp))
+    dest = str(fs.makeQualified(dp))
+    if dest == src or dest.startswith(src.rstrip("/") + "/"):
+        raise ValueError(
+            f"dest_path {dest_path!r} is {src_path!r} or nested under it: "
+            "compaction overwrites the destination while lazily reading the "
+            "source — write to a sibling path and swap afterwards"
+        )
+
+
 def compact(
     spark: SparkSession,
     src_path: str,
@@ -47,6 +67,7 @@ def compact(
     file's [min, max] on the sort key is disjoint from its neighbors'
     (pinned by tests/test_layout.py).  Without: a plain ``repartition``
     (round-robin) that only fixes the file-count problem."""
+    _assert_dest_outside_src(spark, src_path, dest_path)
     df = spark.read.format(fmt).load(src_path)
     n_files = max(1, math.ceil(_dir_bytes(spark, src_path) / target_bytes))
     if sort_cols:
@@ -125,6 +146,7 @@ def compact_zorder(
     of several columns: one range exchange on the z-key, then an in-file
     sort, so parquet min/max stats skip files for predicates on ANY of the
     participating columns."""
+    _assert_dest_outside_src(spark, src_path, dest_path)
     df = spark.read.format(fmt).load(src_path)
     n_files = max(1, math.ceil(_dir_bytes(spark, src_path) / target_bytes))
     z = zorder_column(df, zorder_cols, bits)

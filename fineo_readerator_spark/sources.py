@@ -271,40 +271,81 @@ def discover_fs_sources(
 
     This is resolve-time metadata walking (one listing of the layout tree,
     never file contents); at 100 TB it touches O(orgs × metrics)
-    directory entries, not data.
+    directory entries, not data.  The walk goes through the Hadoop
+    FileSystem of the ACTIVE SparkSession when one exists, so the same
+    layout works on s3a/hdfs base paths (local pathlib would silently
+    return [] there); a pathlib fallback keeps sessionless local use
+    working.
     """
-    from pathlib import Path
 
     def natural(name: str):
         return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
 
-    root = Path(base)
-    versions = (
-        sorted((p.name for p in root.iterdir() if p.is_dir()), key=natural)
-        if root.is_dir()
-        else []
-    )
-    if not versions:
+    list_dirs = _dir_lister(base)
+    versions = sorted(list_dirs(base), key=natural)
+    if version is not None:
+        if version not in versions:
+            raise ValueError(
+                f"requested version {version!r} not found under {base!r}; "
+                f"available: {versions}"
+            )
+        ver = version
+    elif versions:
+        ver = versions[-1]
+    else:
         return []
-    ver = version if version is not None else versions[-1]
     added = []
-    for fmt_dir in sorted((root / ver).iterdir()):
-        if fmt_dir.name not in _FS_FORMATS or not fmt_dir.is_dir():
+    b = base.rstrip("/")
+    for fmt in sorted(list_dirs(f"{b}/{ver}")):
+        if fmt not in _FS_FORMATS:
             continue
-        for org_dir in sorted(p for p in fmt_dir.iterdir() if p.is_dir()):
-            for metric_dir in sorted(p for p in org_dir.iterdir() if p.is_dir()):
-                org, metric = org_dir.name, metric_dir.name
+        for org in sorted(list_dirs(f"{b}/{ver}/{fmt}")):
+            for metric in sorted(list_dirs(f"{b}/{ver}/{fmt}/{org}")):
                 try:
                     store.get_metric(org, metric)
                 except KeyError:
                     continue  # deleted/unregistered metric: data stays hidden
                 spec = SourceSpec(
                     kind=HISTORICAL,
-                    path=str(metric_dir),
-                    fmt=fmt_dir.name,
+                    path=f"{b}/{ver}/{fmt}/{org}/{metric}",
+                    fmt=fmt,
                     derive=dict(derive or {}),
                     **spec_kwargs,
                 )
                 store.add_source(org, metric, spec)
                 added.append((org, metric, spec))
     return added
+
+
+def _dir_lister(base: str):
+    """``path -> [child dir names]`` for the layout walk: Hadoop FileSystem
+    when a SparkSession is active (works for local, hdfs and object-store
+    paths alike), local pathlib otherwise."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from fineo_readerator_spark.session import hadoop_fs
+
+        fs, _ = hadoop_fs(spark, base)
+        jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+
+        def list_dirs(path: str):
+            p = jpath(path)
+            if not fs.exists(p):
+                return []
+            return [
+                st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+            ]
+
+        return list_dirs
+
+    from pathlib import Path
+
+    def list_dirs(path: str):
+        root = Path(path)
+        if not root.is_dir():
+            return []
+        return [c.name for c in root.iterdir() if c.is_dir()]
+
+    return list_dirs

@@ -232,3 +232,30 @@ def test_alter_session_rejects_invalid_value(spark, sf_dir):
     tenant = TenantSession(spark, events_store(sf_dir), ORG)
     with pytest.raises(ReadOnlyViolation, match="invalid value"):
         tenant.sql("ALTER SESSION SET spark.sql.shuffle.partitions = ten")
+
+
+def test_alter_session_enforces_range_and_canonical_form(spark, sf_dir):
+    """Python-int-literal loopholes must not pass: 0 breaks planning for every
+    tenant on the shared session, negatives are nonsense, and underscore
+    forms ('8_0') would store the RAW string into SET."""
+    import pytest
+
+    from fineo_readerator_spark.api import ReadOnlyViolation, TenantSession
+    from fineo_readerator_spark.plans.metric_queries import ORG, events_store
+
+    tenant = TenantSession(spark, events_store(sf_dir), ORG)
+    for bad in ("0", "-4", "8_0", "+8", " 8 ", "1e3", "999999999"):
+        with pytest.raises(ReadOnlyViolation, match="invalid value"):
+            tenant.sql(f"ALTER SESSION SET spark.sql.shuffle.partitions = '{bad}'")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        tenant.sql("ALTER SESSION SET spark.sql.shuffle.partitions = '007'")
+        # the NORMALIZED value is applied, not the raw string
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        with pytest.raises(ReadOnlyViolation, match="invalid value"):
+            tenant.sql("ALTER SESSION SET spark.sql.adaptive.enabled = yes")
+        tenant.sql("ALTER SESSION SET spark.sql.adaptive.enabled = TRUE")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -130,3 +130,20 @@ def test_zorder_drops_all_null_column_keeps_the_rest(spark):
     assert vals == sorted(vals) or sorted(vals) == sorted(set(vals))  # monotone in a
     all_null = spark.createDataFrame([(None, None)], "a long, b long")
     assert zorder_column(all_null, ["a", "b"]) is None
+
+
+def test_compact_refuses_dest_equal_or_under_src(spark, sf_dir, tmp_path):
+    import pytest
+
+    from fineo_readerator_spark.operators.layout import compact, compact_zorder
+
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    # equal, trailing-slash-equal, file://-qualified-equal, and nested dests
+    for dest in (src, src + "/", f"file://{src}", src + "/compacted"):
+        with pytest.raises(ValueError, match="nested under|is .* or nested"):
+            compact(spark, src, dest)
+        with pytest.raises(ValueError, match="nested under|is .* or nested"):
+            compact_zorder(spark, src, dest, ["id"], bits=8)
+    # a sibling whose name shares the prefix is NOT nested
+    assert compact(spark, src, src + "_out") >= 1

@@ -143,6 +143,31 @@ def test_discovered_metric_reads_full_corpus_once(spark, sf_dir):
     assert df.select("event_id").distinct().count() == total
 
 
+def test_discovery_missing_explicit_version_raises(spark, sf_dir):
+    import pytest
+
+    from fineo_readerator_spark.plans.metric_queries import ensure_fs_layout
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    base = ensure_fs_layout(spark, sf_dir)
+    with pytest.raises(ValueError, match="not found under"):
+        discover_fs_sources(_discovery_store(), base, version="v999")
+
+
+def test_discovery_walks_via_hadoop_fs_uri(spark, tmp_path):
+    """An explicit file:// URI exercises the Hadoop FileSystem walk — the
+    path shape object stores take (local pathlib would see no dir and
+    silently discover nothing)."""
+    from fineo_readerator_spark.sources import discover_fs_sources
+
+    d = tmp_path / "layout" / "v1" / "parquet" / "acme" / "events"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"")
+    added = discover_fs_sources(_discovery_store(), f"file://{tmp_path}/layout")
+    assert [spec.fmt for _, _, spec in added] == ["parquet"]
+    assert added[0][2].path.startswith("file://"), added[0][2].path
+
+
 def test_discovery_version_order_is_natural(tmp_path):
     from fineo_readerator_spark.sources import discover_fs_sources
 
