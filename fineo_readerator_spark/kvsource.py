@@ -125,8 +125,31 @@ class KVSnapshotReader(DataSourceReader):
         # expressions (`DynamoFilterSpec.java:25-46`): attribute_exists /
         # attribute_not_exists map to IsNotNull/IsNull, document-path
         # `contains`/`begins_with` map to the string leaves.  Evaluated by
-        # the Arrow dataset reader inside every partition.
-        self.attr_conds: List[tuple] = []  # (kind, col, value)
+        # the Arrow dataset reader inside every partition.  ``col`` is a
+        # TUPLE of path segments: one segment for a top-level attribute,
+        # several for a struct document path (`DynamoFilterSpec.java:25-46`
+        # pushes nested paths the same way; pyarrow nested field refs
+        # evaluate them in C++).
+        self.attr_conds: List[tuple] = []  # (kind, col_path, value)
+        # diagnostics: when set, pushFilters dumps consumed/residual
+        # conditions as JSON — lets tests assert pushdown decisions made in
+        # the isolated planning worker (same role as the reference's
+        # PlanValidator output)
+        self.debug_filters_path = options.get("debug_filters_path")
+
+    def _is_struct_path(self, attr: tuple) -> bool:
+        """True when every segment of a multi-segment attribute resolves
+        through STRUCT fields of the declared schema — the document paths
+        pyarrow nested refs can evaluate.  Map/array steps do not resolve
+        (a map key is not a schema field) and stay residual."""
+        from pyspark.sql.types import StructType as _St
+
+        cur = self.schema
+        for seg in attr:
+            if not isinstance(cur, _St) or seg not in cur.fieldNames():
+                return False
+            cur = cur[seg].dataType
+        return True
 
     def _bucket_dirs(self) -> List[str]:
         return sorted(
@@ -140,9 +163,32 @@ class KVSnapshotReader(DataSourceReader):
         residual: List[Filter] = []
         for f in filters:
             attr = getattr(f, "attribute", None)
-            if not attr or len(attr) != 1:
-                # nested document paths stay residual (Spark re-applies)
+            if not attr:
                 residual.append(f)
+                continue
+            if len(attr) != 1:
+                # struct document paths (the reference's `contains(a.b, x)` /
+                # `begins_with` on nested attributes, DynamoFilterSpec.java:
+                # 25-46) push into the Arrow nested-field filter; map/array
+                # steps stay residual (Spark re-applies them)
+                if self._is_struct_path(tuple(attr)):
+                    path = tuple(attr)
+                    if isinstance(f, EqualTo):
+                        self.attr_conds.append(("eq", path, f.value))
+                    elif isinstance(f, IsNull):
+                        self.attr_conds.append(("isnull", path, None))
+                    elif isinstance(f, IsNotNull):
+                        self.attr_conds.append(("notnull", path, None))
+                    elif isinstance(f, StringContains):
+                        self.attr_conds.append(("contains", path, f.value))
+                    elif isinstance(f, StringStartsWith):
+                        self.attr_conds.append(("startswith", path, f.value))
+                    elif isinstance(f, StringEndsWith):
+                        self.attr_conds.append(("endswith", path, f.value))
+                    else:
+                        residual.append(f)
+                else:
+                    residual.append(f)
                 continue
             col = attr[0]
             if isinstance(f, EqualTo) and col == self.pk_col:
@@ -160,25 +206,40 @@ class KVSnapshotReader(DataSourceReader):
                 # attribute_not_exists (`DynamoFilterSpec.java:34`); distinct
                 # from `a = null`, which SQL folds to never-true before it
                 # reaches the source (`DynamoFilterBuilder.java:49-54`)
-                self.attr_conds.append(("isnull", col, None))
+                self.attr_conds.append(("isnull", (col,), None))
             elif isinstance(f, IsNotNull):
-                self.attr_conds.append(("notnull", col, None))
+                self.attr_conds.append(("notnull", (col,), None))
             elif isinstance(f, EqualNullSafe):
                 # `a <=> null` IS the null check; `a <=> v` is equality that
                 # can never match a stored null — Arrow `==` already drops
                 # nulls, so both legs push cleanly
                 self.attr_conds.append(
-                    ("isnull", col, None) if f.value is None else ("eq", col, f.value)
+                    ("isnull", (col,), None) if f.value is None else ("eq", (col,), f.value)
                 )
             elif isinstance(f, StringContains):
-                self.attr_conds.append(("contains", col, f.value))
+                self.attr_conds.append(("contains", (col,), f.value))
             elif isinstance(f, StringStartsWith):
-                self.attr_conds.append(("startswith", col, f.value))
+                self.attr_conds.append(("startswith", (col,), f.value))
             elif isinstance(f, StringEndsWith):
-                self.attr_conds.append(("endswith", col, f.value))
+                self.attr_conds.append(("endswith", (col,), f.value))
             else:
                 residual.append(f)
                 continue
+        if self.debug_filters_path:
+            import json
+
+            with open(self.debug_filters_path, "w") as fh:
+                json.dump(
+                    {
+                        "mode": self.mode,
+                        "consumed": [
+                            [k, list(p), None if v is None else str(v)]
+                            for k, p, v in self.attr_conds
+                        ],
+                        "residual": [type(f).__name__ for f in residual],
+                    },
+                    fh,
+                )
         return residual
 
     @property
@@ -240,19 +301,22 @@ class KVSnapshotReader(DataSourceReader):
         if partition.sk_hi is not None:
             v, inc = partition.sk_hi
             conj(pc.field(self.sk_col) <= v if inc else pc.field(self.sk_col) < v)
-        for kind, acol, val in self.attr_conds:
+        for kind, path, val in self.attr_conds:
+            # pc.field takes a path: one segment for a plain attribute,
+            # several for a struct document path — evaluated by Arrow in C++
+            ref = pc.field(*path)
             if kind == "isnull":
-                conj(pc.field(acol).is_null())
+                conj(ref.is_null())
             elif kind == "notnull":
-                conj(~pc.field(acol).is_null())
+                conj(~ref.is_null())
             elif kind == "eq":
-                conj(pc.field(acol) == val)
+                conj(ref == val)
             elif kind == "contains":
-                conj(pc.match_substring(pc.field(acol), val))
+                conj(pc.match_substring(ref, val))
             elif kind == "startswith":
-                conj(pc.starts_with(pc.field(acol), val))
+                conj(pc.starts_with(ref, val))
             elif kind == "endswith":
-                conj(pc.ends_with(pc.field(acol), val))
+                conj(pc.ends_with(ref, val))
 
         cols = [f.name for f in self.schema.fields]
         for batch in dataset.to_batches(columns=cols, filter=expr):

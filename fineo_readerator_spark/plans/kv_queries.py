@@ -224,6 +224,99 @@ FROM events WHERE user_id = (SELECT min(user_id) FROM events)
 """
 
 
+KV_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField(
+            "profile",
+            T.StructType(
+                [
+                    T.StructField("region", T.StringType()),
+                    T.StructField("band", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def profile_snapshot_path(sf_dir: str) -> Path:
+    repo = Path(__file__).resolve().parents[2]
+    return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "events_kv_profile"
+
+
+def ensure_profile_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Bucketed snapshot of ``events`` carrying a STRUCT-typed document
+    attribute (the Dynamo M attribute kind with named members,
+    `DynamoRecordReader.java:279-378`) so document-path predicates have a
+    nested field to push into."""
+    path = profile_snapshot_path(sf_dir)
+    fp = source_fingerprint(sf_dir, "events")
+    if not snapshot_is_fresh(path, fp):
+        ev = (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_id", "event_type")
+            .withColumn(
+                "profile",
+                F.struct(
+                    F.element_at(
+                        F.array(F.lit("us"), F.lit("eu"), F.lit("ap")),
+                        (F.col("user_id") % 3 + 1).cast("int"),
+                    ).alias("region"),
+                    F.concat_ws("-", F.col("event_type"), (F.col("user_id") % 5).cast("string")).alias(
+                        "band"
+                    ),
+                ),
+            )
+        )
+        write_kv_snapshot(ev, str(path), "user_id", n_buckets=N_BUCKETS)
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def kv_nested_pushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-path pushdown: equality + ``begins_with`` + ``contains`` on
+    STRUCT members are consumed by the source and evaluated by pyarrow
+    nested field refs inside the Arrow scan — the reference pushes the same
+    document paths into Dynamo filter expressions
+    (`DynamoFilterSpec.java:25-46`); nothing here is residual (asserted by
+    tests/test_kvsource.py with the reader's filter-debug dump)."""
+    register(spark)
+    df = (
+        spark.read.format("fineo_kv")
+        .option("path", ensure_profile_snapshot(spark, sf_dir))
+        .option("pk", "user_id")
+        .option("sk", "event_id")
+        .schema(KV_PROFILE_SCHEMA)
+        .load()
+        .filter(
+            (F.col("profile.region") == "us")
+            & F.col("profile.band").startswith("c")
+            & F.col("profile.band").contains("-3")
+        )
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("profile.region").alias("region"),
+        F.col("profile.band").alias("band"),
+    )
+
+
+KV_ORACLE_NESTED_PUSHED = """
+SELECT user_id, event_id, event_type,
+       ['us', 'eu', 'ap'][CAST(user_id % 3 AS INT) + 1] AS region,
+       event_type || '-' || CAST(user_id % 5 AS VARCHAR) AS band
+FROM events
+WHERE ['us', 'eu', 'ap'][CAST(user_id % 3 AS INT) + 1] = 'us'
+  AND starts_with(event_type || '-' || CAST(user_id % 5 AS VARCHAR), 'c')
+  AND contains(event_type || '-' || CAST(user_id % 5 AS VARCHAR), '-3')
+"""
+
+
 def kv_cross_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production fact×KV shape in ONE plan: the metric table
     (historical parquet through the recombinator) joins the KV snapshot
@@ -271,4 +364,5 @@ KV_QUERIES = [
     QueryDef("kv_query", kv_query, KV_ORACLE_QUERY),
     QueryDef("kv_scan", kv_scan, KV_ORACLE_SCAN, bench=True),
     QueryDef("kv_nested", kv_nested, KV_ORACLE_NESTED),
+    QueryDef("kv_nested_pushed", kv_nested_pushed, KV_ORACLE_NESTED_PUSHED),
 ]

@@ -144,8 +144,8 @@ def test_null_semantics_pushed(snapshot):
 
     r, residual = _reader(snapshot, [IsNull(("val",)), IsNotNull(("pk",))])
     assert residual == []  # attribute_exists / attribute_not_exists consumed
-    assert ("isnull", "val", None) in r.attr_conds
-    assert ("notnull", "pk", None) in r.attr_conds
+    assert ("isnull", ("val",), None) in r.attr_conds
+    assert ("notnull", ("pk",), None) in r.attr_conds
     assert r.mode == "scan"  # null checks are not key conditions
 
 
@@ -163,6 +163,103 @@ def test_string_leaves_pushed(snapshot):
     assert residual == []
     kinds = {k for k, _, _ in r.attr_conds}
     assert kinds == {"contains", "startswith", "endswith"}
+
+
+def test_nested_struct_document_paths_pushed_map_residual(snapshot):
+    """Struct document paths are consumed (DynamoFilterSpec.java:25-46
+    pushes `contains`/`begins_with` on nested attributes the same way);
+    map-key steps are not schema fields, so they stay residual."""
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import EqualTo, IsNotNull, StringContains, StringStartsWith
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("sk", T.LongType()),
+            T.StructField(
+                "profile",
+                T.StructType(
+                    [
+                        T.StructField("region", T.StringType()),
+                        T.StructField("band", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    r = KVSnapshotReader(schema=schema, options={"path": snapshot, "pk": "pk", "sk": "sk"})
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("profile", "region"), "us"),
+                StringStartsWith(("profile", "band"), "c"),
+                StringContains(("profile", "band"), "-3"),
+                IsNotNull(("profile", "region")),
+                EqualTo(("attrs", "u"), "7"),  # map step: residual
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["EqualTo"]
+    assert ("eq", ("profile", "region"), "us") in r.attr_conds
+    assert ("startswith", ("profile", "band"), "c") in r.attr_conds
+    assert ("contains", ("profile", "band"), "-3") in r.attr_conds
+    assert ("notnull", ("profile", "region"), None) in r.attr_conds
+
+
+def test_nested_pushdown_e2e_consumed_not_residual(spark, tmp_path):
+    """Real query through Spark's planner: the document-path conditions
+    must reach the source AND be consumed (the debug dump is written by the
+    planning worker, where plan state is otherwise unobservable)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, 10 * i, ("us" if i % 2 else "eu", f"band-{i % 4}")) for i in range(1, 41)],
+        "user_id long, event_id long, profile struct<region:string,band:string>",
+    )
+    write_kv_snapshot(df, path, "user_id", n_buckets=4)
+    register(spark)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField(
+                "profile",
+                T.StructType(
+                    [
+                        T.StructField("region", T.StringType()),
+                        T.StructField("band", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    dbg = str(tmp_path / "filters.json")
+    out = (
+        spark.read.format("fineo_kv")
+        .option("path", path)
+        .option("pk", "user_id")
+        .option("sk", "event_id")
+        .option("debug_filters_path", dbg)
+        .schema(schema)
+        .load()
+        .filter(
+            (F.col("profile.region") == "us")
+            & F.col("profile.band").startswith("band")
+            & F.col("profile.band").contains("-3")
+        )
+    )
+    got = sorted(r.user_id for r in out.collect())
+    assert got == [i for i in range(1, 41) if i % 2 and i % 4 == 3]
+    dump = json.loads(open(dbg).read())
+    assert dump["residual"] == []  # every document-path condition consumed
+    consumed = {(k, tuple(p)) for k, p, _ in dump["consumed"]}
+    assert ("eq", ("profile", "region")) in consumed
+    assert ("startswith", ("profile", "band")) in consumed
+    assert ("contains", ("profile", "band")) in consumed
 
 
 def test_null_and_contains_results(spark, snapshot, tmp_path_factory):
