@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from fineo_readerator_spark.plans.metric_queries import METRIC, ORG, events_store
 from fineo_readerator_spark.plans.registry import QueryDef
 from fineo_readerator_spark.streaming import (
+    build_metric_stream,
     dedup_stream,
     interval_join_streams,
     read_metric_stream,
@@ -304,7 +305,59 @@ def _st_store_probe_oracle() -> str:
     )
 
 
+def st_metric_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL recombinator build as a STREAM: the split two-store metric
+    (historical + nearline over the same corpus, nearline owning
+    [CUTOVER_MS, ∞)) streams through ``build_metric_stream`` — alias→
+    canonical coalesce (historical stores ``value`` only under
+    ``val_alias``), anti-overlap cutover, raw-ts filter twins — drained
+    available-now.  Exactly one copy of every row must survive, with the
+    aliased values recovered on the historical side of the cutover; any
+    stale-branch leak or alias miss breaks the value hash."""
+    from fineo_readerator_spark.plans.metric_queries import CUTOVER_MS, EVENT_DERIVE
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+    from fineo_readerator_spark.sources import SourceSpec, TimeRange
+
+    fields = [
+        FieldDef("event_id", "long"),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double", aliases=["val_alias"]),
+    ]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    path = f"{sf_dir}/events.parquet"
+    raw_ts = {"raw_ts_col": "ts", "raw_ts_per_milli": 1_000_000}
+    hist_derive = dict(EVENT_DERIVE)
+    hist_derive["val_alias"] = "value"
+    hist_derive["value"] = "cast(null as double)"  # canonical col present, null
+    st.add_source(
+        ORG, METRIC, SourceSpec(kind="historical", path=path, derive=hist_derive, **raw_ts)
+    )
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="nearline",
+            path=path,
+            derive=dict(EVENT_DERIVE),
+            time_range=TimeRange(CUTOVER_MS, None),
+            **raw_ts,
+        ),
+    )
+    stream = build_metric_stream(spark, st, ORG, METRIC).select(
+        "timestamp", "event_id", "user_id", "event_type", "value"
+    )
+    return _drain(stream, "st_metric_build_sink", "append")
+
+
+ST_METRIC_BUILD_ORACLE = (
+    'SELECT epoch_ms(ts) AS "timestamp", event_id, user_id, event_type, value FROM events'
+)
+
+
 STREAMING_QUERIES = [
+    QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_store_probe", st_store_probe, _st_store_probe_oracle()),
     QueryDef("st_hll_distinct", st_hll_distinct, _st_hll_oracle()),

@@ -1,4 +1,5 @@
 from fineo_readerator_spark.streaming.streams import (
+    build_metric_stream,
     dedup_stream,
     interval_join_streams,
     read_metric_stream,
@@ -11,6 +12,7 @@ from fineo_readerator_spark.streaming.streams import (
 )
 
 __all__ = [
+    "build_metric_stream",
     "dedup_stream",
     "interval_join_streams",
     "read_metric_stream",

@@ -71,6 +71,68 @@ def read_metric_stream(
     return canon.withColumn(event_time_col, F.timestamp_millis(F.col(ts)))
 
 
+def build_metric_stream(
+    spark: SparkSession,
+    store: SchemaStore,
+    org: str,
+    metric: str,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """The FULL recombinator build over ``readStream`` — the streaming twin
+    of ``recombinator.build_metric_df`` minus the final sort (ORDER BY is
+    illegal on unbounded streams; consumers window instead).
+
+    Per live source: ``readStream`` → [KV item expansion / compound-key
+    split] → org/metric filter → source time-window enforcement →
+    anti-overlap cutover on historical (nearline wins the overlap,
+    `TestClientLikeReads.testReadAcrossOverlappingFileAndDynamo:91-113`) →
+    raw-timestamp filter twins (scan-prunable) → alias→canonical projection
+    with casts + ``_fm`` (`FineoRecombinatorRule.java:49-177`); then UNION
+    ALL across sources and a derived ``event_time`` TIMESTAMP ready for
+    watermarking.  Every step is stateless/narrow — the build adds no
+    streaming state; only downstream aggregations do."""
+    from functools import reduce
+
+    from fineo_readerator_spark.operators.expander import expand_items, split_compound_key
+    from fineo_readerator_spark.pruning import ranges_from_predicate, select_sources
+    from fineo_readerator_spark.recombinator import (
+        _org_metric_filter,
+        _push_raw_ts_filters,
+        _range_condition,
+    )
+    from fineo_readerator_spark.sources import HISTORICAL, NEARLINE_ITEMS
+
+    schema = store.get_metric(org, metric)
+    sources = store.get_sources(org, metric)
+    ranges = ranges_from_predicate(None, schema.timestamp_field)
+    live, cutover = select_sources(sources, ranges)
+
+    branches: list[DataFrame] = []
+    for src in live:
+        df = src.read_stream(spark)
+        if src.kind == NEARLINE_ITEMS:
+            if src.compound_key:
+                from fineo_readerator_spark.operators.expander import PARTITION_KEY
+
+                df = df.filter(F.col(PARTITION_KEY) == F.lit(org + metric))
+            df = expand_items(df)
+            if src.compound_key:
+                df = split_compound_key(df, org, schema.timestamp_field)
+        df = _org_metric_filter(df, src, org, metric)
+        ts_col = F.col(schema.timestamp_field).cast("long")
+        if src.enforce_range and not src.time_range.is_unbounded:
+            df = df.filter(_range_condition(ts_col, src.time_range))
+        if src.kind == HISTORICAL and cutover is not None:
+            df = df.filter(ts_col < F.lit(cutover))
+        df = _push_raw_ts_filters(df, src, ranges, cutover)
+        df = project_canonical(df, schema, src)
+        branches.append(df)
+
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)
+    ts = schema.timestamp_field
+    return out.withColumn(event_time_col, F.timestamp_millis(F.col(ts)))
+
+
 def windowed_rollup(
     df: DataFrame,
     event_time_col: str,

@@ -273,3 +273,53 @@ def test_dedup_stream_drops_duplicate_keys(spark, stream_store, tmp_path):
     # 3 org1 rows duplicated twice -> 3 unique survive
     assert len(out) == 3
     assert sorted(r.value for r in out) == [5.0, 7.0, 10.0]
+
+
+def test_build_metric_stream_matches_batch_build(spark, sf_dir):
+    """Streaming/batch parity for the FULL recombinator build: the split
+    two-store metric (alias-coalesced historical + nearline cutover) drained
+    as a stream must equal build_metric_df over the same store row-for-row."""
+    from fineo_readerator_spark.plans.streaming_queries import st_metric_build
+    from fineo_readerator_spark.plans.metric_queries import (
+        CUTOVER_MS,
+        EVENT_DERIVE,
+        METRIC,
+        ORG,
+    )
+    from fineo_readerator_spark.recombinator import build_metric_df
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+    from fineo_readerator_spark.sources import SourceSpec, TimeRange
+
+    streamed = st_metric_build(spark, sf_dir)
+
+    fields = [
+        FieldDef("event_id", "long"),
+        FieldDef("user_id", "long"),
+        FieldDef("event_type", "string"),
+        FieldDef("value", "double", aliases=["val_alias"]),
+    ]
+    st = SchemaStore()
+    st.register_metric(MetricSchema(org=ORG, metric=METRIC, fields=fields))
+    path = f"{sf_dir}/events.parquet"
+    hist = dict(EVENT_DERIVE)
+    hist["val_alias"] = "value"
+    hist["value"] = "cast(null as double)"
+    st.add_source(ORG, METRIC, SourceSpec(kind="historical", path=path, derive=hist))
+    st.add_source(
+        ORG,
+        METRIC,
+        SourceSpec(
+            kind="nearline",
+            path=path,
+            derive=dict(EVENT_DERIVE),
+            time_range=TimeRange(CUTOVER_MS, None),
+        ),
+    )
+    batch = build_metric_df(spark, st, ORG, METRIC, sort=False).select(
+        "timestamp", "event_id", "user_id", "event_type", "value"
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert len(got) == batch.count() and got == exp
+    # aliased values were recovered on the historical side of the cutover
+    assert all(v is not None for *_, v in got)
