@@ -242,3 +242,102 @@ def test_paging_offset_is_forward_only(server):
     assert status == 200 and out["closed"] is True
     status, _ = _post(server, {"statement_id": stmt, "offset": 1}, path="/fetch")
     assert status == 404
+
+
+def test_concurrent_multi_tenant_servers(spark, tmp_path):
+    """Two TenantSessions on spark.newSession() handles behind two
+    ReadServers in ONE JVM, queried concurrently over real HTTP: tenant A
+    never sees B's rows, ALTER SESSION confs stay session-scoped, and two
+    paging cursors interleave without cross-talk (the reference's
+    one-org-per-server deployment, FineoServer.java:49-70, collapsed into
+    one JVM)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = []
+    for org, base in [("orgA", 0), ("orgB", 100_000)]:
+        rows += [
+            {"companykey": org, "metrictype": "m", "timestamp": base + i,
+             "writetime": base + i, "v": base + i}
+            for i in range(60)
+        ]
+    path = str(tmp_path / "hist")
+    spark.createDataFrame(
+        rows, "companykey string, metrictype string, timestamp long, writetime long, v int"
+    ).write.mode("overwrite").parquet(path)
+
+    def store_for(org):
+        st = SchemaStore()
+        st.register_metric(MetricSchema(org=org, metric="m", fields=[FieldDef("v", "int")]))
+        st.add_source(org, "m", SourceSpec(kind="historical", path=path))
+        return st
+
+    sess_a = spark.newSession()
+    sess_b = spark.newSession()
+    srv_a = ReadServer(TenantSession(sess_a, store_for("orgA"), "orgA"), api_key="keyA")
+    srv_b = ReadServer(TenantSession(sess_b, store_for("orgB"), "orgB"), api_key="keyB")
+    url_a = f"http://127.0.0.1:{srv_a.start()}"
+    url_b = f"http://127.0.0.1:{srv_b.start()}"
+    try:
+        # -- concurrent queries: every result stays inside its own tenant --
+        def hit(i):
+            url, key, lo, hi = (
+                (url_a, "keyA", 0, 60) if i % 2 == 0 else (url_b, "keyB", 100_000, 100_060)
+            )
+            status, out = _post(url, {"sql": "SELECT v FROM m"}, key=key)
+            assert status == 200, out
+            vals = [r["v"] for r in out["rows"]]
+            assert len(vals) == 60 and all(lo <= v < hi for v in vals), (i, vals[:3])
+            return True
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            assert all(ex.map(hit, range(16)))
+
+        # -- ALTER SESSION is session-scoped: A's change never leaks to B --
+        before_root = spark.conf.get("spark.sql.shuffle.partitions")
+        before_b = sess_b.conf.get("spark.sql.shuffle.partitions")
+        status, _ = _post(
+            url_a,
+            {"sql": "ALTER SESSION SET spark.sql.shuffle.partitions = 7"},
+            key="keyA",
+        )
+        assert status == 200
+        assert sess_a.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert sess_b.conf.get("spark.sql.shuffle.partitions") == before_b
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before_root
+
+        # -- interleaved paging: two live cursors, alternating fetches --
+        def open_stmt(url, key):
+            status, out = _post(
+                url, {"sql": "SELECT v FROM m ORDER BY v", "frame_size": 10}, key=key
+            )
+            assert status == 200 and not out["done"] and "statement_id" in out
+            return out["statement_id"], [r["v"] for r in out["rows"]]
+
+        sid_a, got_a = open_stmt(url_a, "keyA")
+        sid_b, got_b = open_stmt(url_b, "keyB")
+        done_a = done_b = False
+        while not (done_a and done_b):
+            if not done_a:
+                status, f = _post(
+                    url_a, {"statement_id": sid_a, "offset": len(got_a)}, key="keyA", path="/fetch"
+                )
+                assert status == 200, f
+                got_a += [r["v"] for r in f["rows"]]
+                done_a = f["done"]
+            if not done_b:
+                status, f = _post(
+                    url_b, {"statement_id": sid_b, "offset": len(got_b)}, key="keyB", path="/fetch"
+                )
+                assert status == 200, f
+                got_b += [r["v"] for r in f["rows"]]
+                done_b = f["done"]
+        assert got_a == list(range(60))
+        assert got_b == list(range(100_000, 100_060))
+
+        # -- cross-tenant key never works --
+        status, out = _post(url_a, {"sql": "SELECT v FROM m"}, key="keyB")
+        assert status == 403
+    finally:
+        srv_a.stop()
+        srv_b.stop()
+        sess_a.conf.set("spark.sql.shuffle.partitions", before_root)
