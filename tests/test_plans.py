@@ -282,3 +282,27 @@ def test_q_bloom_prejoin_filters_before_join(spark):
     # executedPlan prints top-down: the join node appears before (above) the
     # scan-side filter that contains the bloom expression
     assert bloom_at > join_at, plan
+
+
+def test_q9_q21_widest_joins_broadcast_dims_no_cartesian(spark, sf_dir):
+    """The two widest join trees in the registry: every dimension side
+    (part/supplier/nation) must arrive via BroadcastHashJoin and neither
+    plan may contain a cartesian or nested-loop join — at 100 TB a
+    mis-planned dim join here re-shuffles the whole fact table."""
+    from fineo_readerator_spark.plans.tpch_extra import (
+        q9_product_profit,
+        q21_waiting_supplier,
+    )
+
+    p9 = _plan(q9_product_profit(spark, sf_dir))
+    assert p9.count("BroadcastHashJoin") >= 3, p9  # part, supplier, nation
+    assert "CartesianProduct" not in p9 and "BroadcastNestedLoopJoin" not in p9
+    # the only non-broadcast join is fact-to-orders on the order key
+    assert p9.count("SortMergeJoin") + p9.count("ShuffledHashJoin") <= 1, p9
+
+    p21 = _plan(q21_waiting_supplier(spark, sf_dir))
+    # nation->supplier and supplier-name->candidates both broadcast
+    assert p21.count("BroadcastHashJoin") >= 2, p21
+    assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21
+    # the fact side shuffles once on the order key (the window), never more
+    assert p21.count("SortMergeJoin") + p21.count("ShuffledHashJoin") <= 1, p21
