@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Empirical scale validation of SCALE.md's claims.
+
+Builds a 10x fixture from the sf0.1 driver tables and measures the five
+heaviest operators at both scales, writing ``SCALE_CHECK.md`` with the
+measured scaling exponents  alpha = log(t_10x / t_1x) / log(10)
+(alpha ~ 1 = linear, 2 = quadratic).
+
+The fixture replicates each table 10x with STRUCTURE-PRESERVING
+perturbations, so per-replica duplicate/near-dup topology is identical to
+the original and cross-replica collisions are impossible — total work
+scales exactly 10x when the operator is linear:
+
+- documents: replica r suffixes every token with ``_r`` — within-replica
+  shingle structure unchanged, cross-replica shingle sets disjoint (no
+  spurious mega-clusters).
+- embeddings: replica r cyclically shifts vector components by r —
+  within-replica geometry identical (permutation preserves norms and
+  pairwise cosines), cross-replica vectors decorrelate.
+- orders/lineitem: replica r offsets the join key by r * 10^9 — join
+  fan-out per key unchanged.
+
+Run on an idle machine (the bench hygiene rule applies here too):
+
+    python scripts/scale_check.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fineo_readerator_spark.session import get_spark  # noqa: E402
+
+REPO = Path(__file__).resolve().parents[1]
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FIXTURE = REPO / ".scale_check" / "sf1x"
+REPLICAS = 10
+OFF = 10**9
+
+
+def build_fixture(spark) -> None:
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    fp = "+".join(source_fingerprint(SRC, t) for t in ("documents", "embeddings", "orders", "lineitem"))
+    if snapshot_is_fresh(FIXTURE, fp):
+        return
+    print(f"building {REPLICAS}x fixture under {FIXTURE} ...", file=sys.stderr)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = [docs]
+    for r in range(1, REPLICAS):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * OFF).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda w: F.concat(w, F.lit(f"_{r}")),
+                    ),
+                    " ",
+                ).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            ).select(*docs.columns)
+        )
+    _union_write(parts, FIXTURE / "documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = [emb]
+    dim_shift = (
+        "transform(sequence(0, size(embedding) - 1),"
+        " i -> embedding[(i + {r}) % size(embedding)])"
+    )
+    for r in range(1, REPLICAS):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * OFF).alias("vec_id"),
+                F.expr(dim_shift.format(r=r)).alias("embedding"),
+                "label",
+            ).select(*emb.columns)
+        )
+    _union_write(parts, FIXTURE / "embeddings.parquet")
+
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = [df]
+        for r in range(1, REPLICAS):
+            parts.append(
+                df.withColumn(key, F.col(key) + r * OFF).select(*df.columns)
+            )
+        _union_write(parts, FIXTURE / f"{table}.parquet")
+    stamp_snapshot(FIXTURE, fp)
+
+
+def _union_write(parts, dest: Path) -> None:
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    out.write.mode("overwrite").parquet(str(dest))
+
+
+def _semantic_dedup_scaled(spark, sf_dir: str):
+    """Semantic dedup with the documented scale knob applied: cells sized to
+    hold ~125 rows each (the sf0.1/16-cell density), i.e. cells grow
+    LINEARLY with the corpus — the regime SCALE.md prescribes for 100 TB.
+    The registry query pins n_cells=16 for oracle determinism; this
+    measures the knob."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        seeded_cell_expr,
+        seeded_codebook,
+        semantic_dedup_assigned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    n = emb.count()
+    k = max(16, round(n / 125))
+    seeds = seeded_codebook(emb, "vec_id", "embedding", k)
+    assigned = emb.withColumn("cell", seeded_cell_expr("embedding", seeds))
+    kept = semantic_dedup_assigned(
+        assigned, "vec_id", "embedding", cell_col="cell", threshold=0.35, n_cells=k
+    )
+    return kept.select("vec_id", "label", "cell")
+
+
+def main() -> None:
+    load1 = os.getloadavg()[0]
+    if load1 > 1.0:
+        print(f"WARNING: load {load1:.2f} > 1 — numbers will be noisy", file=sys.stderr)
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_fixture(spark)
+
+    from fineo_readerator_spark.plans.queries import QUERIES
+
+    ops = {
+        "d_minhash_dedup": QUERIES["d_minhash_dedup"].fn,
+        "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
+        "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
+        "q_colocated_join": QUERIES["q_colocated_join"].fn,
+        "d_semantic_dedup_layout (16 cells fixed)": QUERIES["d_semantic_dedup_layout"].fn,
+        "semantic_dedup (cells ~ N, the SCALE.md knob)": _semantic_dedup_scaled,
+    }
+
+    results: dict[str, dict] = {name: {} for name in ops}
+    for sf_dir, tag in ((SRC, "1x"), (str(FIXTURE), "10x")):
+        for name, fn in ops.items():
+            # warm pass builds the per-dir layout caches (store, IVF cells,
+            # bucketed layout) — one-time index builds, not query cost
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best, rows = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                rows = df.count()
+                best = min(best, time.perf_counter() - t0)
+            results[name][tag] = (round(best, 3), rows)
+            print(f"{name:50s} {tag:>3s}: {best:7.3f}s  ({rows} rows)", file=sys.stderr)
+            # the bench.py lesson: shared-JVM cache blocks (incl. prior runs'
+            # localCheckpoints) and deferred GC taint the NEXT measurement —
+            # drop state and collect at operator boundaries, not inside them
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+
+    lines = [
+        "# SCALE_CHECK — measured scaling of the five heaviest operators",
+        "",
+        f"10x fixture: sf0.1 tables replicated {REPLICAS}x with structure-preserving",
+        "perturbations (token-suffixed documents, dimension-rotated embeddings,",
+        "key-offset orders/lineitem) — per-replica dup/near-dup topology identical,",
+        "cross-replica collisions impossible, so linear operators must take ~10x.",
+        f"Measured on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], min of 2 runs",
+        f"after a cache-building warm pass; 1-min load at start: {load1:.2f}.",
+        "",
+        "| operator | t(1x) s | rows(1x) | t(10x) s | rows(10x) | exponent α |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        t1, n1 = r["1x"]
+        t10, n10 = r["10x"]
+        alpha = math.log(t10 / t1) / math.log(10)
+        lines.append(f"| {name} | {t1} | {n1} | {t10} | {n10} | {alpha:.2f} |")
+    lines += [
+        "",
+        "α = log(t₁₀ₓ/t₁ₓ)/log(10): 1.0 = linear, 2.0 = quadratic.  Sub-second",
+        "1x timings carry fixed JVM/planning overhead, so α < 1 readings mean",
+        "'dominated by constant cost', not superlinear risk.  The fixed-16-cell",
+        "semantic dedup row exists to SHOW the hazard `_gate_cell_sizing` exists",
+        "for (rows/cell grows 10x → in-cell O(n²) work grows ~100x); the",
+        "knob-applied row below it holds rows/cell constant, the 100 TB regime.",
+        "",
+    ]
+    (REPO / "SCALE_CHECK.md").write_text("\n".join(lines))
+    print("wrote SCALE_CHECK.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
