@@ -608,6 +608,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 8,
+    max_fp_df: int = 20,
+) -> DataFrame:
+    """Exact-substring overlap dedup: document pairs sharing at least
+    ``min_shared`` winnowed rolling-hash fingerprints — the verbatim-span
+    signal (quotes, mirrored passages, licence blocks embedded in
+    otherwise-different documents) that whole-document MinHash
+    under-weights because the span is a small fraction of either doc.
+    This is the bucketed approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"):
+    winnowing guarantees any shared run of ~k+w chars contributes at
+    least one common fingerprint.
+
+    Scale shape: fingerprints are row-local (~1 per ``w`` chars, the
+    vectorized-numpy UDF of ``winnowing_fingerprints``); candidates come
+    from an EQUI-join on fingerprint value — bucketed exactly like the LSH
+    band join, never all-pairs.  ``max_fp_df`` drops fingerprints whose
+    document frequency exceeds the cap BEFORE the self-join — both the
+    signal fix (corpus-wide boilerplate is not duplication) and the skew
+    guard (one df-D fingerprint alone creates D²/2 candidate pairs; at
+    web scale header/footer fingerprints have df in the millions).  The
+    rare-fingerprint table grows with the corpus, so it carries no
+    broadcast hint — AQE sizes that join.
+
+    Returns (id_a, id_b, shared) with ``id_a < id_b``; ``shared`` counts
+    DISTINCT common fingerprints (per-doc fingerprints are distinct by
+    construction)."""
+    from fineo_readerator_spark.llm_ops.textstats import winnowing_fingerprints
+
+    if max_fp_df < 1:
+        raise ValueError(f"max_fp_df must be >= 1, got {max_fp_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnowing_fingerprints(df.select(id_col, text_col), text_col, k, w)
+    # explode drops NULL fingerprint arrays: NULL text contributes no spans
+    f = fps.select(F.col(id_col).alias("__id"), F.explode("fps").alias("fp"))
+    rare = (
+        f.groupBy("fp")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") <= max_fp_df)
+        .select("fp")
+    )
+    ff = f.join(rare, ["fp"])
+    left = ff.select(F.col("__id").alias("id_a"), "fp")
+    right = ff.select(F.col("__id").alias("id_b"), "fp")
+    return (
+        left.join(right, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def span_overlap_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 8,
+    max_fp_df: int = 20,
+) -> str:
+    from fineo_readerator_spark.llm_ops.textstats import winnowing_oracle_sql
+
+    fps = winnowing_oracle_sql(table, id_col, text_col, k, w)
+    return f"""
+WITH f AS (SELECT {id_col} AS __id, unnest(fps) AS fp FROM ({fps})),
+rare AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT __id) <= {max_fp_df}),
+ff AS (SELECT __id, fp FROM f WHERE fp IN (SELECT fp FROM rare))
+SELECT a.__id AS id_a, b.__id AS id_b, count(*) AS shared
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.__id < b.__id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
 # --- incremental dedup against a persisted signature store -----------------
 
 _STORE_SIGS_SCHEMA = "id long, sig array<bigint>"

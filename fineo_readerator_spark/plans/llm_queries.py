@@ -834,6 +834,22 @@ def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap pairs: docs sharing >= 8 winnowed rolling-hash
+    fingerprints, after dropping fingerprints with document frequency > 20
+    (boilerplate + skew guard) — the verbatim-span dedup signal MinHash
+    under-weights (llm_ops.dedup.span_overlap_pairs)."""
+    from fineo_readerator_spark.llm_ops.dedup import span_overlap_pairs
+
+    return span_overlap_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _span_overlap_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import span_overlap_oracle_sql
+
+    return span_overlap_oracle_sql("documents", "doc_id", "text")
+
+
 def _minhash_store_path(sf_dir: str):
     from pathlib import Path
 
@@ -1332,6 +1348,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
+    QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle()),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),

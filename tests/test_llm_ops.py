@@ -527,3 +527,37 @@ def test_signature_store_interrupted_rebuild_reads_incomplete(spark, tmp_path, m
     # a completed rebuild recovers the store
     write_signature_store(base, store, seed=99)
     assert read_store_meta(spark, store)["seed"] == 99
+
+
+def test_span_overlap_pairs_finds_embedded_verbatim_span(spark):
+    from fineo_readerator_spark.llm_ops.dedup import span_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro alpha beta. {quote} closing words one"),
+            (2, f"totally different opening text here. {quote} and another tail"),
+            (3, "no shared content at all xylophone quartz jelly vortex mumble"),
+            (4, None),  # NULL text contributes no spans
+        ],
+        "doc_id long, text string",
+    )
+    pairs = span_overlap_pairs(df, min_shared=5, max_fp_df=4).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].shared >= 5  # the shared span yields many common fps
+
+    # the document-frequency cap: a span present in EVERY doc is boilerplate,
+    # not duplication — with max_fp_df=1 nothing pairs
+    assert span_overlap_pairs(df, min_shared=5, max_fp_df=1).count() == 0
+
+
+def test_span_overlap_pairs_guards(spark):
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.dedup import span_overlap_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_fp_df"):
+        span_overlap_pairs(df, max_fp_df=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        span_overlap_pairs(df, min_shared=0)
