@@ -136,6 +136,47 @@ class KVSnapshotReader(DataSourceReader):
         # the isolated planning worker (same role as the reference's
         # PlanValidator output)
         self.debug_filters_path = options.get("debug_filters_path")
+        # explicit document-path conditions (`.option("doc_path_filters",
+        # json)`): Catalyst never translates MAP-key access into a DSv2
+        # predicate, so map document paths — the Dynamo M-attribute shape
+        # the reference pushes via `contains(a.b, x)` expressions
+        # (`DynamoFilterSpec.java:25-46`) — are declared on the read
+        # instead.  JSON list of [kind, "col.seg.seg", value] with kind in
+        # eq/contains/startswith/endswith/isnull/notnull; paths may step
+        # through struct fields AND map keys (evaluated by Arrow
+        # struct_field/map_lookup in C++).
+        raw = options.get("doc_path_filters")
+        if raw:
+            import json
+
+            for kind, dotted, *rest in json.loads(raw):
+                if kind not in ("eq", "contains", "startswith", "endswith", "isnull", "notnull"):
+                    raise ValueError(f"doc_path_filters: unknown kind {kind!r}")
+                path = tuple(dotted.split("."))
+                self._check_doc_path(path)  # fail at planning, not mid-scan
+                self.attr_conds.append((kind, path, rest[0] if rest else None))
+
+    def _check_doc_path(self, path: tuple) -> None:
+        """Validate that ``path`` steps through struct fields / map keys of
+        the declared schema (map VALUE type continues the walk)."""
+        from pyspark.sql.types import MapType as _Mt, StructType as _St
+
+        cur = self.schema
+        for i, seg in enumerate(path):
+            if isinstance(cur, _St):
+                if seg not in cur.fieldNames():
+                    raise ValueError(
+                        f"doc_path_filters: {'.'.join(path)!r} — {seg!r} is not "
+                        f"a field of {'.'.join(path[:i]) or 'the schema'!r}"
+                    )
+                cur = cur[seg].dataType
+            elif isinstance(cur, _Mt):
+                cur = cur.valueType  # any key is a legal map step
+            else:
+                raise ValueError(
+                    f"doc_path_filters: {'.'.join(path)!r} — cannot step into "
+                    f"{cur.simpleString()} at segment {seg!r}"
+                )
 
     def _is_struct_path(self, attr: tuple) -> bool:
         """True when every segment of a multi-segment attribute resolves
@@ -301,10 +342,28 @@ class KVSnapshotReader(DataSourceReader):
         if partition.sk_hi is not None:
             v, inc = partition.sk_hi
             conj(pc.field(self.sk_col) <= v if inc else pc.field(self.sk_col) < v)
+        from pyspark.sql.types import MapType as _Mt, StructType as _St
+
+        def path_ref(path: tuple):
+            """Arrow expression for a document path: struct segments become
+            field refs, map segments become ``map_lookup`` — both evaluated
+            in C++ by the dataset scanner."""
+            cur = self.schema
+            ref = None
+            for seg in path:
+                if ref is None:
+                    ref = pc.field(seg)
+                    cur = cur[seg].dataType
+                elif isinstance(cur, _St):
+                    ref = pc.struct_field(ref, seg)
+                    cur = cur[seg].dataType
+                else:  # MapType — validated at construction
+                    ref = pc.map_lookup(ref, query_key=seg, occurrence="first")
+                    cur = cur.valueType
+            return ref
+
         for kind, path, val in self.attr_conds:
-            # pc.field takes a path: one segment for a plain attribute,
-            # several for a struct document path — evaluated by Arrow in C++
-            ref = pc.field(*path)
+            ref = path_ref(path)
             if kind == "isnull":
                 conj(ref.is_null())
             elif kind == "notnull":

@@ -306,6 +306,43 @@ def kv_nested_pushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kv_doc_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP document-path pushdown: Catalyst never turns ``attrs['et'] = x``
+    into a DSv2 predicate, so the condition is declared on the read via
+    ``doc_path_filters`` and evaluated by Arrow ``map_lookup`` inside the
+    scan — the Dynamo M-attribute document path
+    (`DynamoFilterSpec.java:25-46`).  The startswith leg steps into the
+    same map with a different key."""
+    import json
+
+    register(spark)
+    df = (
+        spark.read.format("fineo_kv")
+        .option("path", ensure_nested_snapshot(spark, sf_dir))
+        .option("pk", "user_id")
+        .option("sk", "event_id")
+        .option(
+            "doc_path_filters",
+            json.dumps([["eq", "attrs.et", "click"], ["startswith", "attrs.u", "1"]]),
+        )
+        .schema(KV_NESTED_SCHEMA)
+        .load()
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("attrs")["u"].alias("attr_u"),
+    )
+
+
+KV_ORACLE_DOC_PATH = """
+SELECT user_id, event_id, event_type, CAST(user_id AS VARCHAR) AS attr_u
+FROM events
+WHERE event_type = 'click' AND starts_with(CAST(user_id AS VARCHAR), '1')
+"""
+
+
 KV_ORACLE_NESTED_PUSHED = """
 SELECT user_id, event_id, event_type,
        ['us', 'eu', 'ap'][CAST(user_id % 3 AS INT) + 1] AS region,
@@ -365,4 +402,5 @@ KV_QUERIES = [
     QueryDef("kv_scan", kv_scan, KV_ORACLE_SCAN, bench=True),
     QueryDef("kv_nested", kv_nested, KV_ORACLE_NESTED),
     QueryDef("kv_nested_pushed", kv_nested_pushed, KV_ORACLE_NESTED_PUSHED),
+    QueryDef("kv_doc_path", kv_doc_path, KV_ORACLE_DOC_PATH),
 ]

@@ -372,3 +372,81 @@ def _reader_opts(snapshot, opts, filters):
     r = KVSnapshotReader(schema=None, options={"path": snapshot, **opts})
     residual = list(r.pushFilters(filters))
     return r, residual
+
+
+def test_doc_path_filters_validation(snapshot):
+    """Bad document paths fail at planning with a clear message, not
+    mid-scan inside a task."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("sk", T.LongType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+    def reader(filters):
+        return KVSnapshotReader(
+            schema=schema,
+            options={
+                "path": snapshot,
+                "pk": "pk",
+                "sk": "sk",
+                "doc_path_filters": json.dumps(filters),
+            },
+        )
+
+    r = reader([["eq", "attrs.et", "click"], ["notnull", "attrs.u"]])
+    assert ("eq", ("attrs", "et"), "click") in r.attr_conds
+    assert ("notnull", ("attrs", "u"), None) in r.attr_conds
+    with pytest.raises(ValueError, match="unknown kind"):
+        reader([["like", "attrs.et", "x"]])
+    with pytest.raises(ValueError, match="not .* field|not a field"):
+        reader([["eq", "nope.et", "x"]])
+    with pytest.raises(ValueError, match="cannot step into"):
+        reader([["eq", "sk.sub", "x"]])  # scalar has no document path
+
+
+def test_doc_path_map_filter_e2e(spark, tmp_path):
+    """Map-key document paths evaluate inside the Arrow scan (map_lookup):
+    rows filter correctly, including the absent-key → NULL semantics."""
+    import json
+
+    path = str(tmp_path / "snap")
+    df = spark.sql(
+        """
+        SELECT id AS pk, id AS sk,
+               CASE WHEN id % 3 = 0 THEN map('color', 'red', 'size', CAST(id AS STRING))
+                    WHEN id % 3 = 1 THEN map('color', 'blue')
+                    ELSE map('other', 'x') END AS attrs
+        FROM range(30)
+        """
+    )
+    write_kv_snapshot(df, path, "pk", n_buckets=4)
+    register(spark)
+    out = (
+        spark.read.format("fineo_kv")
+        .option("path", path)
+        .option("pk", "pk")
+        .option("sk", "sk")
+        .option("doc_path_filters", json.dumps([["eq", "attrs.color", "red"]]))
+        .schema("pk long, sk long, attrs map<string,string>")
+        .load()
+    )
+    assert sorted(r.pk for r in out.collect()) == [i for i in range(30) if i % 3 == 0]
+    # absent key is NULL: notnull on a rarely-present key
+    out2 = (
+        spark.read.format("fineo_kv")
+        .option("path", path)
+        .option("pk", "pk")
+        .option("sk", "sk")
+        .option("doc_path_filters", json.dumps([["notnull", "attrs.size"]]))
+        .schema("pk long, sk long, attrs map<string,string>")
+        .load()
+    )
+    assert sorted(r.pk for r in out2.collect()) == [i for i in range(30) if i % 3 == 0]
