@@ -153,13 +153,21 @@ class KVSnapshotReader(DataSourceReader):
                 if kind not in ("eq", "contains", "startswith", "endswith", "isnull", "notnull"):
                     raise ValueError(f"doc_path_filters: unknown kind {kind!r}")
                 path = tuple(dotted.split("."))
-                self._check_doc_path(path)  # fail at planning, not mid-scan
+                # fail at PLANNING, not mid-scan: walk + leaf/kind typing
+                self._check_doc_path(path, kind, rest[0] if rest else None)
                 self.attr_conds.append((kind, path, rest[0] if rest else None))
 
-    def _check_doc_path(self, path: tuple) -> None:
-        """Validate that ``path`` steps through struct fields / map keys of
-        the declared schema (map VALUE type continues the walk)."""
-        from pyspark.sql.types import MapType as _Mt, StructType as _St
+    def _check_doc_path(self, path: tuple, kind: str, value) -> None:
+        """Validate that ``path`` steps through struct fields / STRING-keyed
+        map keys of the declared schema (map VALUE type continues the walk),
+        and that the leaf type supports ``kind`` — an unchecked condition
+        would crash every task mid-scan (ArrowNotImplementedError) or, for a
+        missing eq value, silently filter everything to NULL."""
+        from pyspark.sql.types import (
+            MapType as _Mt,
+            StringType as _Str,
+            StructType as _St,
+        )
 
         cur = self.schema
         for i, seg in enumerate(path):
@@ -171,12 +179,34 @@ class KVSnapshotReader(DataSourceReader):
                     )
                 cur = cur[seg].dataType
             elif isinstance(cur, _Mt):
+                if not isinstance(cur.keyType, _Str):
+                    raise ValueError(
+                        f"doc_path_filters: {'.'.join(path)!r} — map step "
+                        f"{seg!r} needs string keys, map has "
+                        f"{cur.keyType.simpleString()} keys"
+                    )
                 cur = cur.valueType  # any key is a legal map step
             else:
                 raise ValueError(
                     f"doc_path_filters: {'.'.join(path)!r} — cannot step into "
                     f"{cur.simpleString()} at segment {seg!r}"
                 )
+        if isinstance(cur, (_St, _Mt)):
+            raise ValueError(
+                f"doc_path_filters: {'.'.join(path)!r} ends on a "
+                f"{cur.simpleString()} — conditions need a scalar leaf"
+            )
+        if kind in ("contains", "startswith", "endswith") and not isinstance(cur, _Str):
+            raise ValueError(
+                f"doc_path_filters: {kind!r} on {'.'.join(path)!r} needs a "
+                f"string leaf, got {cur.simpleString()}"
+            )
+        if kind == "eq" and value is None:
+            raise ValueError(
+                f"doc_path_filters: 'eq' on {'.'.join(path)!r} is missing its "
+                "value (an SQL `= NULL` never matches; use 'isnull' for the "
+                "null check)"
+            )
 
     def _is_struct_path(self, attr: tuple) -> bool:
         """True when every segment of a multi-segment attribute resolves

@@ -620,13 +620,14 @@ def bigram_lm_scores(
     base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
         "__n", F.size("__t")
     )
-    unigrams = base.select(F.explode("__t").alias("__w"))
+    unigrams = base.select(F.explode("__t").alias("__t_w"))
+    counts = unigrams.groupBy(F.col("__t_w").alias("__w")).agg(
+        F.count("*").alias("__wc")
+    )
     # Top-V by (count desc, token asc): a TakeOrdered over the token-count
     # aggregate — never more than vocab_size rows leave the executors.
     vocab = (
-        unigrams.groupBy("__w")
-        .agg(F.count("*").alias("__wc"))
-        .orderBy(F.col("__wc").desc(), F.col("__w").asc())
+        counts.orderBy(F.col("__wc").desc(), F.col("__w").asc())
         .limit(vocab_size)
         .select("__w")
     )
@@ -649,15 +650,16 @@ def bigram_lm_scores(
     )
     c12 = bim.groupBy("m1", "m2").agg(F.count("*").alias("__c12"))
     c1 = c12.groupBy("m1").agg(F.sum("__c12").alias("__c1"))
-    # V for smoothing = distinct mapped tokens (capped vocab ∪ maybe-UNK).
-    vcnt = (
-        unigrams.join(
-            F.broadcast(vocab.withColumn("__in", F.lit(True))), ["__w"], "left"
-        )
-        .select(
-            F.when(F.col("__in"), F.col("__w")).otherwise(F.lit(UNK_TOKEN)).alias("__mw")
-        )
-        .agg(F.countDistinct("__mw").alias("__v"))
+    # V for smoothing = distinct mapped tokens (capped vocab ∪ maybe-UNK),
+    # DERIVED from the token-count aggregate already built for vocab
+    # selection — V = min(D, vocab_size) + (D > vocab_size), with D the
+    # distinct-token count.  The naive formulation (re-explode the corpus,
+    # join against vocab, countDistinct) is a whole redundant corpus pass.
+    vcnt = counts.agg(F.count("*").alias("__d")).select(
+        (
+            F.least(F.col("__d"), F.lit(vocab_size))
+            + (F.col("__d") > vocab_size).cast("long")
+        ).alias("__v")
     )
     scored = (
         # c12 is corpus-vocabulary-derived and NOT parameter-bounded in the

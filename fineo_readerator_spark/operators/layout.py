@@ -39,15 +39,22 @@ def _assert_dest_outside_src(spark: SparkSession, src_path: str, dest_path: str)
     ``file:///a/b`` and ``/a/b/`` compare equal."""
     from fineo_readerator_spark.session import hadoop_fs
 
-    fs, sp = hadoop_fs(spark, src_path)
-    _, dp = hadoop_fs(spark, dest_path)
-    src = str(fs.makeQualified(sp))
-    dest = str(fs.makeQualified(dp))
-    if dest == src or dest.startswith(src.rstrip("/") + "/"):
+    src_fs, sp = hadoop_fs(spark, src_path)
+    dest_fs, dp = hadoop_fs(spark, dest_path)
+    # each path qualifies against its OWN filesystem — qualifying dest with
+    # the source fs throws Hadoop's "Wrong FS" on legal cross-fs compactions
+    src = str(src_fs.makeQualified(sp))
+    dest = str(dest_fs.makeQualified(dp))
+    nested = lambda inner, outer: inner == outer or inner.startswith(outer.rstrip("/") + "/")  # noqa: E731
+    # overwrite of dest destroys src when either contains the other: dest
+    # under src overwrites what the lazy read is scanning; dest as an
+    # ANCESTOR of src deletes the whole subtree src lives in
+    if nested(dest, src) or nested(src, dest):
         raise ValueError(
-            f"dest_path {dest_path!r} is {src_path!r} or nested under it: "
-            "compaction overwrites the destination while lazily reading the "
-            "source — write to a sibling path and swap afterwards"
+            f"dest_path {dest_path!r} and src_path {src_path!r} overlap "
+            "(equal, nested, or ancestor): compaction overwrites the "
+            "destination while lazily reading the source — write to a "
+            "sibling path and swap afterwards"
         )
 
 

@@ -128,6 +128,13 @@ def build_metric_stream(
         df = project_canonical(df, schema, src)
         branches.append(df)
 
+    if not branches:
+        # the batch twin falls back to an empty DataFrame, but a STREAM needs
+        # at least one streaming source to exist — fail with the reason
+        raise ValueError(
+            f"no live sources for metric {org!r}.{metric!r}: register at least "
+            "one source before reading it as a stream"
+        )
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)
     ts = schema.timestamp_field
     return out.withColumn(event_time_col, F.timestamp_millis(F.col(ts)))

@@ -188,8 +188,10 @@ def main() -> None:
     for name, r in results.items():
         t1, n1 = r["1x"]
         t10, n10 = r["10x"]
-        alpha = math.log(t10 / t1) / math.log(10)
-        lines.append(f"| {name} | {t1} | {n1} | {t10} | {n10} | {alpha:.2f} |")
+        # rounded-to-zero sub-ms timings must not kill the report after all
+        # the measuring is done — below clock resolution there is no exponent
+        a = f"{math.log(t10 / t1) / math.log(10):.2f}" if t1 > 0 and t10 > 0 else "n/a"
+        lines.append(f"| {name} | {t1} | {n1} | {t10} | {n10} | {a} |")
     lines += [
         "",
         "α = log(t₁₀ₓ/t₁ₓ)/log(10): 1.0 = linear, 2.0 = quadratic.  Sub-second",

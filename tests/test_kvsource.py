@@ -450,3 +450,40 @@ def test_doc_path_map_filter_e2e(spark, tmp_path):
         .load()
     )
     assert sorted(r.pk for r in out2.collect()) == [i for i in range(30) if i % 3 == 0]
+
+
+def test_doc_path_filters_leaf_type_checked_at_planning(snapshot):
+    """Kind/leaf mismatches fail at planning with a clear message — an
+    unchecked condition would crash every task mid-scan, and a missing eq
+    value would silently filter everything to NULL."""
+    import json
+
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("sk", T.LongType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("badmap", T.MapType(T.LongType(), T.StringType())),
+        ]
+    )
+
+    def reader(filters):
+        return KVSnapshotReader(
+            schema=schema,
+            options={"path": snapshot, "pk": "pk", "sk": "sk",
+                     "doc_path_filters": json.dumps(filters)},
+        )
+
+    with pytest.raises(ValueError, match="needs a string leaf"):
+        reader([["contains", "sk", "1"]])  # long leaf
+    with pytest.raises(ValueError, match="ends on a map"):
+        reader([["eq", "attrs", "x"]])  # non-scalar leaf
+    with pytest.raises(ValueError, match="missing its value"):
+        reader([["eq", "attrs.et"]])
+    with pytest.raises(ValueError, match="string keys"):
+        reader([["eq", "badmap.7", "x"]])
+    # eq on a non-string scalar leaf is legal (Arrow == handles numerics)
+    assert reader([["eq", "sk", 5]]).attr_conds == [("eq", ("sk",), 5)]

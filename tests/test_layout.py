@@ -139,11 +139,12 @@ def test_compact_refuses_dest_equal_or_under_src(spark, sf_dir, tmp_path):
 
     src = str(tmp_path / "src")
     spark.range(10).write.parquet(src)
-    # equal, trailing-slash-equal, file://-qualified-equal, and nested dests
-    for dest in (src, src + "/", f"file://{src}", src + "/compacted"):
-        with pytest.raises(ValueError, match="nested under|is .* or nested"):
+    # equal, trailing-slash-equal, file://-qualified-equal, nested dests,
+    # and dest as an ANCESTOR of src (overwriting the parent deletes src too)
+    for dest in (src, src + "/", f"file://{src}", src + "/compacted", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlap"):
             compact(spark, src, dest)
-        with pytest.raises(ValueError, match="nested under|is .* or nested"):
+        with pytest.raises(ValueError, match="overlap"):
             compact_zorder(spark, src, dest, ["id"], bits=8)
     # a sibling whose name shares the prefix is NOT nested
     assert compact(spark, src, src + "_out") >= 1

@@ -323,3 +323,17 @@ def test_build_metric_stream_matches_batch_build(spark, sf_dir):
     assert len(got) == batch.count() and got == exp
     # aliased values were recovered on the historical side of the cutover
     assert all(v is not None for *_, v in got)
+
+
+def test_build_metric_stream_no_sources_is_clear_error(spark):
+    import pytest
+
+    from fineo_readerator_spark.schema_store import FieldDef, MetricSchema, SchemaStore
+    from fineo_readerator_spark.streaming import build_metric_stream
+
+    st = SchemaStore()
+    st.register_metric(
+        MetricSchema(org="o", metric="m", fields=[FieldDef("v", "int")])
+    )
+    with pytest.raises(ValueError, match="no live sources"):
+        build_metric_stream(spark, st, "o", "m")
