@@ -834,6 +834,25 @@ def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval over the corpus — the inverted-index
+    shape as relational ops: postings of the QUERY TERMS only feed the
+    per-doc fold, corpus stats and per-term document frequencies broadcast,
+    top-k is a TakeOrdered (llm_ops.retrieval.bm25_topk)."""
+    from fineo_readerator_spark.llm_ops.retrieval import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, "doc_id", "text")
+
+
+def _bm25_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql("documents", _BM25_TERMS, "doc_id", "text")
+
+
 def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring overlap pairs: docs sharing >= 8 winnowed rolling-hash
     fingerprints, after dropping fingerprints with document frequency > 20
@@ -1349,6 +1368,7 @@ LLM_QUERIES = [
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle()),
+    QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle()),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),

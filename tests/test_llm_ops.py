@@ -561,3 +561,32 @@ def test_span_overlap_pairs_guards(spark):
         span_overlap_pairs(df, max_fp_df=0)
     with pytest.raises(ValueError, match="min_shared"):
         span_overlap_pairs(df, min_shared=0)
+
+
+def test_bm25_topk_ranking_and_stats(spark):
+    import math
+
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler filler filler"),  # tf=3, long
+            (2, "spark rows"),                                            # tf=1, short
+            (3, "nothing relevant here at all"),
+            (4, "spark spark"),                                           # tf=2, shortest
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["SPARK"], k=10).collect()  # query is case-normalized
+    assert [r.doc_id for r in out] == [4, 1, 2]  # 3 never matches
+    assert all(r.n_terms_matched == 1 for r in out)
+    # hand-check doc 4: N=4, df=3, dl=2, avgdl=(8+2+5+2)/4
+    n, dfreq, tf, dl, avgdl, k1, b = 4, 3, 2, 2, 17 / 4, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    expect = round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+    assert out[0].score == pytest.approx(expect, abs=1e-6)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
