@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -59,6 +60,30 @@ FORMAT_NAME = "fineo_kv"
 _DEFAULT_BUCKETS = 16
 
 
+def _cast_to_declared(batch: "pa.RecordBatch", schema: StructType) -> "pa.RecordBatch":
+    """Cast an Arrow batch to the DECLARED read schema.
+
+    The stored physical types may legitimately differ from the declared
+    logical ones (a SQL ``* 2.0`` literal writes decimal(23,1) where the
+    reader declares double; int32 vs int64; …).  Handing Spark a raw batch
+    with a mismatched vector crashes DEEP in the JVM
+    (``ArrowColumnVector…getDouble UNSUPPORTED_CALL``), so cast here in
+    Arrow C++ — and when the cast itself is impossible, fail with the
+    column-level reason instead."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    if batch.schema == target:
+        return batch
+    try:
+        return batch.cast(target)
+    except Exception as e:
+        raise ValueError(
+            f"fineo_kv: stored types {batch.schema} do not cast to the "
+            f"declared schema {target}: {e}"
+        ) from e
+
+
 def _key_bucket_py(key: str, n_buckets: int) -> int:
     """Portable bucket of a partition key — first 15 hex chars of md5 as an
     integer, mod bucket count (identical to the Spark write-side expression)."""
@@ -66,13 +91,37 @@ def _key_bucket_py(key: str, n_buckets: int) -> int:
 
 
 def write_kv_snapshot(
-    df: DataFrame, path: str, pk_col: str, n_buckets: int = _DEFAULT_BUCKETS
+    df: DataFrame,
+    path: str,
+    pk_col: str,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    mode: str = "overwrite",
 ) -> None:
     """Write a DataFrame as a bucketed KV snapshot readable by this source.
 
     Fully distributed: one shuffle on the bucket id routes rows; the bucket
     expression is the same md5 leaf ``_key_bucket_py`` uses, so readers can
-    locate a key's bucket arithmetically."""
+    locate a key's bucket arithmetically.
+
+    ``mode="append"`` adds a batch to an EXISTING snapshot (the nearline
+    store's continuous-write shape): the bucket count and key column come
+    from the stored meta — appending with a different family would route
+    keys to the wrong buckets, so a mismatched ``pk_col``/``n_buckets``
+    raises."""
+    import json
+
+    meta_path = os.path.join(path, "_kv_meta.json")
+    if mode == "append":
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta["pk"] != pk_col or int(meta["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"append to {path!r} with (pk={pk_col!r}, n_buckets={n_buckets}) "
+                f"does not match the stored family (pk={meta['pk']!r}, "
+                f"n_buckets={meta['n_buckets']}) — keys would land in wrong buckets"
+            )
+    elif mode != "overwrite":
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col(pk_col).cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets),
@@ -80,16 +129,15 @@ def write_kv_snapshot(
     (
         df.withColumn("__bucket", bucket)
         .repartition("__bucket")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("__bucket")
         .parquet(path)
     )
     # sparse snapshots omit empty bucket dirs, so the write-time bucket count
     # must travel with the data for the read side's key->bucket arithmetic
-    import json
-
-    with open(os.path.join(path, "_kv_meta.json"), "w") as fh:
-        json.dump({"pk": pk_col, "n_buckets": n_buckets}, fh)
+    if mode == "overwrite":
+        with open(meta_path, "w") as fh:
+            json.dump({"pk": pk_col, "n_buckets": n_buckets}, fh)
 
 
 @dataclass
@@ -410,12 +458,79 @@ class KVSnapshotReader(DataSourceReader):
         cols = [f.name for f in self.schema.fields]
         for batch in dataset.to_batches(columns=cols, filter=expr):
             if batch.num_rows:
-                yield batch
+                yield _cast_to_declared(batch, self.schema)
+
+
+@dataclass
+class KVFilePartition(InputPartition):
+    """One newly-arrived snapshot file of a streaming micro-batch."""
+
+    file_path: str
+
+
+class KVSnapshotStreamReader(DataSourceStreamReader):
+    """``readStream`` over a LIVE bucketed snapshot — the reference's
+    operating model for the nearline store: clients re-query DynamoDB as
+    writes land (`SubTableScanBuilder.java:44-112` schedules the dynamo
+    window on every read); here Spark's micro-batch loop does the
+    re-querying with exactly-once offsets.
+
+    Offsets are the sorted set of bucket-relative file names: each
+    micro-batch's partitions are the files that APPEARED between offsets
+    (parquet files are immutable once visible — writers add files, never
+    append to them), one InputPartition per new file, decoded executor-side
+    as Arrow batches.  The offset grows with the file count; production
+    stores bound it with compaction (``operators.layout.compact``) or a
+    file-registry topic — documented trade-off, same as Spark's own file
+    streaming source."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options["path"]
+
+    def _current_files(self) -> List[str]:
+        out = []
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith("__bucket="):
+                continue
+            full = os.path.join(self.path, d)
+            out += [
+                f"{d}/{f}"
+                for f in os.listdir(full)
+                if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+            ]
+        return sorted(out)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"files": []}  # consume everything present at start
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[KVFilePartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [KVFilePartition(os.path.join(self.path, f)) for f in new]
+
+    def read(self, partition: KVFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(partition.file_path, format="parquet")
+        cols = [f.name for f in self.schema.fields]
+        for batch in dataset.to_batches(columns=cols):
+            if batch.num_rows:
+                yield _cast_to_declared(batch, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # file-set offsets are self-describing; nothing to release
+
+    def stop(self) -> None:
+        pass
 
 
 class KVSnapshotDataSource(DataSource):
     """``spark.read.format("fineo_kv").option("path", ...).option("pk",
-    col).option("sk", col).schema(s).load()``"""
+    col).option("sk", col).schema(s).load()`` — and ``spark.readStream``
+    with the same options for the continuous nearline re-query."""
 
     @classmethod
     def name(cls) -> str:
@@ -426,6 +541,9 @@ class KVSnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> KVSnapshotReader:
         return KVSnapshotReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> KVSnapshotStreamReader:  # noqa: N802
+        return KVSnapshotStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

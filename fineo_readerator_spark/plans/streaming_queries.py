@@ -356,7 +356,50 @@ ST_METRIC_BUILD_ORACLE = (
 )
 
 
+def st_kv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KV snapshot as a STREAM: the fineo_kv DataSourceStreamReader
+    re-queries the bucketed store per micro-batch with file-set offsets —
+    the Spark-native version of the reference's continuous nearline
+    re-query (`SubTableScanBuilder.java:44-112`).  Drained available-now
+    over the static fixture, the stream must produce exactly the full
+    store (the incremental exactly-once path is pinned in
+    tests/test_kvsource.py)."""
+    from fineo_readerator_spark.kvsource import register
+    from fineo_readerator_spark.plans.kv_queries import KV_SCHEMA, ensure_snapshot
+    from fineo_readerator_spark.session import ensure_io_confs
+
+    # streaming state partitioning binds spark.sql.shuffle.partitions at
+    # query start; when the snapshot cache is warm nothing else calls
+    # load()/ensure_io_confs, so a vanilla driver session would run the
+    # 3-group aggregation over 200 state partitions
+    ensure_io_confs(spark)
+    register(spark)
+    stream = (
+        spark.readStream.format("fineo_kv")
+        .schema(KV_SCHEMA)
+        .option("path", ensure_snapshot(spark, sf_dir))
+        .option("pk", "o_custkey")
+        .option("sk", "o_orderkey")
+        .load()
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").alias(
+            "total"
+        ),
+    )
+    return _drain(agg, "st_kv_stream_sink", "complete")
+
+
+ST_KV_STREAM_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 STREAMING_QUERIES = [
+    QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),
     QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_store_probe", st_store_probe, _st_store_probe_oracle()),

@@ -487,3 +487,58 @@ def test_doc_path_filters_leaf_type_checked_at_planning(snapshot):
         reader([["eq", "badmap.7", "x"]])
     # eq on a non-string scalar leaf is legal (Arrow == handles numerics)
     assert reader([["eq", "sk", 5]]).attr_conds == [("eq", ("sk",), 5)]
+
+
+def test_kv_stream_reads_only_new_files_exactly_once(spark, tmp_path):
+    """The fineo_kv stream reader: first drain consumes the whole store;
+    after an append, a drain from the SAME checkpoint consumes ONLY the new
+    batch (file-set offsets, exactly-once) — the reference's continuous
+    nearline re-query as Structured Streaming."""
+    d = str(tmp_path / "snap")
+    df1 = spark.range(10).selectExpr("id AS pk", "id AS sk", "id * 2.0 AS val")
+    write_kv_snapshot(df1, d, "pk", n_buckets=4)
+    register(spark)
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("fineo_kv")
+        .schema("pk long, sk long, val double")
+        .option("path", d)
+        .option("pk", "pk")
+        .option("sk", "sk")
+        .load()
+    )
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+    df2 = spark.range(10, 15).selectExpr("id AS pk", "id AS sk", "id * 2.0 AS val")
+    write_kv_snapshot(df2, d, "pk", n_buckets=4, mode="append")
+    drain()
+    got = sorted(r.pk for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))  # 5 new rows, zero re-reads
+
+
+def test_kv_append_rejects_mismatched_family(spark, tmp_path):
+    """Appending with a different pk/bucket-count would route keys to the
+    wrong buckets — silent wrong results on every future Get/Query."""
+    d = str(tmp_path / "snap")
+    df = spark.range(5).selectExpr("id AS pk", "id AS sk")
+    write_kv_snapshot(df, d, "pk", n_buckets=4)
+    with pytest.raises(ValueError, match="wrong buckets"):
+        write_kv_snapshot(df, d, "pk", n_buckets=8, mode="append")
+    with pytest.raises(ValueError, match="wrong buckets"):
+        write_kv_snapshot(df, d, "sk", n_buckets=4, mode="append")
+    with pytest.raises(ValueError, match="mode must be"):
+        write_kv_snapshot(df, d, "pk", mode="errorifexists")
