@@ -240,6 +240,66 @@ def ivf_seeded_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def pq_seeded_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization approximate top-k with Asymmetric Distance
+    Computation: the D dims split into ``m`` subspaces; each subspace gets a
+    DETERMINISTIC data-sampled codebook (the subvectors of the ``n_codes``
+    lowest-id vectors, same seeding as the IVF coarse quantizer, so the
+    whole operator is SQL-expressible and oracle-checkable); every corpus
+    vector encodes as ``m`` code ids; the query pre-computes one
+    (code → distance) table per subspace and a vector's estimated distance
+    is the sum of ``m`` table lookups — never a full-dimension computation
+    per row at query time.
+
+    Scale shape: encoding is one codegen'd projection (per-subspace argmin
+    over ``n_codes`` literal centroids — same expression family as
+    ``seeded_cell_expr``); at rest a corpus row is ``m`` small ints
+    (persist the code columns and the scan reads ~``m`` bytes per vector
+    instead of 4·D — the 64× compression that makes billion-vector scans
+    feasible); the ADC tables are ``m × n_codes`` literals folded into the
+    plan, so scoring adds no join at all; top-k is a TakeOrdered.
+
+    Determinism: per-subspace distances round at 1e-9 before the argmin
+    (ties to the lower code id) and the summed estimate rounds at 1e-9,
+    with ``id_col`` as the total order tie-break."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"query dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    seeds = seeded_codebook(df, id_col, vec_col, n_codes)
+    est_terms = []
+    for j in range(m):
+        sub_seeds = [(sid, sv[j * sub : (j + 1) * sub]) for sid, sv in seeds]
+        code = seeded_cell_expr(f"slice({vec_col}, {j * sub + 1}, {sub})", sub_seeds)
+        qsub = [float(v) for v in query_vec[j * sub : (j + 1) * sub]]
+        adc = {
+            sid: round(sum((q - c) ** 2 for q, c in zip(qsub, sv)), 9)
+            for sid, sv in sub_seeds
+        }
+        table = F.create_map(
+            *[
+                x
+                for sid, d in adc.items()
+                for x in (F.lit(sid).cast("long"), F.lit(float(d)))
+            ]
+        )
+        est_terms.append(F.element_at(table, code))
+    est = F.round(sum(est_terms[1:], est_terms[0]), 9)
+    return (
+        df.select(F.col(id_col), est.alias("est_dist"))
+        .orderBy(F.col("est_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _gate_cell_sizing(
     n_rows: int, n_cells: int, max_rows_per_cell: int, allow_oversized_cells: bool
 ) -> None:

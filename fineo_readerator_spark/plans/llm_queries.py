@@ -610,6 +610,59 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10: 64 dims → 4 subspaces, each with a
+    seeded 16-entry codebook; the query folds to 4 literal lookup tables so
+    scoring per row is 4 map lookups, never full-dimension math
+    (llm_ops.similarity.pq_seeded_topk).  The oracle replays the identical
+    encode + ADC arithmetic."""
+    from fineo_readerator_spark.llm_ops.similarity import pq_seeded_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return pq_seeded_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, m=4, n_codes=16)
+
+
+def _s_ann_pq_oracle(m: int = 4, sub: int = 16, n_codes: int = 16, k: int = 10) -> str:
+    dist_corpus = (
+        f"round(list_sum(list_transform(generate_series(1, {sub}), i ->"
+        f" (CAST(c.embedding[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)"
+        f"  - CAST(s.sv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE))"
+        f" * (CAST(c.embedding[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)"
+        f"  - CAST(s.sv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)))), 9)"
+    )
+    dist_query = (
+        f"round(list_sum(list_transform(generate_series(1, {sub}), i ->"
+        f" (CAST(q.qv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)"
+        f"  - CAST(s.sv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE))"
+        f" * (CAST(q.qv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)"
+        f"  - CAST(s.sv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)))), 9)"
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_codes}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, j, qd,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, sid) AS rn
+  FROM (
+    SELECT c.vec_id, gs.j, s.sid,
+           {dist_corpus} AS d,
+           {dist_query} AS qd
+    FROM corpus c
+    CROSS JOIN seeds s
+    CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS j) gs
+    CROSS JOIN q
+  )
+)
+SELECT vec_id, round(sum(qd), 9) AS est_dist
+FROM assign WHERE rn = 1
+GROUP BY vec_id
+ORDER BY est_dist ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def _ivf_layout_path(sf_dir: str):
     from pathlib import Path
 
@@ -1351,6 +1404,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
     QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
+    QueryDef("s_ann_pq", s_ann_pq, _s_ann_pq_oracle()),
     QueryDef("s_ann_filtered", s_ann_filtered, S_ANN_FILTERED_ORACLE),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),

@@ -590,3 +590,21 @@ def test_bm25_topk_ranking_and_stats(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(df, [])
+
+
+def test_pq_topk_recall_and_determinism(spark, vectors):
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.similarity import pq_seeded_topk
+
+    base = [float(v) for v in vectors.filter("vec_id = 0").first().embedding]
+    rest = vectors.filter("vec_id != 0")
+    top = pq_seeded_topk(rest, base, k=3, m=4, n_codes=8).collect()
+    # near-identical vectors take the same codes as vector 0 in every
+    # subspace, so their ADC estimate is the minimum possible
+    assert {r.vec_id for r in top} == {50, 51, 52}
+    again = pq_seeded_topk(rest, base, k=3, m=4, n_codes=8).collect()
+    assert [(r.vec_id, r.est_dist) for r in top] == [(r.vec_id, r.est_dist) for r in again]
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_seeded_topk(rest, base, m=5)  # 16 dims % 5 != 0
