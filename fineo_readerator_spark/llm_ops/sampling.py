@@ -276,3 +276,73 @@ def split_oracle_expr(key_expr: str, fractions: tuple = (0.8, 0.1, 0.1), seed: i
         f"CASE WHEN {b} < {t1} THEN 'train' WHEN {b} < {t2} THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def categorical_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: float = 0.5
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots over a
+    categorical column — the standard drift monitor a training-data
+    pipeline runs between ingest generations (PSI < 0.1 stable, > 0.25
+    shifted).  Returns one row per category:
+    ``(category, share_a, share_b, psi_term)`` with the column PSI being
+    ``sum(psi_term)``.
+
+    Add-k smoothing over the UNION of categories keeps one-sided
+    categories finite: ``p = (c + k) / (N + k·C)`` with ``C`` the distinct
+    category count across both sides — so the same category set (and the
+    same smoothing denominator) is used for both snapshots.
+
+    Scale shape: two map-side-combined counts (category cardinality rows
+    each), one category-sized outer join — nothing corpus-sized shuffles;
+    the corpus is scanned once per side.  Determinism: counts are exact
+    integers; shares/psi round to 6 decimals."""
+    from pyspark.sql import functions as F
+
+    ca = df_a.groupBy(F.col(col).alias("category")).agg(F.count("*").alias("__ca"))
+    cb = df_b.groupBy(F.col(col).alias("category")).agg(F.count("*").alias("__cb"))
+    joined = ca.join(cb, ["category"], "full_outer").select(
+        "category",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    tot = joined.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count("*").alias("__c"),
+    )
+    pa = (F.col("__ca") + k) / (F.col("__na") + k * F.col("__c"))
+    pb = (F.col("__cb") + k) / (F.col("__nb") + k * F.col("__c"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            F.round(pa, 6).alias("share_a"),
+            F.round(pb, 6).alias("share_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("category")
+    )
+
+
+def categorical_drift_oracle_sql(
+    sql_a: str, sql_b: str, col: str, k: float = 0.5
+) -> str:
+    return f"""
+WITH ca AS (SELECT {col} AS category, count(*) AS ca FROM ({sql_a}) GROUP BY 1),
+cb AS (SELECT {col} AS category, count(*) AS cb FROM ({sql_b}) GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.category, cb.category) AS category,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS c FROM j)
+SELECT category,
+       round((ca + {k}) / (na + {k} * c), 6) AS share_a,
+       round((cb + {k}) / (nb + {k} * c), 6) AS share_b,
+       round(((ca + {k}) / (na + {k} * c) - (cb + {k}) / (nb + {k} * c))
+             * ln(((ca + {k}) / (na + {k} * c)) / ((cb + {k}) / (nb + {k} * c))), 6)
+         AS psi_term
+FROM j CROSS JOIN t
+ORDER BY category
+"""

@@ -887,6 +887,33 @@ def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars")
 
 
+def p_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the event_type distribution between the pre- and
+    post-cutover halves of the events corpus — the ingest-generation drift
+    monitor (llm_ops.sampling.categorical_drift).  Category-sized outer
+    join; nothing corpus-sized shuffles."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.llm_ops.sampling import categorical_drift
+    from fineo_readerator_spark.plans.metric_queries import CUTOVER_MS
+
+    ev = load(spark, sf_dir, "events")
+    ms = epoch_millis(ev, "ts")
+    return categorical_drift(
+        ev.filter(ms < CUTOVER_MS), ev.filter(ms >= CUTOVER_MS), "event_type"
+    )
+
+
+def _p_corpus_drift_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import categorical_drift_oracle_sql
+    from fineo_readerator_spark.plans.metric_queries import CUTOVER_MS
+
+    return categorical_drift_oracle_sql(
+        f"SELECT event_type FROM events WHERE epoch_ms(ts) < {CUTOVER_MS}",
+        f"SELECT event_type FROM events WHERE epoch_ms(ts) >= {CUTOVER_MS}",
+        "event_type",
+    )
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1423,6 +1450,7 @@ LLM_QUERIES = [
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle()),
     QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle()),
+    QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle()),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),

@@ -135,3 +135,21 @@ def test_train_val_test_split_rejects_bad_fractions(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         train_val_test_split(docs, "doc_id", fractions=(0.9, 0.2, 0.1))
+
+
+def test_categorical_drift_psi_semantics(spark):
+    import math
+
+    from fineo_readerator_spark.llm_ops.sampling import categorical_drift
+
+    a = spark.createDataFrame([("x",)] * 80 + [("y",)] * 20, "c string")
+    b = spark.createDataFrame([("x",)] * 20 + [("y",)] * 70 + [("z",)] * 10, "c string")
+    rows = {r.category: r for r in categorical_drift(a, b, "c").collect()}
+    assert set(rows) == {"x", "y", "z"}  # union of categories, incl. one-sided
+    # identical distributions -> psi ~ 0; here x collapsed 80% -> 20%: big term
+    assert rows["x"].psi_term > 0.5
+    # smoothing keeps the a-side-absent z finite and positive-signed toward b
+    assert math.isfinite(rows["z"].psi_term) and rows["z"].share_a < rows["z"].share_b
+    # self-drift is ~zero on every term
+    self_rows = categorical_drift(a, a, "c").collect()
+    assert all(abs(r.psi_term) < 1e-9 for r in self_rows)
