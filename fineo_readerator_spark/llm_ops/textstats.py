@@ -334,12 +334,18 @@ _WIN_P = 1_000_000_007
 def _win_norm(col: Column, k: int) -> Column:
     """Winnowing canonical form: lowercase, alnum+space only, whitespace
     collapsed, right-padded so at least one k-gram exists.  rpad TRUNCATES
-    longer strings (both engines), so it must be guarded to the short case."""
+    longer strings (both engines), so it must be guarded to the short case.
+
+    A ZERO-TOKEN document stays '' (no padding): empty content has no
+    spans, so it must yield an EMPTY fingerprint set — fingerprinting the
+    padding would make every pair of empty documents a \"verbatim match\"
+    (found by the corpus fuzzer; DuckDB's natural NULL chain agrees)."""
     clean = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
     collapsed = F.concat_ws(" ", tokens(clean))
-    padded = F.when(F.length(collapsed) >= k, collapsed).otherwise(
-        F.rpad(collapsed, k, " ")
-    )
+    padded = F.when(
+        (F.length(collapsed) > 0) & (F.length(collapsed) < k),
+        F.rpad(collapsed, k, " "),
+    ).otherwise(collapsed)
     # concat_ws turns a NULL token array into "" — force NULL-in NULL-out so
     # the DuckDB oracle (which propagates NULL end-to-end) stays bit-identical
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(padded)
@@ -378,10 +384,13 @@ def winnowing_fingerprints(
             if s is None:  # NULL text propagates as NULL, matching the oracle
                 out.append(None)
                 continue
+            if not s:  # zero-token doc: no content, no spans, no fingerprints
+                out.append(np.array([], dtype=np.int64))
+                continue
             codes = np.frombuffer(s.encode("ascii", "replace"), dtype=np.uint8).astype(
                 np.int64
             )
-            L = codes.size - k + 1  # _win_norm rpads so L >= 1
+            L = codes.size - k + 1  # _win_norm rpads non-empty docs so L >= 1
             grams = np.zeros(L, dtype=np.int64)
             for j, wt in enumerate(weights):
                 grams += codes[j : j + L] * wt
@@ -412,10 +421,14 @@ def winnowing_oracle_sql(
         f"list_filter(regexp_split_to_array(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9 ]', '', 'g')), '\\s+'), x -> length(x) > 0)"
     )
-    collapsed = f"array_to_string({toks}, ' ')"
-    # rpad truncates longer strings — pad only the short case (mirror _win_norm)
+    # DuckDB's array_to_string([]) is NULL, so pin the zero-token case to ''
+    # explicitly; NULL text stays NULL (checked first)
+    collapsed = f"coalesce(array_to_string({toks}, ' '), '')"
+    # rpad truncates longer strings — pad only the short NON-EMPTY case
+    # (mirror _win_norm: a zero-token doc keeps '' and yields NO fingerprints)
     norm = (
-        f"CASE WHEN length({collapsed}) >= {k} THEN {collapsed}"
+        f"CASE WHEN {text_col} IS NULL THEN NULL"
+        f" WHEN length({collapsed}) = 0 OR length({collapsed}) >= {k} THEN {collapsed}"
         f" ELSE rpad({collapsed}, {k}, ' ') END"
     )
     acc = "CAST(0 AS BIGINT)"
@@ -427,15 +440,18 @@ def winnowing_oracle_sql(
     return f"""
 WITH n AS (SELECT {id_col}, {norm} AS __n FROM {table}),
 g AS (
-  SELECT {id_col},
+  SELECT {id_col}, __n,
          list_transform(generate_series(1, CAST(length(__n) - {k} + 1 AS BIGINT)),
                         i -> {acc}) AS __g
   FROM n
 )
 SELECT {id_col},
-       list_sort(list_distinct(list_transform(
-         generate_series(1, CAST(greatest(len(__g) - {w} + 1, 1) AS BIGINT)),
-         t -> list_min(__g[CAST(t AS INT):CAST(t + {w} - 1 AS INT)])))) AS {out_col}
+       CASE WHEN __n IS NULL THEN NULL
+            WHEN length(__n) = 0 THEN CAST([] AS BIGINT[])
+            ELSE list_sort(list_distinct(list_transform(
+              generate_series(1, CAST(greatest(len(__g) - {w} + 1, 1) AS BIGINT)),
+              t -> list_min(__g[CAST(t AS INT):CAST(t + {w} - 1 AS INT)]))))
+       END AS {out_col}
 FROM g
 """
 

@@ -128,18 +128,23 @@ def test_ngram_jaccard_ungrouped_requires_opt_in(spark, docs):
         ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1)
 
 
-def test_winnowing_null_text_propagates_null(spark):
-    """NULL text → NULL fingerprints (the oracle propagates NULL end-to-end;
-    the pandas UDF must neither crash nor fingerprint padding — ADVICE r4)."""
+def test_winnowing_null_and_empty_text(spark):
+    """NULL text → NULL fingerprints; a ZERO-TOKEN document → EMPTY
+    fingerprint set (no content, no spans — fingerprinting the rpad
+    padding made every pair of empty docs a 'verbatim match', found by
+    tests/test_textops_fuzz.py); short non-empty docs still pad so at
+    least one k-gram exists."""
     from fineo_readerator_spark.llm_ops.textstats import winnowing_fingerprints
 
     df = spark.createDataFrame(
-        [(0, "the quick brown fox"), (1, None), (2, "")], "doc_id long, text string"
+        [(0, "the quick brown fox"), (1, None), (2, ""), (3, "  .,  "), (4, "hi"), (5, "hi")],
+        "doc_id long, text string",
     )
     rows = {r.doc_id: r.fps for r in winnowing_fingerprints(df).collect()}
     assert rows[1] is None
     assert rows[0]  # real text still fingerprints
-    assert rows[2] is not None  # empty string is not NULL — pads and hashes
+    assert list(rows[2]) == [] and list(rows[3]) == []  # zero tokens: no spans
+    assert rows[4] and rows[4] == rows[5]  # short docs pad and still collide
 
 
 # --- similarity -----------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Property-based fuzz of the round-6 text operators against DuckDB:
+random corpora (shared spans arise naturally from a small vocabulary,
+plus NULL/empty/short documents) through ``span_overlap_pairs`` and
+``bm25_topk`` must match their oracle SQL row-for-row.  The fixed
+registry queries pin one parameterization each; this covers the
+parameter × corpus space between them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "10"))
+
+doc_text = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=40).map(" ".join),
+)
+corpus = st.lists(doc_text, min_size=2, max_size=12).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+
+
+def _register(docs):
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    return con
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=corpus,
+    min_shared=st.sampled_from([1, 3]),
+    max_fp_df=st.sampled_from([2, 5]),
+)
+def test_span_overlap_matches_duckdb(spark, docs, min_shared, max_fp_df):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        span_overlap_oracle_sql,
+        span_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.shared)
+        for r in span_overlap_pairs(
+            df, "doc_id", "text", min_shared=min_shared, max_fp_df=max_fp_df
+        ).collect()
+    )
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            span_overlap_oracle_sql(
+                "documents", "doc_id", "text", min_shared=min_shared, max_fp_df=max_fp_df
+            )
+        ).fetchall()
+    )
+    assert got == exp, f"{len(got)} vs {len(exp)} pairs (ms={min_shared}, df={max_fp_df})"
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=corpus,
+    terms=st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=3, unique=True),
+    k=st.sampled_from([3, 10]),
+)
+def test_bm25_matches_duckdb(spark, docs, terms, k):
+    from fineo_readerator_spark.llm_ops.retrieval import bm25_oracle_sql, bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(df, terms, "doc_id", "text", k=k).collect()
+    ]
+    con = _register(docs)
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            bm25_oracle_sql("documents", terms, "doc_id", "text", k=k)
+        ).fetchall()
+    ]
+    assert len(got) == len(exp)
+    for (gid, gs, gn), (eid, es, en) in zip(got, exp):
+        assert gid == eid and gn == en
+        assert gs == pytest.approx(es, abs=1e-9)
