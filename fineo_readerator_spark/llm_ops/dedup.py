@@ -881,7 +881,76 @@ def probe_signature_store(
         cand.join(base_sigs, "base_id")
         .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
         .filter(F.col("est") >= threshold)
+        # a replayed maintenance batch can leave duplicate sig rows in the
+        # store (mode-append is not idempotent); est is identical for the
+        # duplicates, so the pair-dedup absorbs them with no semantic change
+        .dropDuplicates(["id", "base_id"])
         .select("id", "base_id", "est")
+    )
+
+
+def append_to_signature_store(sigs: DataFrame, store_path: str) -> None:
+    """Append (id, sig) rows to an existing signature store: sigs FIRST,
+    band rows second — a band row only becomes a candidate once its
+    signature exists, so a reader between the two writes sees a smaller
+    store, never a candidate whose verification row is missing.  The band
+    parameters come from the store meta (the family is immutable per
+    store).  Appends are at-least-once under streaming replays; probes
+    tolerate duplicate rows (``probe_signature_store`` pair-dedup,
+    ``incremental_minhash_flags`` countDistinct/max aggregates)."""
+    spark = sigs.sparkSession
+    meta = read_store_meta(spark, store_path)
+    r = meta["num_hashes"] // meta["bands"]
+    sigs.select("id", "sig").write.mode("append").parquet(f"{store_path}/sigs")
+    _band_explode(sigs, meta["bands"], r).write.mode("append").partitionBy(
+        "band_idx"
+    ).parquet(f"{store_path}/bands")
+
+
+def admit_batch_to_store(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """One ingest-admission step: sign the batch with the STORE's hash
+    family, flag near-dups of the stored corpus, append the NON-dup
+    signatures to the store, and return the batch's flags.  The batch is
+    admitted against the store as of its start — two near-dup docs inside
+    ONE batch are both admitted (the reference's daily-window semantics);
+    across batches the store has grown, so the second arrival is rejected.
+    This is the ``foreachBatch`` body of the streaming maintenance loop."""
+    spark = batch.sparkSession
+    meta = read_store_meta(spark, store_path)
+    sigs = minhash_signatures(
+        batch,
+        id_col,
+        text_col,
+        meta["num_hashes"],
+        meta["shingle_k"],
+        meta["seed"],
+        meta["portable"],
+    ).localCheckpoint(eager=False)
+    verified = probe_signature_store(sigs, store_path, threshold)
+    hits = verified.groupBy("id").agg(
+        F.countDistinct("base_id").alias("n_dup_bases"),
+        F.max("est").alias("best_est"),
+    )
+    flags = (
+        sigs.select("id", "sig")
+        .join(hits, "id", "left")
+        .withColumn("is_dup", F.col("n_dup_bases").isNotNull())
+        .localCheckpoint(eager=True)  # pin the admission decision BEFORE the
+        # store grows — lazy evaluation after the append would re-probe the
+        # batch against its own newly-appended signatures
+    )
+    append_to_signature_store(flags.filter(~F.col("is_dup")), store_path)
+    return flags.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_dup_bases", F.lit(0)).alias("n_dup_bases"),
+        "best_est",
+        "is_dup",
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fineo_readerator_spark.plans.metric_queries import METRIC, ORG, events_store
-from fineo_readerator_spark.plans.registry import QueryDef
+from fineo_readerator_spark.plans.registry import QueryDef, load
 from fineo_readerator_spark.streaming import (
     build_metric_stream,
     dedup_stream,
@@ -398,7 +398,55 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def st_store_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of streaming ingest dedup: the delta stream probes a
+    fresh copy of the base signature store and the non-dup documents'
+    signatures are APPENDED per micro-batch (``maintain_signature_store``
+    foreachBatch loop).  The result is the final store membership — base
+    ids plus exactly the delta ids that near-dup nothing stored; an
+    admission leak or an over-rejection breaks the value hash.  The store
+    copy is built in a run-local temp dir so the query is repeatable
+    (registry queries must not mutate shared caches)."""
+    import tempfile
+
+    from fineo_readerator_spark.llm_ops.dedup import write_signature_store
+    from fineo_readerator_spark.sources import SourceSpec
+    from fineo_readerator_spark.streaming import maintain_signature_store
+
+    tmp = tempfile.mkdtemp(prefix="fineo_store_maintain_")
+    store = f"{tmp}/store"
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+    write_signature_store(base, store, portable=True)
+    delta = (
+        SourceSpec(kind="historical", path=f"{sf_dir}/documents.parquet")
+        .read_stream(spark)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    q = maintain_signature_store(delta, store, checkpoint=f"{tmp}/ck")
+    q.awaitTermination()
+    q.stop()
+    sigs = spark.read.schema("id long, sig array<bigint>").parquet(f"{store}/sigs")
+    return sigs.select(F.col("id").alias("doc_id")).orderBy("doc_id")
+
+
+def _st_store_maintain_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import incremental_pairs_oracle
+
+    pairs = incremental_pairs_oracle(
+        "SELECT doc_id, text FROM documents", "doc_id % 5 = 0"
+    )
+    return f"""
+SELECT doc_id FROM documents WHERE NOT (doc_id % 5 = 0)
+UNION ALL
+SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM ({pairs}))
+ORDER BY doc_id
+"""
+
+
 STREAMING_QUERIES = [
+    QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),
     QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),

@@ -2,6 +2,7 @@ from fineo_readerator_spark.streaming.streams import (
     build_metric_stream,
     dedup_stream,
     interval_join_streams,
+    maintain_signature_store,
     read_metric_stream,
     read_source_stream,
     run_available_now,
@@ -15,6 +16,7 @@ __all__ = [
     "build_metric_stream",
     "dedup_stream",
     "interval_join_streams",
+    "maintain_signature_store",
     "read_metric_stream",
     "read_source_stream",
     "run_available_now",

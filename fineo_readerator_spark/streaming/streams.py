@@ -290,6 +290,39 @@ def dedup_stream(
     return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def maintain_signature_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    available_now: bool = True,
+):
+    """The complete streaming-ingest dedup loop: each micro-batch probes
+    the persisted MinHash store, the non-duplicate documents' signatures
+    are APPENDED to the store, and later batches probe the grown store —
+    so a near-dup of an earlier admitted batch is rejected even though
+    neither doc was in the original corpus.  ``st_store_probe`` is the
+    read-only half; this closes the write half via ``foreachBatch``
+    (stream→batch handoff, checkpointed at-least-once; replayed appends
+    leave duplicate sig rows, which every probe aggregate tolerates —
+    see ``append_to_signature_store``).
+
+    Returns the started StreamingQuery; the caller awaits/stops it."""
+    from fineo_readerator_spark.llm_ops.dedup import admit_batch_to_store
+
+    def _admit(batch: DataFrame, _batch_id: int) -> None:
+        # the flags are computed (and pinned) inside; the action is the
+        # store append — the returned flags frame is intentionally unused
+        admit_batch_to_store(batch, store_path, id_col, text_col, threshold)
+
+    w = stream.writeStream.foreachBatch(_admit).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain everything currently available through the memory sink and stop —
     the test/backfill harness (``trigger(availableNow=True)`` processes all

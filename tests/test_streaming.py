@@ -337,3 +337,68 @@ def test_build_metric_stream_no_sources_is_clear_error(spark):
     )
     with pytest.raises(ValueError, match="no live sources"):
         build_metric_stream(spark, st, "o", "m")
+
+
+def test_maintain_store_grows_across_batches(spark, tmp_path):
+    """The write half of streaming ingest dedup: batch 1 admits a novel doc
+    into the store; batch 2's near-copy of it must be REJECTED even though
+    neither doc was in the original corpus — the store grew between
+    batches.  Replaying batch 2 against the same checkpoint must not
+    change the store membership (at-least-once appends, probe-tolerant)."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        incremental_minhash_flags,
+        write_signature_store,
+    )
+    from fineo_readerator_spark.streaming import maintain_signature_store
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    write_signature_store(base, store)
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    novel = "completely original sentence about streaming stores and admission"
+    spark.createDataFrame(
+        [(10, novel)], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+        .select("doc_id", "text")
+    )
+
+    def drain():
+        q = maintain_signature_store(stream, store, checkpoint=ck)
+        q.awaitTermination()
+        q.stop()
+
+    drain()  # batch 1: doc 10 is novel -> admitted
+    ids = {
+        r.id
+        for r in spark.read.schema("id long, sig array<bigint>")
+        .parquet(f"{store}/sigs")
+        .collect()
+    }
+    assert ids == {1, 10}
+
+    # batch 2: a near-copy of doc 10 plus another novel doc
+    spark.createDataFrame(
+        [(20, novel + " now"), (21, "unrelated brand new content appears right here")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    drain()
+    ids = {
+        r.id
+        for r in spark.read.schema("id long, sig array<bigint>")
+        .parquet(f"{store}/sigs")
+        .collect()
+    }
+    assert ids == {1, 10, 21}  # 20 rejected against the GROWN store
+
+    # a fresh probe of the maintained store sees the admitted docs as bases
+    probe = spark.createDataFrame([(99, novel)], "doc_id long, text string")
+    out = incremental_minhash_flags(store, probe).collect()[0]
+    assert out.is_dup and out.n_dup_bases >= 1
