@@ -404,12 +404,17 @@ def semantic_dedup(
     ``max_rows_per_cell`` gates it: exceeding the bound raises unless
     ``allow_oversized_cells=True``.  Appends ``cell`` to the kept rows so
     downstream sampling can stratify by semantic region."""
-    _gate_cell_sizing(df.count(), n_centroids, max_rows_per_cell, allow_oversized_cells)
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
-    # checkpoint: the argmin-over-codebook expression would otherwise
-    # re-evaluate once per self-join side plus once for the final anti-join
+    # checkpoint EAGERLY: the argmin-over-codebook expression would
+    # otherwise re-evaluate once per self-join side plus once for the final
+    # anti-join — and counting the materialized blocks gives the sizing
+    # gate its N without a second corpus scan (the gate still fires BEFORE
+    # any join work starts)
     assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
-        eager=False
+        eager=True
+    )
+    _gate_cell_sizing(
+        assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
     )
     return semantic_dedup_assigned(
         assigned, id_col, vec_col, "cell", threshold, round_digits
