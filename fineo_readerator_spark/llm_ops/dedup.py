@@ -648,8 +648,13 @@ def span_overlap_pairs(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     fps = winnowing_fingerprints(df.select(id_col, text_col), text_col, k, w)
-    # explode drops NULL fingerprint arrays: NULL text contributes no spans
-    f = fps.select(F.col(id_col).alias("__id"), F.explode("fps").alias("fp"))
+    # explode drops NULL fingerprint arrays: NULL text contributes no spans.
+    # checkpoint: (fp, id) feeds the df-cap aggregate AND both self-join
+    # sides — without it Catalyst re-evaluates the winnowing UDF per subtree
+    # (4 corpus passes instead of 1)
+    f = fps.select(
+        F.col(id_col).alias("__id"), F.explode("fps").alias("fp")
+    ).localCheckpoint(eager=False)
     rare = (
         f.groupBy("fp")
         .agg(F.count_distinct("__id").alias("__df"))

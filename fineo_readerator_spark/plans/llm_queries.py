@@ -1431,7 +1431,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
     QueryDef("s_ann_ivf_pruned", s_ann_ivf_pruned, S_ANN_IVF_ORACLE, bench=True),
-    QueryDef("s_ann_pq", s_ann_pq, _s_ann_pq_oracle()),
+    QueryDef("s_ann_pq", s_ann_pq, _s_ann_pq_oracle(), bench=True),
     QueryDef("s_ann_filtered", s_ann_filtered, S_ANN_FILTERED_ORACLE),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
@@ -1448,9 +1448,9 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
-    QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle()),
-    QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle()),
-    QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle()),
+    QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle(), bench=True),
+    QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle(), bench=True),
+    QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
     QueryDef("p_doc_sample", p_doc_sample, _p_doc_sample_oracle()),
