@@ -11,9 +11,13 @@ perturbations, so per-replica duplicate/near-dup topology is identical to
 the original and cross-replica collisions are impossible — total work
 scales exactly 10x when the operator is linear:
 
-- documents: replica r suffixes every token with ``_r`` — within-replica
-  shingle structure unchanged, cross-replica shingle sets disjoint (no
-  spurious mega-clusters).
+- documents: replica r Caesar-shifts the alphabet by r — a char-level
+  BIJECTION, so within-replica word/char structure is exactly isomorphic
+  (same shingle counts, same fingerprint-df distribution) while replica
+  vocabularies are disjoint (no spurious mega-clusters).  An earlier
+  token-SUFFIX scheme failed this: suffixing every token with the same
+  digit homogenized the char 8-grams and collapsed winnowing-fingerprint
+  diversity 3x, silently changing what the span-overlap operator measures.
 - embeddings: replica r cyclically shifts vector components by r —
   within-replica geometry identical (permutation preserves norms and
   pairwise cosines), cross-replica vectors decorrelate.
@@ -53,24 +57,24 @@ def build_fixture(spark) -> None:
         stamp_snapshot,
     )
 
-    fp = "+".join(source_fingerprint(SRC, t) for t in ("documents", "embeddings", "orders", "lineitem"))
+    # "v2:" = fixture-builder version salt: the stamp otherwise only tracks
+    # SOURCE files, so a builder change would silently serve the old fixture
+    fp = "v2:" + "+".join(
+        source_fingerprint(SRC, t) for t in ("documents", "embeddings", "orders", "lineitem")
+    )
     if snapshot_is_fresh(FIXTURE, fp):
         return
     print(f"building {REPLICAS}x fixture under {FIXTURE} ...", file=sys.stderr)
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
     parts = [docs]
     for r in range(1, REPLICAS):
+        shifted = alphabet[r:] + alphabet[:r]
         parts.append(
             docs.select(
                 (F.col("doc_id") + r * OFF).alias("doc_id"),
-                F.array_join(
-                    F.transform(
-                        F.split(F.col("text"), r"\s+"),
-                        lambda w: F.concat(w, F.lit(f"_{r}")),
-                    ),
-                    " ",
-                ).alias("text"),
+                F.translate(F.col("text"), alphabet, shifted).alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             ).select(*docs.columns)
         )
@@ -148,6 +152,9 @@ def main() -> None:
         "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
         "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
         "q_colocated_join": QUERIES["q_colocated_join"].fn,
+        "d_span_overlap": QUERIES["d_span_overlap"].fn,
+        "t_bm25_topk": QUERIES["t_bm25_topk"].fn,
+        "s_ann_pq": QUERIES["s_ann_pq"].fn,
         "d_semantic_dedup_layout (16 cells fixed)": QUERIES["d_semantic_dedup_layout"].fn,
         "semantic_dedup (cells ~ N, the SCALE.md knob)": _semantic_dedup_scaled,
     }
@@ -173,12 +180,14 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     lines = [
-        "# SCALE_CHECK — measured scaling of the five heaviest operators",
+        "# SCALE_CHECK — measured scaling of the heaviest operators",
         "",
         f"10x fixture: sf0.1 tables replicated {REPLICAS}x with structure-preserving",
-        "perturbations (token-suffixed documents, dimension-rotated embeddings,",
-        "key-offset orders/lineitem) — per-replica dup/near-dup topology identical,",
-        "cross-replica collisions impossible, so linear operators must take ~10x.",
+        "perturbations (Caesar-shifted documents — a char bijection, so replica",
+        "word/char structure is exactly isomorphic while vocabularies are disjoint;",
+        "dimension-rotated embeddings; key-offset orders/lineitem) — per-replica",
+        "dup/near-dup topology identical, cross-replica collisions impossible, so",
+        "linear operators must take ~10x.",
         f"Measured on local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], min of 2 runs",
         f"after a cache-building warm pass; 1-min load at start: {load1:.2f}.",
         "",

@@ -1,0 +1,68 @@
+"""Property-based fuzz of the PQ/ADC operator against DuckDB: random
+float32 vector corpora through ``pq_seeded_topk`` must match the oracle's
+encode + ADC replay — codes, estimated distances and the top-k order.
+
+Values are quantized to float32 BEFORE both engines see them (the corpus
+column is ``array<float>``; feeding DuckDB the unquantized doubles would
+compare different numbers).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fineo_readerator_spark.plans.llm_queries import _s_ann_pq_oracle
+
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "10"))
+
+DIM = 8
+
+vec = st.lists(
+    st.floats(-8, 8, allow_nan=False, allow_infinity=False, width=32),
+    min_size=DIM,
+    max_size=DIM,
+).map(lambda xs: [float(np.float32(x)) for x in xs])
+
+corpus = st.lists(vec, min_size=3, max_size=16).map(
+    lambda vs: [(i, v) for i, v in enumerate(vs)]  # vec_id 0 is the query
+)
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus, m=st.sampled_from([2, 4]), n_codes=st.sampled_from([2, 4]))
+def test_pq_adc_matches_duckdb(spark, rows, m, n_codes):
+    from fineo_readerator_spark.llm_ops.similarity import pq_seeded_topk
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = rows[0][1]
+    got = [
+        (r.vec_id, r.est_dist)
+        for r in pq_seeded_topk(
+            df.filter("vec_id != 0"), qv, k=5, m=m, n_codes=n_codes
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            _s_ann_pq_oracle(m=m, sub=DIM // m, n_codes=n_codes, k=5)
+        ).fetchall()
+    ]
+    assert len(got) == len(exp)
+    for (gid, gd), (eid, ed) in zip(got, exp):
+        assert gid == eid
+        assert gd == pytest.approx(ed, abs=1e-8)
