@@ -60,7 +60,17 @@ FORMAT_NAME = "fineo_kv"
 _DEFAULT_BUCKETS = 16
 
 
-def _cast_to_declared(batch: "pa.RecordBatch", schema: StructType) -> "pa.RecordBatch":
+def _declared_arrow_schema(schema: StructType):
+    """The declared read schema as an Arrow schema — computed ONCE per
+    read() call and passed into the per-batch cast (converting the
+    StructType for every record batch would put schema-walking work on the
+    scan hot path)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _cast_to_declared(batch: "pa.RecordBatch", target) -> "pa.RecordBatch":
     """Cast an Arrow batch to the DECLARED read schema.
 
     The stored physical types may legitimately differ from the declared
@@ -70,9 +80,6 @@ def _cast_to_declared(batch: "pa.RecordBatch", schema: StructType) -> "pa.Record
     (``ArrowColumnVector…getDouble UNSUPPORTED_CALL``), so cast here in
     Arrow C++ — and when the cast itself is impossible, fail with the
     column-level reason instead."""
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    target = to_arrow_schema(schema)
     if batch.schema == target:
         return batch
     try:
@@ -456,9 +463,10 @@ class KVSnapshotReader(DataSourceReader):
                 conj(pc.ends_with(ref, val))
 
         cols = [f.name for f in self.schema.fields]
+        target = _declared_arrow_schema(self.schema)
         for batch in dataset.to_batches(columns=cols, filter=expr):
             if batch.num_rows:
-                yield _cast_to_declared(batch, self.schema)
+                yield _cast_to_declared(batch, target)
 
 
 @dataclass
@@ -516,9 +524,10 @@ class KVSnapshotStreamReader(DataSourceStreamReader):
 
         dataset = ds.dataset(partition.file_path, format="parquet")
         cols = [f.name for f in self.schema.fields]
+        target = _declared_arrow_schema(self.schema)
         for batch in dataset.to_batches(columns=cols):
             if batch.num_rows:
-                yield _cast_to_declared(batch, self.schema)
+                yield _cast_to_declared(batch, target)
 
     def commit(self, end: dict) -> None:
         pass  # file-set offsets are self-describing; nothing to release

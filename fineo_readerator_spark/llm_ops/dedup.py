@@ -869,9 +869,16 @@ def probe_signature_store(
     base_bands = spark.read.schema(_STORE_BANDS_SCHEMA).parquet(
         f"{store_path}/bands"
     ).select("band_idx", "band_hash", F.col("id").alias("base_id"))
-    base_sigs = spark.read.schema(_STORE_SIGS_SCHEMA).parquet(
-        f"{store_path}/sigs"
-    ).select(F.col("id").alias("base_id"), F.col("sig").alias("sig_b"))
+    base_sigs = (
+        spark.read.schema(_STORE_SIGS_SCHEMA)
+        .parquet(f"{store_path}/sigs")
+        .select(F.col("id").alias("base_id"), F.col("sig").alias("sig_b"))
+        # replayed maintenance appends leave EXACT duplicate sig rows —
+        # collapse them on the static side (deterministic: copies are
+        # identical).  A re-ingested id with CHANGED text keeps both of its
+        # distinct sigs; each emits its own (id, base_id, est) row below.
+        .dropDuplicates()
+    )
     cand = (
         _band_explode(delta_sigs, meta["bands"], r, keep=("sig",))
         .join(base_bands, ["band_idx", "band_hash"])
@@ -882,14 +889,16 @@ def probe_signature_store(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    # output is a deterministic SET of (id, base_id, est): the static-side
+    # dedup above collapses replay copies, and the distinct-row dedup here
+    # is stream-legal (a groupBy-max fold is not: streaming aggregations
+    # need a watermark in append mode).  Consumers that want one number per
+    # pair aggregate downstream (countDistinct/max in the flags paths).
     return (
         cand.join(base_sigs, "base_id")
         .withColumn("est", F.round(agree * F.lit(1.0) / num_hashes, 4))
         .filter(F.col("est") >= threshold)
-        # a replayed maintenance batch can leave duplicate sig rows in the
-        # store (mode-append is not idempotent); est is identical for the
-        # duplicates, so the pair-dedup absorbs them with no semantic change
-        .dropDuplicates(["id", "base_id"])
+        .dropDuplicates(["id", "base_id", "est"])
         .select("id", "base_id", "est")
     )
 
@@ -925,6 +934,14 @@ def admit_batch_to_store(
     admitted against the store as of its start — two near-dup docs inside
     ONE batch are both admitted (the reference's daily-window semantics);
     across batches the store has grown, so the second arrival is rejected.
+    Returns ONE flag row per batch doc (same contract as
+    ``incremental_minhash_flags``; the left join back to the batch pins it
+    even if a future signature path drops rows).  NULL/empty texts carry
+    the pinned degenerate signature (the hash of the empty shingle), so
+    ALL content-free docs are mutual near-dups: the first one admitted
+    puts that signature in the store and every later content-free doc is
+    rejected against it.
+
     This is the ``foreachBatch`` body of the streaming maintenance loop."""
     spark = batch.sparkSession
     meta = read_store_meta(spark, store_path)
@@ -951,11 +968,17 @@ def admit_batch_to_store(
         # batch against its own newly-appended signatures
     )
     append_to_signature_store(flags.filter(~F.col("is_dup")), store_path)
-    return flags.select(
-        F.col("id").alias(id_col),
-        F.coalesce("n_dup_bases", F.lit(0)).alias("n_dup_bases"),
-        "best_est",
-        "is_dup",
+    # one row per INPUT doc: NULL/shingle-free texts never signed, so they
+    # are absent from sigs — surface them as not-dup rather than dropping
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(flags.drop("sig"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_dup_bases", F.lit(0)).alias("n_dup_bases"),
+            "best_est",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
     )
 
 

@@ -111,7 +111,10 @@ def bm25_oracle_sql(
     b: float = 0.75,
 ) -> str:
     terms = sorted({t.lower() for t in query_terms})
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    # SQL-escape embedded quotes: the Spark side's isin handles them
+    # natively, so an unescaped oracle would diverge (or break) on terms
+    # like "o'brien"
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = (
         f"list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),"
         " x -> length(x) > 0)"

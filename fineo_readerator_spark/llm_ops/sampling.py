@@ -299,10 +299,15 @@ def categorical_drift(
     integers; shares/psi round to 6 decimals."""
     from pyspark.sql import functions as F
 
-    ca = df_a.groupBy(F.col(col).alias("category")).agg(F.count("*").alias("__ca"))
-    cb = df_b.groupBy(F.col(col).alias("category")).agg(F.count("*").alias("__cb"))
-    joined = ca.join(cb, ["category"], "full_outer").select(
-        "category",
+    ca = df_a.groupBy(F.col(col).alias("cat_a")).agg(F.count("*").alias("__ca"))
+    cb = df_b.groupBy(F.col(col).alias("cat_b")).agg(F.count("*").alias("__cb"))
+    # null-SAFE join key: a NULL category is a real bucket (missing values
+    # drifting IS drift); a plain equi-join would split it into two
+    # spurious one-sided rows, inflating both PSI and the category count
+    joined = ca.join(
+        cb, ca["cat_a"].eqNullSafe(cb["cat_b"]), "full_outer"
+    ).select(
+        F.coalesce("cat_a", "cat_b").alias("category"),
         F.coalesce("__ca", F.lit(0)).alias("__ca"),
         F.coalesce("__cb", F.lit(0)).alias("__cb"),
     )
@@ -334,7 +339,7 @@ cb AS (SELECT {col} AS category, count(*) AS cb FROM ({sql_b}) GROUP BY 1),
 j AS (
   SELECT coalesce(ca.category, cb.category) AS category,
          coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+  FROM ca FULL OUTER JOIN cb ON ca.category IS NOT DISTINCT FROM cb.category
 ),
 t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS c FROM j)
 SELECT category,

@@ -274,6 +274,12 @@ def pq_seeded_topk(
     if dim % m:
         raise ValueError(f"query dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    # NULL / wrong-dimension embeddings are unrankable: the per-subspace
+    # argmin would otherwise treat their NULL distances as smallest and
+    # assign the first code, surfacing them INSIDE the top-k with a
+    # fabricated finite distance — exclude them like the cosine operators
+    # effectively do (NULL similarity sorts last under desc)
+    df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
     seeds = seeded_codebook(df, id_col, vec_col, n_codes)
     est_terms = []
     for j in range(m):

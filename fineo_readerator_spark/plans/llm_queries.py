@@ -639,7 +639,10 @@ def _s_ann_pq_oracle(m: int = 4, sub: int = 16, n_codes: int = 16, k: int = 10) 
         f"  - CAST(s.sv[(j - 1) * {sub} + CAST(i AS INT)] AS DOUBLE)))), 9)"
     )
     return f"""
-WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id != 0 AND embedding IS NOT NULL AND len(embedding) = {m * sub}
+),
 seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_codes}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 assign AS (

@@ -425,7 +425,18 @@ def st_store_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = maintain_signature_store(delta, store, checkpoint=f"{tmp}/ck")
     q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()
+    # the oracle replays ONE-batch admission (every delta doc probes the
+    # BASE only); if the file source ever splits the delta into several
+    # micro-batches (multi-part fixture, maxFilesPerTrigger), admission
+    # decisions would also consider earlier delta batches and the hash
+    # would diverge silently — fail loudly instead
+    if n_batches != 1:
+        raise AssertionError(
+            f"st_store_maintain expects the delta in ONE micro-batch, got "
+            f"{n_batches}: the single-batch oracle no longer applies"
+        )
     sigs = spark.read.schema("id long, sig array<bigint>").parquet(f"{store}/sigs")
     return sigs.select(F.col("id").alias("doc_id")).orderBy("doc_id")
 

@@ -57,9 +57,9 @@ def build_fixture(spark) -> None:
         stamp_snapshot,
     )
 
-    # "v2:" = fixture-builder version salt: the stamp otherwise only tracks
+    # "v3:" = fixture-builder version salt: the stamp otherwise only tracks
     # SOURCE files, so a builder change would silently serve the old fixture
-    fp = "v2:" + "+".join(
+    fp = "v3:" + "+".join(
         source_fingerprint(SRC, t) for t in ("documents", "embeddings", "orders", "lineitem")
     )
     if snapshot_is_fresh(FIXTURE, fp):
@@ -67,14 +67,24 @@ def build_fixture(spark) -> None:
     print(f"building {REPLICAS}x fixture under {FIXTURE} ...", file=sys.stderr)
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    # shift the FULL alnum alphabet (lower, upper, digits): leaving any
+    # class unshifted would let those chars collide across replicas and
+    # break the per-replica isomorphism the linearity baseline relies on
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    digits = "0123456789"
     parts = [docs]
     for r in range(1, REPLICAS):
-        shifted = alphabet[r:] + alphabet[:r]
+        src_a = lower + upper + digits
+        dst_a = (
+            lower[r:] + lower[:r]
+            + upper[r:] + upper[:r]
+            + digits[r % 10:] + digits[: r % 10]
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + r * OFF).alias("doc_id"),
-                F.translate(F.col("text"), alphabet, shifted).alias("text"),
+                F.translate(F.col("text"), src_a, dst_a).alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             ).select(*docs.columns)
         )

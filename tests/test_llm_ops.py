@@ -613,3 +613,98 @@ def test_pq_topk_recall_and_determinism(spark, vectors):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_seeded_topk(rest, base, m=5)  # 16 dims % 5 != 0
+
+
+def test_pq_topk_excludes_null_and_misdimensioned_embeddings(spark):
+    from fineo_readerator_spark.llm_ops.similarity import pq_seeded_topk
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(1, 6)]
+    rows += [(99, None), (98, [1.0, 2.0])]  # unrankable
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = pq_seeded_topk(df, [float(1 + j) for j in range(8)], k=10, m=2, n_codes=2)
+    ids = [r.vec_id for r in top.collect()]
+    assert 99 not in ids and 98 not in ids and len(ids) == 5
+
+
+def test_admit_batch_flags_one_row_per_doc_incl_unsignable(spark, tmp_path):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        admit_batch_to_store,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    write_signature_store(base, store)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup
+            (11, "completely different new words in this row here"),     # novel
+            (12, None),                                                   # unsignable
+            (13, ""),                                                     # unsignable
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r for r in admit_batch_to_store(batch, store).collect()}
+    assert set(flags) == {10, 11, 12, 13}  # one row per INPUT doc
+    assert flags[10].is_dup and not flags[11].is_dup
+    # NULL/empty text carries the pinned degenerate (empty-shingle)
+    # signature: the store has no such sig yet, so both are admitted here
+    assert not flags[12].is_dup and flags[12].n_dup_bases == 0
+    assert not flags[13].is_dup
+    ids = {
+        r.id
+        for r in spark.read.schema("id long, sig array<bigint>")
+        .parquet(f"{store}/sigs")
+        .collect()
+    }
+    assert ids == {1, 11, 12, 13}
+    # ...and a LATER content-free doc is rejected against the admitted one
+    later = spark.createDataFrame([(14, "")], "doc_id long, text string")
+    out = admit_batch_to_store(later, store).collect()[0]
+    assert out.is_dup and out.best_est == 1.0
+
+
+def test_probe_store_deterministic_with_duplicate_store_rows(spark, tmp_path):
+    """The probe output is a deterministic SET: exact replay copies in the
+    store collapse (static-side dedup), while a re-ingested id with CHANGED
+    text keeps both sigs and each emits its own (id, base_id, est) row —
+    never an arbitrary pick between differing ests (review r6 finding; a
+    groupBy-max fold would be illegal on the streaming probe path)."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        append_to_signature_store,
+        minhash_signatures,
+        probe_signature_store,
+        read_store_meta,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    base = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    write_signature_store(base, store)
+    meta = read_store_meta(spark, store)
+
+    def sigs_of(text):
+        return minhash_signatures(
+            spark.createDataFrame([(1, text)], "doc_id long, text string"),
+            "doc_id", "text",
+            meta["num_hashes"], meta["shingle_k"], meta["seed"], meta["portable"],
+        )
+
+    # replay: append the SAME sig twice — the probe result must not change
+    append_to_signature_store(sigs_of(t1), store)
+    append_to_signature_store(sigs_of(t1), store)
+    rows = probe_signature_store(sigs_of(t1), store, threshold=0.5).collect()
+    assert [(r.id, r.base_id, r.est) for r in rows] == [(1, 1, 1.0)]
+
+    # flags stay deterministic over multi-sig bases too
+    from fineo_readerator_spark.llm_ops.dedup import incremental_minhash_flags
+
+    t2 = "the quick brown fox jumps over the lazy dog tomorrow morning"
+    append_to_signature_store(sigs_of(t2), store)  # same id, DIFFERENT sig
+    probe = spark.createDataFrame([(9, t1)], "doc_id long, text string")
+    out = incremental_minhash_flags(store, probe).collect()[0]
+    assert out.is_dup and out.n_dup_bases == 1 and out.best_est == 1.0

@@ -153,3 +153,20 @@ def test_categorical_drift_psi_semantics(spark):
     # self-drift is ~zero on every term
     self_rows = categorical_drift(a, a, "c").collect()
     assert all(abs(r.psi_term) < 1e-9 for r in self_rows)
+
+
+def test_categorical_drift_null_category_is_one_bucket(spark):
+    """NULL categories are a real bucket (missing values drifting IS
+    drift): the null-safe join must produce ONE NULL row, never two
+    spurious one-sided rows that inflate PSI (review r6 finding)."""
+    from fineo_readerator_spark.llm_ops.sampling import categorical_drift
+
+    a = spark.createDataFrame([("x",), (None,), (None,)], "c string")
+    b = spark.createDataFrame([("x",), (None,)], "c string")
+    rows = categorical_drift(a, b, "c").collect()
+    cats = [r.category for r in rows]
+    assert cats.count(None) == 1 and len(rows) == 2
+    null_row = next(r for r in rows if r.category is None)
+    # shares reflect BOTH sides of the same bucket (2/3 vs 1/2, smoothed)
+    assert null_row.share_a > null_row.share_b > 0
+    assert abs(null_row.psi_term) < 0.1  # barely-moved NULL share: small term
