@@ -240,6 +240,63 @@ def ivf_seeded_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Eval-set decontamination in EMBEDDING space: flag corpus rows whose
+    cosine against ANY eval/benchmark row reaches ``threshold`` — the
+    semantic complement of the fingerprint-based ``decontaminate``
+    (paraphrased benchmark leakage shares no verbatim span but sits next
+    to the benchmark in embedding space).
+
+    Scale shape: the eval side is benchmark-sized, so its (signature,
+    vector) table BROADCASTS; the corpus is scanned once, each row
+    computing its hyperplane signature row-locally and joining only the
+    same-bucket eval rows — no corpus shuffle, no self-join.  Returns one
+    row per corpus id: (id, n_eval_hits, best_sim, is_contaminated)."""
+    dim = len(eval_df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("__nc"),
+        sig.alias("sig"),
+    )
+    e = eval_df.select(
+        F.col(vec_col).alias("ev"),
+        _norm(F.col(vec_col)).alias("__ne"),
+        sig.alias("sig"),
+    )
+    hits = (
+        c.join(F.broadcast(e), "sig")
+        .withColumn(
+            "__sim",
+            F.round(_dot(F.col("v"), F.col("ev")) / (F.col("__nc") * F.col("__ne")), round_digits),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_eval_hits"), F.max("__sim").alias("best_sim"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            "best_sim",
+            F.col("n_eval_hits").isNotNull().alias("is_contaminated"),
+        )
+    )
+
+
 def pq_seeded_topk(
     df: DataFrame,
     query_vec: list[float],

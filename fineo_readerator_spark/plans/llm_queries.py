@@ -1051,6 +1051,60 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+def d_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors (vec_id % 7 != 0)
+    flagged against the benchmark set (vec_id % 7 == 0) by bucketed cosine
+    — the eval side broadcasts, the corpus never shuffles
+    (llm_ops.similarity.embedding_decontaminate)."""
+    from fineo_readerator_spark.llm_ops.similarity import embedding_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 7 == 0),
+        threshold=0.2,
+    )
+
+
+def _d_embed_decontaminate_oracle(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, threshold: float = 0.2
+) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    def sig(vec_expr: str) -> str:
+        return " | ".join(
+            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cos = (
+        f"round(list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        "    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 != 0),
+e AS (SELECT embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 = 0),
+hits AS (
+  SELECT vec_id, count(*) AS n_eval_hits, max(sim) AS best_sim
+  FROM (SELECT c.vec_id, {cos} AS sim FROM c JOIN e ON c.sig = e.sig) sub
+  WHERE sim >= {threshold}
+  GROUP BY vec_id
+)
+SELECT c.vec_id, coalesce(n_eval_hits, 0) AS n_eval_hits, best_sim,
+       n_eval_hits IS NOT NULL AS is_contaminated
+FROM c LEFT JOIN hits ON c.vec_id = hits.vec_id
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.6, "fr": 0.6, "zh": 1.0}  # 'es' absent → dropped
 
 
@@ -1452,6 +1506,7 @@ LLM_QUERIES = [
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle(), bench=True),
+    QueryDef("d_embed_decontaminate", d_embed_decontaminate, _d_embed_decontaminate_oracle()),
     QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle(), bench=True),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),

@@ -708,3 +708,20 @@ def test_probe_store_deterministic_with_duplicate_store_rows(spark, tmp_path):
     probe = spark.createDataFrame([(9, t1)], "doc_id long, text string")
     out = incremental_minhash_flags(store, probe).collect()[0]
     assert out.is_dup and out.n_dup_bases == 1 and out.best_est == 1.0
+
+
+def test_embedding_decontaminate_flags_planted_copy(spark, vectors):
+    from fineo_readerator_spark.llm_ops.similarity import embedding_decontaminate
+
+    # eval set = vector 0; corpus = everything else (50..52 are its near-copies)
+    out = {
+        r.vec_id: r
+        for r in embedding_decontaminate(
+            vectors.filter("vec_id != 0"), vectors.filter("vec_id = 0"), threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 52  # one row per corpus id
+    assert all(out[i].is_contaminated for i in (50, 51, 52))
+    assert all(out[i].best_sim > 0.99 for i in (50, 51, 52))
+    clean = [i for i in out if i not in (50, 51, 52)]
+    assert all(not out[i].is_contaminated and out[i].n_eval_hits == 0 for i in clean)
