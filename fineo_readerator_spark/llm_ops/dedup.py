@@ -69,6 +69,98 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+# --- paragraph-granular ----------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    para_tokens: int = 15,
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the
+    RefinedWeb/CCNet pass that removes boilerplate shared ACROSS documents —
+    headers, navigation, license blurbs — which document-level dedup can't
+    touch because the surrounding text differs).
+
+    Paragraph boundary: consecutive ``para_tokens``-token windows (the
+    fixtures' text carries no newline structure; on real corpora pass the
+    corpus' own paragraph splitter upstream and feed one-row-per-paragraph).
+    Rule: a paragraph survives only in its FIRST occurrence corpus-wide —
+    ordered by (id, position) — and each document reassembles from its
+    surviving paragraphs in order.  Documents whose every paragraph is a
+    repeat disappear (they are pure boilerplate).
+
+    Scale shape: tokenize+window is one codegen'd projection; explode makes
+    (id, idx, para) rows; first-occurrence is ONE hash shuffle on
+    md5(para) with ``row_number() = 1`` (WindowGroupLimit keeps partial
+    top-1s map-side, so the exchange carries ~one row per distinct paragraph
+    per mapper — the ``exact_dedup`` argument at paragraph granularity);
+    reassembly is one aggregation back on the id.  The shuffled payload is
+    paragraph text; at 100 TB swap the ``para`` carried through the window
+    for its hash and rejoin the text of survivors, trading a second join for
+    an 8-byte shuffle key — the first-occurrence semantics are unchanged."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_par = F.ceil(n / F.lit(para_tokens)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_par - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1, para_tokens)),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), paras.alias("__ps"))
+        .filter(F.size("__ps") > 0)
+        .select("__id", F.posexplode("__ps").alias("__idx", "__para"))
+        .filter(F.length("__para") > 0)
+    )
+    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy("__id", "__idx")
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__idx", "__para"))),
+                    lambda s: s["__para"],
+                ),
+            ).alias("kept_text"),
+        )
+        .select(F.col("__id").alias(id_col), "n_kept", "kept_text")
+    )
+
+
+def paragraph_dedup_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 15,
+) -> str:
+    """DuckDB replay of :func:`paragraph_dedup`: same windows, same
+    (id, idx) first-occurrence rule, same in-order reassembly."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __c AS (SELECT {id_col} AS id, {toks} AS toks FROM ({corpus_sql})),
+__p AS (
+  SELECT id, CAST(i AS INT) - 1 AS idx,
+         array_to_string(toks[(i - 1) * {para_tokens} + 1 : i * {para_tokens}], ' ') AS para
+  FROM __c, unnest(generate_series(1, CAST(ceil(len(toks) / {para_tokens}.0) AS BIGINT))) t(i)
+  WHERE len(toks) > 0
+),
+__first AS (
+  SELECT id, idx, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY id, idx) AS rn
+  FROM __p WHERE length(para) > 0
+)
+SELECT id AS {id_col}, count(*) AS n_kept,
+       string_agg(para, ' ' ORDER BY idx) AS kept_text
+FROM __first WHERE rn = 1 GROUP BY id
+"""
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 
@@ -392,6 +484,56 @@ def minhash_dedup(
     ids = reps.select(F.col(id_col).alias("id"))
     labels = _components_min_label(ids, pairs)
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Fuzzy dedup keeping the BEST member per near-duplicate cluster —
+    highest ``score_col`` (ties: lowest id) — instead of the arbitrary
+    min-id representative.  The standard curation refinement: when a page
+    was crawled five times, keep the longest/cleanest capture, not the one
+    with the smallest crawl id.
+
+    ``score_col`` must be integer-valued and text-determined (equal texts ⇒
+    equal scores, e.g. a length or an integer quality grade): the exact-dup
+    cascade collapses identical texts to their min id BEFORE clustering, and
+    only with text-determined scores is that min id also the (score desc,
+    id asc) winner of its exact group — so the cascade stays a pure
+    optimization.  Integer-valued keeps the argmax reproducible across
+    engines (float scores tie-break on sub-ulp noise).
+
+    Scale shape matches :func:`minhash_dedup` plus one extra hash shuffle on
+    the cluster label for the per-cluster top-1 (WindowGroupLimit, partial
+    top-1 map-side) — labels are one row per surviving rep, not per corpus
+    row."""
+    from pyspark.sql.window import Window
+
+    reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    )
+    ids = reps.select(F.col(id_col).alias("id"))
+    labels = _components_min_label(ids, pairs)
+    scored = labels.join(
+        reps.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score")), "id"
+    )
+    w = Window.partitionBy("label").orderBy(F.col("__score").desc(), F.col("id").asc())
+    keep = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id").alias(id_col))
+    )
     return df.join(keep, on=id_col, how="left_semi")
 
 

@@ -143,6 +143,42 @@ def minhash_dedup_oracle(
 SELECT r.doc_id, r.n_chars FROM __reps r JOIN __keep k ON r.doc_id = k.id"""
 
 
+def minhash_dedup_keep_best_oracle(
+    corpus_sql: str,
+    score_expr: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``minhash_dedup_keep_best(portable=True).select(doc_id,
+    n_chars)``: same reps/candidates/components as the min-id oracle, but the
+    per-cluster keep rule is argmax(``score_expr`` over __reps columns, ties
+    to the lowest id)."""
+    return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
+{_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__reps', shingle_k)},
+__sym AS (
+  SELECT id_a AS a, id_b AS b FROM __good
+  UNION SELECT id_b, id_a FROM __good
+),
+__comp(id, lab) AS (
+  SELECT doc_id, doc_id FROM __reps
+  UNION
+  SELECT s.b, c.lab FROM __comp c JOIN __sym s ON s.a = c.id
+),
+__lab AS (SELECT id, min(lab) AS lab FROM __comp GROUP BY id),
+__best AS (
+  SELECT id FROM (
+    SELECT l.id,
+           row_number() OVER (PARTITION BY l.lab
+                              ORDER BY ({score_expr}) DESC, l.id ASC) AS rn
+    FROM __lab l JOIN __reps r ON r.doc_id = l.id
+  ) WHERE rn = 1
+)
+SELECT r.doc_id, r.n_chars FROM __reps r JOIN __best b ON r.doc_id = b.id"""
+
+
 def _simhash_half_expr(hash_list: str) -> str:
     """Fold 32 bit-votes over ``hash_list`` (list of 32-bit ints) into an
     unsigned half, mirroring ``dedup.simhash_halves(portable=True)``.

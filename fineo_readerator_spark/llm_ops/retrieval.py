@@ -140,3 +140,114 @@ GROUP BY id
 ORDER BY score DESC, {id_col} ASC
 LIMIT {k}
 """
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    c: int = 60,
+    shortlist: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 and embedding-cosine rankings fused by
+    Reciprocal Rank Fusion — ``rrf(d) = Σ_channel 1/(c + rank_channel(d))``
+    over each channel's top-``shortlist``; documents missing from a channel
+    contribute nothing for it.  RRF is the standard score-free fusion (no
+    cross-channel score calibration needed, robust to either channel's score
+    scale) and the usual first stop before a learned reranker.
+
+    Scale shape: each channel runs its own top-``shortlist`` retrieval —
+    BM25 touches only postings of the query terms, cosine is a TakeOrdered
+    over the vector store (swap in the IVF/PQ operators for the at-scale
+    variant; fusion is agnostic to how a channel ranked).  Fusion itself
+    handles 2·``shortlist`` rows: the rank windows and the outer join are
+    metadata-sized no matter the corpus.
+
+    Determinism: ranks are exact integers; ``1/(c+rank)`` and the two-term
+    sum are correctly-rounded IEEE doubles, identical in both engines;
+    ``id_col`` breaks final ties."""
+    from pyspark.sql.window import Window
+
+    lex = bm25_topk(docs, query_terms, id_col, text_col, shortlist)
+    # single-partition windows: inputs are exactly `shortlist` rows
+    lex_ranked = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col))),
+    ).select(F.col(id_col).alias("__id"), "lex_rank")
+
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
+
+    sem = cosine_topk(emb, query_vec, shortlist, vec_id_col, vec_col)
+    sem_ranked = sem.withColumn(
+        "cos_rank",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.col(vec_id_col))),
+    ).select(F.col(vec_id_col).alias("__id"), "cos_rank")
+
+    fused = lex_ranked.join(sem_ranked, "__id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.col("lex_rank") + F.lit(c)), F.lit(0.0))
+        + F.coalesce(1.0 / (F.col("cos_rank") + F.lit(c)), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            F.col("__id").alias(id_col),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("cos_rank").cast("int").alias("cos_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    doc_table: str,
+    emb_table: str,
+    query_terms: list[str],
+    query_vec_sql: str,
+    k: int = 10,
+    c: int = 60,
+    shortlist: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`hybrid_rrf_topk`.  ``doc_table``/``emb_table``
+    may be any table expression (including a parenthesized subquery);
+    ``query_vec_sql`` is a scalar subquery yielding the query vector."""
+    bm25 = bm25_oracle_sql(doc_table, query_terms, id_col, text_col, shortlist)
+    cos = (
+        f"round(list_sum(list_transform(generate_series(1, len(e.{vec_col})),"
+        f" i -> CAST(e.{vec_col}[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH __lex AS (
+  SELECT {id_col} AS id,
+         row_number() OVER (ORDER BY score DESC, {id_col}) AS lex_rank
+  FROM ({bm25})
+),
+__q AS (SELECT ({query_vec_sql}) AS qv),
+__sem AS (
+  SELECT id, cos_rank FROM (
+    SELECT e.{vec_id_col} AS id, {cos} AS cos_sim,
+           row_number() OVER (ORDER BY {cos} DESC, e.{vec_id_col}) AS cos_rank
+    FROM {emb_table} e CROSS JOIN __q q
+  ) ORDER BY cos_rank LIMIT {shortlist}
+)
+SELECT id AS {id_col},
+       CAST(lex_rank AS INT) AS lex_rank,
+       CAST(cos_rank AS INT) AS cos_rank,
+       round(coalesce(CAST(1.0 AS DOUBLE) / (lex_rank + {c}), 0.0)
+             + coalesce(CAST(1.0 AS DOUBLE) / (cos_rank + {c}), 0.0), 9) AS rrf_score
+FROM __lex FULL OUTER JOIN __sem USING (id)
+ORDER BY rrf_score DESC, {id_col} LIMIT {k}
+"""

@@ -363,6 +363,40 @@ def pq_seeded_topk(
     )
 
 
+def pq_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Two-stage ANN: PQ/ADC shortlist → exact cosine rerank (the production
+    retrieval shape — compressed codes answer "which ~50 of a billion", full
+    vectors answer "which 10 of those 50", so recall comes back without ever
+    scanning full vectors corpus-wide).
+
+    Scale shape: stage 1 is :func:`pq_seeded_topk` — a TakeOrdered over
+    ~``m`` bytes/vector of codes; its output is ``shortlist`` rows
+    (metadata-sized), so the rejoin to fetch full vectors broadcasts the id
+    list and at rest becomes ``shortlist`` point reads of the vector store;
+    stage 2 computes exact cosine for ``shortlist`` rows only.  Raising
+    ``shortlist`` trades one more stage-2 row per unit for recall — the
+    ADC estimate never decides the final order.
+
+    Determinism matches the exact path: cosine rounds at 1e-6 with
+    ``id_col`` as the tie-break."""
+    cand = pq_seeded_topk(df, query_vec, shortlist, id_col, vec_col, m, n_codes)
+    qv = _vec_lit(query_vec)
+    exact = df.join(F.broadcast(cand.select(id_col)), id_col).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qv), 6).alias("cos_sim"),
+    )
+    return exact.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def _gate_cell_sizing(
     n_rows: int, n_cells: int, max_rows_per_cell: int, allow_oversized_cells: bool
 ) -> None:

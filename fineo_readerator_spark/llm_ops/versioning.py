@@ -1,0 +1,101 @@
+"""Corpus snapshot management: row-level diff between two corpus versions.
+
+A 100 TB training corpus is rebuilt (recrawled, refiltered, rededuped) on a
+cadence; before a new snapshot replaces the old one, the pipeline wants a
+membership-and-content diff — how many documents appeared, vanished, or
+changed, broken down by source — both as a release gate (a source that lost
+90 % of its docs is a scraper regression, not a cleaning win) and as the
+changelog for dataset cards.  ``p_corpus_drift`` (PSI over feature
+distributions) answers "did the *shape* move"; this answers "which *rows*
+moved".
+
+Scale shape: one full outer join on the document id (hash-partitioned on
+both sides — the natural key join AQE handles well), content compared via a
+64-bit text hash computed in the scan projection so the shuffle carries
+(id, source, hash), never the text payload; the per-source rollup is a
+map-side-combined aggregate over the join output.  No broadcast of anything
+corpus-sized, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` membership/content diff between two corpus versions.
+
+    Returns one row per group: ``n_added`` (id only in ``new``),
+    ``n_removed`` (id only in ``old``), ``n_changed`` (id in both, text
+    differs), ``n_unchanged``.  A changed row's group comes from the NEW
+    version (reassignment counts as a change in its new home, matching how
+    the next snapshot will report it)."""
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g_old"),
+        F.xxhash64(F.col(text_col)).alias("__h_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g_new"),
+        F.xxhash64(F.col(text_col)).alias("__h_new"),
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__g_new"), F.col("__g_old")).alias(group_col),
+            status.alias("__st"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.when(F.col("__st") == "added", True)).alias("n_added"),
+            F.count(F.when(F.col("__st") == "removed", True)).alias("n_removed"),
+            F.count(F.when(F.col("__st") == "changed", True)).alias("n_changed"),
+            F.count(F.when(F.col("__st") == "unchanged", True)).alias("n_unchanged"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def corpus_diff_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """DuckDB replay of :func:`corpus_diff` over two corpus SELECTs.
+
+    Text equality is compared via ``md5`` rather than Spark's xxhash64 —
+    both sides are pure content-equality predicates, so any collision-free
+    hash yields identical statuses."""
+    return f"""
+WITH __o AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h FROM ({old_sql})),
+__n AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h FROM ({new_sql})),
+__j AS (
+  SELECT coalesce(__n.g, __o.g) AS g,
+         CASE WHEN __o.h IS NULL THEN 'added'
+              WHEN __n.h IS NULL THEN 'removed'
+              WHEN __o.h != __n.h THEN 'changed'
+              ELSE 'unchanged' END AS st
+  FROM __o FULL OUTER JOIN __n ON __o.id = __n.id
+)
+SELECT g AS {group_col},
+       count(*) FILTER (st = 'added') AS n_added,
+       count(*) FILTER (st = 'removed') AS n_removed,
+       count(*) FILTER (st = 'changed') AS n_changed,
+       count(*) FILTER (st = 'unchanged') AS n_unchanged
+FROM __j GROUP BY g ORDER BY g
+"""

@@ -936,6 +936,240 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql("documents", _BM25_TERMS, "doc_id", "text")
 
 
+def t_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 and embedding-cosine top-50 fused by
+    Reciprocal Rank Fusion, final top-10 (llm_ops.retrieval.hybrid_rrf_topk).
+    The query embedding is vec_id 0; both channels exclude id 0 so neither
+    trivially retrieves the query itself.  Fusion handles 100 rank rows —
+    metadata-sized regardless of corpus scale."""
+    from fineo_readerator_spark.llm_ops.retrieval import hybrid_rrf_topk
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = [
+        float(v)
+        for v in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    return hybrid_rrf_topk(docs, emb, _BM25_TERMS, qv, k=10)
+
+
+def _t_hybrid_rrf_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.retrieval import hybrid_rrf_oracle_sql
+
+    return hybrid_rrf_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id != 0)",
+        "(SELECT * FROM embeddings WHERE vec_id != 0)",
+        _BM25_TERMS,
+        "SELECT embedding FROM embeddings WHERE vec_id = 0",
+        k=10,
+    )
+
+
+def s_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: PQ/ADC shortlist of 50 over compressed codes, exact
+    cosine rerank of the shortlist to top-10
+    (llm_ops.similarity.pq_rerank_topk) — the recall-recovery stage every
+    production PQ deployment pairs with the code scan."""
+    from fineo_readerator_spark.llm_ops.similarity import pq_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return pq_rerank_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, shortlist=50)
+
+
+def _s_ann_pq_rerank_oracle(k: int = 10, shortlist: int = 50) -> str:
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH __q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cos_sim FROM (
+  SELECT e.vec_id, {cos} AS cos_sim
+  FROM embeddings e
+  JOIN ({_s_ann_pq_oracle(k=shortlist)}) s ON e.vec_id = s.vec_id
+  CROSS JOIN __q q
+) ORDER BY cos_sim DESC, vec_id LIMIT {k}
+"""
+
+
+def p_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff between two corpus versions — per-source
+    added/removed/changed/unchanged counts (llm_ops.versioning.corpus_diff).
+    The v2 corpus is a deterministic in-query mutation of v1: drop
+    doc_id%17==3, rewrite text on %13==5, add %11==0 under shifted ids.
+    One id-keyed full outer join; text compared by hash in the scan
+    projection, never shuffled."""
+    from fineo_readerator_spark.llm_ops.versioning import corpus_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    did = F.col("doc_id")
+    new = (
+        docs.filter(did % 17 != 3)
+        .withColumn(
+            "text",
+            F.when(did % 13 == 5, F.concat(F.col("text"), F.lit(" [v2]"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            docs.filter(did % 11 == 0).select(
+                (did + _SHIFT).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+def _p_corpus_diff_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.versioning import corpus_diff_oracle_sql
+
+    old_sql = "SELECT doc_id, text, source FROM documents"
+    new_sql = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 5 THEN text || ' [v2]' ELSE text END AS text,
+       source
+FROM documents WHERE doc_id % 17 != 3
+UNION ALL
+SELECT doc_id + {_SHIFT}, text, source FROM documents WHERE doc_id % 11 = 0"""
+    return corpus_diff_oracle_sql(old_sql, new_sql)
+
+
+def p_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-gate data audit over a deliberately-dirtied corpus: null
+    text, non-positive n_chars, duplicate primary keys, and embedding-FK
+    orphans — each check family in its minimal number of scans
+    (operators/audit.py: all row checks fuse into ONE aggregate pass;
+    uniqueness is count-vs-distinct; FK is one left join against distinct
+    parent keys)."""
+    from fineo_readerator_spark.operators.audit import (
+        audit_report,
+        fk_check,
+        row_checks,
+        unique_check,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    did = F.col("doc_id")
+    raw = docs.unionByName(docs.filter(did % 31 == 1)).unionByName(
+        docs.filter(did % 41 == 2).select((did + _SHIFT).alias("doc_id"), "text", "n_chars")
+    )
+    dirty = raw.select(
+        "doc_id",
+        F.when(did % 19 == 7, F.lit(None).cast("string")).otherwise(F.col("text")).alias("text"),
+        F.when(did % 23 == 11, -F.col("n_chars")).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return audit_report(
+        row_checks(
+            dirty,
+            "documents_dirty",
+            {
+                "null_text": F.col("text").isNull(),
+                "nonpositive_n_chars": F.col("n_chars") <= 0,
+            },
+        ),
+        unique_check(dirty, "documents_dirty", ["doc_id"], "unique_doc_id"),
+        fk_check(dirty, emb, "documents_dirty", "doc_id", "vec_id", "fk_embedding"),
+    )
+
+
+def _p_data_audit_oracle() -> str:
+    dirty = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 19 = 7 THEN NULL ELSE text END AS text,
+       CASE WHEN doc_id % 23 = 11 THEN -n_chars ELSE n_chars END AS n_chars
+FROM (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 31 = 1
+  UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents WHERE doc_id % 41 = 2
+)"""
+    return f"""
+WITH __d AS ({dirty}),
+__rows AS (
+  SELECT 'null_text' AS check_name, count(*) FILTER (text IS NULL) AS violations,
+         count(*) AS total FROM __d
+  UNION ALL
+  SELECT 'nonpositive_n_chars', count(*) FILTER (n_chars <= 0), count(*) FROM __d
+  UNION ALL
+  SELECT 'unique_doc_id', count(*) - count(DISTINCT doc_id), count(*) FROM __d
+  UNION ALL
+  SELECT 'fk_embedding', count(*) FILTER (e.vec_id IS NULL), count(*)
+  FROM __d LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON __d.doc_id = e.vec_id
+)
+SELECT 'documents_dirty' AS table_name, check_name, violations, total,
+       violations = 0 AS passed
+FROM __rows ORDER BY table_name, check_name
+"""
+
+
+def d_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup with reassembly
+    (llm_ops.dedup.paragraph_dedup): the corpus is documents plus a
+    30-token-prefix "boilerplate" copy of each doc under LOWER (shifted
+    negative) ids, so the prefix copies win first-occurrence and every
+    original loses its leading two paragraphs but keeps its tail — the
+    cross-document boilerplate-stripping shape document-level dedup can't
+    express."""
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_dedup
+    from fineo_readerator_spark.llm_ops.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = docs.select(
+        (F.col("doc_id") - _SHIFT).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 30)).alias("text"),
+    )
+    return paragraph_dedup(prefixes.unionByName(docs), "doc_id", "text")
+
+
+def _d_paragraph_dedup_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_dedup_oracle_sql
+
+    toks = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)"
+    corpus = f"""
+SELECT doc_id - {_SHIFT} AS doc_id,
+       array_to_string(({toks})[1:30], ' ') AS text
+FROM documents
+UNION ALL SELECT doc_id, text FROM documents"""
+    return paragraph_dedup_oracle_sql(corpus)
+
+
+def d_best_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup keeping the LONGEST cluster member (n_chars desc, id
+    asc) instead of the min id (llm_ops.dedup.minhash_dedup_keep_best).  The
+    corpus pairs every doc with a longer appended-suffix near-dup under a
+    HIGHER id, so keep-best must select the shifted copies — the opposite
+    answer to min-id dedup on the same corpus."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_dedup_keep_best
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    longer = docs.select(
+        (F.col("doc_id") + _SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended marker tokens")).alias("text"),
+        (F.col("n_chars") + 23).alias("n_chars"),
+    )
+    corpus = docs.unionByName(longer)
+    return minhash_dedup_keep_best(
+        corpus, "doc_id", "n_chars", "text", portable=True
+    ).select("doc_id", "n_chars")
+
+
+def _d_best_rep_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import (
+        minhash_dedup_keep_best_oracle,
+    )
+
+    corpus = f"""SELECT doc_id, text, n_chars FROM documents
+UNION ALL
+SELECT doc_id + {_SHIFT}, text || ' appended marker tokens', n_chars + 23 FROM documents"""
+    return minhash_dedup_keep_best_oracle(corpus, "r.n_chars")
+
+
 def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring overlap pairs: docs sharing >= 8 winnowed rolling-hash
     fingerprints, after dropping fingerprints with document frequency > 20
@@ -1508,6 +1742,12 @@ LLM_QUERIES = [
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle(), bench=True),
     QueryDef("d_embed_decontaminate", d_embed_decontaminate, _d_embed_decontaminate_oracle()),
     QueryDef("t_bm25_topk", t_bm25_topk, _bm25_oracle(), bench=True),
+    QueryDef("t_hybrid_rrf", t_hybrid_rrf, _t_hybrid_rrf_oracle(), bench=True),
+    QueryDef("s_ann_pq_rerank", s_ann_pq_rerank, _s_ann_pq_rerank_oracle()),
+    QueryDef("p_corpus_diff", p_corpus_diff, _p_corpus_diff_oracle()),
+    QueryDef("p_data_audit", p_data_audit, _p_data_audit_oracle()),
+    QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
+    QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

@@ -725,3 +725,193 @@ def test_embedding_decontaminate_flags_planted_copy(spark, vectors):
     assert all(out[i].best_sim > 0.99 for i in (50, 51, 52))
     clean = [i for i in out if i not in (50, 51, 52)]
     assert all(not out[i].is_contaminated and out[i].n_eval_hits == 0 for i in clean)
+
+
+# --- paragraph dedup --------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_dedup
+
+    p1 = " ".join(f"a{i}" for i in range(15))
+    p2 = " ".join(f"b{i}" for i in range(15))
+    p3 = " ".join(f"c{i}" for i in range(15))
+    tail = "short tail"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),          # first occurrence of p1, p2
+            (2, f"{p1} {p3} {tail}"),   # loses p1, keeps p3 + partial tail
+            (3, f"{p2} {p1}"),          # pure boilerplate: disappears
+            (4, ""),                    # empty: disappears
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_kept"] == 2 and out[1]["kept_text"] == f"{p1} {p2}"
+    # doc 2: p1 removed (seen in doc 1), p3 and the partial tail kept IN ORDER
+    assert out[2]["n_kept"] == 2 and out[2]["kept_text"] == f"{p3} {tail}"
+
+
+def test_paragraph_dedup_ties_break_by_id_then_position(spark):
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_dedup
+
+    para = " ".join(f"x{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(-5, para), (2, para), (7, para)], "doc_id long, text string"
+    )
+    out = paragraph_dedup(df, "doc_id").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == -5
+
+
+# --- keep-best representative dedup ----------------------------------------
+
+
+def test_minhash_keep_best_selects_highest_score_not_min_id(spark):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        minhash_dedup,
+        minhash_dedup_keep_best,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base, 40),
+        (9, base + " extra suffix tokens", 43),  # longer near-dup, HIGHER id
+        (5, "entirely different unrelated content right here", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    best = {
+        r["doc_id"]
+        for r in minhash_dedup_keep_best(df, "doc_id", "n_chars").collect()
+    }
+    assert best == {9, 5}
+    # min-id dedup on the same corpus picks the OTHER representative
+    minid = {r["doc_id"] for r in minhash_dedup(df, "doc_id").collect()}
+    assert minid == {1, 5}
+
+
+def test_minhash_keep_best_tie_breaks_to_min_id(spark):
+    from fineo_readerator_spark.llm_ops.dedup import minhash_dedup_keep_best
+
+    base = " ".join(f"t{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(4, base + " pad", 41), (2, base + " pod", 41)],
+        "doc_id long, text string, n_chars int",
+    )
+    out = {r["doc_id"] for r in minhash_dedup_keep_best(df, "doc_id", "n_chars").collect()}
+    assert out == {2}
+
+
+# --- corpus diff ------------------------------------------------------------
+
+
+def test_corpus_diff_statuses_and_group_reassignment(spark):
+    from fineo_readerator_spark.llm_ops.versioning import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2"), (4, "d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    # 1 unchanged; 2 changed AND moved s1->s2 (counts in s2); 3 removed; 5 added
+    new = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "B", "s2"), (4, "d", "s2"), (5, "e", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in corpus_diff(old, new).collect()}
+    assert out["s1"]["n_unchanged"] == 1 and out["s1"]["n_added"] == 1
+    assert out["s1"]["n_removed"] == 0 and out["s1"]["n_changed"] == 0
+    assert out["s2"]["n_changed"] == 1 and out["s2"]["n_removed"] == 1
+    assert out["s2"]["n_unchanged"] == 1
+
+
+# --- audit ------------------------------------------------------------------
+
+
+def test_audit_checks_and_single_scan_row_checks(spark):
+    from fineo_readerator_spark.operators.audit import (
+        audit_report,
+        fk_check,
+        row_checks,
+        unique_check,
+    )
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [(1, None, 5), (2, "x", -1), (2, "y", 3), (9, "z", 4)],
+        "id long, txt string, n int",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    rep = audit_report(
+        row_checks(t, "t", {"null_txt": F.col("txt").isNull(), "neg_n": F.col("n") < 0}),
+        unique_check(t, "t", ["id"], "unique_id"),
+        fk_check(t, parent, "t", "id", "pid", "fk_parent"),
+    )
+    rows = {r["check_name"]: r.asDict() for r in rep.collect()}
+    assert rows["null_txt"]["violations"] == 1 and rows["null_txt"]["total"] == 4
+    assert rows["neg_n"]["violations"] == 1
+    assert rows["unique_id"]["violations"] == 1  # id 2 twice
+    assert rows["fk_parent"]["violations"] == 1 and not rows["fk_parent"]["passed"]
+    assert all(r["table_name"] == "t" for r in rows.values())
+    # scale contract: N row checks = ONE scan — a single aggregate node
+    plan = row_checks(t, "t", {"a": F.col("n") < 0, "b": F.col("txt").isNull()})
+    physical = plan._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("Scan ExistingRDD") <= 1
+
+
+def test_audit_guards(spark):
+    import pytest
+    from fineo_readerator_spark.operators.audit import audit_report, row_checks
+
+    t = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        row_checks(t, "t", {})
+    with pytest.raises(ValueError):
+        audit_report()
+
+
+# --- hybrid RRF -------------------------------------------------------------
+
+
+def test_hybrid_rrf_fuses_both_channels(spark):
+    from fineo_readerator_spark.llm_ops.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),   # strong lexical
+            (2, "spark join"),                # weaker lexical
+            (3, "nothing relevant here"),     # lexical miss
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),   # orthogonal to query
+            (2, [1.0, 0.1]),   # close
+            (3, [1.0, 0.0]),   # exact direction
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_rrf_topk(docs, emb, ["spark", "join", "window"], [1.0, 0.0], k=3, shortlist=2)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc 2 is in BOTH shortlists -> two 1/(c+r) terms; 1 and 3 in one each
+    assert rows[2]["lex_rank"] is not None and rows[2]["cos_rank"] is not None
+    assert rows[1]["cos_rank"] is None and rows[3]["lex_rank"] is None
+    assert rows[2]["rrf_score"] > max(rows[1]["rrf_score"], rows[3]["rrf_score"])
+    expected = round(1.0 / (60 + rows[2]["lex_rank"]) + 1.0 / (60 + rows[2]["cos_rank"]), 9)
+    assert rows[2]["rrf_score"] == expected
+
+
+# --- PQ rerank --------------------------------------------------------------
+
+
+def test_pq_rerank_matches_exact_when_shortlist_covers(spark, vectors):
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, pq_rerank_topk
+
+    qv = [float(v) for v in vectors.filter("vec_id = 0").first()["embedding"]]
+    corpus = vectors.filter("vec_id != 0")
+    n = corpus.count()
+    exact = cosine_topk(corpus, qv, k=5).collect()
+    rerank = pq_rerank_topk(corpus, qv, k=5, shortlist=n).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in rerank] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
