@@ -251,3 +251,150 @@ SELECT id AS {id_col},
 FROM __lex FULL OUTER JOIN __sem USING (id)
 ORDER BY rrf_score DESC, {id_col} LIMIT {k}
 """
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    threshold: float = 0.6,
+    idf_scale: int = 1_000_000,
+    allow_ungrouped: bool = False,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: TF-IDF cosine similarity >= threshold
+    within blocking groups — the sparse-vector complement to MinHash (which
+    scores SET overlap and under-weights rare-term agreement; TF-IDF cosine
+    is what "similar" means to a lexical ranker).
+
+    IDF is corpus-global (one df aggregate); PAIR GENERATION is group-bounded
+    like ``ngram_jaccard_pairs`` — the postings self-join explodes as
+    O(df²) per term corpus-wide, so an ungrouped call raises unless
+    explicitly allowed (at scale the groups are LSH buckets or domains).
+
+    Determinism across engines — the usual float-sum-order trap, solved by
+    integer-exact arithmetic end to end: idf quantizes to an integer
+    (``round(ln((N+1)/(df+1)) * idf_scale)`` — ln agrees to 1 ulp between
+    engines, 12 orders below the quantum), weights ``tf·idf_int`` and their
+    squared norms / dot products are exact integer sums (decimal-typed so
+    38-digit headroom, order-independent), and only the FINAL cosine
+    divides in double, rounded at 1e-6.
+
+    Scale shape: one tokenize pass; tf and df are map-side-combined
+    aggregates; norms are one more per-doc aggregate; the join shuffles
+    postings on (group, term).  Everything is codegen'd JVM expressions."""
+    if not group_cols and not allow_ungrouped:
+        raise ValueError(
+            "tfidf_cosine_pairs without group_cols is an O(df^2)-per-term "
+            "corpus-wide self-join; pass blocking group_cols (domain, LSH "
+            "bucket, ...) or allow_ungrouped=True to accept the cost"
+        )
+    group_cols = group_cols or []
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in group_cols],
+        tokens(F.col(text_col)).alias("__t"),
+    ).filter(F.size("__t") > 0)
+    tf = (
+        base.select("__id", *group_cols, F.explode("__t").alias("__term"))
+        .groupBy("__id", *group_cols, "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    n_docs = base.agg(F.count("*").alias("__n"))
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    idf_int = F.round(
+        F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) * idf_scale, 0
+    ).cast("decimal(20,0)")
+    weighted = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            *group_cols,
+            "__term",
+            (F.col("__tf").cast("decimal(20,0)") * idf_int).alias("__w"),
+        )
+    )
+    # docs whose every term is corpus-universal (idf quantizes to 0) have a
+    # zero norm; their cosine is 0/0 = NaN, which BOTH engines order above
+    # the threshold — exclude them as unscorable instead
+    norms = (
+        weighted.groupBy("__id")
+        .agg(F.sum(F.col("__w") * F.col("__w")).alias("__norm2"))
+        .filter(F.col("__norm2") > 0)
+    )
+    wa = weighted.select(
+        *group_cols, F.col("__term"), F.col("__id").alias("id_a"), F.col("__w").alias("__wa")
+    )
+    wb = weighted.select(
+        *group_cols, F.col("__term"), F.col("__id").alias("id_b"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        wa.join(wb, [*group_cols, "__term"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(*group_cols, "id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__norm2").alias("__na2"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__norm2").alias("__nb2"))
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / F.sqrt(F.col("__na2").cast("double") * F.col("__nb2").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", *group_cols, "cos_sim")
+    )
+
+
+def tfidf_pairs_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    threshold: float = 0.6,
+    idf_scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`tfidf_cosine_pairs` — identical integer
+    quantization, exact integer sums (HUGEINT), double division last."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    g_pre = (g + ", ") if g else ""
+    ga = ", ".join(f"a.{c}" for c in group_cols)
+    ga_pre = (ga + ", ") if ga else ""
+    gjoin = " AND ".join(f"a.{c} = b.{c}" for c in group_cols) or "TRUE"
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __base AS (
+  SELECT {id_col} AS id, {g_pre}{toks} AS t FROM ({corpus_sql})
+),
+__base2 AS (SELECT * FROM __base WHERE len(t) > 0),
+__tf AS (
+  SELECT id, {g_pre}term, count(*) AS tf
+  FROM (SELECT id, {g_pre}unnest(t) AS term FROM __base2)
+  GROUP BY id, {g_pre}term
+),
+__n AS (SELECT count(*) AS n FROM __base2),
+__df AS (SELECT term, count(*) AS df FROM __tf GROUP BY term),
+__w AS (
+  SELECT id, {g_pre}term,
+         tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * {idf_scale}, 0) AS BIGINT) AS w
+  FROM __tf JOIN __df USING (term) CROSS JOIN __n
+),
+__norm AS (SELECT id, sum(w * w) AS norm2 FROM __w GROUP BY id HAVING sum(w * w) > 0),
+__dot AS (
+  SELECT a.id AS id_a, b.id AS id_b, {ga_pre}sum(a.w * b.w) AS dot
+  FROM __w a JOIN __w b ON a.term = b.term AND {gjoin} AND a.id < b.id
+  GROUP BY a.id, b.id{(', ' + ga) if ga else ''}
+)
+SELECT id_a, id_b, {g_pre}cos_sim FROM (
+  SELECT id_a, id_b, {g_pre}
+         round(CAST(dot AS DOUBLE)
+               / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cos_sim
+  FROM __dot JOIN __norm na ON na.id = id_a JOIN __norm nb ON nb.id = id_b
+) WHERE cos_sim >= {threshold}
+"""

@@ -330,6 +330,115 @@ def categorical_drift(
     )
 
 
+def windowed_drift(
+    win_counts: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    win_col: str = "window_start",
+    n_col: str = "n",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-window PSI terms of a categorical distribution against a STATIC
+    baseline — the streaming face of :func:`categorical_drift`: a windowed
+    count stream (e.g. ``windowed_rollup`` keyed on the category) drains
+    into per-(window, category) counts, and each window's distribution is
+    scored against the reference corpus.  The monitor alarms on
+    ``sum(psi_term)`` per window (same 0.1/0.25 thresholds).
+
+    ``win_counts`` carries (``win_col``, ``col``, ``n_col``); ``baseline``
+    is the raw reference frame (counted here).  Categories absent from a
+    window (or from the baseline) still score — the category grid is
+    windows × the UNION of categories, with the same add-``k`` smoothing
+    convention as ``categorical_drift``, so one-sided categories stay
+    finite and every window shares one smoothing denominator.
+
+    Output: one row per (window, category) with rounded shares and
+    ``psi_term`` — per-term rows, NOT a per-window float sum, so results
+    stay order-independent across engines; callers sum after rounding.
+
+    Scale shape: everything downstream of the drained stream is
+    (windows × categories)-sized — counts, grid, joins; nothing
+    corpus-sized moves (the corpus was reduced by the streaming aggregate
+    and the one baseline count scan)."""
+    wc = win_counts.select(
+        F.col(win_col).alias("__w"), F.col(col).alias("__cat"), F.col(n_col).alias("__n")
+    )
+    bc = baseline.groupBy(F.col(col).alias("__cat")).agg(F.count("*").alias("__cb"))
+    cats = wc.select("__cat").union(bc.select("__cat")).distinct()
+    grid = wc.select("__w").distinct().crossJoin(cats)
+    j = (
+        grid.alias("g")
+        .join(
+            wc.alias("w"),
+            (F.col("g.__w") == F.col("w.__w"))
+            & F.col("g.__cat").eqNullSafe(F.col("w.__cat")),
+            "left",
+        )
+        .join(bc.alias("b"), F.col("g.__cat").eqNullSafe(F.col("b.__cat")), "left")
+        .select(
+            F.col("g.__w").alias("__w"),
+            F.col("g.__cat").alias("__cat"),
+            F.coalesce(F.col("w.__n"), F.lit(0)).alias("__n"),
+            F.coalesce(F.col("b.__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    na = F.sum("__n").over(Window.partitionBy("__w"))
+    # nb/C come from the UNDUPLICATED frames — aggregating the grid would
+    # multiply the baseline total by the window count
+    tot = bc.agg(F.sum("__cb").alias("__nb")).crossJoin(
+        cats.agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pw = (F.col("__n") + k) / (na + k * F.col("__c"))
+    pb = (F.col("__cb") + k) / (F.col("__nb") + k * F.col("__c"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__w").alias(win_col),
+            F.col("__cat").alias(col),
+            F.round(pw, 6).alias("share_win"),
+            F.round(pb, 6).alias("share_base"),
+            F.round((pw - pb) * F.log(pw / pb), 6).alias("psi_term"),
+        )
+        .orderBy(win_col, col)
+    )
+
+
+def windowed_drift_oracle_sql(
+    win_counts_sql: str,
+    baseline_sql: str,
+    col: str,
+    win_col: str = "window_start",
+    n_col: str = "n",
+    k: float = 0.5,
+) -> str:
+    """DuckDB replay of :func:`windowed_drift`: ``win_counts_sql`` yields
+    (win_col, col, n_col) rows; ``baseline_sql`` the raw reference rows."""
+    return f"""
+WITH wc AS (SELECT {win_col} AS w, {col} AS cat, {n_col} AS n FROM ({win_counts_sql})),
+bc AS (SELECT {col} AS cat, count(*) AS cb FROM ({baseline_sql}) GROUP BY 1),
+cats AS (SELECT DISTINCT cat FROM (SELECT cat FROM wc UNION ALL SELECT cat FROM bc)),
+grid AS (SELECT w, cat FROM (SELECT DISTINCT w FROM wc) CROSS JOIN cats),
+j AS (
+  SELECT g.w, g.cat, coalesce(wc.n, 0) AS n, coalesce(bc.cb, 0) AS cb
+  FROM grid g
+  LEFT JOIN wc ON wc.w = g.w AND wc.cat IS NOT DISTINCT FROM g.cat
+  LEFT JOIN bc ON bc.cat IS NOT DISTINCT FROM g.cat
+),
+tw AS (SELECT w, sum(n) AS na FROM j GROUP BY w),
+t AS (SELECT (SELECT sum(cb) FROM bc) AS nb, (SELECT count(*) FROM cats) AS c)
+SELECT j.w AS {win_col}, j.cat AS {col},
+       round((j.n + {k}) / (tw.na + {k} * t.c), 6) AS share_win,
+       round((j.cb + {k}) / (t.nb + {k} * t.c), 6) AS share_base,
+       round(((j.n + {k}) / (tw.na + {k} * t.c) - (j.cb + {k}) / (t.nb + {k} * t.c))
+             * ln(((j.n + {k}) / (tw.na + {k} * t.c))
+                  / ((j.cb + {k}) / (t.nb + {k} * t.c))), 6) AS psi_term
+FROM j JOIN tw ON tw.w = j.w CROSS JOIN t
+ORDER BY {win_col}, {col}
+"""
+
+
 def categorical_drift_oracle_sql(
     sql_a: str, sql_b: str, col: str, k: float = 0.5
 ) -> str:

@@ -518,6 +518,76 @@ def semantic_dedup(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_rows_per_cell: int = 100_000,
+    allow_oversized_cells: bool = False,
+) -> DataFrame:
+    """Approximate k-NN graph over the embedding corpus: every vector's
+    top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
+    building block for graph-based dedup clustering, label propagation and
+    diversity-aware sampling.  Cell-bounded means a node's candidate set is
+    its cell, not the corpus (the SemDeDup blocking argument applied to
+    graph construction); recall at the cell boundary is the documented
+    trade, recovered at scale by multi-probe assignment or a second pass
+    over neighboring cells.
+
+    Scale shape mirrors :func:`semantic_dedup`: one eager-checkpointed cell
+    assignment (argmin evaluated once, sizing gate on the materialized
+    count), an in-cell self-join with per-row norms hoisted, then a
+    per-node top-``k`` — ``row_number() <= k`` compiles to WindowGroupLimit,
+    so each mapper keeps a k-row heap per node and the exchange carries
+    O(N·k) rows, not the O(Σ|cell|²) pair set."""
+    from pyspark.sql.window import Window
+
+    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+    assigned = df.withColumn("__cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
+        eager=True
+    )
+    _gate_cell_sizing(
+        assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
+    )
+    a = assigned.select(
+        "__cell",
+        F.col(id_col).alias("__src"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = assigned.select(
+        "__cell",
+        F.col(id_col).alias("__nbr"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("__nbr") != F.col("__src"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("__src").orderBy(F.desc("cos_sim"), F.col("__nbr"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__src").alias(id_col),
+            F.col("__nbr").alias("nbr_id"),
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ann_batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

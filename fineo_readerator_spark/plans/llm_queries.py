@@ -998,6 +998,64 @@ SELECT vec_id, cos_sim FROM (
 """
 
 
+def d_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs >= 0.6 within (lang, source) blocking
+    groups (llm_ops.retrieval.tfidf_cosine_pairs) — weighted lexical
+    similarity with corpus-global IDF, group-bounded pair generation, and
+    integer-exact arithmetic until the final double division."""
+    from fineo_readerator_spark.llm_ops.retrieval import tfidf_cosine_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "doc_id", "text", ["lang", "source"], threshold=0.6)
+
+
+def _d_tfidf_pairs_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.retrieval import tfidf_pairs_oracle_sql
+
+    return tfidf_pairs_oracle_sql(
+        "SELECT doc_id, text, lang, source FROM documents",
+        "doc_id",
+        "text",
+        ["lang", "source"],
+        threshold=0.6,
+    )
+
+
+def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded approximate k-NN graph: every vector's top-3 cosine
+    neighbors within its seeded-codebook cell
+    (llm_ops.similarity.knn_graph).  WindowGroupLimit keeps a 3-row heap per
+    node before the exchange, so the shuffle is O(N·k), never the in-cell
+    pair set."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    return knn_graph(load(spark, sf_dir, "embeddings"), k=3, n_centroids=16)
+
+
+def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16) -> str:
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT vec_id, embedding, sid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_SEM_DIST.format(a='embedding', b='sv')}, sid) AS rn
+  FROM (SELECT c.vec_id, c.embedding, s.sid, s.sv FROM corpus c CROSS JOIN seeds s)
+),
+cells AS (SELECT vec_id, embedding, sid AS cell FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         {_SEM_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, nbr_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def p_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff between two corpus versions — per-source
     added/removed/changed/unchanged counts (llm_ops.versioning.corpus_diff).
@@ -1748,6 +1806,8 @@ LLM_QUERIES = [
     QueryDef("p_data_audit", p_data_audit, _p_data_audit_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
+    QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),
+    QueryDef("s_knn_graph", s_knn_graph, _s_knn_graph_oracle(), bench=True),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

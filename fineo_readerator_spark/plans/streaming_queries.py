@@ -456,7 +456,43 @@ ORDER BY doc_id
 """
 
 
+def st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: the stream reduces to 1-day
+    windowed event_type counts (watermarked aggregate — the only
+    corpus-sized work), then each drained window's distribution scores
+    against the static full-corpus baseline as per-category PSI terms
+    (llm_ops.sampling.windowed_drift).  The alarm is sum(psi_term) per
+    window; everything after the drain is (windows × categories)-sized."""
+    from fineo_readerator_spark.llm_ops.sampling import windowed_drift
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    counts = windowed_rollup(
+        stream,
+        "event_time",
+        keys=["event_type"],
+        aggs={"n": "count(*)"},
+        window="1 day",
+        watermark="1 day",
+    )
+    drained = _drain(counts, "st_drift_sink", "complete")
+    baseline = load(spark, sf_dir, "events")
+    return windowed_drift(
+        drained.select("window_start", "event_type", "n"), baseline, "event_type"
+    )
+
+
+def _st_drift_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import windowed_drift_oracle_sql
+
+    wc = (
+        f"SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_start,"
+        " event_type, count(*) AS n FROM events GROUP BY 1, 2"
+    )
+    return windowed_drift_oracle_sql(wc, "SELECT event_type FROM events", "event_type")
+
+
 STREAMING_QUERIES = [
+    QueryDef("st_drift", st_drift, _st_drift_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),
     QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),

@@ -915,3 +915,92 @@ def test_pq_rerank_matches_exact_when_shortlist_covers(spark, vectors):
     assert [(r["vec_id"], r["cos_sim"]) for r in rerank] == [
         (r["vec_id"], r["cos_sim"]) for r in exact
     ]
+
+
+# --- TF-IDF pairs -----------------------------------------------------------
+
+
+def test_tfidf_pairs_scores_weighted_similarity(spark):
+    from fineo_readerator_spark.llm_ops.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare alpha beta", "g"),
+            (2, "rare alpha beta", "g"),      # identical -> cos 1.0
+            (3, "other words here", "g"),
+            (4, "rare alpha beta", "h"),      # identical to 1 but other GROUP
+        ],
+        "doc_id long, text string, grp string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           tfidf_cosine_pairs(df, "doc_id", "text", ["grp"], threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}  # group blocking excludes (1,4); 3 dissimilar
+
+
+def test_tfidf_pairs_ungrouped_raises_and_zero_norm_excluded(spark):
+    import pytest
+    from fineo_readerator_spark.llm_ops.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "common", "g"), (2, "common", "g"), (3, "common", "g")],
+        "doc_id long, text string, grp string",
+    )
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(df, "doc_id", "text", None)
+    # 'common' is in every doc -> idf quantizes to 0 -> zero norms -> no
+    # NaN pairs may leak through the threshold
+    assert tfidf_cosine_pairs(df, "doc_id", "text", ["grp"]).count() == 0
+
+
+# --- kNN graph --------------------------------------------------------------
+
+
+def test_knn_graph_ranks_within_cells(spark):
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    # two natural clusters; n_centroids=2 seeds from the two lowest ids,
+    # which sit in different clusters -> cells = clusters
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.1, 0.9, 0.0, 0.0]),
+        (4, [0.95, 0.05, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph(df, k=2, n_centroids=2)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["vec_id"], []).append((r["rank"], r["nbr_id"]))
+    # cluster A = {0,2,4}, cluster B = {1,3}
+    assert {n for _, n in by_src[0]} == {2, 4}
+    assert by_src[1] == [(1, 3)]  # only one in-cell neighbor
+    assert sorted(by_src[2])[0][1] in (0, 4)
+    # ranks are 1..k dense per node
+    for src, nbrs in by_src.items():
+        assert [r for r, _ in sorted(nbrs)] == list(range(1, len(nbrs) + 1))
+
+
+def test_knn_graph_gates_oversized_cells(spark, vectors):
+    import pytest
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    with pytest.raises(ValueError, match="cell sizing"):
+        knn_graph(vectors, k=2, n_centroids=2, max_rows_per_cell=3)
+
+
+def test_paragraph_and_knn_plans_use_window_group_limit(spark, vectors):
+    """Scale contract: the per-group top-1/top-k filters must compile to
+    WindowGroupLimit (partial heaps BEFORE the exchange), not a full sort
+    of the exploded set."""
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_dedup
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    p1 = paragraph_dedup(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p1
+    p2 = knn_graph(vectors, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p2

@@ -170,3 +170,29 @@ def test_categorical_drift_null_category_is_one_bucket(spark):
     # shares reflect BOTH sides of the same bucket (2/3 vs 1/2, smoothed)
     assert null_row.share_a > null_row.share_b > 0
     assert abs(null_row.psi_term) < 0.1  # barely-moved NULL share: small term
+
+
+def test_windowed_drift_psi_terms(spark):
+    """Per-window PSI vs a static baseline: the category grid covers
+    window-absent categories, and the baseline total must NOT be inflated
+    by the window count (regression: nb was summed over the grid)."""
+    import math
+
+    from fineo_readerator_spark.llm_ops.sampling import windowed_drift
+
+    wc = spark.createDataFrame(
+        [(0, "a", 8), (0, "b", 2), (1000, "a", 5)],  # window 1000 lacks 'b'
+        "window_start long, cat string, n long",
+    )
+    baseline = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 5, "cat string"
+    )
+    rows = {(r["window_start"], r["cat"]): r.asDict() for r in
+            windowed_drift(wc, baseline, "cat").collect()}
+    assert set(rows) == {(0, "a"), (0, "b"), (1000, "a"), (1000, "b")}
+    # k=0.5, C=2: window 1000 has na=5; 'b' scores with count 0
+    p = (0 + 0.5) / (5 + 0.5 * 2)
+    q = (5 + 0.5) / (10 + 0.5 * 2)  # nb=10 (NOT 20 = nb x windows)
+    r = rows[(1000, "b")]
+    assert r["share_win"] == round(p, 6) and r["share_base"] == round(q, 6)
+    assert r["psi_term"] == round((p - q) * math.log(p / q), 6)

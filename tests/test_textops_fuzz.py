@@ -100,3 +100,72 @@ def test_bm25_matches_duckdb(spark, docs, terms, k):
     for (gid, gs, gn), (eid, es, en) in zip(got, exp):
         assert gid == eid and gn == en
         assert gs == pytest.approx(es, abs=1e-9)
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus, para_tokens=st.sampled_from([3, 7, 15]))
+def test_paragraph_dedup_matches_duckdb(spark, docs, para_tokens):
+    from fineo_readerator_spark.llm_ops.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_oracle_sql,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_kept, r.kept_text)
+        for r in paragraph_dedup(df, "doc_id", para_tokens=para_tokens).collect()
+    )
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            paragraph_dedup_oracle_sql("SELECT doc_id, text FROM documents", para_tokens=para_tokens)
+        ).fetchall()
+    )
+    assert got == exp, f"{len(got)} vs {len(exp)} docs (para_tokens={para_tokens})"
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(doc_text, st.sampled_from(["g1", "g2"])), min_size=2, max_size=10
+    ).map(lambda rows: [(i, t, g) for i, (t, g) in enumerate(rows)]),
+    threshold=st.sampled_from([0.0, 0.5, 0.9]),
+)
+def test_tfidf_pairs_match_duckdb(spark, docs, threshold):
+    from fineo_readerator_spark.llm_ops.retrieval import (
+        tfidf_cosine_pairs,
+        tfidf_pairs_oracle_sql,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, grp string")
+    got = sorted(
+        (r.id_a, r.id_b, r.grp, r.cos_sim)
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", ["grp"], threshold=threshold).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text", "grp"]))
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            tfidf_pairs_oracle_sql(
+                "SELECT doc_id, text, grp FROM documents",
+                "doc_id",
+                "text",
+                ["grp"],
+                threshold=threshold,
+            )
+        ).fetchall()
+    )
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)} pairs (t={threshold})"
+    for (ga, gb, gg, gc), (ea, eb, eg, ec) in zip(got, exp):
+        assert (ga, gb, gg) == (ea, eb, eg)
+        assert gc == pytest.approx(ec, abs=1e-9)
