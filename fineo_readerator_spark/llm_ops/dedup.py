@@ -457,6 +457,30 @@ def _propagate_min_label(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -
     return labels.select("id", "label").unionAll(untouched)
 
 
+def _minhash_rep_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    threshold: float,
+    seed: int,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash clustering cascade: exact-dedup reps (checkpointed) and
+    their (id, label) cluster assignment from LSH candidate edges + min-label
+    propagation.  Both keep policies (min-id, keep-best) differ ONLY in how
+    they pick a representative from these labels — any change to the cascade
+    (gates, checkpoints, banding) lands here once."""
+    reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    )
+    ids = reps.select(F.col(id_col).alias("id"))
+    return reps, _components_min_label(ids, pairs)
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -477,12 +501,9 @@ def minhash_dedup(
     one signature, so its members always land in the same fuzzy cluster and
     only the group min could ever be the cluster min.  On real corpora
     (20-50 % exact-dup rate at crawl scale) this halves the dominant cost."""
-    reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(
-        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    _, labels = _minhash_rep_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
     )
-    ids = reps.select(F.col(id_col).alias("id"))
-    labels = _components_min_label(ids, pairs)
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
     return df.join(keep, on=id_col, how="left_semi")
 
@@ -519,12 +540,9 @@ def minhash_dedup_keep_best(
     row."""
     from pyspark.sql.window import Window
 
-    reps = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(
-        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    reps, labels = _minhash_rep_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
     )
-    ids = reps.select(F.col(id_col).alias("id"))
-    labels = _components_min_label(ids, pairs)
     scored = labels.join(
         reps.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score")), "id"
     )

@@ -222,13 +222,10 @@ def hybrid_rrf_oracle_sql(
     """DuckDB replay of :func:`hybrid_rrf_topk`.  ``doc_table``/``emb_table``
     may be any table expression (including a parenthesized subquery);
     ``query_vec_sql`` is a scalar subquery yielding the query vector."""
+    from fineo_readerator_spark.llm_ops.similarity import COSINE_SQL
+
     bm25 = bm25_oracle_sql(doc_table, query_terms, id_col, text_col, shortlist)
-    cos = (
-        f"round(list_sum(list_transform(generate_series(1, len(e.{vec_col})),"
-        f" i -> CAST(e.{vec_col}[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        f" * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
-    )
+    cos = COSINE_SQL.format(a=f"e.{vec_col}", b="q.qv")
     return f"""
 WITH __lex AS (
   SELECT {id_col} AS id,
@@ -295,16 +292,22 @@ def tfidf_cosine_pairs(
         *[F.col(c) for c in group_cols],
         tokens(F.col(text_col)).alias("__t"),
     ).filter(F.size("__t") > 0)
+    # checkpoint the tf table: it feeds dfreq, n_docs (via base) and all
+    # THREE weighted projections below — without the lineage cut Catalyst
+    # re-evaluates the tokenize+explode+aggregate subtree once per consumer
+    # (measured 12 input scans per query), the span-overlap lesson again
     tf = (
         base.select("__id", *group_cols, F.explode("__t").alias("__term"))
         .groupBy("__id", *group_cols, "__term")
         .agg(F.count("*").alias("__tf"))
-    )
-    n_docs = base.agg(F.count("*").alias("__n"))
+    ).localCheckpoint(eager=False)
+    n_docs = tf.select("__id").distinct().agg(F.count(F.lit(1)).alias("__n"))
     dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
     idf_int = F.round(
         F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) * idf_scale, 0
     ).cast("decimal(20,0)")
+    # checkpointed for the same reason: three consumers (norms, both join
+    # sides) would each redo the idf join
     weighted = (
         tf.join(F.broadcast(dfreq), "__term")
         .crossJoin(F.broadcast(n_docs))
@@ -314,7 +317,7 @@ def tfidf_cosine_pairs(
             "__term",
             (F.col("__tf").cast("decimal(20,0)") * idf_int).alias("__w"),
         )
-    )
+    ).localCheckpoint(eager=False)
     # docs whose every term is corpus-universal (idf quantizes to 0) have a
     # zero norm; their cosine is 0/0 = NaN, which BOTH engines order above
     # the threshold — exclude them as unscorable instead
@@ -381,8 +384,12 @@ __tf AS (
 __n AS (SELECT count(*) AS n FROM __base2),
 __df AS (SELECT term, count(*) AS df FROM __tf GROUP BY term),
 __w AS (
+  -- w as HUGEINT: the per-row products below (w*w, a.w*b.w) would
+  -- otherwise multiply in INT64 and ABORT on overflow for tf*idf ~ 4e9,
+  -- while the Spark side's decimal(38,0) survives
   SELECT id, {g_pre}term,
-         tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * {idf_scale}, 0) AS BIGINT) AS w
+         CAST(tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * {idf_scale}, 0) AS BIGINT)
+              AS HUGEINT) AS w
   FROM __tf JOIN __df USING (term) CROSS JOIN __n
 ),
 __norm AS (SELECT id, sum(w * w) AS norm2 FROM __w GROUP BY id HAVING sum(w * w) > 0),

@@ -360,10 +360,17 @@ def windowed_drift(
     (windows × categories)-sized — counts, grid, joins; nothing
     corpus-sized moves (the corpus was reduced by the streaming aggregate
     and the one baseline count scan)."""
+    # checkpoint both count tables: each feeds the category union, the grid
+    # join and a totals aggregate — without the lineage cut the BASELINE
+    # CORPUS would be re-scanned and re-counted once per consumer (and the
+    # window counts recomputed likewise); after the cut every downstream
+    # step reads category-cardinality rows
     wc = win_counts.select(
         F.col(win_col).alias("__w"), F.col(col).alias("__cat"), F.col(n_col).alias("__n")
-    )
-    bc = baseline.groupBy(F.col(col).alias("__cat")).agg(F.count("*").alias("__cb"))
+    ).localCheckpoint(eager=False)
+    bc = (
+        baseline.groupBy(F.col(col).alias("__cat")).agg(F.count("*").alias("__cb"))
+    ).localCheckpoint(eager=False)
     cats = wc.select("__cat").union(bc.select("__cat")).distinct()
     grid = wc.select("__w").distinct().crossJoin(cats)
     j = (

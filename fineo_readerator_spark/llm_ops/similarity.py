@@ -21,6 +21,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# The DuckDB-side cosine that matches this module's Spark expression shape
+# bit-for-bit (same operand order, double casts, round at 1e-6).  ONE shared
+# template — every oracle formats this instead of pasting its own copy, so a
+# change to cosine rounding/casting can never make oracles diverge from each
+# other.  Format with a=<corpus vector SQL>, b=<query vector SQL>.
+COSINE_SQL = (
+    "round(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
 def _vec_lit(vec: list[float]) -> Column:
     """Literal double array via ONE parsed SQL string — building it from N
     ``F.lit`` calls costs N py4j round-trips (~0.5 s of driver time per
@@ -545,7 +558,15 @@ def knn_graph(
     O(N·k) rows, not the O(Σ|cell|²) pair set."""
     from pyspark.sql.window import Window
 
+    # NULL embeddings would seed/assign as NULL cells and silently vanish;
+    # wrong-dimension vectors would get NULL cell distances; zero-norm
+    # vectors would emit cos_sim=NULL edges ranked NULLS-LAST inside small
+    # cells' top-k — exclude all three as unrankable, the same contract as
+    # pq_seeded_topk
+    df = df.filter(F.col(vec_col).isNotNull())
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+    dim = len(seeds[0][1])
+    df = df.filter(F.size(vec_col) == dim)
     assigned = df.withColumn("__cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
         eager=True
     )
@@ -557,13 +578,13 @@ def knn_graph(
         F.col(id_col).alias("__src"),
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),
-    )
+    ).filter(F.col("__na") > 0)
     b = assigned.select(
         "__cell",
         F.col(id_col).alias("__nbr"),
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
-    )
+    ).filter(F.col("__nb") > 0)
     pairs = (
         a.join(b, "__cell")
         .filter(F.col("__nbr") != F.col("__src"))

@@ -80,15 +80,22 @@ def corpus_diff_oracle_sql(
 
     Text equality is compared via ``md5`` rather than Spark's xxhash64 —
     both sides are pure content-equality predicates, so any collision-free
-    hash yields identical statuses."""
+    hash yields identical statuses.  Row presence is a dedicated flag, NOT
+    the hash: ``md5(NULL)`` is NULL, so using the hash as the presence
+    marker would misread a NULL-text row as an absent row (Spark's
+    xxhash64 never returns NULL, so the operator has no such ambiguity);
+    ``IS DISTINCT FROM`` then matches the operator's null-safe
+    got-different-content semantics for present-on-both-sides rows."""
     return f"""
-WITH __o AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h FROM ({old_sql})),
-__n AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h FROM ({new_sql})),
+WITH __o AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h, TRUE AS p
+             FROM ({old_sql})),
+__n AS (SELECT {id_col} AS id, {group_col} AS g, md5({text_col}) AS h, TRUE AS p
+             FROM ({new_sql})),
 __j AS (
   SELECT coalesce(__n.g, __o.g) AS g,
-         CASE WHEN __o.h IS NULL THEN 'added'
-              WHEN __n.h IS NULL THEN 'removed'
-              WHEN __o.h != __n.h THEN 'changed'
+         CASE WHEN __o.p IS NULL THEN 'added'
+              WHEN __n.p IS NULL THEN 'removed'
+              WHEN __o.h IS DISTINCT FROM __n.h THEN 'changed'
               ELSE 'unchanged' END AS st
   FROM __o FULL OUTER JOIN __n ON __o.id = __n.id
 )

@@ -239,12 +239,7 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "label", F.col("cell").cast("long").alias("cell"))
 
 
-_SEM_COS = (
-    "round(list_sum(list_transform(generate_series(1, len({a})),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
-)
+from fineo_readerator_spark.llm_ops.similarity import COSINE_SQL as _SEM_COS  # noqa: E402
 
 _SEM_DIST = (
     "round(list_sum(list_transform(generate_series(1, len({a})),"
@@ -981,12 +976,7 @@ def s_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s_ann_pq_rerank_oracle(k: int = 10, shortlist: int = 50) -> str:
-    cos = (
-        "round(list_sum(list_transform(generate_series(1, len(e.embedding)),"
-        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
-    )
+    cos = _SEM_COS.format(a="e.embedding", b="q.qv")
     return f"""
 WITH __q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, cos_sim FROM (

@@ -1004,3 +1004,77 @@ def test_paragraph_and_knn_plans_use_window_group_limit(spark, vectors):
     assert "WindowGroupLimit" in p1
     p2 = knn_graph(vectors, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p2
+
+
+def test_corpus_diff_oracle_handles_null_text(spark):
+    """Review regression: the oracle used md5(text) as the row-presence
+    marker, so a NULL-text row read as 'added'/'removed' wrongly.  Presence
+    is now a dedicated flag; NULL-vs-text compares as 'changed', NULL-vs-NULL
+    as 'unchanged', NULL-row removal as 'removed' — on BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from fineo_readerator_spark.llm_ops.versioning import (
+        corpus_diff,
+        corpus_diff_oracle_sql,
+    )
+
+    old = [(1, None, "s1"), (2, None, "s1"), (3, "x", "s1")]
+    new = [(1, "now text", "s1"), (2, None, "s1")]  # 3 removed (had text)
+    sdf_old = spark.createDataFrame(old, "doc_id long, text string, source string")
+    sdf_new = spark.createDataFrame(new, "doc_id long, text string, source string")
+    got = sorted(tuple(r) for r in corpus_diff(sdf_old, sdf_new).collect())
+
+    con = duckdb.connect()
+    con.register("v_old", pd.DataFrame(old, columns=["doc_id", "text", "source"]))
+    con.register("v_new", pd.DataFrame(new, columns=["doc_id", "text", "source"]))
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            corpus_diff_oracle_sql("SELECT * FROM v_old", "SELECT * FROM v_new")
+        ).fetchall()
+    )
+    assert got == exp
+    assert got == [("s1", 0, 1, 1, 1)]  # added=0, removed=1, changed=1, unchanged=1
+
+
+def test_tfidf_pairs_single_tokenize_pass(spark):
+    """Review regression: without the lineage cuts the tokenize+tf subtree
+    re-evaluated once per consumer (12 input scans measured)."""
+    from fineo_readerator_spark.llm_ops.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "g"), (2, "a b d", "g")], "doc_id long, text string, grp string"
+    )
+    plan = (
+        tfidf_cosine_pairs(df, "doc_id", "text", ["grp"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every scan must read the CHECKPOINTED weighted frame (__w in its
+    # schema), never re-derive the tokenize subtree from the raw input
+    scans = [l for l in plan.splitlines() if "Scan ExistingRDD" in l]
+    assert scans and all("__w" in l for l in scans), plan
+
+
+def test_knn_graph_excludes_unrankable_vectors(spark):
+    """Review regression: NULL embeddings vanished silently mid-plan, and
+    zero-norm vectors emitted cos_sim=NULL edges inside small cells' top-k."""
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [0.9, 0.1]),
+        (12, None),            # NULL: excluded
+        (13, [0.0, 0.0]),      # zero norm: excluded
+        (14, [1.0, 0.0, 0.0]), # wrong dimension: excluded
+    ]
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    out = knn_graph(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        k=3,
+        n_centroids=2,
+    ).collect()
+    ids = {r["vec_id"] for r in out} | {r["nbr_id"] for r in out}
+    assert ids <= {10, 11}
+    assert all(r["cos_sim"] is not None for r in out)
