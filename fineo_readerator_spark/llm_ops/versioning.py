@@ -106,3 +106,95 @@ SELECT g AS {group_col},
        count(*) FILTER (st = 'unchanged') AS n_unchanged
 FROM __j GROUP BY g ORDER BY g
 """
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC MERGE: materialize the next corpus snapshot from the current one
+    plus a change batch — the lakehouse upsert shape (Delta/Iceberg MERGE
+    INTO) as plain DataFrame ops, for engines that maintain snapshots as
+    immutable parquet generations (this repo's layout convention).
+
+    ``changes`` rows carry ``op`` ∈ {'insert', 'update', 'delete'} plus the
+    payload columns; insert-of-existing and update-of-missing both behave
+    as upsert (MERGE's WHEN MATCHED/NOT MATCHED collapse — CDC feeds are
+    rarely clean enough to trust the distinction).  With ``seq_col``,
+    multiple changes per id resolve LATEST-WINS before applying (ties:
+    lowest op string, so a same-seq delete beats an update
+    deterministically); without it the batch must be unique per id.
+    Change ids must be non-null.
+
+    Scale shape: latest-wins is one WindowGroupLimit shuffle over the
+    CHANGE BATCH (daily delta, ≪ base); the merge itself is a single
+    id-keyed full outer join — AQE broadcasts the change side when small;
+    the base is scanned once and never shuffled beyond the join.  No
+    collect, no driver loop."""
+    payload_cols = payload_cols or [c for c in base.columns if c != id_col]
+    ch = changes.select(
+        F.col(id_col).alias("__cid"), F.col(op_col).alias("__op"), *payload_cols
+    )
+    if seq_col is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__cid").orderBy(
+            F.col("__seq").desc(), F.col("__op").asc()
+        )
+        ch = (
+            changes.select(
+                F.col(id_col).alias("__cid"),
+                F.col(op_col).alias("__op"),
+                F.col(seq_col).alias("__seq"),
+                *payload_cols,
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+    b = base.select(F.col(id_col).alias("__bid"), *[F.col(c).alias(f"__b_{c}") for c in payload_cols])
+    j = b.join(ch, F.col("__bid") == F.col("__cid"), "full_outer")
+    has_change = F.col("__cid").isNotNull()
+    merged = j.filter(~(has_change & (F.col("__op") == "delete"))).select(
+        F.coalesce(F.col("__cid"), F.col("__bid")).alias(id_col),
+        *[
+            F.when(has_change, F.col(c)).otherwise(F.col(f"__b_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return merged
+
+
+def apply_changes_oracle_sql(
+    base_sql: str,
+    changes_sql: str,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    payload_cols: list[str] = ("text",),
+) -> str:
+    """DuckDB replay of :func:`apply_changes` (same latest-wins rule, same
+    upsert/delete semantics, presence via the non-null change id)."""
+    pcols = list(payload_cols)
+    latest = f"SELECT {id_col} AS cid, {op_col} AS op, {', '.join(pcols)} FROM ({changes_sql})"
+    if seq_col is not None:
+        latest = f"""
+SELECT cid, op, {', '.join(pcols)} FROM (
+  SELECT {id_col} AS cid, {op_col} AS op, {', '.join(pcols)},
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY {seq_col} DESC, {op_col} ASC) AS rn
+  FROM ({changes_sql})
+) WHERE rn = 1"""
+    sel = ", ".join(
+        f"CASE WHEN c.cid IS NOT NULL THEN c.{p} ELSE b.{p} END AS {p}" for p in pcols
+    )
+    return f"""
+WITH __b AS (SELECT {id_col} AS bid, {', '.join(pcols)} FROM ({base_sql})),
+__c AS ({latest})
+SELECT coalesce(c.cid, b.bid) AS {id_col}, {sel}
+FROM __b b FULL OUTER JOIN __c c ON b.bid = c.cid
+WHERE c.op IS NULL OR c.op != 'delete'
+"""

@@ -1088,6 +1088,78 @@ SELECT doc_id + {_SHIFT}, text, source FROM documents WHERE doc_id % 11 = 0"""
     return corpus_diff_oracle_sql(old_sql, new_sql)
 
 
+def p_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE materialization (llm_ops.versioning.apply_changes): the
+    next documents snapshot from the base plus a synthesized change batch —
+    deletes (%13==2), text updates (%11==3), inserts under shifted ids
+    (%17==5), and a conflicting update+delete pair for %19==4 where the
+    higher-seq delete must win via latest-wins.  One WindowGroupLimit over
+    the change batch, one id-keyed full outer join; the base never shuffles
+    beyond the join."""
+    from fineo_readerator_spark.llm_ops.versioning import apply_changes
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    did = F.col("doc_id")
+    deletes = docs.filter(did % 13 == 2).select(
+        "doc_id", F.lit("delete").alias("op"), F.lit(1).alias("seq"), "text", "source"
+    )
+    updates = docs.filter(did % 11 == 3).select(
+        "doc_id",
+        F.lit("update").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.col("text"), F.lit(" (rev)")).alias("text"),
+        "source",
+    )
+    inserts = docs.filter(did % 17 == 5).select(
+        (did + _SHIFT).alias("doc_id"),
+        F.lit("insert").alias("op"),
+        F.lit(1).alias("seq"),
+        "text",
+        "source",
+    )
+    conflict = docs.filter(did % 19 == 4).select(
+        "doc_id", F.lit("delete").alias("op"), F.lit(2).alias("seq"), "text", "source"
+    ).unionByName(
+        docs.filter(did % 19 == 4).select(
+            "doc_id",
+            F.lit("update").alias("op"),
+            F.lit(1).alias("seq"),
+            F.concat(F.col("text"), F.lit(" (lost)")).alias("text"),
+            "source",
+        )
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts).unionByName(conflict)
+    return apply_changes(
+        docs, changes, "doc_id", "op", seq_col="seq", payload_cols=["text", "source"]
+    ).orderBy("doc_id")
+
+
+def _p_cdc_merge_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.versioning import apply_changes_oracle_sql
+
+    changes = f"""
+SELECT doc_id, 'delete' AS op, 1 AS seq, text, source FROM documents WHERE doc_id % 13 = 2
+UNION ALL
+SELECT doc_id, 'update', 1, text || ' (rev)', source FROM documents WHERE doc_id % 11 = 3
+UNION ALL
+SELECT doc_id + {_SHIFT}, 'insert', 1, text, source FROM documents WHERE doc_id % 17 = 5
+UNION ALL
+SELECT doc_id, 'delete', 2, text, source FROM documents WHERE doc_id % 19 = 4
+UNION ALL
+SELECT doc_id, 'update', 1, text || ' (lost)', source FROM documents WHERE doc_id % 19 = 4"""
+    return (
+        apply_changes_oracle_sql(
+            "SELECT doc_id, text, source FROM documents",
+            changes,
+            "doc_id",
+            "op",
+            seq_col="seq",
+            payload_cols=["text", "source"],
+        )
+        + " ORDER BY doc_id"
+    )
+
+
 def p_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion-gate data audit over a deliberately-dirtied corpus: null
     text, non-positive n_chars, duplicate primary keys, and embedding-FK
@@ -1794,6 +1866,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_pq_rerank", s_ann_pq_rerank, _s_ann_pq_rerank_oracle()),
     QueryDef("p_corpus_diff", p_corpus_diff, _p_corpus_diff_oracle()),
     QueryDef("p_data_audit", p_data_audit, _p_data_audit_oracle()),
+    QueryDef("p_cdc_merge", p_cdc_merge, _p_cdc_merge_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

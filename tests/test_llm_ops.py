@@ -1078,3 +1078,41 @@ def test_knn_graph_excludes_unrankable_vectors(spark):
     ids = {r["vec_id"] for r in out} | {r["nbr_id"] for r in out}
     assert ids <= {10, 11}
     assert all(r["cos_sim"] is not None for r in out)
+
+
+def test_apply_changes_merge_semantics(spark):
+    """CDC MERGE: upsert collapse (insert-of-existing updates,
+    update-of-missing inserts), latest-wins conflict resolution (higher-seq
+    delete beats an update), clean deletes, untouched rows pass through."""
+    from fineo_readerator_spark.llm_ops.versioning import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        "doc_id long, text string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "delete", 1, "x"),          # clean delete
+            (3, "insert", 1, "three-v2"),   # insert-of-existing -> update
+            (5, "update", 1, "five"),       # update-of-missing -> insert
+            (4, "update", 1, "four-lost"),  # loses to the seq-2 delete
+            (4, "delete", 2, "x"),
+        ],
+        "doc_id long, op string, seq int, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in apply_changes(base, changes, "doc_id", "op", seq_col="seq").collect()
+    }
+    assert out == {1: "one", 3: "three-v2", 5: "five"}
+
+
+def test_apply_changes_same_seq_delete_beats_update(spark):
+    from fineo_readerator_spark.llm_ops.versioning import apply_changes
+
+    base = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    changes = spark.createDataFrame(
+        [(1, "update", 1, "one-v2"), (1, "delete", 1, "x")],
+        "doc_id long, op string, seq int, text string",
+    )
+    assert apply_changes(base, changes, "doc_id", "op", seq_col="seq").count() == 0
