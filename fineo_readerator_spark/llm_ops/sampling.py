@@ -330,6 +330,95 @@ def categorical_drift(
     )
 
 
+def quality_resample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    width: float = 0.02,
+    lo: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """CCNet-style quality resampling: split the corpus into head / middle /
+    tail by the SCORE TERCILES (p33/p66 from the mergeable fixed-bin
+    histogram sketch — no global sort), then keep a deterministic per-bucket
+    fraction (default 1.0 / 0.5 / 0.1 — keep the best, thin the middle,
+    mostly drop the tail).  The standard quality-aware mixing step between
+    scoring and export.
+
+    Deliberately TWO corpus passes, zero materialization: pass 1 reduces to
+    the bin-count sketch (occupied-bins rows shuffle, nothing else), pass 2
+    re-reads the corpus and applies bucket + hash-sample as one codegen'd
+    filter with the two thresholds broadcast from the sketch.  At 100 TB
+    that beats checkpointing a corpus-sized scored frame; if the caller
+    already persists scores, both passes read the persisted table.
+
+    Determinism: thresholds are sketch-derived (integer comparisons on
+    exact counts), membership is the portable md5 hash bucket — stable
+    under repartitioning, retries and engines."""
+    from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles
+
+    fractions = fractions or {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    if set(fractions) != {"head", "middle", "tail"}:
+        raise ValueError("fractions must cover exactly head/middle/tail")
+    qt = histogram_quantiles(df, score_col, width, quantiles=(1 / 3, 2 / 3), lo=lo)
+    th = qt.agg(
+        F.max(F.when(F.col("q") == F.lit(1 / 3), F.col("est"))).alias("__t33"),
+        F.max(F.when(F.col("q") == F.lit(2 / 3), F.col("est"))).alias("__t66"),
+    )
+    s = F.col(score_col).cast("double")
+    bucket = (
+        F.when(s >= F.col("__t66"), F.lit("head"))
+        .when(s >= F.col("__t33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    bucketed = df.crossJoin(F.broadcast(th)).withColumn("bucket", bucket)
+    return stratified_sample(bucketed, "bucket", fractions, key_col, seed).drop(
+        "__t33", "__t66"
+    )
+
+
+def quality_resample_oracle_sql(
+    source_sql: str,
+    score_expr: str,
+    key_expr: str,
+    fractions: dict[str, float] | None = None,
+    width: float = 0.02,
+    lo: float = 0.0,
+    seed: int = 42,
+    extra_cols: str = "",
+) -> str:
+    """DuckDB replay of :func:`quality_resample` over ``source_sql`` (must
+    yield ``key_expr`` and the score's input columns).  ``extra_cols``:
+    leading projection of pass-through columns (e.g. ``"doc_id, "``)."""
+    from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles_oracle_sql
+
+    fractions = fractions or {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    hq = histogram_quantiles_oracle_sql(
+        source_sql, score_expr, width, quantiles=(1 / 3, 2 / 3), lo=lo
+    )
+    thr = {k: int(v * _BUCKETS) for k, v in fractions.items()}
+    b = sample_oracle_bucket(key_expr, seed)
+    return f"""
+WITH __th AS (
+  SELECT max(CASE WHEN q = {1 / 3!r} THEN est END) AS t33,
+         max(CASE WHEN q = {2 / 3!r} THEN est END) AS t66
+  FROM ({hq})
+)
+SELECT {extra_cols}bucket FROM (
+  SELECT {extra_cols}
+         CASE WHEN CAST({score_expr} AS DOUBLE) >= t66 THEN 'head'
+              WHEN CAST({score_expr} AS DOUBLE) >= t33 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         {b} AS hb
+  FROM ({source_sql}) CROSS JOIN __th
+)
+WHERE hb < CASE bucket WHEN 'head' THEN {thr['head']}
+                       WHEN 'middle' THEN {thr['middle']}
+                       ELSE {thr['tail']} END
+"""
+
+
 def windowed_drift(
     win_counts: DataFrame,
     baseline: DataFrame,

@@ -1088,6 +1088,37 @@ SELECT doc_id + {_SHIFT}, text, source FROM documents WHERE doc_id % 11 = 0"""
     return corpus_diff_oracle_sql(old_sql, new_sql)
 
 
+def p_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality resampling (llm_ops.sampling.quality_resample):
+    head/middle/tail by quality-score terciles from the fixed-bin histogram
+    sketch, kept at 1.0/0.5/0.1 by the portable hash bucket — two corpus
+    passes (sketch, then filter), zero materialization, thresholds
+    broadcast."""
+    from fineo_readerator_spark.llm_ops.sampling import quality_resample
+    from fineo_readerator_spark.llm_ops.textstats import with_text_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = with_text_stats(docs, "text").select("doc_id", "quality_score")
+    return (
+        quality_resample(scored, "quality_score", "doc_id")
+        .select("doc_id", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _p_quality_resample_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import quality_resample_oracle_sql
+    from fineo_readerator_spark.llm_ops.textstats import text_stats_oracle_exprs
+
+    source = f"SELECT doc_id, {text_stats_oracle_exprs('text')} FROM documents"
+    return (
+        quality_resample_oracle_sql(
+            source, "quality_score", "doc_id", extra_cols="doc_id, "
+        )
+        + " ORDER BY doc_id"
+    )
+
+
 def p_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE materialization (llm_ops.versioning.apply_changes): the
     next documents snapshot from the base plus a synthesized change batch —
@@ -1867,6 +1898,7 @@ LLM_QUERIES = [
     QueryDef("p_corpus_diff", p_corpus_diff, _p_corpus_diff_oracle()),
     QueryDef("p_data_audit", p_data_audit, _p_data_audit_oracle()),
     QueryDef("p_cdc_merge", p_cdc_merge, _p_cdc_merge_oracle()),
+    QueryDef("p_quality_resample", p_quality_resample, _p_quality_resample_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

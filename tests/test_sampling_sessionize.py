@@ -196,3 +196,34 @@ def test_windowed_drift_psi_terms(spark):
     r = rows[(1000, "b")]
     assert r["share_win"] == round(p, 6) and r["share_base"] == round(q, 6)
     assert r["psi_term"] == round((p - q) * math.log(p / q), 6)
+
+
+def test_quality_resample_buckets_and_fractions(spark):
+    from fineo_readerator_spark.llm_ops.sampling import quality_resample
+
+    # 300 rows, scores spread uniformly over [0, 1): terciles land near
+    # 1/3 and 2/3 (sketch estimate is at most one 0.02-bin high)
+    rows = [(i, (i % 100) / 100.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = quality_resample(df, "score", "doc_id")
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # every head-bucket row is kept (fraction 1.0): reconstruct membership
+    heads = [r["doc_id"] for r in out.collect() if r["bucket"] == "head"]
+    assert len(heads) >= 90  # ~a third of 300, all kept
+    # scores >= ~2/3 are head; scores < ~1/3 that survive are tail
+    assert all((d % 100) / 100.0 >= 0.62 for d in heads)
+    tails = [d for d, b in got.items() if b == "tail"]
+    assert 0 < len(tails) < 100 * 0.25  # ~10% of the tail third survives
+    # deterministic: rerun yields the same membership
+    again = {r["doc_id"]: r["bucket"] for r in quality_resample(df, "score", "doc_id").collect()}
+    assert again == got
+
+
+def test_quality_resample_validates_fractions(spark):
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.sampling import quality_resample
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="head/middle/tail"):
+        quality_resample(df, "score", "doc_id", fractions={"head": 1.0})
