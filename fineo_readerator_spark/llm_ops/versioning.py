@@ -141,8 +141,14 @@ def apply_changes(
     if seq_col is not None:
         from pyspark.sql.window import Window
 
+        # total order: payload columns break (seq, op) ties so even a feed
+        # with duplicate (id, seq, op) rows resolves identically on every
+        # run and every engine (row_number over a partial order is
+        # arbitrary within ties)
         w = Window.partitionBy("__cid").orderBy(
-            F.col("__seq").desc(), F.col("__op").asc()
+            F.col("__seq").desc(),
+            F.col("__op").asc(),
+            *[F.col(c).asc_nulls_first() for c in payload_cols],
         )
         ch = (
             changes.select(
@@ -185,7 +191,8 @@ def apply_changes_oracle_sql(
 SELECT cid, op, {', '.join(pcols)} FROM (
   SELECT {id_col} AS cid, {op_col} AS op, {', '.join(pcols)},
          row_number() OVER (PARTITION BY {id_col}
-                            ORDER BY {seq_col} DESC, {op_col} ASC) AS rn
+                            ORDER BY {seq_col} DESC, {op_col} ASC,
+                                     {', '.join(f'{p} ASC NULLS FIRST' for p in pcols)}) AS rn
   FROM ({changes_sql})
 ) WHERE rn = 1"""
     sel = ", ".join(

@@ -456,6 +456,76 @@ ORDER BY doc_id
 """
 
 
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingestion: a change stream MERGEs into a parquet
+    snapshot per micro-batch (streaming.apply_cdc_stream — copy-on-write
+    generations + pointer flipped LAST, so batch replays converge).  The
+    change batch is the same synthesized feed as `p_cdc_merge` (deletes,
+    updates, shifted inserts, and a conflicting update+delete pair that
+    latest-wins must resolve to the delete), derived in-stream via one
+    explode over per-row change structs.  Snapshot dirs are run-local temp
+    (registry queries must not mutate shared caches)."""
+    import tempfile
+
+    from fineo_readerator_spark.sources import SourceSpec
+    from fineo_readerator_spark.streaming import (
+        apply_cdc_stream,
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fineo_cdc_apply_")
+    snap = f"{tmp}/snapshot"
+    base = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    init_cdc_snapshot(base, snap)
+
+    shift = 1_000_000
+    did = F.col("doc_id")
+
+    def mk(op: str, seq: int, idc, txt):
+        return F.struct(
+            idc.cast("long").alias("doc_id"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            txt.alias("text"),
+            F.col("source").alias("source"),
+        )
+
+    arr = F.array(
+        F.when(did % 13 == 2, mk("delete", 1, did, F.col("text"))),
+        F.when(did % 11 == 3, mk("update", 1, did, F.concat(F.col("text"), F.lit(" (rev)")))),
+        F.when(did % 17 == 5, mk("insert", 1, did + shift, F.col("text"))),
+        F.when(did % 19 == 4, mk("delete", 2, did, F.col("text"))),
+        F.when(did % 19 == 4, mk("update", 1, did, F.concat(F.col("text"), F.lit(" (lost)")))),
+    )
+    changes = (
+        SourceSpec(kind="historical", path=f"{sf_dir}/documents.parquet")
+        .read_stream(spark)
+        .select(F.explode(arr).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("c.*")
+    )
+    q = apply_cdc_stream(changes, snap, checkpoint=f"{tmp}/ck")
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    # the oracle replays ONE merge of the whole feed; a split feed could
+    # order a conflicting update AFTER its winning delete (re-insert via
+    # upsert) and diverge silently — fail loudly instead
+    if n_batches != 1:
+        raise AssertionError(
+            f"st_cdc_apply expects the change feed in ONE micro-batch, got "
+            f"{n_batches}: the single-batch oracle no longer applies"
+        )
+    return read_cdc_snapshot(spark, snap).orderBy("doc_id")
+
+
+def _st_cdc_apply_oracle() -> str:
+    from fineo_readerator_spark.plans.llm_queries import _p_cdc_merge_oracle
+
+    return _p_cdc_merge_oracle()
+
+
 def st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distribution-drift monitor: the stream reduces to 1-day
     windowed event_type counts (watermarked aggregate — the only
@@ -492,6 +562,7 @@ def _st_drift_oracle() -> str:
 
 
 STREAMING_QUERIES = [
+    QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),

@@ -351,3 +351,89 @@ def write_stream_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _read_pointer(spark: SparkSession, path: str) -> str:
+    """Current-generation pointer file content (same-filesystem rationale as
+    the signature-store meta helpers)."""
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        raise ValueError(f"snapshot pointer {path!r} missing — initialize the snapshot first")
+    stream = fs.open(p)
+    try:
+        raw = bytes(spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return raw.decode("utf-8").strip()
+
+
+def init_cdc_snapshot(
+    base: DataFrame, snapshot_dir: str, pointer: str = "_CURRENT"
+) -> None:
+    """Write generation 0 of a CDC-maintained snapshot and its pointer
+    (pointer LAST — the completion-marker convention every derived store in
+    this repo follows)."""
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
+
+    base.write.mode("overwrite").parquet(f"{snapshot_dir}/gen-base")
+    _fs_write_text(base.sparkSession, f"{snapshot_dir}/{pointer}", "gen-base")
+
+
+def apply_cdc_stream(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str | None = "seq",
+    payload_cols: list[str] | None = None,
+    pointer: str = "_CURRENT",
+):
+    """Streaming CDC ingestion: each micro-batch of change rows MERGEs into
+    the current snapshot generation and writes the NEXT one — the
+    copy-on-write lakehouse ingest loop (`MERGE INTO` per batch) with
+    immutable parquet generations and an atomic pointer flip.
+
+    Exactly-once by construction: generation ``gen-<batch_id>`` is a
+    deterministic function of (previous generation, batch), batch replays
+    overwrite the same directory idempotently, and the POINTER is written
+    only after the generation commits — a crash between the two re-runs
+    the batch against the old pointer and converges to the same state.
+    Old generations remain readable (time travel) until compacted away.
+
+    Scale shape per batch: one id-keyed join of snapshot × delta
+    (:func:`~fineo_readerator_spark.llm_ops.versioning.apply_changes` —
+    the delta side broadcasts when small), one snapshot rewrite.  At 100 TB
+    the rewrite is the cost ceiling — partition the snapshot by an id
+    bucket and rewrite only partitions the batch touches (the usual
+    copy-on-write refinement); the merge semantics are unchanged."""
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
+    from fineo_readerator_spark.llm_ops.versioning import apply_changes
+
+    spark = changes.sparkSession
+    schema = changes.schema
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        cur_gen = _read_pointer(spark, f"{snapshot_dir}/{pointer}")
+        cur = spark.read.parquet(f"{snapshot_dir}/{cur_gen}")
+        nxt = apply_changes(cur, batch, id_col, op_col, seq_col, payload_cols)
+        gen = f"gen-{batch_id}"
+        nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/{gen}")
+        _fs_write_text(spark, f"{snapshot_dir}/{pointer}", gen)
+
+    _ = schema  # changes schema is validated by apply_changes at first batch
+    return (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_snapshot(
+    spark: SparkSession, snapshot_dir: str, pointer: str = "_CURRENT"
+) -> DataFrame:
+    """The current snapshot generation (follows the pointer)."""
+    return spark.read.parquet(f"{snapshot_dir}/{_read_pointer(spark, f'{snapshot_dir}/{pointer}')}")

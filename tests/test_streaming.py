@@ -402,3 +402,58 @@ def test_maintain_store_grows_across_batches(spark, tmp_path):
     probe = spark.createDataFrame([(99, novel)], "doc_id long, text string")
     out = incremental_minhash_flags(store, probe).collect()[0]
     assert out.is_dup and out.n_dup_bases >= 1
+
+
+def test_apply_cdc_stream_multi_batch_generations(spark, tmp_path):
+    """Two sequential change batches flip generations in order; the final
+    snapshot equals sequential application and the pointer names the last
+    committed generation (written AFTER the generation, so replays
+    converge)."""
+    from pyspark.sql import functions as F
+
+    from fineo_readerator_spark.streaming import (
+        apply_cdc_stream,
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    init_cdc_snapshot(base, snap)
+
+    feed = tmp_path / "feed"
+    b1 = spark.createDataFrame(
+        [(2, "delete", 1, "x"), (3, "insert", 1, "three")],
+        "doc_id long, op string, seq int, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "update", 1, "three-v2"), (1, "delete", 1, "x")],
+        "doc_id long, op string, seq int, text string",
+    )
+    b1.coalesce(1).write.parquet(str(feed / "f1"))
+    b2.coalesce(1).write.parquet(str(feed / "f2"))
+    changes = (
+        spark.readStream.schema("doc_id long, op string, seq int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    q = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    q.stop()
+
+    out = {r["doc_id"]: r["text"] for r in read_cdc_snapshot(spark, snap).collect()}
+    assert out == {3: "three-v2"}  # 2 deleted in b1, 1 in b2, 3 upserted twice
+    from pathlib import Path
+
+    gens = sorted(p.name for p in Path(snap).iterdir() if p.name.startswith("gen-"))
+    assert "gen-base" in gens and len(gens) == 3  # base + one per batch
+    assert (Path(snap) / "_CURRENT").read_text().strip() == gens[1]  # gen-1
+
+
+def test_read_cdc_snapshot_requires_init(spark, tmp_path):
+    import pytest
+
+    from fineo_readerator_spark.streaming import read_cdc_snapshot
+
+    with pytest.raises(ValueError, match="pointer"):
+        read_cdc_snapshot(spark, str(tmp_path / "nosnap"))

@@ -169,3 +169,57 @@ def test_tfidf_pairs_match_duckdb(spark, docs, threshold):
     for (ga, gb, gg, gc), (ea, eb, eg, ec) in zip(got, exp):
         assert (ga, gb, gg) == (ea, eb, eg)
         assert gc == pytest.approx(ec, abs=1e-9)
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(_VOCAB)), min_size=0, max_size=6
+    ).map(lambda rows: list({i: (i, t) for i, t in rows}.values())),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 10),
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(1, 3),
+            st.sampled_from(_VOCAB),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_apply_changes_matches_duckdb(spark, base, changes):
+    """Random CDC batches — including conflicting ops, duplicate (id, seq)
+    rows and even duplicate (id, seq, op) rows — must resolve identically
+    in both engines (the payload tie-break makes the order total)."""
+    from fineo_readerator_spark.llm_ops.versioning import (
+        apply_changes,
+        apply_changes_oracle_sql,
+    )
+
+    bdf = spark.createDataFrame(base, "doc_id long, text string")
+    cdf = spark.createDataFrame(changes, "doc_id long, op string, seq int, text string")
+    got = sorted(
+        (r.doc_id, r.text)
+        for r in apply_changes(bdf, cdf, "doc_id", "op", seq_col="seq").collect()
+    )
+    con = duckdb.connect()
+    con.register("b", pd.DataFrame(base or None, columns=["doc_id", "text"]))
+    con.register("c", pd.DataFrame(changes or None, columns=["doc_id", "op", "seq", "text"]))
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            apply_changes_oracle_sql(
+                "SELECT doc_id, text FROM b",
+                "SELECT doc_id, op, seq, text FROM c",
+                "doc_id",
+                "op",
+                seq_col="seq",
+                payload_cols=["text"],
+            )
+        ).fetchall()
+    )
+    assert got == exp, f"{len(got)} vs {len(exp)}"
