@@ -957,6 +957,26 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def _fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem (raises
+    ValueError when absent) — the read twin of :func:`_fs_write_text`, so
+    derived-store pointers/metas on s3a/hdfs read through the same
+    filesystem their data was written to."""
+    from fineo_readerator_spark.session import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        raise ValueError(f"no such file: {path!r}")
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return raw.decode("utf-8")
+
+
 def read_store_meta(spark, store_path: str) -> dict:
     """The store's hash-family parameters.  A missing/incomplete meta is an
     ERROR, never a silent fallback: probing with a guessed family returns
@@ -969,24 +989,16 @@ def read_store_meta(spark, store_path: str) -> dict:
     from fineo_readerator_spark.session import hadoop_fs
 
     fs, p = hadoop_fs(spark, f"{store_path}/_store_meta.json")
-    try:
-        exists = fs.exists(p)
-    except Exception:
-        raise  # transient FS failure: not a rebuild situation
-    if not exists:
+    # transient FS failures (permissions, 503s) re-raise from exists/open
+    # as-is: they do NOT mean the store needs a rebuild
+    if not fs.exists(p):
         raise ValueError(
             f"signature store at {store_path!r} has no _store_meta.json "
             "(incomplete or pre-meta build) — rebuild it with write_signature_store"
         )
-    stream = fs.open(p)
+    raw = _fs_read_text(spark, f"{store_path}/_store_meta.json")
     try:
-        raw = bytes(
-            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    try:
-        meta = json.loads(raw.decode("utf-8"))
+        meta = json.loads(raw)
     except ValueError as e:
         raise ValueError(
             f"signature store meta at {store_path!r} is corrupt — rebuild it "

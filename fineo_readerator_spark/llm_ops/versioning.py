@@ -127,7 +127,9 @@ def apply_changes(
     multiple changes per id resolve LATEST-WINS before applying (ties:
     lowest op string, so a same-seq delete beats an update
     deterministically); without it the batch must be unique per id.
-    Change ids must be non-null.
+    INVALID rows — NULL id, or an op outside the three — are dropped
+    (ignored) by both the operator and its oracle: the alternative is
+    engine-dependent three-valued-logic fates for dirty feed rows.
 
     Scale shape: latest-wins is one WindowGroupLimit shuffle over the
     CHANGE BATCH (daily delta, ≪ base); the merge itself is a single
@@ -135,10 +137,19 @@ def apply_changes(
     the base is scanned once and never shuffled beyond the join.  No
     collect, no driver loop."""
     payload_cols = payload_cols or [c for c in base.columns if c != id_col]
-    ch = changes.select(
-        F.col(id_col).alias("__cid"), F.col(op_col).alias("__op"), *payload_cols
+    # drop INVALID change rows (NULL id, NULL/unknown op) explicitly: the
+    # three-valued-logic fate of such rows otherwise differs between the
+    # delete filter here and the oracle's WHERE clause — a dirty CDC feed
+    # must have ONE defined, cross-engine-identical semantics (ignored)
+    changes = changes.filter(
+        F.col(id_col).isNotNull()
+        & F.col(op_col).isin("insert", "update", "delete")
     )
-    if seq_col is not None:
+    if seq_col is None:
+        ch = changes.select(
+            F.col(id_col).alias("__cid"), F.col(op_col).alias("__op"), *payload_cols
+        )
+    else:
         from pyspark.sql.window import Window
 
         # total order: payload columns break (seq, op) ties so even a feed
@@ -185,6 +196,11 @@ def apply_changes_oracle_sql(
     """DuckDB replay of :func:`apply_changes` (same latest-wins rule, same
     upsert/delete semantics, presence via the non-null change id)."""
     pcols = list(payload_cols)
+    valid = (
+        f"SELECT * FROM ({changes_sql}) WHERE {id_col} IS NOT NULL"
+        f" AND {op_col} IN ('insert', 'update', 'delete')"
+    )
+    changes_sql = valid
     latest = f"SELECT {id_col} AS cid, {op_col} AS op, {', '.join(pcols)} FROM ({changes_sql})"
     if seq_col is not None:
         latest = f"""

@@ -474,12 +474,13 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_cdc_snapshot,
     )
 
+    from fineo_readerator_spark.plans.llm_queries import _SHIFT as shift
+
     tmp = tempfile.mkdtemp(prefix="fineo_cdc_apply_")
     snap = f"{tmp}/snapshot"
     base = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     init_cdc_snapshot(base, snap)
 
-    shift = 1_000_000
     did = F.col("doc_id")
 
     def mk(op: str, seq: int, idc, txt):

@@ -354,19 +354,16 @@ def write_stream_parquet(
 
 
 def _read_pointer(spark: SparkSession, path: str) -> str:
-    """Current-generation pointer file content (same-filesystem rationale as
-    the signature-store meta helpers)."""
-    from fineo_readerator_spark.session import hadoop_fs
+    """Current-generation pointer file content (shared Hadoop-FS text reader
+    — same filesystem the generations were written to)."""
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
 
-    fs, p = hadoop_fs(spark, path)
-    if not fs.exists(p):
-        raise ValueError(f"snapshot pointer {path!r} missing — initialize the snapshot first")
-    stream = fs.open(p)
     try:
-        raw = bytes(spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    return raw.decode("utf-8").strip()
+        return _fs_read_text(spark, path).strip()
+    except ValueError:
+        raise ValueError(
+            f"snapshot pointer {path!r} missing — initialize the snapshot first"
+        ) from None
 
 
 def init_cdc_snapshot(
@@ -396,12 +393,14 @@ def apply_cdc_stream(
     copy-on-write lakehouse ingest loop (`MERGE INTO` per batch) with
     immutable parquet generations and an atomic pointer flip.
 
-    Exactly-once by construction: generation ``gen-<batch_id>`` is a
-    deterministic function of (previous generation, batch), batch replays
-    overwrite the same directory idempotently, and the POINTER is written
-    only after the generation commits — a crash between the two re-runs
-    the batch against the old pointer and converges to the same state.
-    Old generations remain readable (time travel) until compacted away.
+    Exactly-once by construction, covering BOTH at-least-once replay
+    windows: a crash between generation commit and pointer flip re-runs
+    the batch against the old pointer and overwrites its own generation
+    idempotently; a crash between pointer flip and checkpoint commit
+    replays a batch whose generation is already current — detected by
+    ``pointer == gen-<batch_id>`` and skipped (merging again would read
+    and overwrite the same directory).  Old generations remain readable
+    (time travel) until compacted away.
 
     Scale shape per batch: one id-keyed join of snapshot × delta
     (:func:`~fineo_readerator_spark.llm_ops.versioning.apply_changes` —
@@ -413,17 +412,24 @@ def apply_cdc_stream(
     from fineo_readerator_spark.llm_ops.versioning import apply_changes
 
     spark = changes.sparkSession
-    schema = changes.schema
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         cur_gen = _read_pointer(spark, f"{snapshot_dir}/{pointer}")
+        gen = f"gen-{batch_id}"
+        if cur_gen == gen:
+            # foreachBatch is at-least-once: a crash AFTER the pointer flip
+            # but BEFORE the checkpoint commit replays this batch with the
+            # pointer already at its own generation — merging again would
+            # read and overwrite the same directory (Spark refuses, and on
+            # engines that don't the scan eats its own input).  The flip
+            # was the last effect of the previous attempt, so the batch is
+            # fully applied: skip.
+            return
         cur = spark.read.parquet(f"{snapshot_dir}/{cur_gen}")
         nxt = apply_changes(cur, batch, id_col, op_col, seq_col, payload_cols)
-        gen = f"gen-{batch_id}"
         nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/{gen}")
         _fs_write_text(spark, f"{snapshot_dir}/{pointer}", gen)
 
-    _ = schema  # changes schema is validated by apply_changes at first batch
     return (
         changes.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)

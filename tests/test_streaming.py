@@ -457,3 +457,40 @@ def test_read_cdc_snapshot_requires_init(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pointer"):
         read_cdc_snapshot(spark, str(tmp_path / "nosnap"))
+
+
+def test_apply_cdc_stream_skips_already_applied_generation(spark, tmp_path):
+    """Replay window #2: a batch whose generation is already current (crash
+    after the pointer flip, before the checkpoint commit) must be SKIPPED —
+    re-merging would read and overwrite the same directory."""
+    from fineo_readerator_spark.streaming import (
+        apply_cdc_stream,
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+    )
+    from fineo_readerator_spark.streaming.streams import _read_pointer
+
+    base = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    init_cdc_snapshot(base, snap)
+
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(2, "insert", 1, "two")], "doc_id long, op string, seq int, text string"
+    ).coalesce(1).write.parquet(str(feed))
+    changes = spark.readStream.schema(
+        "doc_id long, op string, seq int, text string"
+    ).parquet(str(feed))
+
+    # first run applies batch 0 and flips the pointer to gen-0
+    q = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck1"))
+    q.awaitTermination(); q.stop()
+    assert _read_pointer(spark, f"{snap}/_CURRENT") == "gen-0"
+    before = sorted(tuple(r) for r in read_cdc_snapshot(spark, snap).collect())
+
+    # fresh checkpoint = the same batch id replays with the pointer ALREADY
+    # at gen-0 (exactly the crash-window state); it must no-op, not fail
+    q2 = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck2"))
+    q2.awaitTermination(); q2.stop()
+    after = sorted(tuple(r) for r in read_cdc_snapshot(spark, snap).collect())
+    assert after == before == [(1, "one"), (2, "two")]

@@ -182,8 +182,10 @@ def test_tfidf_pairs_match_duckdb(spark, docs, threshold):
     ).map(lambda rows: list({i: (i, t) for i, t in rows}.values())),
     changes=st.lists(
         st.tuples(
-            st.integers(0, 10),
-            st.sampled_from(["insert", "update", "delete"]),
+            st.one_of(st.none(), st.integers(0, 10)),
+            st.one_of(
+                st.none(), st.sampled_from(["insert", "update", "delete", "bogus"])
+            ),
             st.integers(1, 3),
             st.sampled_from(_VOCAB),
         ),
@@ -192,9 +194,10 @@ def test_tfidf_pairs_match_duckdb(spark, docs, threshold):
     ),
 )
 def test_apply_changes_matches_duckdb(spark, base, changes):
-    """Random CDC batches — including conflicting ops, duplicate (id, seq)
-    rows and even duplicate (id, seq, op) rows — must resolve identically
-    in both engines (the payload tie-break makes the order total)."""
+    """Random CDC batches — conflicting ops, duplicate (id, seq) and even
+    duplicate (id, seq, op) rows, plus DIRTY rows (NULL id, NULL/unknown
+    op) — must resolve identically in both engines (payload tie-break
+    makes the order total; invalid rows are dropped by contract)."""
     from fineo_readerator_spark.llm_ops.versioning import (
         apply_changes,
         apply_changes_oracle_sql,
@@ -207,8 +210,36 @@ def test_apply_changes_matches_duckdb(spark, base, changes):
         for r in apply_changes(bdf, cdf, "doc_id", "op", seq_col="seq").collect()
     )
     con = duckdb.connect()
-    con.register("b", pd.DataFrame(base or None, columns=["doc_id", "text"]))
-    con.register("c", pd.DataFrame(changes or None, columns=["doc_id", "op", "seq", "text"]))
+    import pyarrow as pa
+
+    # arrow tables keep NULL ids as int64-null (a pandas None id would
+    # coerce the column to float and change the oracle's join key type)
+    con.register(
+        "b",
+        pa.table(
+            {"doc_id": [r[0] for r in base], "text": [r[1] for r in base]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ),
+    )
+    con.register(
+        "c",
+        pa.table(
+            {
+                "doc_id": [r[0] for r in changes],
+                "op": [r[1] for r in changes],
+                "seq": [r[2] for r in changes],
+                "text": [r[3] for r in changes],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("op", pa.string()),
+                    ("seq", pa.int32()),
+                    ("text", pa.string()),
+                ]
+            ),
+        ),
+    )
     exp = sorted(
         tuple(r)
         for r in con.execute(
