@@ -732,3 +732,45 @@ s AS (
 SELECT {id_col}, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
 FROM s GROUP BY {id_col}
 """
+
+
+# --- normalization ----------------------------------------------------------
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenization keys: casefold,
+    strip URLs and emails entirely (they carry session ids and tracking
+    params that make otherwise-identical texts distinct), collapse all
+    whitespace runs to single spaces, trim.  Appends ``out_col`` plus its
+    token count ``n_norm_tokens``.
+
+    This is the KEY-normalization counterpart of ``redact_text`` (which
+    preserves document shape with placeholders for training); dedup wants
+    the noise GONE, not renamed.  Row-local chained ``regexp_replace`` —
+    JVM-side, whole-stage codegen, no shuffle.  Unicode NFC is deliberately
+    not attempted: Spark has no built-in normalizer and a Python UDF here
+    would put the slow path in front of every dedup key; corpora needing
+    NFC should normalize at ingest."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "")
+    c = F.regexp_replace(c, r"https?://[^\s]+", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c).withColumn(
+        "n_norm_tokens",
+        F.size(F.filter(F.split(F.col(out_col), " "), lambda t: F.length(t) > 0)).cast(
+            "long"
+        ),
+    )
+
+
+def normalize_oracle_exprs(text_col: str = "text", out_col: str = "norm_text") -> str:
+    """The same normalization as DuckDB SQL (kept adjacent so the chains
+    evolve together)."""
+    c = f"lower({text_col})"
+    c = f"regexp_replace({c}, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '', 'g')"
+    c = f"regexp_replace({c}, 'https?://[^\\s]+', '', 'g')"
+    c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    toks = f"len(list_filter(regexp_split_to_array({c}, ' '), x -> length(x) > 0))"
+    return f"{c} AS {out_col}, CAST({toks} AS BIGINT) AS n_norm_tokens"

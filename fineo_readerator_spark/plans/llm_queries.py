@@ -1088,6 +1088,60 @@ SELECT doc_id + {_SHIFT}, text, source FROM documents WHERE doc_id % 11 = 0"""
     return corpus_diff_oracle_sql(old_sql, new_sql)
 
 
+def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup keys
+    (llm_ops.textstats.normalize_text): casefold + strip URLs/emails +
+    collapse whitespace, row-local codegen'd regex chains.  The corpus is
+    salted in-query with tracking URLs and mixed-case emails on some docs
+    so the stripping legs actually execute."""
+    from fineo_readerator_spark.llm_ops.textstats import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    dirty = docs.withColumn(
+        "text",
+        F.when(
+            did % 7 == 1,
+            F.concat_ws(
+                "",
+                F.col("text"),
+                F.lit(" Visit https://ex.com/a?sid="),
+                did.cast("string"),
+                F.lit("   NOW"),
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.concat_ws(
+                "",
+                F.col("text"),
+                F.lit(" contact Bob"),
+                did.cast("string"),
+                F.lit("@Example.COM  ok"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return normalize_text(dirty).select("doc_id", "norm_text", "n_norm_tokens")
+
+
+def _t_normalize_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import normalize_oracle_exprs
+
+    return f"""
+WITH __d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+                THEN text || ' Visit https://ex.com/a?sid=' || doc_id || '   NOW'
+              WHEN doc_id % 7 = 3
+                THEN text || ' contact Bob' || doc_id || '@Example.COM  ok'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {normalize_oracle_exprs('text')} FROM __d
+"""
+
+
 def p_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality resampling (llm_ops.sampling.quality_resample):
     head/middle/tail by quality-score terciles from the fixed-bin histogram
@@ -1899,6 +1953,7 @@ LLM_QUERIES = [
     QueryDef("p_data_audit", p_data_audit, _p_data_audit_oracle()),
     QueryDef("p_cdc_merge", p_cdc_merge, _p_cdc_merge_oracle()),
     QueryDef("p_quality_resample", p_quality_resample, _p_quality_resample_oracle()),
+    QueryDef("t_normalize", t_normalize, _t_normalize_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

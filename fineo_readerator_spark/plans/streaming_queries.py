@@ -527,6 +527,55 @@ def _st_cdc_apply_oracle() -> str:
     return _p_cdc_merge_oracle()
 
 
+def st_audit_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: per-1-day-window violation counts
+    (NULL user ids, negative values) over a deterministically-dirtied
+    metric stream — the operators/audit.py row-check family as a
+    watermarked windowed aggregate, so a bad ingest generation alarms
+    within a window of landing instead of at the next batch audit.  State
+    is one count row per open window; violations are conditional
+    aggregates fused into the SAME windowed agg (no second pass)."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    uid = F.col("user_id")
+    dirty = stream.select(
+        "event_time",
+        F.when(uid % 19 == 7, F.lit(None).cast(stream.schema["user_id"].dataType))
+        .otherwise(uid)
+        .alias("user_id"),
+        F.when(uid % 23 == 11, -F.col("value")).otherwise(F.col("value")).alias("value"),
+    )
+    counts = windowed_rollup(
+        dirty,
+        "event_time",
+        keys=[],
+        aggs={
+            "n": "count(*)",
+            "null_user": "count(CASE WHEN user_id IS NULL THEN 1 END)",
+            "neg_value": "count(CASE WHEN value < 0 THEN 1 END)",
+        },
+        window="1 day",
+        watermark="1 day",
+    )
+    drained = _drain(counts, "st_audit_monitor_sink", "complete")
+    return drained.withColumn(
+        "passed", (F.col("null_user") + F.col("neg_value")) == 0
+    ).orderBy("window_start")
+
+
+ST_AUDIT_ORACLE = f"""
+SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_start,
+       (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS window_end,
+       count(*) AS n,
+       count(*) FILTER (user_id % 19 = 7 OR user_id IS NULL) AS null_user,
+       count(*) FILTER (CASE WHEN user_id % 23 = 11 THEN -value ELSE value END < 0)
+         AS neg_value,
+       count(*) FILTER (user_id % 19 = 7 OR user_id IS NULL)
+         + count(*) FILTER (CASE WHEN user_id % 23 = 11 THEN -value ELSE value END < 0)
+         = 0 AS passed
+FROM events GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def st_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distribution-drift monitor: the stream reduces to 1-day
     windowed event_type counts (watermarked aggregate — the only
@@ -564,6 +613,7 @@ def _st_drift_oracle() -> str:
 
 STREAMING_QUERIES = [
     QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
+    QueryDef("st_audit_monitor", st_audit_monitor, ST_AUDIT_ORACLE),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),

@@ -1116,3 +1116,23 @@ def test_apply_changes_same_seq_delete_beats_update(spark):
         "doc_id long, op string, seq int, text string",
     )
     assert apply_changes(base, changes, "doc_id", "op", seq_col="seq").count() == 0
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from fineo_readerator_spark.llm_ops.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello   WORLD  visit https://X.co/a?b=1 now "),
+            (2, "mail Bob.Smith+x@Example.COM  please"),
+            (3, None),
+            (4, "https://only.url/here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["norm_text"], r["n_norm_tokens"]) for r in
+           normalize_text(df).collect()}
+    assert out[1] == ("hello world visit now", 4)
+    assert out[2] == ("mail please", 2)
+    assert out[3] == (None, -1) or out[3][0] is None  # NULL propagates
+    assert out[4] == ("", 0)
