@@ -1193,3 +1193,67 @@ def incremental_minhash_flags(
             F.col("n_dup_bases").isNotNull().alias("is_dup"),
         )
     )
+
+
+def minhash_cluster_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The full near-duplicate CLUSTER MAP: every input row labeled with its
+    cluster id (the min member id) — what provenance tracking, dup-rate
+    dashboards and keep-policy experiments consume, where the dedup
+    operators return only the survivors.
+
+    Exact-dup members inherit their representative's cluster: each row maps
+    to its min-id exact twin (one windowed min over the text hash — same
+    WindowGroupLimit-friendly shape as ``exact_dedup``), which carries the
+    label from the shared clustering cascade (:func:`_minhash_rep_labels` —
+    any cascade change lands here too).  Scale adds one label join keyed on
+    the rep id; labels are one row per distinct text, not per corpus row."""
+    from pyspark.sql.window import Window
+
+    _, labels = _minhash_rep_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    mapped = df.select(
+        F.col(id_col), F.min(id_col).over(w).alias("__rep")
+    )
+    return mapped.join(labels, mapped["__rep"] == labels["id"]).select(
+        F.col(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def minhash_cluster_labels_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``minhash_cluster_labels(portable=True)`` over
+    ``corpus_sql`` (must yield doc_id, text, n_chars)."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import (
+        _COMPONENT_CTES,
+        _minhash_pairs_ctes,
+        _reps_cte,
+    )
+
+    # _COMPONENT_CTES defines __keep (unused here); __comp is what we need
+    return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
+{_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__reps', shingle_k)},
+{_COMPONENT_CTES},
+__lab AS (SELECT id, min(lab) AS lab FROM __comp GROUP BY id),
+__m AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM ({corpus_sql})
+)
+SELECT m.doc_id, l.lab AS cluster_id FROM __m m JOIN __lab l ON l.id = m.rep"""

@@ -1375,6 +1375,25 @@ SELECT doc_id + {_SHIFT}, text || ' appended marker tokens', n_chars + 23 FROM d
     return minhash_dedup_keep_best_oracle(corpus, "r.n_chars")
 
 
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup cluster map over the doubled corpus: every row —
+    including exact-dup members collapsed by the cascade — labeled with its
+    cluster id (llm_ops.dedup.minhash_cluster_labels)."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels
+
+    return minhash_cluster_labels(
+        _docs_with_dups(spark, sf_dir), "doc_id", portable=True
+    )
+
+
+def _d_dup_clusters_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels_oracle
+
+    corpus = f"""SELECT doc_id, text, n_chars FROM documents
+UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
+    return minhash_cluster_labels_oracle(corpus)
+
+
 def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring overlap pairs: docs sharing >= 8 winnowed rolling-hash
     fingerprints, after dropping fingerprints with document frequency > 20
@@ -1954,6 +1973,7 @@ LLM_QUERIES = [
     QueryDef("p_cdc_merge", p_cdc_merge, _p_cdc_merge_oracle()),
     QueryDef("p_quality_resample", p_quality_resample, _p_quality_resample_oracle()),
     QueryDef("t_normalize", t_normalize, _t_normalize_oracle()),
+    QueryDef("d_dup_clusters", d_dup_clusters, _d_dup_clusters_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

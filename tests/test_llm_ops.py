@@ -1136,3 +1136,30 @@ def test_normalize_text_strips_and_collapses(spark):
     assert out[2] == ("mail please", 2)
     assert out[3] == (None, -1) or out[3][0] is None  # NULL propagates
     assert out[4] == ("", 0)
+
+
+def test_minhash_cluster_labels_cover_all_rows_consistently(spark, docs):
+    """Every input row gets a label; exact-dup members inherit their rep's
+    cluster; the label set's minima are exactly the minhash_dedup
+    survivors (same cascade, two views)."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        minhash_cluster_labels,
+        minhash_dedup,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_cluster_labels(
+            docs, "doc_id", num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert set(labels) == {0, 1, 2, 3, 4, 5}  # every row labeled
+    assert labels[1] == labels[0]  # exact dup inherits
+    assert labels[2] == labels[0] and labels[5] == labels[0]  # near dups
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup(
+            docs, "doc_id", num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert set(labels.values()) == survivors  # cluster ids ARE the keepers

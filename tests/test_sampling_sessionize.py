@@ -227,3 +227,21 @@ def test_quality_resample_validates_fractions(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
     with pytest.raises(ValueError, match="head/middle/tail"):
         quality_resample(df, "score", "doc_id", fractions={"head": 1.0})
+
+
+def test_windowed_drift_null_category_is_a_real_bucket(spark):
+    """NULL categories must flow through the grid joins (null-safe keys in
+    Spark, IS NOT DISTINCT FROM in the oracle) as one real bucket, not
+    split into spurious one-sided rows."""
+    from fineo_readerator_spark.llm_ops.sampling import windowed_drift
+
+    wc = spark.createDataFrame(
+        [(0, None, 4), (0, "a", 6)], "window_start long, cat string, n long"
+    )
+    baseline = spark.createDataFrame([("a",), (None,), (None,)], "cat string")
+    rows = {r["cat"]: r.asDict() for r in windowed_drift(wc, baseline, "cat").collect()}
+    assert set(rows) == {None, "a"}
+    # NULL bucket: window count 4 of 10, baseline 2 of 3, C=2, k=0.5
+    r = rows[None]
+    assert r["share_win"] == round((4 + 0.5) / (10 + 1.0), 6)
+    assert r["share_base"] == round((2 + 0.5) / (3 + 1.0), 6)
