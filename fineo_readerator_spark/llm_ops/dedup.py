@@ -1212,11 +1212,13 @@ def minhash_cluster_labels(
     operators return only the survivors.
 
     Exact-dup members inherit their representative's cluster: each row maps
-    to its min-id exact twin (one windowed min over the text hash — same
-    WindowGroupLimit-friendly shape as ``exact_dedup``), which carries the
-    label from the shared clustering cascade (:func:`_minhash_rep_labels` —
-    any cascade change lands here too).  Scale adds one label join keyed on
-    the rep id; labels are one row per distinct text, not per corpus row."""
+    to its min-id exact twin (one windowed min over the text hash — unlike
+    ``exact_dedup``'s rank filter this emits one row PER INPUT ROW, so the
+    exchange carries the corpus id+hash pairs: the unavoidable cost of a
+    full mapping output), which carries the label from the shared
+    clustering cascade (:func:`_minhash_rep_labels` — any cascade change
+    lands here too).  Scale adds one label join keyed on the rep id;
+    labels are one row per distinct text, not per corpus row."""
     from pyspark.sql.window import Window
 
     _, labels = _minhash_rep_labels(
@@ -1226,8 +1228,11 @@ def minhash_cluster_labels(
     mapped = df.select(
         F.col(id_col), F.min(id_col).over(w).alias("__rep")
     )
+    # dataframe-qualified refs: with id_col == "id" the joined frame holds
+    # TWO "id" columns (the caller's and the labels frame's) and a bare
+    # F.col(id_col) is ambiguous
     return mapped.join(labels, mapped["__rep"] == labels["id"]).select(
-        F.col(id_col), F.col("label").alias("cluster_id")
+        mapped[id_col], labels["label"].alias("cluster_id")
     )
 
 
@@ -1247,13 +1252,11 @@ def minhash_cluster_labels_oracle(
         _reps_cte,
     )
 
-    # _COMPONENT_CTES defines __keep (unused here); __comp is what we need
     return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
 {_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__reps', shingle_k)},
 {_COMPONENT_CTES},
-__lab AS (SELECT id, min(lab) AS lab FROM __comp GROUP BY id),
 __m AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-  FROM ({corpus_sql})
+  FROM __all
 )
 SELECT m.doc_id, l.lab AS cluster_id FROM __m m JOIN __lab l ON l.id = m.rep"""

@@ -100,7 +100,8 @@ __comp(id, lab) AS (
   UNION
   SELECT s.b, c.lab FROM __comp c JOIN __sym s ON s.a = c.id
 ),
-__keep AS (SELECT id FROM (SELECT id, min(lab) AS lab FROM __comp GROUP BY id) WHERE id = lab)"""
+__lab AS (SELECT id, min(lab) AS lab FROM __comp GROUP BY id),
+__keep AS (SELECT id FROM __lab WHERE id = lab)"""
 
 
 def _reps_cte(corpus_sql: str) -> str:
@@ -158,16 +159,7 @@ def minhash_dedup_keep_best_oracle(
     to the lowest id)."""
     return f"""WITH RECURSIVE {_reps_cte(corpus_sql)},
 {_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__reps', shingle_k)},
-__sym AS (
-  SELECT id_a AS a, id_b AS b FROM __good
-  UNION SELECT id_b, id_a FROM __good
-),
-__comp(id, lab) AS (
-  SELECT doc_id, doc_id FROM __reps
-  UNION
-  SELECT s.b, c.lab FROM __comp c JOIN __sym s ON s.a = c.id
-),
-__lab AS (SELECT id, min(lab) AS lab FROM __comp GROUP BY id),
+{_COMPONENT_CTES},
 __best AS (
   SELECT id FROM (
     SELECT l.id,

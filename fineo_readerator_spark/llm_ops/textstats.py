@@ -240,12 +240,18 @@ def quality_signals_oracle_exprs(text_col: str = "text") -> str:
 
 # --- redaction --------------------------------------------------------------
 
-# (pattern, replacement) pairs chosen for Java-regex / RE2 parity: character
-# classes, \b and {m,} behave identically in both engines.  The lexicon line
-# is the stand-in for an NER-derived PII term list.
+# Email/URL patterns chosen for Java-regex / RE2 parity: character classes,
+# \b and {m,} behave identically in both engines.  ONE definition each —
+# redaction (placeholder substitution) and normalization (removal) must
+# agree on what an email/URL is, and each Spark chain must agree with its
+# DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+# The lexicon line is the stand-in for an NER-derived PII term list.
 REDACT_PATTERNS: list[tuple[str, str]] = [
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"https?://[^\s]+", "<URL>"),
+    (EMAIL_RE, "<EMAIL>"),
+    (URL_RE, "<URL>"),
     (r"\b(customer|merge)\b", "<ENTITY>"),
 ]
 
@@ -754,14 +760,11 @@ def normalize_text(
     would put the slow path in front of every dedup key; corpora needing
     NFC should normalize at ingest."""
     c = F.lower(F.col(text_col))
-    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "")
-    c = F.regexp_replace(c, r"https?://[^\s]+", "")
+    c = F.regexp_replace(c, EMAIL_RE, "")
+    c = F.regexp_replace(c, URL_RE, "")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c).withColumn(
-        "n_norm_tokens",
-        F.size(F.filter(F.split(F.col(out_col), " "), lambda t: F.length(t) > 0)).cast(
-            "long"
-        ),
+        "n_norm_tokens", F.size(tokens(F.col(out_col))).cast("long")
     )
 
 
@@ -769,8 +772,8 @@ def normalize_oracle_exprs(text_col: str = "text", out_col: str = "norm_text") -
     """The same normalization as DuckDB SQL (kept adjacent so the chains
     evolve together)."""
     c = f"lower({text_col})"
-    c = f"regexp_replace({c}, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '', 'g')"
-    c = f"regexp_replace({c}, 'https?://[^\\s]+', '', 'g')"
+    c = f"regexp_replace({c}, '{EMAIL_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '{URL_RE}', '', 'g')"
     c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
-    toks = f"len(list_filter(regexp_split_to_array({c}, ' '), x -> length(x) > 0))"
+    toks = f"len(list_filter(regexp_split_to_array({c}, '\\s+'), x -> length(x) > 0))"
     return f"{c} AS {out_col}, CAST({toks} AS BIGINT) AS n_norm_tokens"

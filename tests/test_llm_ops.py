@@ -1163,3 +1163,17 @@ def test_minhash_cluster_labels_cover_all_rows_consistently(spark, docs):
         ).collect()
     }
     assert set(labels.values()) == survivors  # cluster ids ARE the keepers
+
+
+def test_minhash_cluster_labels_with_id_named_id(spark):
+    """Review regression: a caller id column named 'id' collided with the
+    internal labels frame's 'id' and raised AMBIGUOUS_REFERENCE."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["cluster_id"] for r in
+           minhash_cluster_labels(df, "id").collect()}
+    assert out == {1: 1, 2: 1, 3: 3}
