@@ -173,6 +173,35 @@ def write_training_shards(
     )
 
 
+def write_jsonl_shards(
+    df: DataFrame, key_col: str, n_shards: int, path: str, seed: int = 42
+) -> None:
+    """JSONL variant of :func:`write_training_shards` — the interchange
+    format most LLM training loaders consume (one JSON object per line,
+    one gzip'd file per shard directory).  Same deterministic layout
+    contract: content-hash shard assignment, key-sorted rows within each
+    shard, ONE exchange total (the shard repartition is the partitioning
+    the sort-within needs), so re-running the export reproduces
+    byte-identical shard files on any cluster size.
+
+    Serialization is ``to_json(struct(*))`` — JVM-side, codegen'd, field
+    order fixed by the schema — so the lines are deterministic too."""
+    cols = df.columns
+    manifest = shard_for_training(df, key_col, n_shards, seed)
+    (
+        manifest.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)
+        .select(
+            F.col("shard"),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .text(path)
+    )
+
+
 def domain_mix(
     df: DataFrame,
     strata_col: str,

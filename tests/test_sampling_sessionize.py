@@ -245,3 +245,37 @@ def test_windowed_drift_null_category_is_a_real_bucket(spark):
     r = rows[None]
     assert r["share_win"] == round((4 + 0.5) / (10 + 1.0), 6)
     assert r["share_base"] == round((2 + 0.5) / (3 + 1.0), 6)
+
+
+def test_write_jsonl_shards_layout_and_determinism(spark, tmp_path):
+    """One gzip'd JSONL file per shard dir, rows key-sorted within a shard,
+    valid one-object-per-line JSON, and a re-export under a DIFFERENT input
+    partitioning is byte-identical."""
+    import gzip
+    import json
+    from pathlib import Path
+
+    from fineo_readerator_spark.llm_ops.sampling import write_jsonl_shards
+
+    rows = [(i, f"text {i}", f"s{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def export(dest, frame):
+        write_jsonl_shards(frame, "doc_id", 4, str(dest))
+        out = {}
+        for d in sorted(Path(dest).glob("shard=*")):
+            files = [f for f in d.iterdir() if f.name.endswith(".gz")]
+            assert len(files) == 1, f"expected one file in {d.name}"
+            out[d.name] = gzip.decompress(files[0].read_bytes())
+        return out
+
+    a = export(tmp_path / "a", df)
+    assert len(a) == 4
+    seen = []
+    for payload in a.values():
+        ids = [json.loads(line)["doc_id"] for line in payload.decode().splitlines()]
+        assert ids == sorted(ids)  # key-sorted within the shard
+        seen.extend(ids)
+    assert sorted(seen) == list(range(40))  # complete, no dup rows
+    b = export(tmp_path / "b", df.repartition(7))
+    assert a == b  # byte-identical under a different input partitioning
