@@ -254,3 +254,59 @@ def test_apply_changes_matches_duckdb(spark, base, changes):
         ).fetchall()
     )
     assert got == exp, f"{len(got)} vs {len(exp)}"
+
+
+_NOISE = [
+    "a@b.co",
+    "X.Y+z@Example.COM",
+    "https://ex.com/a?b=1&c=2",
+    "http://x.y/z#frag",
+    "plain",
+    "UPPER",
+    "mid.dle",
+    "a@b",            # not an email (no TLD)
+    "https://",       # bare scheme prefix: URL_RE still strips 'https://'? no — needs [^\s]+ after
+    "50%",
+    "a_b-c",
+]
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.lists(st.sampled_from(_VOCAB + _NOISE), min_size=0, max_size=15).map(
+                "  ".join
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ).map(lambda texts: [(i, t) for i, t in enumerate(texts)])
+)
+def test_normalize_matches_duckdb(spark, docs):
+    """Java-regex vs RE2 parity for the normalization chains over random
+    mixes of emails, URLs, near-miss patterns and doubled whitespace."""
+    from fineo_readerator_spark.llm_ops.textstats import (
+        normalize_oracle_exprs,
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.norm_text, r.n_norm_tokens)
+        for r in normalize_text(df).select("doc_id", "norm_text", "n_norm_tokens").collect()
+    )
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {normalize_oracle_exprs('text')} FROM documents"
+        ).fetchall()
+    )
+    assert got == exp
