@@ -310,3 +310,62 @@ def test_normalize_matches_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 8), doc_text, st.sampled_from(["s1", "s2"])),
+        min_size=0,
+        max_size=8,
+    ).map(lambda rows: list({i: (i, t, g) for i, t, g in rows}.values())),
+    new=st.lists(
+        st.tuples(st.integers(0, 8), doc_text, st.sampled_from(["s1", "s2"])),
+        min_size=0,
+        max_size=8,
+    ).map(lambda rows: list({i: (i, t, g) for i, t, g in rows}.values())),
+)
+def test_corpus_diff_matches_duckdb(spark, old, new):
+    """Random snapshot pairs — NULL/empty texts, group reassignment,
+    one-sided ids — must classify identically in both engines (the
+    presence-flag + IS DISTINCT FROM oracle shape)."""
+    from fineo_readerator_spark.llm_ops.versioning import (
+        corpus_diff,
+        corpus_diff_oracle_sql,
+    )
+
+    schema = "doc_id long, text string, source string"
+    got = sorted(
+        tuple(r)
+        for r in corpus_diff(
+            spark.createDataFrame(old, schema), spark.createDataFrame(new, schema)
+        ).collect()
+    )
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    arrow_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+    )
+    def tab(rows):
+        return pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            },
+            schema=arrow_schema,
+        )
+    con.register("v_old", tab(old))
+    con.register("v_new", tab(new))
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            corpus_diff_oracle_sql("SELECT * FROM v_old", "SELECT * FROM v_new")
+        ).fetchall()
+    )
+    assert got == exp
