@@ -114,13 +114,26 @@ def write_kv_snapshot(
     store's continuous-write shape): the bucket count and key column come
     from the stored meta — appending with a different family would route
     keys to the wrong buckets, so a mismatched ``pk_col``/``n_buckets``
-    raises."""
+    raises.
+
+    The meta travels through the Hadoop FileSystem helpers (same FS the
+    parquet goes to) — builtin ``open()`` would fail on an s3a/hdfs
+    snapshot path (or silently miss the meta) even though the parquet
+    append itself succeeds."""
     import json
 
-    meta_path = os.path.join(path, "_kv_meta.json")
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+
+    spark = df.sparkSession
+    meta_path = f"{path}/_kv_meta.json"
     if mode == "append":
-        with open(meta_path) as fh:
-            meta = json.load(fh)
+        try:
+            meta = json.loads(_fs_read_text(spark, meta_path))
+        except ValueError:
+            raise ValueError(
+                f"append to {path!r}: no _kv_meta.json — not an existing KV "
+                "snapshot (write with mode='overwrite' first)"
+            ) from None
         if meta["pk"] != pk_col or int(meta["n_buckets"]) != n_buckets:
             raise ValueError(
                 f"append to {path!r} with (pk={pk_col!r}, n_buckets={n_buckets}) "
@@ -143,8 +156,9 @@ def write_kv_snapshot(
     # sparse snapshots omit empty bucket dirs, so the write-time bucket count
     # must travel with the data for the read side's key->bucket arithmetic
     if mode == "overwrite":
-        with open(meta_path, "w") as fh:
-            json.dump({"pk": pk_col, "n_buckets": n_buckets}, fh)
+        _fs_write_text(
+            spark, meta_path, json.dumps({"pk": pk_col, "n_buckets": n_buckets})
+        )
 
 
 @dataclass

@@ -333,12 +333,17 @@ def categorical_drift(
     # null-SAFE join key: a NULL category is a real bucket (missing values
     # drifting IS drift); a plain equi-join would split it into two
     # spurious one-sided rows, inflating both PSI and the category count
-    joined = ca.join(
-        cb, ca["cat_a"].eqNullSafe(cb["cat_b"]), "full_outer"
-    ).select(
-        F.coalesce("cat_a", "cat_b").alias("category"),
-        F.coalesce("__ca", F.lit(0)).alias("__ca"),
-        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    # lineage cut: `joined` feeds BOTH the totals aggregate and the final
+    # select — without it Catalyst re-evaluates the whole subtree and each
+    # corpus side is scanned twice per query (windowed_drift's fix, here)
+    joined = (
+        ca.join(cb, ca["cat_a"].eqNullSafe(cb["cat_b"]), "full_outer")
+        .select(
+            F.coalesce("cat_a", "cat_b").alias("category"),
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = joined.agg(
         F.sum("__ca").alias("__na"),

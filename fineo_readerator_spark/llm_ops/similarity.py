@@ -84,6 +84,31 @@ def cosine_topk(
     )
 
 
+def _modal_dim(df: DataFrame, vec_col: str) -> int:
+    """Authoritative embedding dimension of a corpus: the MOST COMMON vector
+    size among non-NULL vectors (ties → smaller size, deterministic).  Using
+    the mode instead of "the first/lowest-id row's size" means one stray
+    misdimensioned row can never redefine the dimension and filter out the
+    entire valid corpus.  Raises a clear ValueError when no non-NULL vector
+    exists.  One metadata-sized aggregate (≤ #distinct sizes rows collect);
+    callers that already know the dimension pass it explicitly and skip this
+    scan."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("__d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("__d"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"no non-NULL vectors in column {vec_col!r}: cannot infer the "
+            "embedding dimension (pass dim= explicitly or fix the input)"
+        )
+    return int(rows[0]["__d"])
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
@@ -262,6 +287,7 @@ def embedding_decontaminate(
     n_planes: int = 8,
     seed: int = 42,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Eval-set decontamination in EMBEDDING space: flag corpus rows whose
     cosine against ANY eval/benchmark row reaches ``threshold`` — the
@@ -269,12 +295,32 @@ def embedding_decontaminate(
     (paraphrased benchmark leakage shares no verbatim span but sits next
     to the benchmark in embedding space).
 
+    Unrankable vectors (NULL, wrong dimension, zero norm) are EXCLUDED from
+    both sides before the signature join — the knn_graph/pq contract: a
+    zero-norm pair would otherwise score cos = 0/0 = NaN, which both Spark
+    and DuckDB order ABOVE the threshold (false contamination flags), and
+    NULL/misdimensioned rows would silently report clean.  Excluded corpus
+    rows are absent from the output (not "clean").  ``dim`` defaults to the
+    modal vector size of the EVAL side (benchmark-sized scan).
+
     Scale shape: the eval side is benchmark-sized, so its (signature,
     vector) table BROADCASTS; the corpus is scanned once, each row
     computing its hyperplane signature row-locally and joining only the
     same-bucket eval rows — no corpus shuffle, no self-join.  Returns one
-    row per corpus id: (id, n_eval_hits, best_sim, is_contaminated)."""
-    dim = len(eval_df.select(vec_col).first()[0])
+    row per rankable corpus id: (id, n_eval_hits, best_sim,
+    is_contaminated)."""
+    if dim is None:
+        dim = _modal_dim(eval_df, vec_col)
+
+    def _rankable(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == dim)
+            & (_norm(F.col(vec_col)) > 0)
+        )
+
+    corpus = _rankable(corpus)
+    eval_df = _rankable(eval_df)
     planes = _hyperplanes(dim, n_planes, seed)
     sig = hyperplane_signature(F.col(vec_col), planes)
     c = corpus.select(
@@ -540,6 +586,7 @@ def knn_graph(
     round_digits: int = 6,
     max_rows_per_cell: int = 100_000,
     allow_oversized_cells: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph over the embedding corpus: every vector's
     top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
@@ -562,11 +609,19 @@ def knn_graph(
     # wrong-dimension vectors would get NULL cell distances; zero-norm
     # vectors would emit cos_sim=NULL edges ranked NULLS-LAST inside small
     # cells' top-k — exclude all three as unrankable, the same contract as
-    # pq_seeded_topk
+    # pq_seeded_topk.  The dimension comes from the MODAL vector size (or
+    # the caller), never from the lowest-id row: one misdimensioned seed
+    # row must not redefine "wrong dimension" for the whole corpus, and an
+    # empty/all-NULL corpus raises a clear ValueError instead of IndexError.
     df = df.filter(F.col(vec_col).isNotNull())
-    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
-    dim = len(seeds[0][1])
+    if dim is None:
+        dim = _modal_dim(df, vec_col)
     df = df.filter(F.size(vec_col) == dim)
+    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+    if not seeds:
+        raise ValueError(
+            f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
+        )
     assigned = df.withColumn("__cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
         eager=True
     )

@@ -1548,9 +1548,15 @@ def _d_embed_decontaminate_oracle(
         " / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
         "    * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
     )
+    # rankability predicate mirrors embedding_decontaminate's guard (NULL /
+    # wrong-dim / zero-norm vectors excluded from both sides)
+    rankable = (
+        f"embedding IS NOT NULL AND len(embedding) = {dim} AND "
+        "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
+    )
     return f"""
-WITH c AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 != 0),
-e AS (SELECT embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 = 0),
+WITH c AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 != 0 AND {rankable}),
+e AS (SELECT embedding, {sig('embedding')} AS sig FROM embeddings WHERE vec_id % 7 = 0 AND {rankable}),
 hits AS (
   SELECT vec_id, count(*) AS n_eval_hits, max(sim) AS best_sim
   FROM (SELECT c.vec_id, {cos} AS sim FROM c JOIN e ON c.sig = e.sig) sub

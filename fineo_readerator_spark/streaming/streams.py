@@ -387,20 +387,36 @@ def apply_cdc_stream(
     seq_col: str | None = "seq",
     payload_cols: list[str] | None = None,
     pointer: str = "_CURRENT",
+    app_id: str | None = None,
 ):
     """Streaming CDC ingestion: each micro-batch of change rows MERGEs into
     the current snapshot generation and writes the NEXT one — the
     copy-on-write lakehouse ingest loop (`MERGE INTO` per batch) with
     immutable parquet generations and an atomic pointer flip.
 
+    Generations are NAMESPACED by a run/app id (Delta's ``txnAppId``
+    pattern): dirs are ``gen-<app>-<batch_id>``, where ``app_id`` defaults
+    to a per-call nonce.  Batch ids are only unique *per checkpoint*, so an
+    un-namespaced ``gen-<batch_id>`` had two failure modes when a stream was
+    restarted with a FRESH checkpoint against an existing snapshot: batch 0
+    collided with the old run's ``gen-0`` and was silently skipped as "a
+    replay" (data loss), and later reused batch ids OVERWROTE older
+    generation dirs, destroying time travel.  With namespacing, a fresh
+    checkpoint always merges (new namespace ≠ pointer) and always writes to
+    fresh dirs.
+
     Exactly-once by construction, covering BOTH at-least-once replay
     windows: a crash between generation commit and pointer flip re-runs
     the batch against the old pointer and overwrites its own generation
     idempotently; a crash between pointer flip and checkpoint commit
-    replays a batch whose generation is already current — detected by
-    ``pointer == gen-<batch_id>`` and skipped (merging again would read
-    and overwrite the same directory).  Old generations remain readable
-    (time travel) until compacted away.
+    replays a batch whose generation is already current.  With a caller
+    -supplied stable ``app_id`` that replay is detected by
+    ``pointer == gen-<app>-<batch_id>`` and skipped outright; with the
+    default per-call nonce a post-restart replay computes a NEW gen name
+    and re-MERGEs instead — safe because :func:`apply_changes` is
+    idempotent (the delta wins for matched ids, deletes of absent ids are
+    no-ops), and it reads the old generation rather than its own output.
+    Old generations remain readable (time travel) until compacted away.
 
     Scale shape per batch: one id-keyed join of snapshot × delta
     (:func:`~fineo_readerator_spark.llm_ops.versioning.apply_changes` —
@@ -408,14 +424,17 @@ def apply_cdc_stream(
     the rewrite is the cost ceiling — partition the snapshot by an id
     bucket and rewrite only partitions the batch touches (the usual
     copy-on-write refinement); the merge semantics are unchanged."""
+    import uuid
+
     from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
     from fineo_readerator_spark.llm_ops.versioning import apply_changes
 
     spark = changes.sparkSession
+    run = app_id or uuid.uuid4().hex[:12]
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         cur_gen = _read_pointer(spark, f"{snapshot_dir}/{pointer}")
-        gen = f"gen-{batch_id}"
+        gen = f"gen-{run}-{batch_id}"
         if cur_gen == gen:
             # foreachBatch is at-least-once: a crash AFTER the pointer flip
             # but BEFORE the checkpoint commit replays this batch with the
@@ -423,7 +442,9 @@ def apply_cdc_stream(
             # read and overwrite the same directory (Spark refuses, and on
             # engines that don't the scan eats its own input).  The flip
             # was the last effect of the previous attempt, so the batch is
-            # fully applied: skip.
+            # fully applied: skip.  (Only reachable within one run, or
+            # across restarts when the caller pins a stable ``app_id`` —
+            # a fresh nonce never equals the pointer.)
             return
         cur = spark.read.parquet(f"{snapshot_dir}/{cur_gen}")
         nxt = apply_changes(cur, batch, id_col, op_col, seq_col, payload_cols)

@@ -727,6 +727,57 @@ def test_embedding_decontaminate_flags_planted_copy(spark, vectors):
     assert all(not out[i].is_contaminated and out[i].n_eval_hits == 0 for i in clean)
 
 
+def test_embedding_decontaminate_excludes_unrankable_vectors(spark, vectors):
+    """ADVICE regression: a zero-norm corpus vector scored cos = 0/0 = NaN,
+    which sorts ABOVE the threshold → false is_contaminated with NaN
+    best_sim; NULL/misdimensioned rows reported clean.  All three are now
+    EXCLUDED from the output, and a valid near-copy still flags."""
+    from fineo_readerator_spark.llm_ops.similarity import embedding_decontaminate
+
+    dirty = spark.createDataFrame(
+        [(900, [0.0] * 16), (901, None), (902, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in embedding_decontaminate(
+            vectors.filter("vec_id != 0").unionByName(dirty),
+            vectors.filter("vec_id = 0"),
+            threshold=0.99,
+        ).collect()
+    }
+    assert not {900, 901, 902} & set(out)  # unrankable rows absent, not "clean"
+    assert all(out[i].is_contaminated for i in (50, 51, 52))
+    # an all-NULL eval side raises a clear error, not IndexError/NaN
+    with pytest.raises(ValueError, match="non-NULL"):
+        embedding_decontaminate(
+            vectors,
+            spark.createDataFrame([(1, None)], "vec_id long, embedding array<float>"),
+        ).collect()
+
+
+def test_knn_graph_dim_from_modal_size_not_lowest_id(spark, vectors):
+    """ADVICE regression: the authoritative dimension came from the
+    lowest-id seed row, so one misdimensioned row with the smallest id
+    filtered out the ENTIRE valid corpus; an empty corpus raised a bare
+    IndexError.  Dimension is now the modal vector size (or explicit)."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    bad_first = spark.createDataFrame(
+        [(-1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = knn_graph(bad_first.unionByName(vectors), k=2)
+    ids = {r.vec_id for r in out.select("vec_id").distinct().collect()}
+    clean_ids = {
+        r.vec_id for r in knn_graph(vectors, k=2).select("vec_id").distinct().collect()
+    }
+    assert -1 not in ids and ids == clean_ids  # valid corpus survives intact
+    with pytest.raises(ValueError, match="non-NULL"):
+        knn_graph(
+            spark.createDataFrame([], "vec_id long, embedding array<float>"), k=2
+        )
+
+
 # --- paragraph dedup --------------------------------------------------------
 
 

@@ -447,7 +447,8 @@ def test_apply_cdc_stream_multi_batch_generations(spark, tmp_path):
 
     gens = sorted(p.name for p in Path(snap).iterdir() if p.name.startswith("gen-"))
     assert "gen-base" in gens and len(gens) == 3  # base + one per batch
-    assert (Path(snap) / "_CURRENT").read_text().strip() == gens[1]  # gen-1
+    cur = (Path(snap) / "_CURRENT").read_text().strip()
+    assert cur in gens and cur.endswith("-1")  # run-namespaced batch-1 gen
 
 
 def test_read_cdc_snapshot_requires_init(spark, tmp_path):
@@ -460,9 +461,10 @@ def test_read_cdc_snapshot_requires_init(spark, tmp_path):
 
 
 def test_apply_cdc_stream_skips_already_applied_generation(spark, tmp_path):
-    """Replay window #2: a batch whose generation is already current (crash
-    after the pointer flip, before the checkpoint commit) must be SKIPPED —
-    re-merging would read and overwrite the same directory."""
+    """Replay window #2 with a STABLE app_id: a batch whose generation is
+    already current (crash after the pointer flip, before the checkpoint
+    commit) must be SKIPPED — re-merging would read and overwrite the same
+    directory."""
     from fineo_readerator_spark.streaming import (
         apply_cdc_stream,
         init_cdc_snapshot,
@@ -482,15 +484,65 @@ def test_apply_cdc_stream_skips_already_applied_generation(spark, tmp_path):
         "doc_id long, op string, seq int, text string"
     ).parquet(str(feed))
 
-    # first run applies batch 0 and flips the pointer to gen-0
-    q = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck1"))
+    # first run applies batch 0 and flips the pointer to gen-app-0
+    q = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck1"), app_id="app")
     q.awaitTermination(); q.stop()
-    assert _read_pointer(spark, f"{snap}/_CURRENT") == "gen-0"
+    assert _read_pointer(spark, f"{snap}/_CURRENT") == "gen-app-0"
     before = sorted(tuple(r) for r in read_cdc_snapshot(spark, snap).collect())
 
-    # fresh checkpoint = the same batch id replays with the pointer ALREADY
-    # at gen-0 (exactly the crash-window state); it must no-op, not fail
-    q2 = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck2"))
+    # fresh checkpoint + SAME app_id = the same batch id replays with the
+    # pointer ALREADY at its own generation (exactly the crash-window
+    # state); it must no-op, not fail
+    q2 = apply_cdc_stream(changes, snap, checkpoint=str(tmp_path / "ck2"), app_id="app")
     q2.awaitTermination(); q2.stop()
     after = sorted(tuple(r) for r in read_cdc_snapshot(spark, snap).collect())
     assert after == before == [(1, "one"), (2, "two")]
+    assert _read_pointer(spark, f"{snap}/_CURRENT") == "gen-app-0"
+
+
+def test_apply_cdc_stream_fresh_checkpoint_new_data_not_lost(spark, tmp_path):
+    """Restarting the feed with a FRESH checkpoint (new default app nonce)
+    against an existing snapshot must APPLY its batch 0, not mistake it for
+    a replay of the old run's batch 0 — and must not overwrite the old
+    run's generation dirs (time travel preserved)."""
+    from pathlib import Path
+
+    from fineo_readerator_spark.streaming import (
+        apply_cdc_stream,
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    init_cdc_snapshot(base, snap)
+    schema = "doc_id long, op string, seq int, text string"
+
+    feed1 = tmp_path / "feed1"
+    spark.createDataFrame([(2, "insert", 1, "two")], schema).coalesce(1).write.parquet(
+        str(feed1)
+    )
+    q = apply_cdc_stream(
+        spark.readStream.schema(schema).parquet(str(feed1)),
+        snap,
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(); q.stop()
+    gens_before = {p.name for p in Path(snap).iterdir() if p.name.startswith("gen-")}
+
+    # genuinely NEW first batch under a fresh checkpoint: batch id 0 again
+    feed2 = tmp_path / "feed2"
+    spark.createDataFrame([(3, "insert", 1, "three")], schema).coalesce(1).write.parquet(
+        str(feed2)
+    )
+    q2 = apply_cdc_stream(
+        spark.readStream.schema(schema).parquet(str(feed2)),
+        snap,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(); q2.stop()
+
+    out = sorted(tuple(r) for r in read_cdc_snapshot(spark, snap).collect())
+    assert out == [(1, "one"), (2, "two"), (3, "three")]  # nothing lost
+    gens_after = {p.name for p in Path(snap).iterdir() if p.name.startswith("gen-")}
+    assert gens_before < gens_after  # old generations intact, new one added
