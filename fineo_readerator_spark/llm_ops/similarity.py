@@ -220,11 +220,14 @@ def seeded_codebook(
     ]
 
 
-def seeded_cell_expr(vec_col: str, seeds: list[tuple[int, list[float]]]) -> Column:
-    """Cell id of a vector against a seeded codebook: nearest centroid by
-    squared euclidean, distances rounded (1e-9) before the argmin so
+def seeded_cell_struct_expr(
+    vec_col: str, seeds: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid struct ``(d, sid)`` of a vector against a codebook:
+    squared-euclidean distances rounded (1e-9) before the argmin so
     floating-point association differences between engines can never flip
-    the cell choice; ties go to the lower centroid id."""
+    the cell choice; ties go to the lower centroid id (struct comparison
+    orders by ``d`` then ``sid``)."""
 
     def dist_sql(vec_expr: str, seed: list[float]) -> str:
         arr = "array(" + ",".join(f"{float(v)!r}D" for v in seed) + ")"
@@ -239,8 +242,14 @@ def seeded_cell_expr(vec_col: str, seeds: list[tuple[int, list[float]]]) -> Colu
         + ",".join(
             f"named_struct('d', {dist_sql(vec_col, sv)}, 'sid', {sid}L)" for sid, sv in seeds
         )
-        + ")).sid"
+        + "))"
     )
+
+
+def seeded_cell_expr(vec_col: str, seeds: list[tuple[int, list[float]]]) -> Column:
+    """Cell id of a vector against a seeded codebook (see
+    :func:`seeded_cell_struct_expr` for the tie/rounding contract)."""
+    return seeded_cell_struct_expr(vec_col, seeds).getField("sid")
 
 
 def ivf_seeded_topk(
@@ -661,6 +670,128 @@ def knn_graph(
             "cos_sim",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd's k-means over the embedding corpus: ``n_iters`` rounds of
+    assign-to-nearest-centroid + recompute-centroid-means, seeded by the
+    deterministic lowest-id codebook (:func:`seeded_codebook`) so the whole
+    run — including every intermediate centroid — is SQL-expressible and
+    oracle-checkable.  Returns ``(centroids, assignments)`` where
+    assignments carry ``(id, cluster_id, sq_dist)`` against the FINAL
+    centroids.  This is the iterative upgrade of the zero-iteration seeded
+    codebook the IVF/SemDeDup operators use: refined centroids give tighter
+    cells, which directly improves their recall/pruning trade.
+
+    Scale shape (the standard distributed Lloyd's): assignment is a
+    codegen'd literal-centroid argmin projection (no join, no shuffle);
+    the centroid update is ONE map-side-combined aggregate per iteration
+    whose output is k×D rows — model-sized, so collecting it to the driver
+    between iterations is the distributed-ML pattern (Spark MLlib does the
+    same), not a hot-path collect.  Nothing corpus-sized ever shuffles;
+    the corpus is scanned once per iteration plus once for the final
+    assignment.
+
+    Determinism across engines: distances round at 1e-9 before each argmin
+    (ties → lower cluster id) and centroid components round at
+    ``round_digits`` after each mean, so both engines iterate over
+    IDENTICAL literal centroids.  Empty cells drop out (their id simply
+    stops appearing), matching the plain Lloyd's behavior."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        dim = _modal_dim(df, vec_col)
+    df = df.filter(F.size(F.col(vec_col)) == dim)
+    cents = seeded_codebook(df, id_col, vec_col, n_centroids)
+    if not cents:
+        raise ValueError(
+            f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
+        )
+    for _ in range(n_iters):
+        assigned = df.withColumn("__cell", seeded_cell_expr(vec_col, cents))
+        rows = (
+            assigned.select("__cell", F.posexplode(F.col(vec_col)).alias("__i", "__v"))
+            .groupBy("__cell", "__i")
+            .agg(F.round(F.avg(F.col("__v").cast("double")), round_digits).alias("__c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["__cell"]), {})[int(r["__i"])] = float(r["__c"])
+        cents = [
+            (cid, [by_cell[cid][i] for i in range(dim)]) for cid in sorted(by_cell)
+        ]
+    best = seeded_cell_struct_expr(vec_col, cents)
+    out = df.select(
+        F.col(id_col),
+        best.getField("sid").alias("cluster_id"),
+        best.getField("d").alias("sq_dist"),
+    )
+    return cents, out
+
+
+def kmeans_oracle_sql(
+    corpus_sql: str,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay of :func:`kmeans_refine` final assignments, fully
+    unrolled: seeds = lowest-id vectors, each iteration = argmin assignment
+    (distance rounded 1e-9, ties → lower cid) + per-dimension mean rounded
+    at ``round_digits`` — the identical literal-centroid contract, so both
+    engines walk the same centroid sequence."""
+
+    def d(vecs: str, cents: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE))"
+            f" * (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE)))), 9)"
+        )
+
+    def assign(src_v: str, src_c: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT id, v, cid AS cell, dd AS sq_dist FROM (
+    SELECT a.id, a.v, c.cid, {d('a.v', 'c.cent')} AS dd,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY {d('a.v', 'c.cent')} ASC, c.cid ASC) AS rn
+    FROM {src_v} a CROSS JOIN {src_c} c
+  ) WHERE rn = 1
+)"""
+
+    def update(src_a: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cid, list(cmp ORDER BY i) AS cent FROM (
+    SELECT cell AS cid, i, round(avg(CAST(v[i] AS DOUBLE)), {round_digits}) AS cmp
+    FROM {src_a} CROSS JOIN generate_series(1, {dim}) AS g(i)
+    GROUP BY cell, i
+  ) GROUP BY cid
+)"""
+
+    parts = [
+        f"v AS (SELECT {id_col} AS id, {vec_col} AS v FROM ({corpus_sql})"
+        f" WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim})",
+        f"c0 AS (SELECT id AS cid, v AS cent FROM v ORDER BY id LIMIT {n_centroids})",
+    ]
+    for it in range(n_iters):
+        parts.append(assign("v", f"c{it}", f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it + 1}"))
+    parts.append(assign("v", f"c{n_iters}", "af"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS {id_col}, cell AS cluster_id, sq_dist FROM af"
     )
 
 

@@ -1022,6 +1022,29 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load(spark, sf_dir, "embeddings"), k=3, n_centroids=16)
 
 
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (llm_ops.similarity.kmeans_refine): two
+    assign/update rounds from the deterministic lowest-id seeds, then the
+    final per-vector assignment — the iterative-distributed-algorithm shape
+    (model-sized centroid state round-trips the driver between iterations,
+    the corpus only ever streams through codegen'd argmin projections and
+    one map-side-combined aggregate per round)."""
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_refine
+
+    _, assigned = kmeans_refine(
+        load(spark, sf_dir, "embeddings"), n_centroids=8, n_iters=2
+    )
+    return assigned.orderBy("vec_id")
+
+
+def _s_kmeans_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", n_centroids=8, n_iters=2
+    )
+
+
 def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16) -> str:
     return f"""
 WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
@@ -1984,6 +2007,7 @@ LLM_QUERIES = [
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),
     QueryDef("s_knn_graph", s_knn_graph, _s_knn_graph_oracle(), bench=True),
+    QueryDef("s_kmeans", s_kmeans, _s_kmeans_oracle(), bench=True),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

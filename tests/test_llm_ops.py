@@ -756,6 +756,26 @@ def test_embedding_decontaminate_excludes_unrankable_vectors(spark, vectors):
         ).collect()
 
 
+def test_kmeans_refine_tightens_clusters(spark, vectors):
+    """Two Lloyd iterations must not increase total within-cluster SSD vs
+    the zero-iteration seeded assignment, and the planted near-copies
+    (0, 50, 51, 52) must land in one cluster."""
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_refine
+
+    cents0, a0 = kmeans_refine(vectors, n_centroids=8, n_iters=0)
+    cents2, a2 = kmeans_refine(vectors, n_centroids=8, n_iters=2)
+    ssd0 = a0.agg(F.sum("sq_dist")).first()[0]
+    ssd2 = a2.agg(F.sum("sq_dist")).first()[0]
+    assert ssd2 <= ssd0 + 1e-9
+    assert cents2 != cents0  # centroids actually moved off the seeds
+    cl = {r.vec_id: r.cluster_id for r in a2.collect()}
+    assert len({cl[i] for i in (0, 50, 51, 52)}) == 1
+    with pytest.raises(ValueError, match="non-NULL"):
+        kmeans_refine(
+            spark.createDataFrame([], "vec_id long, embedding array<float>")
+        )
+
+
 def test_knn_graph_dim_from_modal_size_not_lowest_id(spark, vectors):
     """ADVICE regression: the authoritative dimension came from the
     lowest-id seed row, so one misdimensioned row with the smallest id
