@@ -238,6 +238,113 @@ def quality_signals_oracle_exprs(text_col: str = "text") -> str:
     )
 
 
+def with_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 15,
+) -> DataFrame:
+    """Gopher §A1.1 duplicate-PARAGRAPH repetition signals — the
+    within-document complement of ``with_quality_signals`` (which covers
+    word/2-gram repetition): the fraction of paragraph slots occupied by
+    repeats and the fraction of paragraph CHARACTERS inside those repeats,
+    plus the published pass rule (dup-paragraph fraction ≤ 0.30,
+    dup-paragraph-char fraction ≤ 0.20).  Boilerplate-heavy pages repeat
+    whole blocks verbatim, which word-level stats dilute away.
+
+    Paragraph boundary: consecutive ``para_tokens``-token windows — the
+    same convention as :func:`~fineo_readerator_spark.llm_ops.dedup.
+    paragraph_dedup` (the fixtures carry no newline structure; real corpora
+    feed their own splitter upstream).
+
+    Scale shape: windowing is one codegen'd projection; one explode to
+    (id, para) rows; then TWO map-side-combined hash aggregates — per
+    (id, para) counts, folded to per-doc stats.  Everything is keyed by the
+    doc id, so the shuffles are within-document-sized and the operator
+    never compares across documents (no corpus-wide window, unlike
+    paragraph_dedup's first-occurrence rule).  Ratios stay unrounded
+    doubles: both engines divide identical exact integers."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_par = F.ceil(n / F.lit(para_tokens)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_par - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1, para_tokens)),
+    )
+    per_para = (
+        df.select(F.col(id_col).alias("__id"), paras.alias("__ps"))
+        .filter(F.size("__ps") > 0)
+        .select("__id", F.explode("__ps").alias("__para"))
+        .filter(F.length("__para") > 0)
+        .groupBy("__id", "__para")
+        .agg(F.count("*").alias("__c"))
+    )
+    plen = F.length("__para")
+    stats = per_para.groupBy("__id").agg(
+        F.sum("__c").cast("long").alias("n_paras"),
+        F.count("*").alias("__n_distinct"),
+        F.sum((F.col("__c") - 1) * plen).alias("__dup_chars"),
+        F.sum(F.col("__c") * plen).alias("__tot_chars"),
+    )
+    one = F.lit(1.0)
+    dup_frac = (F.col("n_paras") - F.col("__n_distinct")) * one / F.col("n_paras")
+    dup_char_frac = F.col("__dup_chars") * one / F.col("__tot_chars")
+    stats = stats.select(
+        "__id",
+        "n_paras",
+        dup_frac.alias("dup_para_frac"),
+        dup_char_frac.alias("dup_para_char_frac"),
+        ((dup_frac <= 0.30) & (dup_char_frac <= 0.20)).alias("repetition_pass"),
+    )
+    joined = df.join(stats, df[id_col] == stats["__id"], "left").drop("__id")
+    return joined.withColumns(
+        {
+            "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("long")),
+            "dup_para_frac": F.coalesce(F.col("dup_para_frac"), F.lit(0.0)),
+            "dup_para_char_frac": F.coalesce(F.col("dup_para_char_frac"), F.lit(0.0)),
+            "repetition_pass": F.coalesce(F.col("repetition_pass"), F.lit(False)),
+        }
+    )
+
+
+def repetition_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 15,
+) -> str:
+    """DuckDB replay of :func:`with_repetition_signals` (same token windows
+    as ``paragraph_dedup_oracle_sql``, same integer-exact fractions) —
+    returns ONLY the id + signal columns; callers join extra payload
+    themselves."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __c AS (SELECT {id_col} AS id, {toks} AS toks FROM ({corpus_sql})),
+__p AS (
+  SELECT id,
+         array_to_string(toks[(i - 1) * {para_tokens} + 1 : i * {para_tokens}], ' ') AS para
+  FROM __c, unnest(generate_series(1, CAST(ceil(len(toks) / {para_tokens}.0) AS BIGINT))) t(i)
+  WHERE len(toks) > 0
+),
+__pc AS (
+  SELECT id, para, count(*) AS c FROM __p WHERE length(para) > 0 GROUP BY id, para
+),
+__st AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_paras, count(*) AS n_distinct,
+         sum((c - 1) * length(para)) AS dup_chars,
+         sum(c * length(para)) AS tot_chars
+  FROM __pc GROUP BY id
+)
+SELECT c.id AS {id_col},
+       coalesce(s.n_paras, 0) AS n_paras,
+       coalesce((s.n_paras - s.n_distinct) * 1.0 / s.n_paras, 0.0) AS dup_para_frac,
+       coalesce(s.dup_chars * 1.0 / s.tot_chars, 0.0) AS dup_para_char_frac,
+       coalesce((s.n_paras - s.n_distinct) * 1.0 / s.n_paras <= 0.30
+                AND s.dup_chars * 1.0 / s.tot_chars <= 0.20, FALSE) AS repetition_pass
+FROM __c c LEFT JOIN __st s ON c.id = s.id
+"""
+
+
 # --- redaction --------------------------------------------------------------
 
 # Email/URL patterns chosen for Java-regex / RE2 parity: character classes,

@@ -1729,6 +1729,38 @@ def _t_quality_oracle() -> str:
     return f"SELECT doc_id, {quality_signals_oracle_exprs('text')} FROM documents"
 
 
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 duplicate-paragraph repetition signals
+    (llm_ops.textstats.with_repetition_signals): docs with doc_id % 5 == 0
+    get their text DOUBLED so the corpus carries real block repeats for the
+    dup-paragraph fractions to flag; everything keys on the doc id, so no
+    cross-document work at all."""
+    from fineo_readerator_spark.llm_ops.textstats import with_repetition_signals
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        with_repetition_signals(docs)
+        .select("doc_id", "n_paras", "dup_para_frac", "dup_para_char_frac",
+                "repetition_pass")
+        .orderBy("doc_id")
+    )
+
+
+def _t_repetition_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import repetition_oracle_sql
+
+    corpus = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        " THEN text || ' ' || text ELSE text END AS text FROM documents"
+    )
+    return repetition_oracle_sql(corpus)
+
+
 def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing: global regex redaction (email/URL/lexicon) with
     per-pattern pre-redaction match counts; JVM-side regex, row-local."""
@@ -2017,6 +2049,7 @@ LLM_QUERIES = [
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
     QueryDef("t_bigram_lm", t_bigram_lm, _t_bigram_lm_oracle()),
     QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
+    QueryDef("t_repetition", t_repetition, _t_repetition_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),

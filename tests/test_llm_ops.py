@@ -756,6 +756,24 @@ def test_embedding_decontaminate_excludes_unrankable_vectors(spark, vectors):
         ).collect()
 
 
+def test_repetition_signals_flag_doubled_docs(spark):
+    """A doc whose text is doubled at a paragraph boundary has every
+    paragraph slot repeated once: dup_para_frac = 0.5, char frac = 0.5,
+    fails the Gopher rule; a repeat-free doc passes; empty text defaults."""
+    from fineo_readerator_spark.llm_ops.textstats import with_repetition_signals
+
+    body = " ".join(f"w{i}" for i in range(30))  # exactly 2 windows of 15
+    df = spark.createDataFrame(
+        [(1, body + " " + body), (2, body), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    assert out[1].n_paras == 4 and out[1].dup_para_frac == 0.5
+    assert out[1].dup_para_char_frac == 0.5 and not out[1].repetition_pass
+    assert out[2].dup_para_frac == 0.0 and out[2].repetition_pass
+    assert out[3].n_paras == 0 and not out[3].repetition_pass
+
+
 def test_kmeans_refine_tightens_clusters(spark, vectors):
     """Two Lloyd iterations must not increase total within-cluster SSD vs
     the zero-iteration seeded assignment, and the planted near-copies
