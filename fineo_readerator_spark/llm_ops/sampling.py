@@ -90,6 +90,55 @@ def stratified_fixed_k(
     )
 
 
+def weighted_stratified_k(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — Efraimidis–Spirakis A-ES:
+    each row gets key ``u^(1/w)`` (equivalently ``ln(u)/w``, used here for
+    numeric range) with ``u`` the deterministic md5 uniform, and the top-k
+    keys per stratum win.  The quality-weighted carve a training pipeline
+    uses where uniform ``stratified_fixed_k`` would over-sample junk:
+    weight by quality score, length, or dedup cluster size.
+
+    Determinism: ``u = (bucket + 0.5) / 1e6`` is integer-derived (identical
+    IEEE doubles on every engine); keys round at 1e-12 before ranking with
+    the row key as tie-break, so libm ulp differences can't flip the
+    selection.  Rows with NULL or non-positive weight are EXCLUDED (A-ES is
+    undefined there; silently keeping them would give them infinite/NaN
+    keys).
+
+    Scale shape: identical to ``stratified_fixed_k`` — the key is a
+    codegen'd projection and the per-stratum top-k compiles to
+    WindowGroupLimit, so each map partition ships at most k rows per
+    stratum into the single exchange.  Appends ``sample_rank`` (1..k)."""
+    u = (_bucket(F.col(key_col), seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    es_key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    w = Window.partitionBy(*strata_cols).orderBy(F.desc("__es_key"), key_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", es_key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )
+
+
+def weighted_k_oracle_key(key_expr: str, weight_expr: str, seed: int = 42) -> str:
+    """DuckDB expression replaying the A-ES key ``round(ln(u)/w, 12)``."""
+    return (
+        f"round(ln(({sample_oracle_bucket(key_expr, seed)} + 0.5) / {float(_BUCKETS)!r})"
+        f" / CAST({weight_expr} AS DOUBLE), 12)"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

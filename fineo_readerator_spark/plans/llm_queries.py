@@ -1841,6 +1841,36 @@ def p_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement, exactly 5 docs per
+    language weighted by document length (llm_ops.sampling.
+    weighted_stratified_k — Efraimidis–Spirakis keys over the portable
+    md5 uniform; WindowGroupLimit bounds the exchange at k rows per
+    stratum per mapper)."""
+    from fineo_readerator_spark.llm_ops.sampling import weighted_stratified_k
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        weighted_stratified_k(docs, ["lang"], "doc_id", "n_chars", k=5)
+        .select("lang", "doc_id", "n_chars", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def _p_weighted_sample_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import weighted_k_oracle_key
+
+    key = weighted_k_oracle_key("doc_id", "n_chars")
+    return f"""
+SELECT lang, doc_id, n_chars, sample_rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {key} DESC, doc_id) AS sample_rank
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) WHERE sample_rank <= 5
+"""
+
+
 def _p_stratified_oracle() -> str:
     from fineo_readerator_spark.llm_ops.sampling import sample_oracle_bucket
 
@@ -2054,6 +2084,7 @@ LLM_QUERIES = [
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
+    QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),

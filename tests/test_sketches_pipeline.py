@@ -145,6 +145,34 @@ def test_stratified_k_partial_topk_before_shuffle(spark):
     assert "WindowGroupLimit" in pre_exchange
 
 
+def test_weighted_stratified_k_favors_heavy_rows(spark):
+    """A-ES weighted sampling: exactly k per stratum, deterministic under
+    repartitioning, heavy rows win far more often than light ones, and
+    NULL/non-positive weights are excluded."""
+    from fineo_readerator_spark.llm_ops.sampling import weighted_stratified_k
+
+    # 100 light rows (w=1) + 10 heavy rows (w=1000) in one stratum
+    rows = [(i, "s", 1.0) for i in range(100)] + [
+        (100 + i, "s", 1000.0) for i in range(10)
+    ]
+    rows += [(990, "s", None), (991, "s", 0.0), (992, "s", -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = weighted_stratified_k(df, ["source"], "doc_id", "w", k=8)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert len(ids) == 8 and not {990, 991, 992} & set(ids)
+    heavy = sum(1 for i in ids if 100 <= i < 110)
+    assert heavy >= 6  # 10 heavy rows carry ~99% of the total weight
+    ids2 = sorted(
+        r["doc_id"]
+        for r in weighted_stratified_k(
+            df.repartition(7), ["source"], "doc_id", "w", k=8
+        ).collect()
+    )
+    assert ids == ids2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan.split("Exchange", 1)[-1]
+
+
 def test_domain_mix_hits_targets(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 2}") for i in range(1000)], "doc_id long, source string"
