@@ -738,7 +738,17 @@ def kmeans_refine(
     return cents, out
 
 
-def kmeans_oracle_sql(
+def _km_dist(dim: int, vecs: str, cents: str) -> str:
+    """DuckDB rounded squared-euclidean between two list expressions —
+    the SQL twin of :func:`seeded_cell_struct_expr`'s distance."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE))"
+        f" * (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE)))), 9)"
+    )
+
+
+def kmeans_cte_parts(
     corpus_sql: str,
     n_centroids: int = 8,
     n_iters: int = 2,
@@ -746,26 +756,21 @@ def kmeans_oracle_sql(
     vec_col: str = "embedding",
     dim: int = 64,
     round_digits: int = 6,
-) -> str:
-    """DuckDB replay of :func:`kmeans_refine` final assignments, fully
-    unrolled: seeds = lowest-id vectors, each iteration = argmin assignment
-    (distance rounded 1e-9, ties → lower cid) + per-dimension mean rounded
-    at ``round_digits`` — the identical literal-centroid contract, so both
-    engines walk the same centroid sequence."""
-
-    def d(vecs: str, cents: str) -> str:
-        return (
-            f"round(list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE))"
-            f" * (CAST({vecs}[i] AS DOUBLE) - CAST({cents}[i] AS DOUBLE)))), 9)"
-        )
+) -> tuple[list[str], str]:
+    """The unrolled Lloyd's iteration as DuckDB CTE strings: ``v`` (rankable
+    corpus), ``c0`` (lowest-id seeds), then per-iteration assign (``a{i}``)
+    and centroid-update (``c{i+1}``) CTEs, plus the final assignment
+    ``af``.  Returns ``(parts, final_centroid_cte_name)`` so oracles that
+    need the refined CENTROIDS (e.g. the kmeans-IVF probe) can build on the
+    same walk :func:`kmeans_oracle_sql` checks."""
 
     def assign(src_v: str, src_c: str, out: str) -> str:
+        d = _km_dist(dim, "a.v", "c.cent")
         return f"""{out} AS (
   SELECT id, v, cid AS cell, dd AS sq_dist FROM (
-    SELECT a.id, a.v, c.cid, {d('a.v', 'c.cent')} AS dd,
+    SELECT a.id, a.v, c.cid, {d} AS dd,
            row_number() OVER (PARTITION BY a.id
-                              ORDER BY {d('a.v', 'c.cent')} ASC, c.cid ASC) AS rn
+                              ORDER BY {d} ASC, c.cid ASC) AS rn
     FROM {src_v} a CROSS JOIN {src_c} c
   ) WHERE rn = 1
 )"""
@@ -788,6 +793,26 @@ def kmeans_oracle_sql(
         parts.append(assign("v", f"c{it}", f"a{it}"))
         parts.append(update(f"a{it}", f"c{it + 1}"))
     parts.append(assign("v", f"c{n_iters}", "af"))
+    return parts, f"c{n_iters}"
+
+
+def kmeans_oracle_sql(
+    corpus_sql: str,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay of :func:`kmeans_refine` final assignments, fully
+    unrolled: seeds = lowest-id vectors, each iteration = argmin assignment
+    (distance rounded 1e-9, ties → lower cid) + per-dimension mean rounded
+    at ``round_digits`` — the identical literal-centroid contract, so both
+    engines walk the same centroid sequence."""
+    parts, _ = kmeans_cte_parts(
+        corpus_sql, n_centroids, n_iters, id_col, vec_col, dim, round_digits
+    )
     return (
         "WITH "
         + ",\n".join(parts)

@@ -698,6 +698,98 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     return str(path)
 
 
+def ensure_ivf_layout_refined(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """The kmeans-refined IVF layout: like :func:`ensure_ivf_layout` but the
+    cells come from two Lloyd iterations (llm_ops.similarity.kmeans_refine)
+    instead of the raw seed codebook — refined centroids balance cell sizes
+    and tighten boundaries, which is recall AND pruning-selectivity at the
+    same n_probe.  The refined centroids are MODEL STATE the probe side
+    must share exactly, so they persist in ``_centroids.json`` beside the
+    data (written before the fingerprint stamp — the stamp stays the
+    completion marker) and probes read them from the layout, never
+    recompute (the derived-store rule: parameters travel with the store)."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+    from fineo_readerator_spark.llm_ops.similarity import (
+        kmeans_refine,
+        seeded_cell_expr,
+    )
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    path = _ivf_layout_path(sf_dir).with_name("embeddings_ivf_kmeans")
+    fp = source_fingerprint(sf_dir, "embeddings")
+    if not snapshot_is_fresh(path, fp):
+        emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        cents, _ = kmeans_refine(emb, n_centroids=16, n_iters=2)
+        assigned = emb.withColumn("cell", seeded_cell_expr("embedding", cents))
+        assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+            str(path)
+        )
+        _fs_write_text(spark, f"{path}/_centroids.json", json.dumps(cents))
+        stamp_snapshot(path, fp)
+    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
+    return str(path), [(int(cid), [float(x) for x in v]) for cid, v in cents]
+
+
+def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the KMEANS-REFINED persisted cell layout: probe = 4
+    nearest refined centroids (read from the layout's meta, never
+    recomputed), probed cells become a partition-pruned directory read,
+    exact cosine within."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
+
+    path, cents = ensure_ivf_layout_refined(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qd = sorted(
+        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), cid)
+        for cid, sv in cents
+    )
+    probe = [cid for _, cid in qd[:4]]
+    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return cosine_topk(layout, qv, k=10)
+
+
+def _s_ann_ivf_kmeans_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import _km_dist, kmeans_cte_parts
+
+    parts, cfin = kmeans_cte_parts(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0",
+        n_centroids=16,
+        n_iters=2,
+    )
+    parts.append("q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)")
+    parts.append(
+        f"""probe AS (
+  SELECT cid FROM {cfin}, q
+  ORDER BY {_km_dist(64, 'qv', 'cent')}, cid LIMIT 4
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """,
+sims AS (
+  SELECT a.id AS vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> CAST(a.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM af a, q WHERE a.cell IN (SELECT cid FROM probe)
+)
+SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+    )
+
+
 def _ivf_probe(spark: SparkSession, sf_dir: str, n_probe: int = 4):
     """Shared probe derivation for the layout-backed ANN queries: the query
     vector, its ``n_probe`` nearest codebook cells (same rounded-distance
@@ -2070,6 +2162,7 @@ LLM_QUERIES = [
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),
     QueryDef("s_knn_graph", s_knn_graph, _s_knn_graph_oracle(), bench=True),
     QueryDef("s_kmeans", s_kmeans, _s_kmeans_oracle(), bench=True),
+    QueryDef("s_ann_ivf_kmeans", s_ann_ivf_kmeans, _s_ann_ivf_kmeans_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

@@ -225,6 +225,30 @@ def test_ivf_layout_prunes_partitions(spark, tmp_path):
     assert layout.count() == 20
 
 
+def test_refined_ivf_layout_persists_centroids(spark):
+    """The kmeans-refined IVF layout must persist its centroids as store
+    meta and serve probes from that meta — two ensure calls return the
+    IDENTICAL centroid list without rebuilding (fingerprint-fresh), and the
+    probe path partition-prunes on the refined cells."""
+    from pathlib import Path
+
+    from fineo_readerator_spark.plans.llm_queries import (
+        ensure_ivf_layout_refined,
+        s_ann_ivf_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path1, cents1 = ensure_ivf_layout_refined(spark, sf)
+    stamp_mtime = (Path(path1) / "_src_fingerprint.json").stat().st_mtime
+    path2, cents2 = ensure_ivf_layout_refined(spark, sf)
+    assert path1 == path2 and cents1 == cents2
+    assert (Path(path1) / "_src_fingerprint.json").stat().st_mtime == stamp_mtime
+    out = s_ann_ivf_kmeans(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert out.count() == 10
+
+
 def test_semantic_dedup_undersized_codebook_raises(spark, vectors):
     """An undersized codebook on a large frame must raise, not silently run
     an O((N/cells)²) in-cell cartesian (VERDICT r4 'scale trap')."""
