@@ -1853,6 +1853,70 @@ def _t_repetition_oracle() -> str:
     return repetition_oracle_sql(corpus)
 
 
+_CLF_FEATURES = ["f1", "f2", "f3"]
+
+
+def _clf_features(df):
+    return df.withColumns(
+        {
+            "f1": F.least(F.col("n_tokens") * F.lit(1.0) / F.lit(50.0), F.lit(1.0)),
+            "f2": F.col("punct_ratio"),
+            "f3": F.least(F.col("avg_word_len") / F.lit(8.0), F.lit(1.0)),
+        }
+    )
+
+
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher quality gate into a cheap linear scorer, trained
+    IN-ENGINE (llm_ops.classifier): 3 rounds of full-batch logistic GD with
+    gopher_pass as the label and three row-local shape features — each
+    iteration is one keyless map-side-combined gradient aggregate (K+1
+    numbers to the driver), then the trained weights score the corpus in a
+    single codegen'd projection.  The whole run — training included — is
+    oracle-checked against the unrolled SQL replay."""
+    from fineo_readerator_spark.llm_ops.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+    from fineo_readerator_spark.llm_ops.textstats import (
+        with_quality_signals,
+        with_text_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = _clf_features(with_quality_signals(with_text_stats(docs), "text"))
+    w = train_logistic(feats, _CLF_FEATURES, "gopher_pass", n_iters=3, lr=1.0)
+    return (
+        score_logistic(feats, _CLF_FEATURES, w)
+        .select("doc_id", "score", "pred")
+        .orderBy("doc_id")
+    )
+
+
+def _t_quality_classifier_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.classifier import logistic_oracle_sql
+    from fineo_readerator_spark.llm_ops.textstats import (
+        quality_signals_oracle_exprs,
+        text_stats_oracle_exprs,
+    )
+
+    feats = (
+        f"SELECT doc_id, {text_stats_oracle_exprs('text')},"
+        f" {quality_signals_oracle_exprs('text')} FROM documents"
+    )
+    return logistic_oracle_sql(
+        feats,
+        [
+            "least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)",
+            "punct_ratio",
+            "least(avg_word_len / 8.0, 1.0)",
+        ],
+        "gopher_pass",
+        n_iters=3,
+        lr=1.0,
+    )
+
+
 def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing: global regex redaction (email/URL/lexicon) with
     per-pattern pre-redaction match counts; JVM-side regex, row-local."""
@@ -2173,6 +2237,7 @@ LLM_QUERIES = [
     QueryDef("t_bigram_lm", t_bigram_lm, _t_bigram_lm_oracle()),
     QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
     QueryDef("t_repetition", t_repetition, _t_repetition_oracle()),
+    QueryDef("t_quality_classifier", t_quality_classifier, _t_quality_classifier_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),

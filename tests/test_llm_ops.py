@@ -225,6 +225,31 @@ def test_ivf_layout_prunes_partitions(spark, tmp_path):
     assert layout.count() == 20
 
 
+def test_train_logistic_learns_separable_data(spark):
+    """Full-batch GD on margin-separated 1-D data: the learned weight must
+    point the right way and classify every example; NULL-feature/label rows
+    are excluded; an all-NULL frame raises."""
+    from fineo_readerator_spark.llm_ops.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+
+    rows = [(i, -2.0 + 0.01 * i, -2.0 + 0.01 * i > 0.0) for i in range(400)]
+    rows += [(900, None, True), (901, 1.0, None)]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y boolean")
+    w = train_logistic(df, ["x"], "y", n_iters=5, lr=2.0)
+    assert w[1] > 0  # slope learned in the right direction
+    out = score_logistic(df.filter(F.col("x").isNotNull()), ["x"], w)
+    acc = out.filter(
+        (F.col("pred") == F.col("y")) | F.col("y").isNull()
+    ).count() / out.count()
+    assert acc > 0.95
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rows"):
+        train_logistic(df.filter(F.lit(False)), ["x"], "y")
+
+
 def test_refined_ivf_layout_persists_centroids(spark):
     """The kmeans-refined IVF layout must persist its centroids as store
     meta and serve probes from that meta — two ensure calls return the
