@@ -456,6 +456,79 @@ ORDER BY doc_id
 """
 
 
+def st_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mini-batch k-means (streaming.maintain_kmeans_model): the
+    embedding stream moves the persisted 16-cell model by count-weighted
+    running means per micro-batch; seeded with zero counts, the single
+    available-now batch is an exact Lloyd step, which the oracle replays
+    from the unrolled kmeans CTE walk.  Output is the final model state —
+    (cluster_id, n_vecs, dim_idx, component) — read back from the
+    pointer-flipped generation file.  Model dirs are run-local temp
+    (registry queries must not mutate shared caches)."""
+    import tempfile
+
+    from fineo_readerator_spark.llm_ops.similarity import seeded_codebook
+    from fineo_readerator_spark.sources import SourceSpec
+    from fineo_readerator_spark.streaming import (
+        init_kmeans_model,
+        maintain_kmeans_model,
+        read_kmeans_model,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fineo_st_kmeans_")
+    model = f"{tmp}/model"
+    emb = load(spark, sf_dir, "embeddings")
+    init_kmeans_model(spark, model, seeded_codebook(emb, "vec_id", "embedding", 16))
+    stream = (
+        SourceSpec(kind="historical", path=f"{sf_dir}/embeddings.parquet")
+        .read_stream(spark)
+        .select("vec_id", "embedding")
+    )
+    q = maintain_kmeans_model(stream, model, checkpoint=f"{tmp}/ck")
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    # the oracle replays ONE Lloyd step from zero counts; a split feed would
+    # apply running-mean updates twice and diverge silently — fail loudly
+    if n_batches != 1:
+        raise AssertionError(
+            f"st_kmeans expects the embeddings in ONE micro-batch, got "
+            f"{n_batches}: the single-step oracle no longer applies"
+        )
+    state = read_kmeans_model(spark, model)
+    rows = [
+        (cid, n, i + 1, comp)
+        for cid, n, v in state
+        for i, comp in enumerate(v)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id long, n_vecs long, dim_idx int, component double"
+    ).orderBy("cluster_id", "dim_idx")
+
+
+def _st_kmeans_oracle(dim: int = 64) -> str:
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_cte_parts
+
+    parts, _ = kmeans_cte_parts(
+        "SELECT vec_id, embedding FROM embeddings", n_centroids=16, n_iters=1, dim=dim
+    )
+    parts.append("cnt AS (SELECT cell AS cid, count(*) AS n FROM a0 GROUP BY cell)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c0.cid AS cluster_id, coalesce(cnt.n, 0) AS n_vecs,
+       CAST(g.i AS INT) AS dim_idx,
+       coalesce(c1.cent[CAST(g.i AS INT)],
+                CAST(c0.cent[CAST(g.i AS INT)] AS DOUBLE)) AS component
+FROM c0
+LEFT JOIN c1 ON c0.cid = c1.cid
+LEFT JOIN cnt ON c0.cid = cnt.cid
+CROSS JOIN generate_series(1, {dim}) AS g(i)
+ORDER BY cluster_id, dim_idx"""
+    )
+
+
 def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC ingestion: a change stream MERGEs into a parquet
     snapshot per micro-batch (streaming.apply_cdc_stream — copy-on-write
@@ -612,6 +685,7 @@ def _st_drift_oracle() -> str:
 
 
 STREAMING_QUERIES = [
+    QueryDef("st_kmeans", st_kmeans, _st_kmeans_oracle()),
     QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
     QueryDef("st_audit_monitor", st_audit_monitor, ST_AUDIT_ORACLE),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),

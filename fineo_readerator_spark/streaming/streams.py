@@ -459,6 +459,121 @@ def apply_cdc_stream(
     )
 
 
+def init_kmeans_model(
+    spark: SparkSession,
+    model_dir: str,
+    seeds: list[tuple[int, list[float]]],
+    pointer: str = "_CURRENT",
+) -> None:
+    """Write generation 0 of a streaming-maintained k-means model: one
+    (cid, count=0, centroid) state per seed cell, pointer flipped LAST (the
+    completion-marker convention).  Zero counts make the FIRST batch's
+    update an exact Lloyd step (batch mean), which is what the oracle
+    replays."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
+
+    cells = [[int(cid), 0, [float(x) for x in v]] for cid, v in seeds]
+    _fs_write_text(spark, f"{model_dir}/model-base.json", json.dumps({"cells": cells}))
+    _fs_write_text(spark, f"{model_dir}/{pointer}", "model-base.json")
+
+
+def read_kmeans_model(
+    spark: SparkSession, model_dir: str, pointer: str = "_CURRENT"
+) -> list[tuple[int, int, list[float]]]:
+    """The current (cid, count, centroid) model state (follows the pointer)."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
+
+    cur = _read_pointer(spark, f"{model_dir}/{pointer}")
+    doc = json.loads(_fs_read_text(spark, f"{model_dir}/{cur}"))
+    return [(int(c), int(n), [float(x) for x in v]) for c, n, v in doc["cells"]]
+
+
+def maintain_kmeans_model(
+    vectors: DataFrame,
+    model_dir: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    pointer: str = "_CURRENT",
+    app_id: str | None = None,
+    round_digits: int = 6,
+):
+    """Online (mini-batch) k-means model maintenance — Sculley's web-scale
+    k-means as a stream: each micro-batch assigns its vectors to the
+    nearest STORED centroid and moves every touched centroid to the
+    count-weighted running mean ``(n·c + Σx) / (n + m)``; untouched cells
+    keep their state.  The model (k × D + counts) lives in a JSON
+    generation file beside the data with the pointer flipped LAST, the
+    same copy-on-write discipline as :func:`apply_cdc_stream` — and the
+    same namespacing: generations are ``model-<app>-<batch_id>.json``.
+    Unlike the CDC merge, a centroid update is NOT idempotent (re-applying
+    double-counts the batch), so production restarts MUST pin a stable
+    ``app_id`` to get the skip-on-replay guard; the default per-call nonce
+    is exactly-once only within one run.
+
+    Scale shape per batch: one codegen'd literal-centroid argmin
+    projection + one map-side-combined (cell, dim) aggregate → k × D rows
+    to the driver; the batch never shuffles on anything wider.  NULL and
+    wrong-dimension vectors are excluded (the kmeans_refine contract)."""
+    import json
+    import uuid
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
+    from fineo_readerator_spark.llm_ops.similarity import seeded_cell_expr
+
+    spark = vectors.sparkSession
+    run = app_id or uuid.uuid4().hex[:12]
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        cur = _read_pointer(spark, f"{model_dir}/{pointer}")
+        gen = f"model-{run}-{batch_id}.json"
+        if cur == gen:
+            return  # replay after pointer flip (stable app_id): fully applied
+        state = read_kmeans_model(spark, model_dir, pointer)
+        cents = [(cid, v) for cid, _, v in state]
+        dim = len(cents[0][1])
+        rows = (
+            batch.filter(F.col(vec_col).isNotNull())
+            .filter(F.size(F.col(vec_col)) == dim)
+            .withColumn("__cell", seeded_cell_expr(vec_col, cents))
+            .select("__cell", F.posexplode(F.col(vec_col)).alias("__i", "__v"))
+            .groupBy("__cell", "__i")
+            .agg(
+                F.sum(F.col("__v").cast("double")).alias("__s"),
+                F.count("*").alias("__m"),
+            )
+            .collect()
+        )
+        upd: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            upd.setdefault(int(r["__cell"]), {})[int(r["__i"])] = (
+                float(r["__s"]),
+                int(r["__m"]),
+            )
+        cells = []
+        for cid, n, v in state:
+            if cid in upd:
+                m = upd[cid][0][1]
+                v = [
+                    round((n * v[i] + upd[cid][i][0]) / (n + m), round_digits)
+                    for i in range(dim)
+                ]
+                n = n + m
+            cells.append([cid, n, v])
+        _fs_write_text(spark, f"{model_dir}/{gen}", json.dumps({"cells": cells}))
+        _fs_write_text(spark, f"{model_dir}/{pointer}", gen)
+
+    return (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_cdc_snapshot(
     spark: SparkSession, snapshot_dir: str, pointer: str = "_CURRENT"
 ) -> DataFrame:

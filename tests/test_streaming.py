@@ -500,6 +500,66 @@ def test_apply_cdc_stream_skips_already_applied_generation(spark, tmp_path):
     assert _read_pointer(spark, f"{snap}/_CURRENT") == "gen-app-0"
 
 
+def test_maintain_kmeans_model_running_means_and_replay_guard(spark, tmp_path):
+    """Mini-batch k-means: two sequential batches fold into count-weighted
+    running means; a replayed batch (fresh checkpoint, stable app_id, the
+    pointer already at its own generation) must be skipped — re-applying
+    would double-count."""
+    from fineo_readerator_spark.streaming import (
+        init_kmeans_model,
+        maintain_kmeans_model,
+        read_kmeans_model,
+    )
+
+    model = str(tmp_path / "model")
+    init_kmeans_model(spark, model, [(0, [0.0, 0.0])])
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(1, [2.0, 2.0]), (2, [4.0, 4.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(feed / "f1"))
+    spark.createDataFrame(
+        [(3, [9.0, 9.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(feed / "f2"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    q = maintain_kmeans_model(stream, model, checkpoint=str(tmp_path / "ck"), app_id="a")
+    q.awaitTermination(); q.stop()
+    state = read_kmeans_model(spark, model)
+    # batch1 mean (3,3) n=2; batch2 folds in: (2*3+9)/3 = 5
+    assert state == [(0, 3, [5.0, 5.0])]
+
+    # same app_id + fresh checkpoint replays batch ids 0/1 with the pointer
+    # already at model-a-1.json: batch 1 must skip... but batch 0 re-applies
+    # first and flips the pointer, so pin the exact crash-window state by
+    # replaying ONLY the last file
+    stream2 = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        str(feed / "f2")
+    )
+    q2 = maintain_kmeans_model(
+        stream2, model, checkpoint=str(tmp_path / "ck2"), app_id="a"
+    )
+    # this run's batch 0 computes gen model-a-0.json != pointer, so it APPLIES
+    # (running mean moves again): the guard is only for pointer == own gen
+    q2.awaitTermination(); q2.stop()
+    state2 = read_kmeans_model(spark, model)
+    assert state2 == [(0, 4, [6.0, 6.0])]  # (3*5+9)/4
+
+    # NOW the pointer is model-a-0.json: a third fresh-checkpoint run with
+    # the same app_id replays batch 0 against its OWN generation — the
+    # crash-window state the skip guard exists for: state must not move
+    stream3 = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        str(feed / "f2")
+    )
+    q3 = maintain_kmeans_model(
+        stream3, model, checkpoint=str(tmp_path / "ck3"), app_id="a"
+    )
+    q3.awaitTermination(); q3.stop()
+    assert read_kmeans_model(spark, model) == [(0, 4, [6.0, 6.0])]
+
+
 def test_apply_cdc_stream_fresh_checkpoint_new_data_not_lost(spark, tmp_path):
     """Restarting the feed with a FRESH checkpoint (new default app nonce)
     against an existing snapshot must APPLY its batch 0, not mistake it for
