@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # aggregate -> (partial expr builder, final expr builder); every entry is
 # algebraic (partials re-aggregate losslessly)
@@ -161,3 +162,91 @@ def salted_join(
     # re-concentrates per-key; sort-merge on the widened key is the shape
     # the salt exists for
     return salted_big.join(replicated.hint("merge"), on + ["__salt"], how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the report you read BEFORE choosing
+    between plain groupBy, AQE skew handling and :func:`salted_agg`: the
+    top-``k`` heaviest keys with their row share, alongside the global
+    shape (total rows, distinct keys, max/avg skew ratio).  A skew_ratio
+    near 1 means the key partitions evenly; 100× means the top key drowns
+    a reducer and the salted/bucketed paths are worth their cost.
+
+    Scale shape: ONE map-side-combined per-key count (the same shuffle the
+    diagnosed aggregation itself would run), then two metadata-sized
+    follow-ups over the count frame — a single-row global rollup (crossed
+    back in via broadcast) and a TakeOrdered top-k.  The count frame is
+    lineage-cut so the two consumers don't recount the corpus."""
+    counts = (
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    ).localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("n_rows").alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("__max"),
+    ).select(
+        "n_total",
+        "n_keys",
+        F.round(F.col("__max") * F.lit(1.0) / (F.col("n_total") / F.col("n_keys")), round_digits).alias(
+            "skew_ratio"
+        ),
+    )
+    # top-k via orderBy+limit (TakeOrdered: per-partition k-row heaps, never
+    # a global sort or single-partition window over the key-count frame —
+    # high-cardinality keys make that frame large); the rank window then
+    # runs over the k surviving rows only
+    order = [F.desc("n_rows")] + [F.asc(c) for c in key_cols]
+    top = (
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("long"))
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "rank",
+            "n_rows",
+            F.round(F.col("n_rows") * F.lit(1.0) / F.col("n_total"), round_digits).alias("share"),
+            "n_total",
+            "n_keys",
+            "skew_ratio",
+        )
+        .orderBy("rank")
+    )
+
+
+def key_skew_oracle_sql(
+    corpus_sql: str,
+    key_cols: list[str],
+    k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay of :func:`key_skew_report` (same integer-exact counts,
+    same rounded ratios)."""
+    keys = ", ".join(key_cols)
+    order_keys = ", ".join(f"{c} ASC" for c in key_cols)
+    return f"""
+WITH counts AS (
+  SELECT {keys}, count(*) AS n_rows FROM ({corpus_sql}) GROUP BY {keys}
+),
+totals AS (
+  SELECT sum(n_rows) AS n_total, count(*) AS n_keys,
+         round(max(n_rows) * 1.0 / (sum(n_rows) / count(*)), {round_digits}) AS skew_ratio
+  FROM counts
+),
+top AS (
+  SELECT {keys}, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, {order_keys}) AS rank
+  FROM counts
+)
+SELECT {keys}, rank, n_rows,
+       round(n_rows * 1.0 / n_total, {round_digits}) AS share,
+       n_total, n_keys, skew_ratio
+FROM top, totals WHERE rank <= {k} ORDER BY rank
+"""

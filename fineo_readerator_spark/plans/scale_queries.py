@@ -212,8 +212,30 @@ ORDER BY o_orderpriority
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the fact table's (returnflag,
+    linestatus) — the report that decides between plain groupBy, AQE skew
+    handling and salted_agg (operators.scale.key_skew_report): one per-key
+    count shuffle, then metadata-sized rollup + top-k."""
+    from fineo_readerator_spark.operators.scale import key_skew_report
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    return key_skew_report(lineitem, ["l_returnflag", "l_linestatus"], k=5)
+
+
+def _q_skew_report_oracle() -> str:
+    from fineo_readerator_spark.operators.scale import key_skew_oracle_sql
+
+    return key_skew_oracle_sql(
+        "SELECT l_returnflag, l_linestatus FROM lineitem",
+        ["l_returnflag", "l_linestatus"],
+        k=5,
+    )
+
+
 SCALE_QUERIES = [
     QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE, bench=True),
     QueryDef("q_salted_hot_agg", q_salted_hot_agg, Q_SALTED_ORACLE),
     QueryDef("q_bloom_prejoin", q_bloom_prejoin, Q_BLOOM_PREJOIN_ORACLE),
+    QueryDef("q_skew_report", q_skew_report, _q_skew_report_oracle()),
 ]

@@ -154,3 +154,22 @@ def test_salted_join_rejects_replicating_outer(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError):
         salted_join(ev, ev.limit(5), ["event_type"], salt_from="event_id", how="full")
+
+
+def test_key_skew_report_values_and_takeordered_plan(spark):
+    """Skew diagnostics: shares/ratio from exact counts; the top-k must be
+    a TakeOrdered (per-partition heaps), never a global-sort/row_number
+    over the full key-count frame."""
+    from fineo_readerator_spark.operators.scale import key_skew_report
+
+    rows = [(i, "hot") for i in range(90)] + [(i, f"k{i % 5}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = key_skew_report(df, ["key"], k=3)
+    got = [(r.key, r.rank, r.n_rows, r.share) for r in out.collect()]
+    assert got[0] == ("hot", 1, 90, 0.9)
+    top = out.first()
+    assert top.n_total == 100 and top.n_keys == 6
+    # max/avg = 90 / (100/6) = 5.4
+    assert top.skew_ratio == 5.4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
