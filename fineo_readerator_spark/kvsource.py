@@ -128,12 +128,21 @@ def write_kv_snapshot(
     meta_path = f"{path}/_kv_meta.json"
     if mode == "append":
         try:
-            meta = json.loads(_fs_read_text(spark, meta_path))
+            raw = _fs_read_text(spark, meta_path)
         except ValueError:
             raise ValueError(
                 f"append to {path!r}: no _kv_meta.json — not an existing KV "
                 "snapshot (write with mode='overwrite' first)"
             ) from None
+        try:
+            meta = json.loads(raw)
+        except ValueError as e:
+            # corrupt ≠ missing: the bucket data may be intact, so do NOT
+            # advise the destructive overwrite (read_store_meta's pattern)
+            raise ValueError(
+                f"KV meta at {meta_path!r} is corrupt — inspect the snapshot "
+                "before rewriting it"
+            ) from e
         if meta["pk"] != pk_col or int(meta["n_buckets"]) != n_buckets:
             raise ValueError(
                 f"append to {path!r} with (pk={pk_col!r}, n_buckets={n_buckets}) "

@@ -31,6 +31,11 @@ def _z_expr(feature_cols: list[str], weights: list[float]) -> Column:
     """The linear term ``w0 + Σ wj·xj`` with literal weights, left-assoc in
     feature order — the oracle writes the identical association so the
     doubles match bit-for-bit."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"need {len(feature_cols) + 1} weights (bias first) for "
+            f"{len(feature_cols)} features, got {len(weights)}"
+        )
     z = F.lit(float(weights[0]))
     for w, c in zip(weights[1:], feature_cols):
         z = z + F.lit(float(w)) * F.col(c).cast("double")
@@ -108,13 +113,18 @@ def logistic_oracle_sql(
     update, so the two engines walk identical weight vectors."""
     k = len(feature_exprs)
     xcols = ", ".join(f"{e} AS x{j}" for j, e in enumerate(feature_exprs, start=1))
+    # the NULL filter gates TRAINING only; scoring covers every input row
+    # (NULL feature → NULL score/pred on both engines), matching
+    # score_logistic over the unfiltered frame
+    rankable = f"y IS NOT NULL AND " + " AND ".join(
+        f"x{j} IS NOT NULL" for j in range(1, k + 1)
+    )
     parts = [
         f"feats AS (SELECT {id_expr} AS id, {xcols},"
-        f" CAST(CASE WHEN {label_expr} THEN 1 ELSE 0 END AS DOUBLE) AS y"
-        f" FROM ({feats_sql})"
-        f" WHERE {label_expr} IS NOT NULL AND "
-        + " AND ".join(f"({e}) IS NOT NULL" for e in feature_exprs)
-        + ")",
+        f" CAST(CASE WHEN {label_expr} IS NULL THEN NULL"
+        f" WHEN {label_expr} THEN 1 ELSE 0 END AS DOUBLE) AS y"
+        f" FROM ({feats_sql}))",
+        f"train AS (SELECT * FROM feats WHERE {rankable})",
         "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(k + 1)) + ")",
     ]
 
@@ -134,7 +144,7 @@ def logistic_oracle_sql(
         parts.append(
             f"""g{t} AS (
   SELECT {', '.join(sums)}
-  FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z('w')}))) AS p FROM feats f, w{t} w)
+  FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z('w')}))) AS p FROM train f, w{t} w)
 )"""
         )
         upd = ", ".join(

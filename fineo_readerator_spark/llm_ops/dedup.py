@@ -72,6 +72,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 # --- paragraph-granular ----------------------------------------------------
 
 
+def paragraph_windows(text_col: str, para_tokens: int = 15):
+    """Consecutive ``para_tokens``-token windows of a text column as a
+    string array — THE paragraph-boundary convention (the fixtures carry no
+    newline structure).  Shared by :func:`paragraph_dedup` and
+    ``textstats.with_repetition_signals`` so the boundary can never drift
+    between them (both DuckDB replays unroll the identical windowing)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_par = F.ceil(n / F.lit(para_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_par - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1, para_tokens)),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
@@ -102,13 +117,7 @@ def paragraph_dedup(
     an 8-byte shuffle key — the first-occurrence semantics are unchanged."""
     from pyspark.sql.window import Window
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    n_par = F.ceil(n / F.lit(para_tokens)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_par - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1, para_tokens)),
-    )
+    paras = paragraph_windows(text_col, para_tokens)
     exploded = (
         df.select(F.col(id_col).alias("__id"), paras.alias("__ps"))
         .filter(F.size("__ps") > 0)

@@ -264,13 +264,9 @@ def with_repetition_signals(
     never compares across documents (no corpus-wide window, unlike
     paragraph_dedup's first-occurrence rule).  Ratios stay unrounded
     doubles: both engines divide identical exact integers."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    n_par = F.ceil(n / F.lit(para_tokens)).cast("int")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_par - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1, para_tokens)),
-    )
+    from fineo_readerator_spark.llm_ops.dedup import paragraph_windows
+
+    paras = paragraph_windows(text_col, para_tokens)
     per_para = (
         df.select(F.col(id_col).alias("__id"), paras.alias("__ps"))
         .filter(F.size("__ps") > 0)

@@ -200,7 +200,9 @@ def key_skew_report(
     # a global sort or single-partition window over the key-count frame —
     # high-cardinality keys make that frame large); the rank window then
     # runs over the k surviving rows only
-    order = [F.desc("n_rows")] + [F.asc(c) for c in key_cols]
+    # NULL keys are real buckets (same stance as categorical_drift); Spark's
+    # asc is NULLS FIRST, so the oracle pins NULLS FIRST explicitly too
+    order = [F.desc("n_rows")] + [F.asc_nulls_first(c) for c in key_cols]
     top = (
         counts.orderBy(*order)
         .limit(k)
@@ -230,7 +232,7 @@ def key_skew_oracle_sql(
     """DuckDB replay of :func:`key_skew_report` (same integer-exact counts,
     same rounded ratios)."""
     keys = ", ".join(key_cols)
-    order_keys = ", ".join(f"{c} ASC" for c in key_cols)
+    order_keys = ", ".join(f"{c} ASC NULLS FIRST" for c in key_cols)
     return f"""
 WITH counts AS (
   SELECT {keys}, count(*) AS n_rows FROM ({corpus_sql}) GROUP BY {keys}

@@ -748,11 +748,7 @@ def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, cents = ensure_ivf_layout_refined(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    qd = sorted(
-        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), cid)
-        for cid, sv in cents
-    )
-    probe = [cid for _, cid in qd[:4]]
+    probe = _nearest_cells(qv, cents, 4)
     layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return cosine_topk(layout, qv, k=10)
 
@@ -775,36 +771,40 @@ def _s_ann_ivf_kmeans_oracle() -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + """,
+        + f""",
 sims AS (
-  SELECT a.id AS vec_id,
-         round(
-           list_sum(list_transform(generate_series(1, len(a.v)),
-                    i -> CAST(a.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-           6) AS cos_sim
+  SELECT a.id AS vec_id, {_SEM_COS.format(a='a.v', b='q.qv')} AS cos_sim
   FROM af a, q WHERE a.cell IN (SELECT cid FROM probe)
 )
 SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10"""
     )
 
 
+def _nearest_cells(
+    qv: list[float], cents: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` nearest codebook cells to a query vector — THE probe
+    derivation for every layout-backed ANN family (seeded and
+    kmeans-refined): squared euclidean rounded at 1e-9 with the cell id as
+    tie-break, the identical contract the oracles unroll."""
+    qd = sorted(
+        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), cid)
+        for cid, sv in cents
+    )
+    return [cid for _, cid in qd[:n_probe]]
+
+
 def _ivf_probe(spark: SparkSession, sf_dir: str, n_probe: int = 4):
-    """Shared probe derivation for the layout-backed ANN queries: the query
-    vector, its ``n_probe`` nearest codebook cells (same rounded-distance
-    tie-break everywhere), and the cell-pruned layout frame."""
+    """Shared probe derivation for the seeded-codebook layout queries: the
+    query vector, its ``n_probe`` nearest cells (:func:`_nearest_cells`),
+    and the cell-pruned layout frame."""
     from fineo_readerator_spark.llm_ops.similarity import seeded_codebook
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     rest = emb.filter(F.col("vec_id") != 0)
     seeds = seeded_codebook(rest, "vec_id", "embedding", 16)
-    qd = sorted(
-        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), sid)
-        for sid, sv in seeds
-    )
-    probe = [sid for _, sid in qd[:n_probe]]
+    probe = _nearest_cells(qv, seeds, n_probe)
     layout = spark.read.parquet(ensure_ivf_layout(spark, sf_dir))
     return qv, layout.filter(F.col("cell").isin(probe))
 

@@ -477,7 +477,13 @@ def st_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="fineo_st_kmeans_")
     model = f"{tmp}/model"
-    emb = load(spark, sf_dir, "embeddings")
+    # seed from the RANKABLE frame only (the kmeans_refine contract the
+    # maintainer's batch filter also applies): a NULL embedding among the
+    # lowest ids would crash seeding, a misdimensioned one would become a
+    # stored centroid the oracle's filtered c0 never sees
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     init_kmeans_model(spark, model, seeded_codebook(emb, "vec_id", "embedding", 16))
     stream = (
         SourceSpec(kind="historical", path=f"{sf_dir}/embeddings.parquet")

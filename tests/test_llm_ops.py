@@ -250,6 +250,48 @@ def test_train_logistic_learns_separable_data(spark):
         train_logistic(df.filter(F.lit(False)), ["x"], "y")
 
 
+def test_logistic_oracle_parity_with_null_rows(spark):
+    """Review regression: the oracle filtered NULL-label/feature rows out of
+    SCORING (not just training), so its row set diverged from
+    score_logistic on any dirty corpus.  Both engines must now train on
+    rankable rows only but score EVERY row (NULL feature → NULL score)."""
+    import duckdb
+    import pyarrow as pa
+
+    from fineo_readerator_spark.llm_ops.classifier import (
+        logistic_oracle_sql,
+        score_logistic,
+        train_logistic,
+    )
+
+    rows = [(i, -1.0 + 0.25 * i, i % 2 == 0) for i in range(12)]
+    rows += [(90, None, True), (91, 0.5, None), (92, None, None)]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y boolean")
+    w = train_logistic(df, ["x"], "y", n_iters=2, lr=1.0)
+    got = sorted(
+        (r.doc_id, r.score, r.pred)
+        for r in score_logistic(df, ["x"], w).select("doc_id", "score", "pred").collect()
+    )
+
+    con = duckdb.connect()
+    tbl = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "x": [r[1] for r in rows],
+            "y": [r[2] for r in rows],
+        }
+    )
+    con.register("corpus", tbl)
+    sql = logistic_oracle_sql(
+        "SELECT doc_id, x, y FROM corpus", ["x"], "y", n_iters=2, lr=1.0
+    )
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
+    by_id = {t[0]: t for t in got}
+    assert by_id[90][1] is None and by_id[92][1] is None  # NULL feature rows kept
+    assert by_id[91][1] is not None  # NULL label still SCORES (train-only filter)
+
+
 def test_refined_ivf_layout_persists_centroids(spark):
     """The kmeans-refined IVF layout must persist its centroids as store
     meta and serve probes from that meta — two ensure calls return the

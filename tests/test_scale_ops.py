@@ -173,3 +173,32 @@ def test_key_skew_report_values_and_takeordered_plan(spark):
     assert top.skew_ratio == 5.4
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_key_skew_report_null_key_parity(spark):
+    """Review regression: Spark asc (NULLS FIRST) vs DuckDB ASC (NULLS
+    LAST) diverged on a NULL key at the top-k boundary; the oracle now
+    pins NULLS FIRST and both engines agree a NULL key is a real bucket."""
+    import duckdb
+    import pyarrow as pa
+
+    from fineo_readerator_spark.operators.scale import (
+        key_skew_oracle_sql,
+        key_skew_report,
+    )
+
+    keys = [None] * 10 + ["a"] * 10 + ["b"] * 3
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "id long, key string")
+    got = sorted(
+        (r.key, r.rank, r.n_rows, r.share, r.n_total, r.n_keys, r.skew_ratio)
+        for r in key_skew_report(df, ["key"], k=1).collect()
+    )
+    con = duckdb.connect()
+    con.register("corpus", pa.table({"id": list(range(len(keys))), "key": keys}))
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            key_skew_oracle_sql("SELECT key FROM corpus", ["key"], k=1)
+        ).fetchall()
+    )
+    assert got == exp and got[0][0] is None  # NULL key wins the tie at rank 1
