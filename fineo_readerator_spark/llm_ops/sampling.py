@@ -139,6 +139,49 @@ def weighted_k_oracle_key(key_expr: str, weight_expr: str, seed: int = 42) -> st
     )
 
 
+def k_anonymize(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity suppression: drop every row whose QUASI-IDENTIFIER
+    combination occurs fewer than ``k`` times — the release gate that keeps
+    a published corpus from exposing individuals through rare attribute
+    combinations (lang × source × ... singling someone out).  Appends
+    ``qi_group_n`` (the surviving row's group size) so downstream audits
+    can verify the floor.  NULL attribute values form REAL groups (they
+    can single out too), hence the null-safe join.
+
+    Scale shape: one map-side-combined group count (quasi-cardinality
+    rows), null-safe-joined back — AQE broadcasts the count side when
+    small.  Deliberately NOT a count window over the raw rows: a window
+    needs every group's rows on one reducer (no partial aggregation), so a
+    dominant group would drown at scale where the groupBy's map-side
+    combine doesn't."""
+    counts = (
+        df.groupBy(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("qi_group_n"))
+        .filter(F.col("qi_group_n") >= k)
+    )
+    cond = None
+    for c in quasi_cols:
+        this = df[c].eqNullSafe(counts[f"__q_{c}"])
+        cond = this if cond is None else cond & this
+    return df.join(counts, cond, "inner").drop(*[f"__q_{c}" for c in quasi_cols])
+
+
+def k_anonymize_oracle_sql(
+    corpus_sql: str, quasi_cols: list[str], out_cols: list[str], k: int = 5
+) -> str:
+    """DuckDB replay of :func:`k_anonymize` (same null-safe grouping)."""
+    qs = ", ".join(quasi_cols)
+    on = " AND ".join(f"d.{c} IS NOT DISTINCT FROM g.{c}" for c in quasi_cols)
+    cols = ", ".join(f"d.{c}" for c in out_cols)
+    return f"""
+SELECT {cols}, g.qi_group_n
+FROM ({corpus_sql}) d
+JOIN (SELECT {qs}, count(*) AS qi_group_n FROM ({corpus_sql}) GROUP BY {qs}) g
+  ON {on}
+WHERE g.qi_group_n >= {k}
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1137,6 +1137,66 @@ def _s_kmeans_oracle() -> str:
     )
 
 
+def s_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality report over the refined k-means run: per cluster
+    the size, mean within-cluster squared distance (cohesion, decimal-exact
+    sum) and the distance to the nearest OTHER centroid (separation,
+    computed driver-side from the model — C² pairs of model state, not
+    data).  The report that says whether C is sized right before committing
+    to a cell layout."""
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_refine
+
+    cents, assigned = kmeans_refine(
+        load(spark, sf_dir, "embeddings"), n_centroids=8, n_iters=2
+    )
+    sep: dict[int, float] = {}
+    for cid, v in cents:
+        sep[cid] = min(
+            round(sum((a - b) ** 2 for a, b in zip(v, w)), 9)
+            for cid2, w in cents
+            if cid2 != cid
+        )
+    sep_map = F.create_map(
+        *[x for cid, d in sorted(sep.items()) for x in (F.lit(cid), F.lit(d))]
+    )
+    g = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("sq_dist").cast("decimal(25,9)")).alias("__s"),
+    )
+    return g.select(
+        "cluster_id",
+        "n_vecs",
+        F.round(F.col("__s").cast("double") / F.col("n_vecs"), 6).alias("avg_sq_dist"),
+        sep_map[F.col("cluster_id")].alias("min_inter_dist"),
+    ).orderBy("cluster_id")
+
+
+def _s_cluster_quality_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import _km_dist, kmeans_cte_parts
+
+    parts, cfin = kmeans_cte_parts(
+        "SELECT vec_id, embedding FROM embeddings", n_centroids=8, n_iters=2
+    )
+    parts.append(
+        f"""sep AS (
+  SELECT a.cid, min({_km_dist(64, 'a.cent', 'b.cent')}) AS min_inter
+  FROM {cfin} a JOIN {cfin} b ON a.cid != b.cid GROUP BY a.cid
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.cell AS cluster_id, count(*) AS n_vecs,
+       round(CAST(sum(CAST(a.sq_dist AS DECIMAL(25,9))) AS DOUBLE) / count(*), 6)
+         AS avg_sq_dist,
+       s.min_inter AS min_inter_dist
+FROM af a JOIN sep s ON a.cell = s.cid
+GROUP BY a.cell, s.min_inter
+ORDER BY cluster_id"""
+    )
+
+
 def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16) -> str:
     return f"""
 WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
@@ -2027,6 +2087,35 @@ SELECT lang, doc_id, n_chars, sample_rank FROM (
 """
 
 
+def p_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (llm_ops.sampling.k_anonymize): rows whose
+    (lang, length-bucket) quasi-identifier combination occurs < 5 times are
+    suppressed before export — one group count null-safe-joined back, never
+    a count window (a dominant group would drown one reducer)."""
+    from fineo_readerator_spark.llm_ops.sampling import k_anonymize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 10).alias("len_bucket")
+    )
+    return (
+        k_anonymize(docs, ["lang", "len_bucket"], k=5)
+        .select("doc_id", "lang", "len_bucket", "qi_group_n")
+        .orderBy("doc_id")
+    )
+
+
+def _p_k_anonymize_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import k_anonymize_oracle_sql
+
+    corpus = (
+        "SELECT doc_id, lang, CAST(floor(n_chars / 10) AS BIGINT) AS len_bucket"
+        " FROM documents"
+    )
+    return k_anonymize_oracle_sql(
+        corpus, ["lang", "len_bucket"], ["doc_id", "lang", "len_bucket"], k=5
+    )
+
+
 def _p_stratified_oracle() -> str:
     from fineo_readerator_spark.llm_ops.sampling import sample_oracle_bucket
 
@@ -2227,6 +2316,7 @@ LLM_QUERIES = [
     QueryDef("s_knn_graph", s_knn_graph, _s_knn_graph_oracle(), bench=True),
     QueryDef("s_kmeans", s_kmeans, _s_kmeans_oracle(), bench=True),
     QueryDef("s_ann_ivf_kmeans", s_ann_ivf_kmeans, _s_ann_ivf_kmeans_oracle()),
+    QueryDef("s_cluster_quality", s_cluster_quality, _s_cluster_quality_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
@@ -2243,6 +2333,7 @@ LLM_QUERIES = [
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
     QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),
+    QueryDef("p_k_anonymize", p_k_anonymize, _p_k_anonymize_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),

@@ -184,6 +184,10 @@ def main() -> None:
         "s_ann_pq": QUERIES["s_ann_pq"].fn,
         "d_semantic_dedup_layout (16 cells fixed)": QUERIES["d_semantic_dedup_layout"].fn,
         "semantic_dedup (cells ~ N, the SCALE.md knob)": _semantic_dedup_scaled,
+        # iterative algorithms: per-iteration cost is one corpus pass (k-means
+        # assignment+update; logistic gradient), so both must scale linearly
+        "s_kmeans (C=8, 2 iters)": QUERIES["s_kmeans"].fn,
+        "t_quality_classifier (3 GD iters)": QUERIES["t_quality_classifier"].fn,
     }
 
     results: dict[str, dict] = {name: {} for name in ops}

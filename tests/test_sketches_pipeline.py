@@ -173,6 +173,25 @@ def test_weighted_stratified_k_favors_heavy_rows(spark):
     assert "WindowGroupLimit" in plan.split("Exchange", 1)[-1]
 
 
+def test_k_anonymize_suppresses_rare_combos(spark):
+    """Rows in quasi-identifier groups under k vanish; survivors carry the
+    group size; NULL attribute values form a real group (null-safe join)."""
+    from fineo_readerator_spark.llm_ops.sampling import k_anonymize
+
+    rows = [(i, "en", "web") for i in range(10)]
+    rows += [(100, "en", "rare"), (101, "de", None), (102, "de", None), (103, "de", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, src string")
+    out = k_anonymize(df, ["lang", "src"], k=3)
+    got = {r.doc_id: r.qi_group_n for r in out.collect()}
+    assert 100 not in got  # singleton combo suppressed
+    assert all(got[i] == 10 for i in range(10))
+    assert got[101] == 3 and got[103] == 3  # NULL src group counted + kept
+    # no count window in the plan: the group count must be a partial-agg
+    # groupBy joined back, not a single-reducer window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_domain_mix_hits_targets(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 2}") for i in range(1000)], "doc_id long, source string"
