@@ -139,6 +139,81 @@ def weighted_k_oracle_key(key_expr: str, weight_expr: str, seed: int = 42) -> st
     )
 
 
+def distribution_match_sample(
+    df: DataFrame,
+    target: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Importance-sample the corpus so its ``bucket_col`` mix MATCHES a
+    target frame's distribution (match the eval set's length/language
+    profile, rebalance toward a reference mix): each row keeps with
+    probability ``min(1, target_share / corpus_share)`` of its bucket,
+    decided by the portable md5 hash — deterministic under repartitioning,
+    retries and engines.  Buckets absent from the target drop entirely.
+
+    The keep rule is ONE integer inequality — no float division anywhere:
+    ``hash_bucket · c_n · t_total < t_n · c_total · B`` (exact decimal
+    products on both engines), so there is no rounding boundary for
+    cross-engine drift to hide in.
+
+    Scale shape: two map-side-combined bucket counts + two single-row
+    totals; the bucket→count table is bucket-cardinality-sized and
+    broadcast back onto the corpus; the filter is a codegen'd row-local
+    predicate.  The corpus is scanned twice (count pass, filter pass) —
+    the quality_resample trade: cheaper than materializing a corpus-sized
+    annotated frame.  The count frames are lineage-cut before feeding
+    totals AND rates (the multi-consumer rule — without it Catalyst
+    re-evaluates each count subtree, re-scanning both inputs)."""
+    dec = "decimal(38,0)"
+    bc = F.col(bucket_col)
+    c = (
+        df.groupBy(bc.alias("__mb"))
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .localCheckpoint(eager=False)
+    )
+    t = (
+        target.groupBy(bc.alias("__tb"))
+        .agg(F.count(F.lit(1)).alias("__tn"))
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        c.agg(F.sum("__cn").alias("__ct"))
+        .crossJoin(t.agg(F.coalesce(F.sum("__tn"), F.lit(0)).alias("__tt")))
+    )
+    rates = (
+        # null-safe: a NULL bucket in the target must still rate-match the
+        # corpus's NULL bucket, exactly as the oracle's IS NOT DISTINCT FROM
+        c.join(t, F.col("__mb").eqNullSafe(F.col("__tb")), "left")
+        .select("__mb", "__cn", F.coalesce("__tn", F.lit(0)).alias("__tn"))
+        .crossJoin(F.broadcast(totals))
+    )
+    joined = df.join(F.broadcast(rates), bc.eqNullSafe(F.col("__mb")), "inner")
+    keep = (
+        _bucket(F.col(key_col), seed).cast(dec) * F.col("__cn").cast(dec) * F.col("__tt").cast(dec)
+        < F.col("__tn").cast(dec) * F.col("__ct").cast(dec) * F.lit(_BUCKETS).cast(dec)
+    )
+    return joined.filter(keep).drop("__mb", "__cn", "__tn", "__ct", "__tt")
+
+
+def distribution_match_oracle_predicate(
+    bucket_expr: str,
+    key_expr: str,
+    cn: str,
+    tn: str,
+    ct: str,
+    tt: str,
+    seed: int = 42,
+) -> str:
+    """DuckDB predicate replaying the integer keep rule (HUGEINT products)."""
+    b = sample_oracle_bucket(key_expr, seed)
+    return (
+        f"CAST({b} AS HUGEINT) * CAST({cn} AS HUGEINT) * CAST({tt} AS HUGEINT)"
+        f" < CAST({tn} AS HUGEINT) * CAST({ct} AS HUGEINT) * {_BUCKETS}"
+    )
+
+
 def k_anonymize(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
     """k-anonymity suppression: drop every row whose QUASI-IDENTIFIER
     combination occurs fewer than ``k`` times — the release gate that keeps

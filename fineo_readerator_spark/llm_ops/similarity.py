@@ -220,14 +220,12 @@ def seeded_codebook(
     ]
 
 
-def seeded_cell_struct_expr(
-    vec_col: str, seeds: list[tuple[int, list[float]]]
-) -> Column:
-    """Nearest-centroid struct ``(d, sid)`` of a vector against a codebook:
-    squared-euclidean distances rounded (1e-9) before the argmin so
-    floating-point association differences between engines can never flip
-    the cell choice; ties go to the lower centroid id (struct comparison
-    orders by ``d`` then ``sid``)."""
+def _cells_array_sql(vec_col: str, seeds: list[tuple[int, list[float]]]) -> str:
+    """SQL for the per-row array of ``(d, sid)`` structs against a codebook:
+    squared-euclidean distances rounded (1e-9) so floating-point
+    association differences between engines can never flip a cell choice;
+    ties go to the lower centroid id (struct comparison orders by ``d``
+    then ``sid``)."""
 
     def dist_sql(vec_expr: str, seed: list[float]) -> str:
         arr = "array(" + ",".join(f"{float(v)!r}D" for v in seed) + ")"
@@ -237,12 +235,32 @@ def seeded_cell_struct_expr(
             " 0D, (acc, v) -> acc + v), 9)"
         )
 
-    return F.expr(
-        "array_min(array("
+    return (
+        "array("
         + ",".join(
             f"named_struct('d', {dist_sql(vec_col, sv)}, 'sid', {sid}L)" for sid, sv in seeds
         )
-        + "))"
+        + ")"
+    )
+
+
+def seeded_cell_struct_expr(
+    vec_col: str, seeds: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid struct ``(d, sid)`` of a vector against a codebook
+    (see :func:`_cells_array_sql` for the rounding/tie contract)."""
+    return F.expr(f"array_min({_cells_array_sql(vec_col, seeds)})")
+
+
+def probe_cells_expr(
+    vec_col: str, seeds: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest cell ids of a vector as an array (multi-probe
+    assignment) — same rounding/tie contract as the single-cell argmin;
+    element 1 IS the primary cell."""
+    return F.expr(
+        f"transform(slice(array_sort({_cells_array_sql(vec_col, seeds)}),"
+        f" 1, {n_probe}), s -> s.sid)"
     )
 
 
@@ -596,6 +614,7 @@ def knn_graph(
     max_rows_per_cell: int = 100_000,
     allow_oversized_cells: bool = False,
     dim: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate k-NN graph over the embedding corpus: every vector's
     top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
@@ -603,8 +622,8 @@ def knn_graph(
     diversity-aware sampling.  Cell-bounded means a node's candidate set is
     its cell, not the corpus (the SemDeDup blocking argument applied to
     graph construction); recall at the cell boundary is the documented
-    trade, recovered at scale by multi-probe assignment or a second pass
-    over neighboring cells.
+    trade — set ``n_probe > 1`` and each node ALSO searches its runner-up
+    cells (candidate volume grows n_probe-fold, still cell-bounded).
 
     Scale shape mirrors :func:`semantic_dedup`: one eager-checkpointed cell
     assignment (argmin evaluated once, sizing gate on the materialized
@@ -631,14 +650,21 @@ def knn_graph(
         raise ValueError(
             f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
         )
-    assigned = df.withColumn("__cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
-        eager=True
+    # one checkpointed assignment carries the probe LIST; the primary cell
+    # is its first element, so n_probe == 1 degenerates to the plain
+    # single-cell graph with an identical plan shape
+    assigned = (
+        df.withColumn("__probes", probe_cells_expr(vec_col, seeds, n_probe))
+        .withColumn("__cell", F.col("__probes")[0])
+        .localCheckpoint(eager=True)
     )
     _gate_cell_sizing(
         assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
     )
+    # source side probes its n_probe nearest cells (boundary-recall pass);
+    # neighbors stay in their PRIMARY cell, so a pair appears at most once
     a = assigned.select(
-        "__cell",
+        F.explode("__probes").alias("__cell"),
         F.col(id_col).alias("__src"),
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),

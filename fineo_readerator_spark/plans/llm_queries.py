@@ -1197,7 +1197,7 @@ ORDER BY cluster_id"""
     )
 
 
-def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16) -> str:
+def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16, n_probe: int = 1) -> str:
     return f"""
 WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
@@ -1208,10 +1208,11 @@ assign AS (
   FROM (SELECT c.vec_id, c.embedding, s.sid, s.sv FROM corpus c CROSS JOIN seeds s)
 ),
 cells AS (SELECT vec_id, embedding, sid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, embedding, sid AS cell FROM assign WHERE rn <= {n_probe}),
 pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          {_SEM_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
-  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
 )
 SELECT vec_id, nbr_id, cos_sim, CAST(rank AS INT) AS rank FROM (
   SELECT vec_id, nbr_id, cos_sim,
@@ -1219,6 +1220,16 @@ SELECT vec_id, nbr_id, cos_sim, CAST(rank AS INT) AS rank FROM (
   FROM pairs
 ) WHERE rank <= {k}
 """
+
+
+def s_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe k-NN graph: each node ALSO searches its runner-up cell
+    (n_probe=2), recovering the neighbors the single-cell graph loses at
+    cell boundaries — the documented recall-recovery knob, still
+    cell-bounded (candidate volume 2×, never the corpus)."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    return knn_graph(load(spark, sf_dir, "embeddings"), k=3, n_centroids=16, n_probe=2)
 
 
 def p_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2098,50 @@ SELECT lang, doc_id, n_chars, sample_rank FROM (
 """
 
 
+def p_dist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching resample (llm_ops.sampling.
+    distribution_match_sample): reshape the corpus's language mix to match
+    an en/de-only target frame — per-bucket keep probability
+    min(1, t_share/c_share) decided by ONE integer inequality on the
+    portable hash (no float rounding boundary anywhere).  Languages absent
+    from the target vanish; the kept mix approaches the target's."""
+    from fineo_readerator_spark.llm_ops.sampling import distribution_match_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    target = docs.filter(F.col("lang").isin("en", "de"))
+    kept = distribution_match_sample(docs, target, "lang", "doc_id")
+    return (
+        kept.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def _p_dist_match_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import (
+        distribution_match_oracle_predicate,
+    )
+
+    pred = distribution_match_oracle_predicate(
+        "d.lang", "d.doc_id", "c.cn", "coalesce(t.tn, 0)", "ct.v", "tt.v"
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, lang FROM documents),
+tgt AS (SELECT lang FROM documents WHERE lang IN ('en', 'de')),
+c AS (SELECT lang, count(*) AS cn FROM corpus GROUP BY lang),
+t AS (SELECT lang, count(*) AS tn FROM tgt GROUP BY lang),
+ct AS (SELECT sum(cn) AS v FROM c),
+tt AS (SELECT sum(tn) AS v FROM t),
+kept AS (
+  SELECT d.lang FROM corpus d
+  JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+  LEFT JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
+  CROSS JOIN ct CROSS JOIN tt
+  WHERE {pred}
+)
+SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 def p_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release gate (llm_ops.sampling.k_anonymize): rows whose
     (lang, length-bucket) quasi-identifier combination occurs < 5 times are
@@ -2317,6 +2372,7 @@ LLM_QUERIES = [
     QueryDef("s_kmeans", s_kmeans, _s_kmeans_oracle(), bench=True),
     QueryDef("s_ann_ivf_kmeans", s_ann_ivf_kmeans, _s_ann_ivf_kmeans_oracle()),
     QueryDef("s_cluster_quality", s_cluster_quality, _s_cluster_quality_oracle()),
+    QueryDef("s_knn_multiprobe", s_knn_multiprobe, _s_knn_graph_oracle(n_probe=2)),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
@@ -2334,6 +2390,7 @@ LLM_QUERIES = [
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
     QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),
     QueryDef("p_k_anonymize", p_k_anonymize, _p_k_anonymize_oracle()),
+    QueryDef("p_dist_match", p_dist_match, _p_dist_match_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),

@@ -292,6 +292,46 @@ def test_logistic_oracle_parity_with_null_rows(spark):
     assert by_id[91][1] is not None  # NULL label still SCORES (train-only filter)
 
 
+def test_knn_multiprobe_never_worse_than_single(spark, vectors):
+    """n_probe=2 searches a superset of each node's candidates, so every
+    node's best neighbor must be at least as similar as under n_probe=1
+    (boundary-recall recovery), and n_probe=1 keeps the original graph."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    single = {
+        r.vec_id: r.cos_sim
+        for r in knn_graph(vectors, k=1, n_centroids=4).collect()
+    }
+    multi = {
+        r.vec_id: r.cos_sim
+        for r in knn_graph(vectors, k=1, n_centroids=4, n_probe=2).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[i] >= single[i] for i in single)
+
+
+def test_dist_match_null_bucket_and_absent_bucket(spark):
+    """NULL is a first-class bucket (null-safe rate join, matching the
+    oracle's IS NOT DISTINCT FROM): NULL-bucket corpus rows keep when the
+    target contains NULL-bucket rows; buckets absent from the target drop
+    entirely; an empty target keeps nothing."""
+    from fineo_readerator_spark.llm_ops.sampling import distribution_match_sample
+
+    corpus = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else ("en" if i % 3 == 1 else "zz")) for i in range(90)],
+        "doc_id long, lang string",
+    )
+    target = corpus.filter(F.col("lang").isNull() | (F.col("lang") == "en"))
+    kept = distribution_match_sample(corpus, target, "lang", "doc_id").collect()
+    langs = {r.lang for r in kept}
+    assert None in langs and "en" in langs  # NULL bucket rate-matched
+    assert "zz" not in langs  # absent from target -> dropped
+    empty = distribution_match_sample(
+        corpus, corpus.filter(F.lit(False)), "lang", "doc_id"
+    )
+    assert empty.count() == 0
+
+
 def test_cluster_quality_separation_vs_cohesion(spark, vectors):
     """The quality report's invariants on well-separated toy data: sizes sum
     to the corpus, cohesion is non-negative, and the planted near-copy
