@@ -170,6 +170,130 @@ FROM __first WHERE rn = 1 GROUP BY id
 """
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str = "text",
+    para_tokens: int = 15,
+    min_docs: int = 2,
+    min_share_pct: int = 25,
+) -> DataFrame:
+    """In-domain boilerplate removal: a paragraph is boilerplate WITHIN a
+    group (site/host/source) when it appears in ≥ ``min_docs`` distinct
+    documents AND in ≥ ``min_share_pct`` percent of the group's documents —
+    nav bars, footers, cookie banners, license blurbs.  Unlike
+    :func:`paragraph_dedup` (keep FIRST occurrence corpus-wide), boilerplate
+    is removed from EVERY document including the first: no occurrence is
+    the "original" of a template.  The share test is an exact integer rule
+    (``n_docs · 100 ≥ pct · group_docs``) — no float boundary for engines
+    to disagree on.
+
+    Scale shape: tokenize+window is one codegen'd projection; the
+    paragraph-frequency table is a distinct-projection + hash agg keyed
+    (group, md5(para)) — paragraph-cardinality-sized, NOT corpus-sized —
+    rejoined on the same key (co-partitioned with the explode output's
+    natural shuffle); per-group doc totals are a group-cardinality frame,
+    broadcast.  Documents that are pure template disappear (yield signal,
+    same contract as paragraph_dedup).  Output ``(id, n_kept, n_boiler,
+    kept_text)``."""
+    paras = paragraph_windows(text_col, para_tokens)
+    exploded = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__grp"),
+            paras.alias("__ps"),
+        )
+        .filter(F.size("__ps") > 0)
+        .select("__id", "__grp", F.posexplode("__ps").alias("__idx", "__para"))
+        .filter(F.length("__para") > 0)
+        .withColumn("__ph", F.md5("__para"))
+        .localCheckpoint(eager=False)  # feeds the DF table AND the rejoin
+    )
+    # NULL group is a first-class group (a host column can be unparseable):
+    # null-safe join keys here, IS NOT DISTINCT FROM in the oracle
+    group_docs = F.broadcast(
+        df.groupBy(F.col(group_col).alias("__ggrp"))
+        .agg(F.countDistinct(F.col(id_col)).alias("__gd"))
+    )
+    para_df = (
+        exploded.select(
+            F.col("__grp").alias("__pgrp"), F.col("__ph").alias("__pph"), "__id"
+        )
+        .distinct()
+        .groupBy("__pgrp", "__pph")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    boiler = (
+        F.col("__nd") >= F.lit(min_docs)
+    ) & (F.col("__nd") * F.lit(100) >= F.lit(min_share_pct) * F.col("__gd"))
+    flagged = (
+        exploded.join(
+            para_df,
+            F.col("__grp").eqNullSafe(F.col("__pgrp")) & (F.col("__ph") == F.col("__pph")),
+        )
+        .join(group_docs, F.col("__grp").eqNullSafe(F.col("__ggrp")))
+        .withColumn("__boiler", boiler)
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.sum(F.when(~F.col("__boiler"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).cast("long").alias("n_boiler"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("__idx", "__boiler", "__para"))),
+                        lambda s: ~s["__boiler"],
+                    ),
+                    lambda s: s["__para"],
+                ),
+            ).alias("kept_text"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .select(F.col("__id").alias(id_col), "n_kept", "n_boiler", "kept_text")
+    )
+
+
+def boilerplate_strip_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    para_tokens: int = 15,
+    min_docs: int = 2,
+    min_share_pct: int = 25,
+) -> str:
+    """DuckDB replay of :func:`boilerplate_strip`: same windows, same exact
+    integer share rule, same in-order reassembly of non-boilerplate
+    paragraphs."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __c AS (SELECT {id_col} AS id, {group_col} AS grp, {toks} AS toks FROM ({corpus_sql})),
+__p AS (
+  SELECT id, grp, CAST(i AS INT) - 1 AS idx,
+         array_to_string(toks[(i - 1) * {para_tokens} + 1 : i * {para_tokens}], ' ') AS para
+  FROM __c, unnest(generate_series(1, CAST(ceil(len(toks) / {para_tokens}.0) AS BIGINT))) t(i)
+  WHERE len(toks) > 0
+),
+__pp AS (SELECT id, grp, idx, para, md5(para) AS ph FROM __p WHERE length(para) > 0),
+__gd AS (SELECT grp, count(DISTINCT id) AS gd FROM __c GROUP BY grp),
+__pf AS (SELECT grp, ph, count(DISTINCT id) AS nd FROM __pp GROUP BY grp, ph),
+__f AS (
+  SELECT p.id, p.idx, p.para,
+         (f.nd >= {min_docs} AND f.nd * 100 >= {min_share_pct} * g.gd) AS boiler
+  FROM __pp p JOIN __pf f ON p.grp IS NOT DISTINCT FROM f.grp AND p.ph = f.ph
+  JOIN __gd g ON p.grp IS NOT DISTINCT FROM g.grp
+)
+SELECT id AS {id_col},
+       CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS n_boiler,
+       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE NOT boiler), '') AS kept_text
+FROM __f GROUP BY id HAVING count(*) FILTER (WHERE NOT boiler) > 0
+"""
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -880,3 +880,96 @@ def normalize_oracle_exprs(text_col: str = "text", out_col: str = "norm_text") -
     c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
     toks = f"len(list_filter(regexp_split_to_array({c}, '\\s+'), x -> length(x) > 0))"
     return f"{c} AS {out_col}, CAST({toks} AS BIGINT) AS n_norm_tokens"
+
+
+# --- filter-funnel report ----------------------------------------------------
+
+
+def quality_funnel(df: DataFrame, gates: list[tuple[str, Column]]) -> DataFrame:
+    """Ordered-gate filter funnel: attribute every dropped document to the
+    FIRST gate it fails and report, per stage, how many documents reached
+    it, dropped there, and passed through — the pipeline-observability view
+    every curation chain needs before anyone trusts its yield (FineWeb /
+    Dolma publish exactly this table per snapshot).
+
+    Gate semantics: a NULL gate verdict counts as FAIL (a gate that cannot
+    evaluate a document must not pass it) — pinned on both engines via
+    ``coalesce(gate, FALSE)``.
+
+    Scale shape: ONE corpus scan — the first-fail stage index is a single
+    chained CASE projection (whole-stage codegen), aggregated by one hash
+    shuffle of at most ``len(gates)+1`` distinct keys (map-side combined,
+    so the exchange carries ~n_gates rows per mapper).  The
+    reached/dropped arithmetic then runs on that gate-count frame — a
+    window over ≤ n_gates rows, never the corpus.  Output: ``(stage, gate,
+    n_reached, n_dropped, n_passed)`` ordered by stage, where the last
+    stage's ``n_passed`` is the corpus yield."""
+    from pyspark.sql.window import Window
+
+    if not gates:
+        raise ValueError("quality_funnel needs at least one gate")
+    ff: Column | None = None
+    for i, (_, g) in enumerate(gates):
+        fail = ~F.coalesce(g, F.lit(False))
+        ff = F.when(fail, F.lit(i + 1)) if ff is None else ff.when(fail, F.lit(i + 1))
+    counts = (
+        df.withColumn("__ff", ff.otherwise(F.lit(0)))
+        .groupBy("__ff")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)  # consumed by the total AND the join
+    )
+    spark = df.sparkSession
+    stages = spark.createDataFrame(
+        [(i + 1, name) for i, (name, _) in enumerate(gates)], "stage int, gate string"
+    )
+    total = counts.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"))
+    w = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stages.join(F.broadcast(counts), F.col("stage") == F.col("__ff"), "left")
+        .select("stage", "gate", F.coalesce("__n", F.lit(0)).alias("n_dropped"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_reached",
+            (F.col("__t") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0))).cast("long"),
+        )
+        .select(
+            "stage",
+            "gate",
+            "n_reached",
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            (F.col("n_reached") - F.col("n_dropped")).cast("long").alias("n_passed"),
+        )
+        .orderBy("stage")
+    )
+
+
+def funnel_oracle_sql(corpus_sql: str, gates_sql: list[tuple[str, str]]) -> str:
+    """DuckDB replay of :func:`quality_funnel`: identical first-fail CASE
+    chain (NULL verdict = FAIL), identical running-total arithmetic.  Each
+    ``gates_sql`` entry is ``(name, boolean SQL over the corpus columns)``
+    and must express the same predicate as the Spark gate."""
+    case = " ".join(
+        f"WHEN NOT coalesce(({g}), FALSE) THEN {i + 1}"
+        for i, (_, g) in enumerate(gates_sql)
+    )
+    stage_rows = ", ".join(f"({i + 1}, '{n}')" for i, (n, _) in enumerate(gates_sql))
+    return f"""
+WITH __ff AS (SELECT CASE {case} ELSE 0 END AS ff FROM ({corpus_sql})),
+__cnt AS (SELECT ff, count(*) AS n FROM __ff GROUP BY ff),
+__tot AS (SELECT coalesce(sum(n), 0) AS t FROM __cnt),
+__stages(stage, gate) AS (VALUES {stage_rows}),
+__d AS (
+  SELECT s.stage, s.gate, coalesce(c.n, 0) AS n_dropped
+  FROM __stages s LEFT JOIN __cnt c ON c.ff = s.stage
+)
+SELECT CAST(stage AS INT) AS stage, gate,
+       CAST(t - coalesce(sum(n_dropped) OVER (ORDER BY stage
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_reached,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(t - coalesce(sum(n_dropped) OVER (ORDER BY stage
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_dropped AS BIGINT) AS n_passed
+FROM __d CROSS JOIN __tot ORDER BY stage
+"""

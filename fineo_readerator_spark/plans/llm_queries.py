@@ -780,6 +780,75 @@ SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10"""
     )
 
 
+def ensure_ivf_layout_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental IVF index maintenance — the daily-ingest shape for a
+    100 TB vector store: the layout is built ONCE from the base corpus
+    (``vec_id % 5 != 4``) with a base-derived seeded codebook persisted in
+    ``_centroids.json``; the delta (``vec_id % 5 == 4``) is then APPENDED
+    by assigning it against the PERSISTED codebook — the append scans only
+    delta rows and writes only new files into the cell directories; base
+    partition files are never read or rewritten (asserted in
+    tests/test_llm_ops.py).  Centroids are model state travelling with the
+    store (the derived-store rule), so append and probe read them from the
+    meta, never recompute — recomputing on base+delta would SHIFT the
+    codebook and silently orphan every already-written cell.  The
+    fingerprint stamp is written LAST as the completion marker."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+    from fineo_readerator_spark.llm_ops.similarity import (
+        seeded_cell_expr,
+        seeded_codebook,
+    )
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    path = _ivf_layout_path(sf_dir).with_name("embeddings_ivf_incr")
+    fp = source_fingerprint(sf_dir, "embeddings")
+    if not snapshot_is_fresh(path, fp):
+        emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        base = emb.filter(F.col("vec_id") % 5 != 4)
+        seeds = seeded_codebook(base, "vec_id", "embedding", 16)
+        base.withColumn("cell", seeded_cell_expr("embedding", seeds)).repartition(
+            "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(str(path))
+        _fs_write_text(spark, f"{path}/_centroids.json", json.dumps(seeds))
+        # the append leg: codebook from the META (the probe-path contract),
+        # delta-only scan, file-level append into the cell directories
+        cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
+        cents = [(int(cid), [float(x) for x in v]) for cid, v in cents]
+        delta = emb.filter(F.col("vec_id") % 5 == 4)
+        delta.withColumn("cell", seeded_cell_expr("embedding", cents)).repartition(
+            "cell"
+        ).write.mode("append").partitionBy("cell").parquet(str(path))
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def s_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over the INCREMENTALLY-MAINTAINED layout (base build +
+    codebook-stable delta append, :func:`ensure_ivf_layout_incremental`):
+    probe = 4 nearest persisted centroids, partition-pruned directory read,
+    exact cosine within — identical answers to a from-scratch build with
+    the same codebook, which is exactly what the oracle replays."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
+
+    path = ensure_ivf_layout_incremental(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
+    cents = [(int(cid), [float(x) for x in v]) for cid, v in cents]
+    probe = _nearest_cells(qv, cents, 4)
+    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return cosine_topk(layout, qv, k=10)
+
+
 def _nearest_cells(
     qv: list[float], cents: list[tuple[int, list[float]]], n_probe: int
 ) -> list[int]:
@@ -887,6 +956,15 @@ S_ANN_FILTERED_ORACLE = (
         "SELECT e.vec_id, e.embedding, e.label, s.sid",
     )
     .replace("WHERE rn = 1 AND sid IN", "WHERE rn = 1 AND label = 3 AND sid IN")
+)
+
+# the incremental-append oracle: identical to the seeded-IVF oracle except
+# the codebook comes from the BASE corpus only (vec_id % 5 != 4) — the
+# from-scratch replay of what build-then-append materializes
+S_ANN_IVF_APPEND_ORACLE = S_ANN_IVF_ORACLE.replace(
+    "SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id != 0",
+    "SELECT vec_id AS sid, embedding AS sv FROM embeddings"
+    " WHERE vec_id != 0 AND vec_id % 5 != 4",
 )
 
 
@@ -2324,6 +2402,88 @@ SELECT source, doc_id FROM c WHERE {pred}
 """
 
 
+# the filter-funnel gate pair: Spark Columns are built LAZILY (JVM-backed —
+# they need a live SparkContext) while the DuckDB SQL twins are import-time
+# strings; the two lists are kept side-by-side so the predicates cannot drift
+_FUNNEL_TOKS_SQL = (
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0))"
+)
+_FUNNEL_GATES_SQL = [
+    ("min_chars", "n_chars >= 60"),
+    ("min_tokens", f"{_FUNNEL_TOKS_SQL} >= 12"),
+    ("lang_known", "lang IN ('en', 'de', 'fr', 'es')"),
+    (
+        "punct_ratio",
+        "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10 <= length(text)",
+    ),
+    (
+        "has_stopword",
+        "(contains(text, ' the ') OR contains(text, ' und ')"
+        " OR contains(text, ' le ') OR contains(text, ' el '))",
+    ),
+]
+
+
+def _funnel_gates_spark() -> list:
+    from fineo_readerator_spark.llm_ops.textstats import PUNCT_CLASS, tokens
+
+    text = F.col("text")
+    ntok = F.size(tokens(text))
+    npunct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    stop = (
+        text.contains(" the ")
+        | text.contains(" und ")
+        | text.contains(" le ")
+        | text.contains(" el ")
+    )
+    return [
+        ("min_chars", F.col("n_chars") >= 60),
+        ("min_tokens", ntok >= 12),
+        ("lang_known", F.col("lang").isin("en", "de", "fr", "es")),
+        ("punct_ratio", npunct * 10 <= F.length(text)),
+        ("has_stopword", stop),
+    ]
+
+
+def t_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-funnel report (llm_ops.textstats.quality_funnel):
+    five ordered gates (length → tokens → language → punctuation →
+    stopword), every dropped document attributed to its FIRST failing gate
+    — one corpus scan, a ≤6-key aggregate, and the reached/dropped
+    arithmetic on the gate-count frame."""
+    from fineo_readerator_spark.llm_ops.textstats import quality_funnel
+
+    return quality_funnel(load(spark, sf_dir, "documents"), _funnel_gates_spark())
+
+
+def _t_filter_funnel_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import funnel_oracle_sql
+
+    return funnel_oracle_sql("SELECT * FROM documents", _FUNNEL_GATES_SQL)
+
+
+def d_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-domain boilerplate removal (llm_ops.dedup.boilerplate_strip):
+    paragraphs appearing in ≥2 distinct documents AND ≥5% of their source's
+    documents are template text, removed from EVERY document (no
+    first-occurrence survivor — templates have no original); documents
+    reassemble from what remains."""
+    from fineo_readerator_spark.llm_ops.dedup import boilerplate_strip
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_strip(
+        docs, "doc_id", "source", min_docs=2, min_share_pct=5
+    ).orderBy("doc_id")
+
+
+def _d_boilerplate_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import boilerplate_strip_oracle_sql
+
+    return boilerplate_strip_oracle_sql(
+        "SELECT doc_id, source, text FROM documents", min_docs=2, min_share_pct=5
+    )
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_dataset_card", p_dataset_card, _p_dataset_card_oracle()),
@@ -2373,6 +2533,9 @@ LLM_QUERIES = [
     QueryDef("s_ann_ivf_kmeans", s_ann_ivf_kmeans, _s_ann_ivf_kmeans_oracle()),
     QueryDef("s_cluster_quality", s_cluster_quality, _s_cluster_quality_oracle()),
     QueryDef("s_knn_multiprobe", s_knn_multiprobe, _s_knn_graph_oracle(n_probe=2)),
+    QueryDef("s_ann_ivf_append", s_ann_ivf_append, S_ANN_IVF_APPEND_ORACLE),
+    QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
+    QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

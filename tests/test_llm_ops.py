@@ -332,6 +332,88 @@ def test_dist_match_null_bucket_and_absent_bucket(spark):
     assert empty.count() == 0
 
 
+def test_quality_funnel_first_fail_attribution(spark):
+    """Every dropped row is attributed to its FIRST failing gate, a NULL
+    gate verdict counts as FAIL, and reached/dropped/passed telescope."""
+    from fineo_readerator_spark.llm_ops.textstats import quality_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, True), (2, 10, None), (3, 99, False), (4, 99, True), (5, None, True)],
+        "id long, x long, ok boolean",
+    )
+    gates = [("big_x", F.col("x") >= 50), ("is_ok", F.col("ok"))]
+    rows = {r.stage: r for r in quality_funnel(df, gates).collect()}
+    # ids 1,2 fail x>=50; id 5's NULL x is a FAIL — all three die at stage 1
+    assert (rows[1].n_reached, rows[1].n_dropped, rows[1].n_passed) == (5, 3, 2)
+    # ids 3,4 reach stage 2; 3 fails ok=False (2's NULL ok never got here)
+    assert (rows[2].n_reached, rows[2].n_dropped, rows[2].n_passed) == (2, 1, 1)
+    with pytest.raises(ValueError):
+        quality_funnel(df, [])
+
+
+def test_boilerplate_strip_removes_template_from_all_docs(spark):
+    """The shared footer is removed from EVERY doc in the group (no
+    first-occurrence survivor), a pure-template doc disappears, a lone doc
+    in another group keeps its copy (min_docs), and NULL group is its own
+    group."""
+    from fineo_readerator_spark.llm_ops.dedup import boilerplate_strip
+
+    foot = "subscribe to our newsletter now"
+    df = spark.createDataFrame(
+        [
+            (1, "a", f"alpha beta gamma delta eps {foot}"),
+            (2, "a", f"zeta eta theta iota kappa {foot}"),
+            (3, "a", f"lambda mu nu xi omicron {foot}"),
+            (4, "a", f"pi rho sigma tau upsilon {foot}"),
+            (5, "a", foot),
+            (6, "b", f"one two three four five {foot}"),
+            (7, None, f"six seven eight nine ten {foot}"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(
+            df, "doc_id", "source", para_tokens=5, min_docs=2, min_share_pct=50
+        ).collect()
+    }
+    assert 5 not in out  # pure template vanishes
+    assert out[1].kept_text == "alpha beta gamma delta eps"
+    assert all(out[i].n_boiler == 1 and out[i].n_kept == 1 for i in (1, 2, 3, 4))
+    assert out[6].n_boiler == 0 and foot in out[6].kept_text  # lone doc in 'b'
+    assert out[7].n_boiler == 0 and foot in out[7].kept_text  # NULL group
+
+
+def test_ivf_incremental_append_matches_scratch_build(spark):
+    """The incrementally-appended layout is row-identical to a from-scratch
+    assignment against the persisted BASE codebook, the codebook contains
+    only base ids, and a second ensure is a fingerprint-fresh no-op."""
+    import json
+    from pathlib import Path
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
+    from fineo_readerator_spark.llm_ops.similarity import seeded_cell_expr
+    from fineo_readerator_spark.plans.llm_queries import ensure_ivf_layout_incremental
+
+    sf = "/root/testdata/sf0.001"
+    path = ensure_ivf_layout_incremental(spark, sf)
+    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
+    cents = [(int(c), [float(x) for x in v]) for c, v in cents]
+    assert len(cents) == 16 and all(cid % 5 != 4 and cid != 0 for cid, _ in cents)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    expect = emb.withColumn("cell", seeded_cell_expr("embedding", cents))
+    got = spark.read.parquet(path)
+    assert got.count() == emb.count()
+    assert (
+        got.select("vec_id", "cell").exceptAll(expect.select("vec_id", "cell")).count()
+        == 0
+    )
+    stamp = Path(path) / "_src_fingerprint.json"
+    m = stamp.stat().st_mtime
+    assert ensure_ivf_layout_incremental(spark, sf) == path
+    assert stamp.stat().st_mtime == m
+
+
 def test_cluster_quality_separation_vs_cohesion(spark, vectors):
     """The quality report's invariants on well-separated toy data: sizes sum
     to the corpus, cohesion is non-negative, and the planted near-copy
