@@ -615,6 +615,7 @@ def knn_graph(
     allow_oversized_cells: bool = False,
     dim: int | None = None,
     n_probe: int = 1,
+    neg_label_col: str | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph over the embedding corpus: every vector's
     top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
@@ -624,6 +625,14 @@ def knn_graph(
     graph construction); recall at the cell boundary is the documented
     trade — set ``n_probe > 1`` and each node ALSO searches its runner-up
     cells (candidate volume grows n_probe-fold, still cell-bounded).
+
+    With ``neg_label_col`` set the graph becomes HARD-NEGATIVE MINING for
+    contrastive training: neighbors are restricted to rows whose label
+    DIFFERS from the anchor's (the label filter applies BEFORE top-k —
+    post-filtering an unlabeled top-k would under-fill k), and rows with a
+    NULL label are excluded from both sides (no label → neither anchor nor
+    negative).  Same plan shape: the inequality is one more codegen'd
+    predicate on the in-cell join.
 
     Scale shape mirrors :func:`semantic_dedup`: one eager-checkpointed cell
     assignment (argmin evaluated once, sizing gate on the materialized
@@ -642,6 +651,8 @@ def knn_graph(
     # row must not redefine "wrong dimension" for the whole corpus, and an
     # empty/all-NULL corpus raises a clear ValueError instead of IndexError.
     df = df.filter(F.col(vec_col).isNotNull())
+    if neg_label_col is not None:
+        df = df.filter(F.col(neg_label_col).isNotNull())
     if dim is None:
         dim = _modal_dim(df, vec_col)
     df = df.filter(F.size(vec_col) == dim)
@@ -663,22 +674,28 @@ def knn_graph(
     )
     # source side probes its n_probe nearest cells (boundary-recall pass);
     # neighbors stay in their PRIMARY cell, so a pair appears at most once
-    a = assigned.select(
+    a_cols = [
         F.explode("__probes").alias("__cell"),
         F.col(id_col).alias("__src"),
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),
-    ).filter(F.col("__na") > 0)
-    b = assigned.select(
-        "__cell",
+    ]
+    b_cols = [
+        F.col("__cell"),
         F.col(id_col).alias("__nbr"),
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
-    ).filter(F.col("__nb") > 0)
+    ]
+    if neg_label_col is not None:
+        a_cols.append(F.col(neg_label_col).alias("__la"))
+        b_cols.append(F.col(neg_label_col).alias("__lb"))
+    a = assigned.select(*a_cols).filter(F.col("__na") > 0)
+    b = assigned.select(*b_cols).filter(F.col("__nb") > 0)
+    pairs = a.join(b, "__cell").filter(F.col("__nbr") != F.col("__src"))
+    if neg_label_col is not None:
+        pairs = pairs.filter(F.col("__la") != F.col("__lb"))
     pairs = (
-        a.join(b, "__cell")
-        .filter(F.col("__nbr") != F.col("__src"))
-        .withColumn(
+        pairs.withColumn(
             "cos_sim",
             F.round(
                 _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
@@ -697,6 +714,35 @@ def knn_graph(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probe: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's top-``k``
+    most-similar vectors with a DIFFERENT label — the negatives that sit
+    closest to the decision boundary, which is where contrastive losses get
+    their gradient (in-batch random negatives are mostly easy).  A labeled
+    restriction of :func:`knn_graph` (same cell-bounded candidate
+    generation, label filter before top-k); output renames ``nbr_id`` to
+    ``neg_id``."""
+    return knn_graph(
+        df,
+        k=k,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        neg_label_col=label_col,
+        **kwargs,
+    ).withColumnRenamed("nbr_id", "neg_id")
 
 
 def kmeans_refine(

@@ -311,6 +311,87 @@ def hll_grouped_oracle_sql(source_sql: str, group_col: str, key_expr: str) -> st
     return _hll_oracle_core(source_sql, key_expr, group_col)
 
 
+def hll_overlap(
+    df_a: DataFrame, key_a: Column, df_b: DataFrame, key_b: Column
+) -> DataFrame:
+    """Cross-corpus overlap estimate WITHOUT a join: |A∩B| by
+    inclusion–exclusion over mergeable HLL registers — ``|A| + |B| − |A∪B|``
+    where the union sketch is just the register-wise ``max`` of the two
+    sides' registers (the property that makes HLL mergeable makes it
+    intersectable this way).  The answer a curation pipeline wants before
+    committing to an expensive dedup join: "how much of snapshot B is
+    already in A?" at the cost of two scans and ~128 longs of state per
+    side; error grows with the |union|/|intersection| ratio — it is a
+    sizing signal, not an exact count (the exact path is the dedup join it
+    gates).
+
+    Scale shape: each side is one map-side-combined register aggregation
+    (≤128 rows out); the union/estimates run on register rows only.  The
+    register frames are lineage-cut — each feeds its own estimate AND the
+    union (the multi-consumer rule).  Single-row output ``(est_a, est_b,
+    est_union, est_intersect)``."""
+    ra = hll_registers(df_a, key_a).localCheckpoint(eager=False)
+    rb = hll_registers(df_b, key_b).localCheckpoint(eager=False)
+    ru = ra.unionByName(rb).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    ea = hll_finalize(ra).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_finalize(rb).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_finalize(ru).select(F.col("est_distinct").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+                ),
+                2,
+            ).alias("est_intersect"),
+        )
+    )
+
+
+def hll_overlap_oracle_sql(a_sql: str, key_a: str, b_sql: str, key_b: str) -> str:
+    """DuckDB replay of :func:`hll_overlap`: identical hash, register,
+    union-max and inclusion–exclusion arithmetic."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    big = 1 << (_W + 1)
+
+    def regs(src_sql: str, key_expr: str) -> str:
+        h = _hexparse(f"md5({key_expr})", 1, 15)
+        return (
+            f"SELECT h & {_M - 1} AS bucket,"
+            f" max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}"
+            f" ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j"
+            f" FROM (SELECT {h} AS h FROM ({src_sql})) GROUP BY 1"
+        )
+
+    est = (
+        f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
+        f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
+    )
+    final = (
+        f"round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}"
+        f" THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))"
+        f" ELSE {est} END, 2)"
+    )
+    return f"""
+WITH ra AS ({regs(a_sql, key_a)}),
+rb AS ({regs(b_sql, key_b)}),
+ru AS (SELECT bucket, max(m_j) AS m_j
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+ea AS (SELECT {final} AS est_a FROM ra),
+eb AS (SELECT {final} AS est_b FROM rb),
+eu AS (SELECT {final} AS est_union FROM ru)
+SELECT est_a, est_b, est_union,
+       round(greatest(CAST(0.0 AS DOUBLE), est_a + est_b - est_union), 2) AS est_intersect
+FROM ea CROSS JOIN eb CROSS JOIN eu
+"""
+
+
 # --- histogram quantile sketch ---------------------------------------------
 
 

@@ -1275,26 +1275,37 @@ ORDER BY cluster_id"""
     )
 
 
-def _s_knn_graph_oracle(k: int = 3, n_centroids: int = 16, n_probe: int = 1) -> str:
+def _s_knn_graph_oracle(
+    k: int = 3, n_centroids: int = 16, n_probe: int = 1, neg_labels: bool = False
+) -> str:
+    """The knn-graph replay; ``neg_labels`` restricts neighbors to
+    DIFFERENT-labeled rows (hard-negative mining) with NULL-labeled rows
+    excluded from the corpus entirely, mirroring ``knn_graph``'s
+    ``neg_label_col`` contract."""
+    lab = ", label" if neg_labels else ""
+    lab_a = ", c.label" if neg_labels else ""
+    corpus_filter = " WHERE label IS NOT NULL" if neg_labels else ""
+    pair_filter = " AND a.label != b.label" if neg_labels else ""
+    out_id = "neg_id" if neg_labels else "nbr_id"
     return f"""
-WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+WITH corpus AS (SELECT vec_id, embedding{lab} FROM embeddings{corpus_filter}),
 seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
 assign AS (
-  SELECT vec_id, embedding, sid,
+  SELECT vec_id, embedding{lab}, sid,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY {_SEM_DIST.format(a='embedding', b='sv')}, sid) AS rn
-  FROM (SELECT c.vec_id, c.embedding, s.sid, s.sv FROM corpus c CROSS JOIN seeds s)
+  FROM (SELECT c.vec_id, c.embedding{lab_a}, s.sid, s.sv FROM corpus c CROSS JOIN seeds s)
 ),
-cells AS (SELECT vec_id, embedding, sid AS cell FROM assign WHERE rn = 1),
-probes AS (SELECT vec_id, embedding, sid AS cell FROM assign WHERE rn <= {n_probe}),
+cells AS (SELECT vec_id, embedding{lab}, sid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, embedding{lab}, sid AS cell FROM assign WHERE rn <= {n_probe}),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+  SELECT a.vec_id AS vec_id, b.vec_id AS {out_id},
          {_SEM_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
-  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id{pair_filter}
 )
-SELECT vec_id, nbr_id, cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT vec_id, nbr_id, cos_sim,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+SELECT vec_id, {out_id}, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, {out_id}, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, {out_id}) AS rank
   FROM pairs
 ) WHERE rank <= {k}
 """
@@ -1308,6 +1319,16 @@ def s_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineo_readerator_spark.llm_ops.similarity import knn_graph
 
     return knn_graph(load(spark, sf_dir, "embeddings"), k=3, n_centroids=16, n_probe=2)
+
+
+def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (llm_ops.similarity.hard_negatives): each
+    anchor's top-3 most-similar DIFFERENT-labeled vectors — the contrastive
+    training batch-construction primitive.  Cell-bounded candidates, label
+    inequality before top-k, NULL-labeled rows excluded from both sides."""
+    from fineo_readerator_spark.llm_ops.similarity import hard_negatives
+
+    return hard_negatives(load(spark, sf_dir, "embeddings"), k=3, n_centroids=16)
 
 
 def p_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2099,6 +2120,31 @@ def _a_hll_oracle() -> str:
     return hll_oracle_sql("SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k")
 
 
+def a_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free cross-corpus overlap sizing (llm_ops.sketches.hll_overlap):
+    how many distinct texts do the even-id and third-id document subsets
+    share?  Inclusion–exclusion over mergeable HLL registers — two scans,
+    ≤128 longs of state per side, no shuffle join; the sizing signal that
+    gates whether the exact dedup join is worth running."""
+    from fineo_readerator_spark.llm_ops.sketches import hll_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    return hll_overlap(a, F.col("text"), b, F.col("text"))
+
+
+def _a_hll_overlap_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import hll_overlap_oracle_sql
+
+    return hll_overlap_oracle_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "text",
+        "SELECT text FROM documents WHERE doc_id % 3 = 0",
+        "text",
+    )
+
+
 _PACK_BUDGET = 512
 
 
@@ -2534,6 +2580,7 @@ LLM_QUERIES = [
     QueryDef("s_cluster_quality", s_cluster_quality, _s_cluster_quality_oracle()),
     QueryDef("s_knn_multiprobe", s_knn_multiprobe, _s_knn_graph_oracle(n_probe=2)),
     QueryDef("s_ann_ivf_append", s_ann_ivf_append, S_ANN_IVF_APPEND_ORACLE),
+    QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
@@ -2549,6 +2596,7 @@ LLM_QUERIES = [
     QueryDef("t_quality_classifier", t_quality_classifier, _t_quality_classifier_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
+    QueryDef("a_hll_overlap", a_hll_overlap, _a_hll_overlap_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
     QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),

