@@ -650,6 +650,8 @@ def knn_graph(
     # the caller), never from the lowest-id row: one misdimensioned seed
     # row must not redefine "wrong dimension" for the whole corpus, and an
     # empty/all-NULL corpus raises a clear ValueError instead of IndexError.
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     df = df.filter(F.col(vec_col).isNotNull())
     if neg_label_col is not None:
         df = df.filter(F.col(neg_label_col).isNotNull())

@@ -266,18 +266,41 @@ SELECT k, est_count, true_count FROM est JOIN tru USING (k)
 """
 
 
-def _hll_oracle_core(source_sql: str, key_expr: str, group_col: str | None) -> str:
-    """One DuckDB replay of registers + estimator for both the global and
-    the grouped/streaming HLL — a single copy of the hash, rho and
-    linear-counting arithmetic that must stay bit-identical to Spark's."""
-    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+def _oracle_reg_exprs() -> tuple[str, str]:
+    """(bucket expression, max-rho aggregate) over a CTE exposing the 60-bit
+    hash as ``h`` — the single DuckDB copy of the register arithmetic."""
+    bucket = f"h & {_M - 1} AS bucket"
+    m_j = (
+        f"max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}"
+        f" ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j"
+    )
+    return bucket, m_j
 
-    h = _hexparse(f"md5({key_expr})", 1, 15)
+
+def _oracle_est_expr() -> str:
+    """The rounded estimator (with the linear-counting branch) over a group
+    of (bucket, m_j) rows — the single DuckDB copy of the estimator
+    arithmetic that must stay bit-identical to Spark's ``_estimate_sql``."""
     big = 1 << (_W + 1)
     est = (
         f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
         f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
     )
+    return (
+        f"round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}"
+        f" THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))"
+        f" ELSE {est} END, 2)"
+    )
+
+
+def _hll_oracle_core(source_sql: str, key_expr: str, group_col: str | None) -> str:
+    """One DuckDB replay of registers + estimator for both the global and
+    the grouped/streaming HLL, built from the shared register/estimator
+    fragments (:func:`_oracle_reg_exprs`, :func:`_oracle_est_expr`)."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    h = _hexparse(f"md5({key_expr})", 1, 15)
+    bucket, m_j = _oracle_reg_exprs()
     g = f"{group_col}, " if group_col else ""
     regs_gb = "GROUP BY 1, 2" if group_col else "GROUP BY 1"
     final_gb = f"GROUP BY {group_col}" if group_col else ""
@@ -286,14 +309,10 @@ WITH h AS (
   SELECT {g}{h} AS h FROM ({source_sql})
 ),
 regs AS (
-  SELECT {g}h & {_M - 1} AS bucket,
-         max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}
-                  ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j
+  SELECT {g}{bucket}, {m_j}
   FROM h {regs_gb}
 )
-SELECT {g}round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}
-             THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))
-             ELSE {est} END, 2) AS est_distinct,
+SELECT {g}{_oracle_est_expr()} AS est_distinct,
        count(*) AS registers_set
 FROM regs {final_gb}
 """
@@ -354,30 +373,21 @@ def hll_overlap(
 
 
 def hll_overlap_oracle_sql(a_sql: str, key_a: str, b_sql: str, key_b: str) -> str:
-    """DuckDB replay of :func:`hll_overlap`: identical hash, register,
-    union-max and inclusion–exclusion arithmetic."""
+    """DuckDB replay of :func:`hll_overlap`, built from the SAME register
+    and estimator fragments as the global/grouped HLL oracle — a fix to the
+    shared arithmetic reaches every replay."""
     from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
 
-    big = 1 << (_W + 1)
+    bucket, m_j = _oracle_reg_exprs()
 
     def regs(src_sql: str, key_expr: str) -> str:
         h = _hexparse(f"md5({key_expr})", 1, 15)
         return (
-            f"SELECT h & {_M - 1} AS bucket,"
-            f" max(CASE WHEN (h >> {_P}) = 0 THEN {_W + 1}"
-            f" ELSE {_W + 1} - length(bin(h >> {_P})) END) AS m_j"
+            f"SELECT {bucket}, {m_j}"
             f" FROM (SELECT {h} AS h FROM ({src_sql})) GROUP BY 1"
         )
 
-    est = (
-        f"CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M} * {big}"
-        f" / (sum(1::BIGINT << ({_W + 1} - m_j)) + ({_M} - count(*)) * {big}::BIGINT)"
-    )
-    final = (
-        f"round(CASE WHEN {est} <= CAST(2.5 AS DOUBLE) * {_M} AND count(*) < {_M}"
-        f" THEN {_M} * ln({_M} * CAST(1.0 AS DOUBLE) / ({_M} - count(*)))"
-        f" ELSE {est} END, 2)"
-    )
+    final = _oracle_est_expr()
     return f"""
 WITH ra AS ({regs(a_sql, key_a)}),
 rb AS ({regs(b_sql, key_b)}),

@@ -955,7 +955,10 @@ def funnel_oracle_sql(corpus_sql: str, gates_sql: list[tuple[str, str]]) -> str:
         f"WHEN NOT coalesce(({g}), FALSE) THEN {i + 1}"
         for i, (_, g) in enumerate(gates_sql)
     )
-    stage_rows = ", ".join(f"({i + 1}, '{n}')" for i, (n, _) in enumerate(gates_sql))
+    stage_rows = ", ".join(
+        "({}, '{}')".format(i + 1, n.replace("'", "''"))
+        for i, (n, _) in enumerate(gates_sql)
+    )
     return f"""
 WITH __ff AS (SELECT CASE {case} ELSE 0 END AS ff FROM ({corpus_sql})),
 __cnt AS (SELECT ff, count(*) AS n FROM __ff GROUP BY ff),

@@ -668,6 +668,39 @@ def _ivf_layout_path(sf_dir: str):
     return repo / ".kv_cache" / Path(sf_dir.rstrip("/")).name / "embeddings_ivf"
 
 
+def _read_centroids(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
+    """Parse a layout's persisted codebook meta (``_centroids.json``) — the
+    ONE reader every probe/append leg goes through, so the meta format has a
+    single point of change (model state travels with the store; nothing
+    recomputes it)."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
+
+    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
+    return [(int(cid), [float(x) for x in v]) for cid, v in cents]
+
+
+def _probe_layout_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Shared probe leg for every centroid-meta layout: query vector →
+    ``n_probe`` nearest persisted centroids → partition-pruned directory
+    read → exact cosine top-``k``."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    probe = _nearest_cells(qv, cents, n_probe)
+    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return cosine_topk(layout, qv, k=k)
+
+
 def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the IVF index AT REST: embeddings written once,
     partitioned by their seeded-codebook cell (``partitionBy("cell")`` →
@@ -712,7 +745,7 @@ def ensure_ivf_layout_refined(
     recompute (the derived-store rule: parameters travel with the store)."""
     import json
 
-    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
     from fineo_readerator_spark.llm_ops.similarity import (
         kmeans_refine,
         seeded_cell_expr,
@@ -734,8 +767,7 @@ def ensure_ivf_layout_refined(
         )
         _fs_write_text(spark, f"{path}/_centroids.json", json.dumps(cents))
         stamp_snapshot(path, fp)
-    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
-    return str(path), [(int(cid), [float(x) for x in v]) for cid, v in cents]
+    return str(path), _read_centroids(spark, str(path))
 
 
 def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,14 +775,8 @@ def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest refined centroids (read from the layout's meta, never
     recomputed), probed cells become a partition-pruned directory read,
     exact cosine within."""
-    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
-
     path, cents = ensure_ivf_layout_refined(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
-    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    probe = _nearest_cells(qv, cents, 4)
-    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    return cosine_topk(layout, qv, k=10)
+    return _probe_layout_topk(spark, sf_dir, path, cents)
 
 
 def _s_ann_ivf_kmeans_oracle() -> str:
@@ -795,7 +821,7 @@ def ensure_ivf_layout_incremental(spark: SparkSession, sf_dir: str) -> str:
     fingerprint stamp is written LAST as the completion marker."""
     import json
 
-    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+    from fineo_readerator_spark.llm_ops.dedup import _fs_write_text
     from fineo_readerator_spark.llm_ops.similarity import (
         seeded_cell_expr,
         seeded_codebook,
@@ -818,8 +844,7 @@ def ensure_ivf_layout_incremental(spark: SparkSession, sf_dir: str) -> str:
         _fs_write_text(spark, f"{path}/_centroids.json", json.dumps(seeds))
         # the append leg: codebook from the META (the probe-path contract),
         # delta-only scan, file-level append into the cell directories
-        cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
-        cents = [(int(cid), [float(x) for x in v]) for cid, v in cents]
+        cents = _read_centroids(spark, str(path))
         delta = emb.filter(F.col("vec_id") % 5 == 4)
         delta.withColumn("cell", seeded_cell_expr("embedding", cents)).repartition(
             "cell"
@@ -834,19 +859,8 @@ def s_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = 4 nearest persisted centroids, partition-pruned directory read,
     exact cosine within — identical answers to a from-scratch build with
     the same codebook, which is exactly what the oracle replays."""
-    import json
-
-    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text
-    from fineo_readerator_spark.llm_ops.similarity import cosine_topk
-
     path = ensure_ivf_layout_incremental(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
-    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    cents = json.loads(_fs_read_text(spark, f"{path}/_centroids.json"))
-    cents = [(int(cid), [float(x) for x in v]) for cid, v in cents]
-    probe = _nearest_cells(qv, cents, 4)
-    layout = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    return cosine_topk(layout, qv, k=10)
+    return _probe_layout_topk(spark, sf_dir, path, _read_centroids(spark, path))
 
 
 def _nearest_cells(
@@ -2451,6 +2465,8 @@ SELECT source, doc_id FROM c WHERE {pred}
 # the filter-funnel gate pair: Spark Columns are built LAZILY (JVM-backed —
 # they need a live SparkContext) while the DuckDB SQL twins are import-time
 # strings; the two lists are kept side-by-side so the predicates cannot drift
+from fineo_readerator_spark.llm_ops.textstats import PUNCT_CLASS as _PUNCT
+
 _FUNNEL_TOKS_SQL = (
     "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0))"
 )
@@ -2460,7 +2476,7 @@ _FUNNEL_GATES_SQL = [
     ("lang_known", "lang IN ('en', 'de', 'fr', 'es')"),
     (
         "punct_ratio",
-        "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10 <= length(text)",
+        f"(length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g'))) * 10 <= length(text)",
     ),
     (
         "has_stopword",
