@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fineo_readerator_spark.llm_ops.dedup import _spread, shingles
+from fineo_readerator_spark.llm_ops.textstats import tokens
 
 _BUCKETS = 1_000_000
 
@@ -438,6 +439,68 @@ def ngram_topk(df: DataFrame, text_col: str, n: int = 3, k: int = 20) -> DataFra
         .orderBy(F.desc("cnt"), "ngram")
         .limit(k)
     )
+
+
+def ngram_diversity(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang", n: int = 2
+) -> DataFrame:
+    """Per-group n-gram type–token ratio (distinct/total word n-grams) —
+    the diversity signal that collapses when templated or model-generated
+    text floods a corpus slice (self-BLEU's cheap relational cousin, the
+    slice-level screen run before any expensive generation detector).
+    Documents shorter than ``n`` tokens contribute nothing; NULL group is
+    its own group (groupBy keeps it).
+
+    Determinism: ``ttr`` is ONE division of two exact longs — identical
+    IEEE doubles on both engines — rounded at 1e-6.
+
+    Scale shape: tokenize+window is a codegen'd projection; ONE
+    (group, ngram) hash agg (map-side combined, shuffle =
+    |distinct n-grams|) then a group-cardinality agg.  Output
+    ``(group, total_ngrams, distinct_ngrams, ttr)`` ordered by group."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(group_col).alias("__grp"), F.explode(grams).alias("__g"))
+    counts = exploded.groupBy("__grp", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        counts.groupBy("__grp")
+        .agg(
+            F.sum("__c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "ttr", F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6)
+        )
+        .select(F.col("__grp").alias(group_col), "total_ngrams", "distinct_ngrams", "ttr")
+        .orderBy(group_col)
+    )
+
+
+def ngram_diversity_oracle_sql(
+    corpus_sql: str, text_col: str = "text", group_col: str = "lang", n: int = 2
+) -> str:
+    """DuckDB replay of :func:`ngram_diversity`: identical windows, counts
+    and the single exact-long division."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __t AS (SELECT {group_col} AS grp, {toks} AS toks FROM ({corpus_sql})),
+__g AS (
+  SELECT grp, array_to_string(toks[i:i + {n - 1}], ' ') AS g
+  FROM __t, unnest(generate_series(1, len(toks) - {n - 1})) u(i)
+  WHERE len(toks) >= {n}
+),
+__c AS (SELECT grp, g, count(*) AS c FROM __g GROUP BY 1, 2)
+SELECT grp AS {group_col}, CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+FROM __c GROUP BY grp ORDER BY grp
+"""
 
 
 def train_val_test_split(

@@ -946,6 +946,71 @@ def quality_funnel(df: DataFrame, gates: list[tuple[str, Column]]) -> DataFrame:
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution — the
+    gibberish/template detector: near zero for repeated-token spam,
+    ≈log2(n_types) for natural prose; pairs with the repetition signals as
+    a cheap pre-filter.  Documents with zero tokens (or NULL text) are
+    ABSENT from the output (entropy of an empty distribution is undefined)
+    — the oracle replays the same inner semantics.
+
+    Determinism: each term ``-(c/n)·log2(c/n)`` divides exact longs
+    (identical IEEE doubles), rounds at 1e-12 and sums as exact decimal —
+    order-independent, so libm ulp differences and partial-agg order can't
+    flip the hash; the sum rounds at 1e-6.  Entropy is a sum of
+    non-negative terms, so no -0.0 can surface.
+
+    Scale shape: ONE (id, token) hash agg (map-side combined), then the
+    per-doc total via a window on the id — the narrower shuffle the final
+    per-doc aggregate reuses.  Output ``(id, n_tokens, n_types,
+    entropy)``."""
+    from pyspark.sql.window import Window
+
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    counts = ex.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    p = F.col("__c") / F.col("__n")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(20,12)")
+    return (
+        counts.withColumn("__n", F.sum("__c").over(Window.partitionBy("__id")))
+        .withColumn("__term", term)
+        .groupBy("__id")
+        .agg(
+            F.max("__n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.sum("__term").cast("double"), 6).alias("entropy"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "n_types", "entropy")
+    )
+
+
+def token_entropy_oracle_sql(
+    corpus_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`token_entropy`: identical counts, divisions,
+    1e-12 term rounding and decimal summation."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __t AS (
+  SELECT id, unnest(toks) AS tok
+  FROM (SELECT {id_col} AS id, {toks} AS toks FROM ({corpus_sql}))
+),
+__c AS (SELECT id, tok, count(*) AS c FROM __t GROUP BY 1, 2),
+__n AS (SELECT id, c, sum(c) OVER (PARTITION BY id) AS n FROM __c),
+__term AS (
+  SELECT id, n,
+         CAST(round(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS term
+  FROM __n
+)
+SELECT id AS {id_col}, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+FROM __term GROUP BY id
+"""
+
+
 def funnel_oracle_sql(corpus_sql: str, gates_sql: list[tuple[str, str]]) -> str:
     """DuckDB replay of :func:`quality_funnel`: identical first-fail CASE
     chain (NULL verdict = FAIL), identical running-total arithmetic.  Each

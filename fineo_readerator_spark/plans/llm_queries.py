@@ -2524,6 +2524,38 @@ def _t_filter_funnel_oracle() -> str:
     return funnel_oracle_sql("SELECT * FROM documents", _FUNNEL_GATES_SQL)
 
 
+def t_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram type–token ratio (llm_ops.sampling.
+    ngram_diversity): the slice-level diversity screen that collapses when
+    templated/model-generated text floods a language — one (lang, ngram)
+    hash agg, one exact-long division."""
+    from fineo_readerator_spark.llm_ops.sampling import ngram_diversity
+
+    return ngram_diversity(load(spark, sf_dir, "documents"))
+
+
+def _t_ngram_diversity_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import ngram_diversity_oracle_sql
+
+    return ngram_diversity_oracle_sql("SELECT lang, text FROM documents")
+
+
+def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (llm_ops.textstats.
+    token_entropy): the gibberish/template pre-filter — one (doc, token)
+    hash agg; 1e-12-rounded terms summed as exact decimal so the float walk
+    is oracle-checkable."""
+    from fineo_readerator_spark.llm_ops.textstats import token_entropy
+
+    return token_entropy(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _t_token_entropy_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import token_entropy_oracle_sql
+
+    return token_entropy_oracle_sql("SELECT doc_id, text FROM documents")
+
+
 def d_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-domain boilerplate removal (llm_ops.dedup.boilerplate_strip):
     paragraphs appearing in ≥2 distinct documents AND ≥5% of their source's
@@ -2599,6 +2631,8 @@ LLM_QUERIES = [
     QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
+    QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
+    QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

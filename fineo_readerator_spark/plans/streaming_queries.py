@@ -641,6 +641,67 @@ def st_audit_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
+def st_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming filter-funnel monitor: per-1-day-window counts by FIRST
+    failing gate (has_user → nonneg_value → small_value; stage 0 = passed
+    all) over the same deterministically-dirtied metric stream as
+    ``st_audit_monitor`` — the batch ``quality_funnel`` attribution
+    semantics as a watermarked windowed aggregate, so a curation regression
+    shows WHICH gate started eating the feed within a window of landing.
+    State is one count row per (open window, stage) — ≤ 4 stages.  NULL
+    gate verdicts FAIL (coalesce-pinned, the quality_funnel contract)."""
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    uid = F.col("user_id")
+    dirty = stream.select(
+        "event_time",
+        F.when(uid % 19 == 7, F.lit(None).cast(stream.schema["user_id"].dataType))
+        .otherwise(uid)
+        .alias("user_id"),
+        F.when(uid % 23 == 11, -F.col("value")).otherwise(F.col("value")).alias("value"),
+    )
+    g2 = F.coalesce(F.col("value") >= 0, F.lit(False))
+    g3 = F.coalesce(F.col("value") <= 200, F.lit(False))
+    staged = dirty.select(
+        "event_time",
+        F.when(F.col("user_id").isNull(), 1)
+        .when(~g2, 2)
+        .when(~g3, 3)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+    counts = windowed_rollup(
+        staged,
+        "event_time",
+        keys=["stage"],
+        aggs={"n": "count(*)"},
+        window="1 day",
+        watermark="1 day",
+    )
+    drained = _drain(counts, "st_funnel_sink", "complete")
+    return drained.orderBy("window_start", "stage")
+
+
+ST_FUNNEL_ORACLE = f"""
+WITH staged AS (
+  SELECT epoch_ms(ts) AS ts_ms,
+         CASE WHEN user_id % 19 = 7 OR user_id IS NULL THEN 1
+              WHEN NOT coalesce(
+                (CASE WHEN user_id % 23 = 11 THEN -value ELSE value END) >= 0, FALSE)
+                THEN 2
+              WHEN NOT coalesce(
+                (CASE WHEN user_id % 23 = 11 THEN -value ELSE value END) <= 200, FALSE)
+                THEN 3
+              ELSE 0 END AS stage
+  FROM events
+)
+SELECT (ts_ms // {DAY_MS}) * {DAY_MS} AS window_start,
+       (ts_ms // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS window_end,
+       CAST(stage AS INT) AS stage, count(*) AS n
+FROM staged GROUP BY 1, 2, 3 ORDER BY window_start, stage
+"""
+
+
 ST_AUDIT_ORACLE = f"""
 SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS window_start,
        (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} + {DAY_MS} AS window_end,
@@ -694,6 +755,7 @@ STREAMING_QUERIES = [
     QueryDef("st_kmeans", st_kmeans, _st_kmeans_oracle()),
     QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
     QueryDef("st_audit_monitor", st_audit_monitor, ST_AUDIT_ORACLE),
+    QueryDef("st_funnel", st_funnel, ST_FUNNEL_ORACLE),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),

@@ -349,6 +349,43 @@ def test_hll_overlap_inclusion_exclusion(spark):
     assert abs(same.est_intersect - same.est_a) < 0.01
 
 
+def test_ngram_diversity_separates_template_from_diverse(spark):
+    """Templated text shows a collapsed type–token ratio vs diverse text,
+    sub-n-token docs contribute nothing, and NULL group is its own group."""
+    from fineo_readerator_spark.llm_ops.sampling import ngram_diversity
+
+    rows = [(i, "t", "spam ham " * 20) for i in range(5)]  # one bigram pattern
+    rows += [(10 + i, "d", " ".join(f"w{i}x{j}" for j in range(40))) for i in range(5)]
+    rows += [(20, "t", "solo"), (21, None, "a b c")]  # 1-token doc; NULL group
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in ngram_diversity(df).collect()}
+    assert out["t"].ttr < 0.1 < out["d"].ttr  # template collapses, diverse doesn't
+    assert out["t"].total_ngrams == 5 * 39  # the 1-token doc added nothing
+    assert out[None].distinct_ngrams == 2  # NULL group ranked on its own
+
+
+def test_token_entropy_bounds_and_absent_docs(spark):
+    """Entropy is 0 for single-token spam, log2(k) for a uniform k-token
+    doc, and zero-token/NULL docs are absent."""
+    import math
+
+    from fineo_readerator_spark.llm_ops.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e f g h"),  # uniform over 8 types
+            (3, "   "),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].entropy == 0.0 and out[1].n_types == 1 and out[1].n_tokens == 4
+    assert abs(out[2].entropy - math.log2(8)) < 1e-6
+
+
 def test_dist_match_null_bucket_and_absent_bucket(spark):
     """NULL is a first-class bucket (null-safe rate join, matching the
     oracle's IS NOT DISTINCT FROM): NULL-bucket corpus rows keep when the
