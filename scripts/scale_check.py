@@ -188,6 +188,10 @@ def main() -> None:
         # assignment+update; logistic gradient), so both must scale linearly
         "s_kmeans (C=8, 2 iters)": QUERIES["s_kmeans"].fn,
         "t_quality_classifier (3 GD iters)": QUERIES["t_quality_classifier"].fn,
+        # paragraph-frequency join: shuffle = paragraph cardinality (linear)
+        "d_boilerplate": QUERIES["d_boilerplate"].fn,
+        # (id, token) agg + id-keyed window: both corpus-linear
+        "t_token_entropy": QUERIES["t_token_entropy"].fn,
     }
 
     results: dict[str, dict] = {name: {} for name in ops}

@@ -369,3 +369,149 @@ def test_corpus_diff_matches_duckdb(spark, old, new):
         ).fetchall()
     )
     assert got == exp
+
+
+_SRC_VALS = ["s1", "s2", None]
+
+doc_src_corpus = st.lists(
+    st.tuples(st.sampled_from(_SRC_VALS), doc_text), min_size=2, max_size=12
+).map(lambda rows: [(i, s, t) for i, (s, t) in enumerate(rows)])
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=doc_src_corpus,
+    min_docs=st.sampled_from([1, 2]),
+    min_share_pct=st.sampled_from([10, 50]),
+)
+def test_boilerplate_strip_matches_duckdb(spark, docs, min_docs, min_share_pct):
+    """Random (source, text) corpora — NULL sources, NULL/empty texts,
+    naturally colliding small-vocab paragraphs — must strip identically in
+    both engines across the (min_docs, share) parameter grid."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        boilerplate_strip,
+        boilerplate_strip_oracle_sql,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = sorted(
+        tuple(r)
+        for r in boilerplate_strip(
+            df,
+            "doc_id",
+            "source",
+            para_tokens=3,
+            min_docs=min_docs,
+            min_share_pct=min_share_pct,
+        ).collect()
+    )
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register(
+        "bdocs",
+        pa.table(
+            {
+                "doc_id": [r[0] for r in docs],
+                "source": [r[1] for r in docs],
+                "text": [r[2] for r in docs],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()), ("text", pa.string())]
+            ),
+        ),
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            boilerplate_strip_oracle_sql(
+                "SELECT doc_id, source, text FROM bdocs",
+                para_tokens=3,
+                min_docs=min_docs,
+                min_share_pct=min_share_pct,
+            )
+        ).fetchall()
+    )
+    assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus)
+def test_token_entropy_matches_duckdb(spark, docs):
+    """Random corpora with NULL/empty docs: identical (n_tokens, n_types,
+    entropy) rows in both engines — the 1e-12 term-round + decimal-sum
+    contract under arbitrary token multiplicities."""
+    from fineo_readerator_spark.llm_ops.textstats import (
+        token_entropy,
+        token_entropy_oracle_sql,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in token_entropy(df).collect())
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(token_entropy_oracle_sql("SELECT * FROM documents")).fetchall()
+    )
+    assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=doc_src_corpus, n=st.sampled_from([2, 3]))
+def test_ngram_diversity_matches_duckdb(spark, docs, n):
+    """Random grouped corpora (NULL groups, sub-n docs): identical
+    per-group (total, distinct, ttr) rows in both engines."""
+    from fineo_readerator_spark.llm_ops.sampling import (
+        ngram_diversity,
+        ngram_diversity_oracle_sql,
+    )
+
+    key = lambda t: (t[0] is None, t[0] or "", t[1:])  # noqa: E731 — None group sorts
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = sorted(
+        (
+            (r[0], r[1], r[2], r[3])
+            for r in ngram_diversity(df, group_col="lang", n=n).collect()
+        ),
+        key=key,
+    )
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register(
+        "gdocs",
+        pa.table(
+            {
+                "doc_id": [r[0] for r in docs],
+                "lang": [r[1] for r in docs],
+                "text": [r[2] for r in docs],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+            ),
+        ),
+    )
+    exp = sorted(
+        (
+            tuple(r)
+            for r in con.execute(
+                ngram_diversity_oracle_sql(
+                    "SELECT lang, text FROM gdocs", group_col="lang", n=n
+                )
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == exp
