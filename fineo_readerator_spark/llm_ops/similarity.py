@@ -747,6 +747,80 @@ def hard_negatives(
     ).withColumnRenamed("nbr_id", "neg_id")
 
 
+def label_propagation(
+    df: DataFrame,
+    seed_label: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Semi-supervised label propagation over the approximate k-NN graph:
+    seeded nodes keep their label; every other node takes, per round, the
+    MAJORITY label among its neighbors' current labels (NULL-labeled
+    neighbors abstain; vote ties break to the smallest label; a round with
+    no labeled neighbors keeps the previous label) — how a small
+    hand-labeled set fans out over a large corpus (topic/quality/domain
+    tagging) without training a model.
+
+    Determinism: votes are integer counts; the per-node winner is a
+    ``row_number`` over (count DESC, label ASC) — no floats anywhere, so
+    the full ``n_iters`` walk is SQL-unrollable and oracle-checked.
+
+    Scale shape: the graph builds ONCE (cell-bounded, O(N·k) edges —
+    :func:`knn_graph`) and each round is one edge×label join (k-regular:
+    ≤ N·k rows) plus one (node, label) count agg; the label frame is
+    lineage-cut per round (the iterative-algorithm pattern k-means uses)
+    so round t+1's plan does not replay round t.  Output ``(id, label,
+    origin)`` with origin ∈ seed/propagated/unlabeled."""
+    from pyspark.sql.window import Window
+
+    g = knn_graph(
+        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("__node"), F.col("nbr_id").alias("__nbr"))
+    g = g.localCheckpoint(eager=False)  # one build, consumed every round
+    seeds = df.select(
+        F.col(id_col).alias("__id"), seed_label.alias("__seed")
+    ).localCheckpoint(eager=False)
+    labels = seeds.select("__id", "__seed", F.col("__seed").alias("__lab"))
+    w = Window.partitionBy("__node").orderBy(F.desc("__c"), "__vote")
+    for _ in range(n_iters):
+        votes = (
+            g.join(
+                labels.filter(F.col("__lab").isNotNull()).select(
+                    F.col("__id").alias("__nbr"), F.col("__lab").alias("__vote")
+                ),
+                "__nbr",
+            )
+            .groupBy("__node", "__vote")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        win = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__node").alias("__id"), F.col("__vote").alias("__win"))
+        )
+        labels = (
+            labels.join(win, "__id", "left")
+            .select(
+                "__id",
+                "__seed",
+                F.coalesce("__seed", "__win", "__lab").alias("__lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    origin = (
+        F.when(F.col("__seed").isNotNull(), F.lit("seed"))
+        .when(F.col("__lab").isNotNull(), F.lit("propagated"))
+        .otherwise(F.lit("unlabeled"))
+    )
+    return labels.select(
+        F.col("__id").alias(id_col), F.col("__lab").alias("label"), origin.alias("origin")
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     n_centroids: int = 8,

@@ -1289,20 +1289,18 @@ ORDER BY cluster_id"""
     )
 
 
-def _s_knn_graph_oracle(
+def _knn_graph_ctes(
     k: int = 3, n_centroids: int = 16, n_probe: int = 1, neg_labels: bool = False
 ) -> str:
-    """The knn-graph replay; ``neg_labels`` restricts neighbors to
-    DIFFERENT-labeled rows (hard-negative mining) with NULL-labeled rows
-    excluded from the corpus entirely, mirroring ``knn_graph``'s
-    ``neg_label_col`` contract."""
+    """The WITH-body (no ``WITH`` keyword, no final SELECT) for the
+    knn-graph replay, ending in a ``graph(vec_id, nbr_id, cos_sim, rank)``
+    CTE with ``rank <= k`` — shared by the graph queries and every
+    composition on top of the graph (label propagation)."""
     lab = ", label" if neg_labels else ""
     lab_a = ", c.label" if neg_labels else ""
     corpus_filter = " WHERE label IS NOT NULL" if neg_labels else ""
     pair_filter = " AND a.label != b.label" if neg_labels else ""
-    out_id = "neg_id" if neg_labels else "nbr_id"
-    return f"""
-WITH corpus AS (SELECT vec_id, embedding{lab} FROM embeddings{corpus_filter}),
+    return f"""corpus AS (SELECT vec_id, embedding{lab} FROM embeddings{corpus_filter}),
 seeds AS (SELECT vec_id AS sid, embedding AS sv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
 assign AS (
   SELECT vec_id, embedding{lab}, sid,
@@ -1313,16 +1311,91 @@ assign AS (
 cells AS (SELECT vec_id, embedding{lab}, sid AS cell FROM assign WHERE rn = 1),
 probes AS (SELECT vec_id, embedding{lab}, sid AS cell FROM assign WHERE rn <= {n_probe}),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS {out_id},
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
          {_SEM_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
   FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id{pair_filter}
-)
-SELECT vec_id, {out_id}, cos_sim, CAST(rank AS INT) AS rank FROM (
-  SELECT vec_id, {out_id}, cos_sim,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, {out_id}) AS rank
-  FROM pairs
-) WHERE rank <= {k}
+),
+graph AS (
+  SELECT vec_id, nbr_id, cos_sim, rank FROM (
+    SELECT vec_id, nbr_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+    FROM pairs
+  ) WHERE rank <= {k}
+)"""
+
+
+def _s_knn_graph_oracle(
+    k: int = 3, n_centroids: int = 16, n_probe: int = 1, neg_labels: bool = False
+) -> str:
+    """The knn-graph replay; ``neg_labels`` restricts neighbors to
+    DIFFERENT-labeled rows (hard-negative mining) with NULL-labeled rows
+    excluded from the corpus entirely, mirroring ``knn_graph``'s
+    ``neg_label_col`` contract."""
+    out_id = "neg_id" if neg_labels else "nbr_id"
+    return f"""
+WITH {_knn_graph_ctes(k, n_centroids, n_probe, neg_labels)}
+SELECT vec_id, nbr_id AS {out_id}, cos_sim, CAST(rank AS INT) AS rank FROM graph
 """
+
+
+def s_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (llm_ops.similarity.
+    label_propagation): labels seeded on the vec_id%4==0 quarter fan out
+    over the k-NN graph for two majority-vote rounds — integer votes,
+    smallest-label tie-break, so the whole walk is SQL-unrolled and
+    oracle-checked."""
+    from fineo_readerator_spark.llm_ops.similarity import label_propagation
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed = F.when(F.col("vec_id") % 4 == 0, F.col("label").cast("int"))
+    return label_propagation(emb, seed, k=3, n_centroids=16, n_iters=2).orderBy("vec_id")
+
+
+def _s_label_propagation_oracle(
+    k: int = 3, n_centroids: int = 16, n_iters: int = 2
+) -> str:
+    parts = [
+        _knn_graph_ctes(k, n_centroids),
+        "l0 AS (SELECT vec_id AS id,"
+        " CASE WHEN vec_id % 4 = 0 THEN CAST(label AS INT) END AS seed,"
+        " CASE WHEN vec_id % 4 = 0 THEN CAST(label AS INT) END AS lab"
+        " FROM embeddings)",
+    ]
+    prev = "l0"
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""v{t} AS (
+  SELECT g.vec_id AS id, l.lab AS vote, count(*) AS c
+  FROM graph g JOIN {prev} l ON g.nbr_id = l.id
+  WHERE l.lab IS NOT NULL GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""p{t} AS (
+  SELECT id, vote FROM (
+    SELECT id, vote, row_number() OVER (PARTITION BY id ORDER BY c DESC, vote) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""l{t} AS (
+  SELECT l.id, l.seed, coalesce(l.seed, p.vote, l.lab) AS lab
+  FROM {prev} l LEFT JOIN p{t} p ON l.id = p.id
+)"""
+        )
+        prev = f"l{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS vec_id, lab AS label,
+       CASE WHEN seed IS NOT NULL THEN 'seed'
+            WHEN lab IS NOT NULL THEN 'propagated'
+            ELSE 'unlabeled' END AS origin
+FROM {prev} ORDER BY vec_id
+"""
+    )
 
 
 def s_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,6 +2702,7 @@ LLM_QUERIES = [
     QueryDef("s_knn_multiprobe", s_knn_multiprobe, _s_knn_graph_oracle(n_probe=2)),
     QueryDef("s_ann_ivf_append", s_ann_ivf_append, S_ANN_IVF_APPEND_ORACLE),
     QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
+    QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),

@@ -349,6 +349,38 @@ def test_hll_overlap_inclusion_exclusion(spark):
     assert abs(same.est_intersect - same.est_a) < 0.01
 
 
+def test_label_propagation_stays_within_clusters(spark):
+    """Seeded labels spread to their own cluster only (cell-bounded graph),
+    seeds never change, and a node with no rankable embedding stays
+    unlabeled."""
+    import random as _r
+
+    from fineo_readerator_spark.llm_ops.similarity import label_propagation
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(1, 11):  # odd ids cluster at (1,0,...), even at (0,1,...)
+        base = [1.0, 0.0] if i % 2 else [0.0, 1.0]
+        rows.append((i, [v + rng.gauss(0, 0.01) for v in base] + [0.0] * 6))
+    rows.append((99, None))  # unrankable
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = (
+        F.when(F.col("vec_id") == 1, 7).when(F.col("vec_id") == 2, 9).cast("int")
+    )
+    out = {
+        r.vec_id: r
+        for r in label_propagation(df, seed, k=2, n_centroids=2, n_iters=2).collect()
+    }
+    assert out[1].label == 7 and out[1].origin == "seed"
+    assert out[2].label == 9 and out[2].origin == "seed"
+    assert out[99].label is None and out[99].origin == "unlabeled"
+    for i in range(3, 11):
+        if out[i].label is not None:
+            assert out[i].label == (7 if i % 2 else 9)
+            assert out[i].origin == "propagated"
+    assert any(out[i].label is not None for i in range(3, 11))  # it spread
+
+
 def test_ngram_diversity_separates_template_from_diverse(spark):
     """Templated text shows a collapsed type–token ratio vs diverse text,
     sub-n-token docs contribute nothing, and NULL group is its own group."""
