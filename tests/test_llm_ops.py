@@ -520,6 +520,14 @@ def test_ivf_incremental_append_matches_scratch_build(spark):
     m = stamp.stat().st_mtime
     assert ensure_ivf_layout_incremental(spark, sf) == path
     assert stamp.stat().st_mtime == m
+    # the probe over the appended store is still a partition-pruned read
+    from fineo_readerator_spark.plans.llm_queries import s_ann_ivf_append
+
+    out = s_ann_ivf_append(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert out.count() == 10
 
 
 def test_cluster_quality_separation_vs_cohesion(spark, vectors):
