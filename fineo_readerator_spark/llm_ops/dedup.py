@@ -901,6 +901,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 20,
+    portable: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: directed pairs where
+    ``|S(a) ∩ S(b)| / |S(a)|`` ≥ threshold — doc ``a`` is (mostly)
+    contained in doc ``b``.  This is the quote/excerpt/superset signal
+    Jaccard structurally misses: a 50-word quote inside a 5000-word
+    article has Jaccard ≈ 0.01 but containment ≈ 1.0 (Broder 1997's
+    resemblance-vs-containment distinction).
+
+    Scale shape: candidates come from an inverted-index EQUI-join on
+    shingle hash — bucketed, never all-pairs — and ``max_df`` drops
+    shingles whose document frequency exceeds the cap BEFORE the
+    self-join (boilerplate shingles are both noise in the measure and a
+    D² pair bomb; the df table grows with the corpus so the semi-join
+    carries no broadcast hint, AQE sizes it).  Containment is then
+    measured over RETAINED shingles only (denominator included — the
+    docstring contract, so dropping hot shingles never inflates the
+    score).  Integer counts + one rounded division: oracle-replayable.
+
+    Returns (id_a, id_b, shared, containment): ``a`` contained-in ``b``,
+    both directions possible since the measure is asymmetric."""
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k, portable=portable)).alias(
+            "__h"
+        ),
+    )
+    rare = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__h")
+    )
+    kept = sh.join(rare, "__h").localCheckpoint(eager=False)  # feeds sizes + both join sides
+    sizes = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = kept.select(F.col("__id").alias("__ida"), "__h")
+    b = kept.select(F.col("__id").alias("__idb"), "__h")
+    pairs = (
+        a.join(b, "__h")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes, pairs["__ida"] == sizes["__id"])
+        .withColumn("containment", F.round(F.col("shared") / F.col("__n"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "shared",
+            "containment",
+        )
+    )
+
+
 def span_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -409,6 +409,66 @@ def domain_mix_oracle_predicate(
     return f"{sample_oracle_bucket(key_expr, seed)} < CAST(floor({frac} * {_BUCKETS}) AS BIGINT)"
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — ``w_s ∝ n_s^α``
+    (the multilingual-pretraining mixture rule: α=1 keeps the natural
+    distribution, α→0 flattens toward uniform, mT5/XLM-R ship α≈0.3-0.7).
+    This COMPUTES the target mixture that :func:`domain_mix` then
+    enforces: feed ``weight`` straight into its ``weights`` dict.
+
+    Output per stratum: (strata, n_docs, weight, target_docs) with
+    ``target_docs = round(weight · target_total)``.
+
+    Scale/determinism: one stratum-count aggregate (corpus scanned once,
+    map-side combined), then arithmetic on the strata-sized frame — the
+    normalizer joins back as a broadcast one-row frame.  α=0.5 (the
+    default) evaluates as ``sqrt`` — IEEE-correctly-rounded, so
+    bit-identical across engines; other α go through ``pow`` under the
+    1e-12-round-then-decimal-sum contract."""
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_d = F.col("n_docs").cast("double")
+    raw = F.sqrt(n_d) if alpha == 0.5 else F.pow(n_d, F.lit(float(alpha)))
+    t = cnt.withColumn("__t", F.round(raw, 12))
+    tot = t.agg(
+        F.sum(F.col("__t").cast("decimal(38,12)")).cast("double").alias("__s")
+    )
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            "n_docs",
+            F.round(F.col("__t") / F.col("__s"), 6).alias("weight"),
+            F.round(F.round(F.col("__t") / F.col("__s"), 6) * target_total, 0)
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def temperature_weights_oracle_sql(
+    source_sql: str, strata_col: str, alpha: float = 0.5, target_total: int = 10_000
+) -> str:
+    """DuckDB replay of :func:`temperature_weights` (same sqrt/pow leaf,
+    1e-12 rounding, decimal normalizer sum)."""
+    raw = (
+        "sqrt(CAST(n_docs AS DOUBLE))"
+        if alpha == 0.5
+        else f"pow(CAST(n_docs AS DOUBLE), CAST({float(alpha)!r} AS DOUBLE))"
+    )
+    return f"""WITH c AS (SELECT {strata_col}, count(*) AS n_docs FROM ({source_sql}) GROUP BY 1),
+t AS (SELECT {strata_col}, n_docs, round({raw}, 12) AS t FROM c),
+tot AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS s FROM t)
+SELECT {strata_col}, n_docs, round(t / (SELECT s FROM tot), 6) AS weight,
+       CAST(round(round(t / (SELECT s FROM tot), 6) * {target_total}, 0) AS BIGINT) AS target_docs
+FROM t ORDER BY {strata_col} NULLS FIRST"""
+
+
 def topk_frequent(
     df: DataFrame, group_cols: list[str], item_col: str, k: int
 ) -> DataFrame:

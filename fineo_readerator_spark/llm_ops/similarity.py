@@ -821,6 +821,166 @@ def label_propagation(
     )
 
 
+def pagerank(
+    df: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """PageRank centrality over the approximate k-NN similarity graph —
+    the corpus-level "representativeness" score: documents whose neighbors
+    are themselves central rank high (canonical exemplars worth keeping /
+    up-sampling), low-rank peripheral nodes are the outliers diversity-aware
+    pruning inspects first.  The graph flavor of what
+    :func:`semantic_dedup`'s per-cell argmax does locally.
+
+    Determinism (the :func:`label_propagation` discipline, floats allowed
+    under the token-entropy contract): per-edge contributions
+    ``round(r/outdeg, 12)`` summed as exact ``decimal(38,12)``
+    (order-independent), each round's rank is one fixed-shape double
+    expression rounded at 1e-12 — so the full ``n_iters`` walk is
+    SQL-unrolled and oracle-checked.
+
+    Scale shape: graph builds ONCE (cell-bounded, O(N·k) edges); per round
+    one edge×rank join (≤ N·k rows, contributions map-side combined) plus
+    one node-keyed agg; rank frame lineage-cut per round.  The node count
+    is the only driver scalar.  Dangling mass (nodes with in-edges only)
+    is dropped, not redistributed — documented PageRank simplification."""
+    g = knn_graph(
+        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
+    g = g.localCheckpoint(eager=False)  # one build, consumed every round
+    deg = g.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges = g.join(deg, "__src").localCheckpoint(eager=False)
+    nodes = (
+        g.select(F.col("__src").alias("__id"))
+        .union(g.select(F.col("__nbr").alias("__id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("knn graph is empty: no edges to rank over")
+    # teleport/damping literals come from the SAME python floats the oracle
+    # interpolates via repr() — 1-0.85 is 0.15000000000000002, not 0.15
+    tele, damp = 1.0 - damping, float(damping)
+    ranks = nodes.select(
+        "__id", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("__r")
+    )
+    for _ in range(n_iters):
+        contrib = edges.join(
+            ranks.withColumnRenamed("__id", "__src"), "__src"
+        ).select(
+            "__nbr", F.round(F.col("__r") / F.col("__deg"), 12).alias("__c")
+        )
+        s = contrib.groupBy("__nbr").agg(
+            F.sum(F.col("__c").cast("decimal(38,12)")).alias("__s")
+        )
+        ranks = (
+            nodes.join(s, nodes["__id"] == s["__nbr"], "left")
+            .select(
+                "__id",
+                F.round(
+                    F.lit(tele) / F.lit(float(n))
+                    + F.lit(damp)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("__r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("__id").alias(id_col), F.col("__r").alias("pagerank")
+    ).orderBy(id_col)
+
+
+def knn_recall_audit(
+    df: DataFrame,
+    sample_mod: int = 125,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k audit of the cell-bounded k-NN graph against exact brute
+    force, on a deterministic node sample (``id % sample_mod == 0``) —
+    the measurement that says whether ``n_centroids``/``n_probe`` are
+    sized right BEFORE label propagation / PageRank / hard-negative
+    mining consume the graph.  Per sampled node: the exact top-k
+    (restricted to the same rankable corpus the graph indexes), the
+    graph's in-cell top-k, and ``recall = |approx ∩ exact| / |exact|``.
+
+    Scale shape: the graph side is the artifact under audit (in
+    production, read back the persisted graph instead of rebuilding); the
+    exact side broadcasts only the SAMPLED queries against one corpus
+    scan (the :func:`ann_batch_topk` shape) — audit cost is
+    |sample| × N scored pairs, tuned by ``sample_mod``.  The recall
+    division is two exact counts — the report is oracle-checked."""
+    from pyspark.sql.window import Window
+
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    approx = knn_graph(
+        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    ).filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("__qid"), F.col("nbr_id").alias("__nbr")
+    )
+    # the same rankability contract knn_graph applies internally
+    corpus = df.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.size(vec_col) == _modal_dim(corpus, vec_col))
+    corpus = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    queries = corpus.filter((F.col("__id") % sample_mod) == 0).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("__id") != F.col("__qid")).select(
+        "__qid",
+        F.col("__id").alias("__nbr"),
+        F.round(
+            _dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")),
+            round_digits,
+        ).alias("__cos"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), "__nbr")
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__qid", "__nbr")
+        .localCheckpoint(eager=False)  # feeds both the denominator and the hit join
+    )
+    n_exact = exact.groupBy("__qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["__qid", "__nbr"])
+        .groupBy("__qid")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        n_exact.join(hits, "__qid", "left")
+        .select(
+            F.col("__qid").alias(id_col),
+            "n_exact",
+            F.coalesce("__h", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("__h", F.lit(0)).cast("long") / F.col("n_exact"),
+                round_digits,
+            ).alias("recall"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     n_centroids: int = 8,

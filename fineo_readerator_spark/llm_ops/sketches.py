@@ -533,3 +533,94 @@ def bloom_member_sql(words: list[int], key_sql: str) -> str:
             f" CAST({pos} % 64 AS INT)) & 1L) = 1L)"
         )
     return "(" + " AND ".join(tests) + ")"
+
+
+# --- K-minimum-values distinct sketch --------------------------------------
+
+_KMV_RANGE = 1 << 60  # the portable md5 leaf is 60 bits
+
+
+def kmv_sketch(
+    df: DataFrame, key: Column, k: int = 64, group_cols: tuple = ()
+) -> DataFrame:
+    """(group_cols..., rank, h) rows: the ``k`` smallest DISTINCT portable
+    hash values per group — the K-minimum-values sketch (Bar-Yossef et al.
+    2002), the distinct-count sketch whose state is *exact order
+    statistics*, so unlike HLL its estimate is bit-reproducible from the
+    stored rows with zero float state and it supports set-operation
+    estimates (union = k smallest of the concatenated sketches).
+
+    Scale shape: one hash+distinct pass, then a per-group top-k —
+    ``row_number() <= k`` compiles to WindowGroupLimit, so each mapper
+    keeps a k-row heap and the exchange carries O(groups·k) rows.  The
+    sketch is data-independent in size: k longs per group."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        *group_cols, _md5_long(key.cast("string")).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, F.col("rank").cast("int"), F.col("__h").alias("h"))
+    )
+
+
+def kmv_finalize(sketch: DataFrame, k: int = 64, group_cols: tuple = ()) -> DataFrame:
+    """(group_cols..., n_kept, est_distinct) from stored sketch rows.  A
+    group that kept fewer than ``k`` hashes saw fewer than ``k`` distinct
+    keys — the sketch IS the exact distinct set, so the estimate is exact.
+    Otherwise the classic unbiased estimator (k-1)/θ with θ = kth-min/2^60:
+    exact integer max + ONE rounded double division, identical in DuckDB."""
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(_KMV_RANGE)) / F.col("__kth"), 2
+        )
+    )
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("__kth"),
+        )
+        .select(*group_cols, "n_kept", est.alias("est_distinct"))
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key: Column, k: int = 64, group_cols: tuple = ()
+) -> DataFrame:
+    """Per-group KMV distinct estimate: build + finalize in one plan."""
+    return kmv_finalize(kmv_sketch(df, key, k, group_cols), k, group_cols)
+
+
+def kmv_oracle_sql(
+    source_sql: str, key_expr: str, k: int = 64, group_col: str | None = None
+) -> str:
+    """DuckDB replay of :func:`kmv_distinct`: same portable hash, same
+    order statistics, same estimator expression."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    h = _hexparse(f"md5(CAST({key_expr} AS VARCHAR))", 1, 15)
+    grp = f"{group_col}, " if group_col else ""
+    grp_by = f"GROUP BY {group_col}" if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    order = f"ORDER BY {group_col} NULLS FIRST" if group_col else ""
+    return f"""WITH hashed AS (
+  SELECT DISTINCT {grp}{h} AS h FROM ({source_sql})
+),
+topk AS (
+  SELECT * FROM (
+    SELECT {grp}h, row_number() OVER ({part}ORDER BY h) AS rank FROM hashed
+  ) WHERE rank <= {k}
+)
+SELECT {grp}CAST(count(*) AS BIGINT) AS n_kept,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE round(CAST({float(k - 1)!r} AS DOUBLE) * CAST({float(_KMV_RANGE)!r} AS DOUBLE)
+                       / max(h), 2) END AS est_distinct
+FROM topk {grp_by} {order}"""

@@ -1,0 +1,284 @@
+"""In-engine BPE tokenizer training and encoding — tokenizer fitting as
+distributed relational algebra, with the whole training walk
+oracle-checkable.
+
+Byte-pair encoding's training loop (Sennrich et al. 2016, the
+subword-tokenizer construction GPT/Llama vocabularies descend from) is,
+per merge step: count adjacent symbol pairs across the corpus weighted by
+word frequency, pick the most frequent pair, fuse it everywhere.  That is
+two aggregations and a projection — exactly the shape this engine runs
+well at 100 TB, unlike the single-machine trainers that have to sample
+the corpus first.  Encoding with a trained merge table is a pure
+projection (a chain of literal replaces), so tokenizer-eval metrics like
+per-language fertility come out of ONE aggregate over vocabulary rows.
+
+Determinism contract (the same discipline as ``kmeans_refine`` /
+``classifier``): pair counts are exact integers; the winning pair is a
+total order (count DESC, left ASC, right ASC); the merge application is
+canonical non-overlapping left-to-right fusing via space-delimited
+literal ``replace`` — identical semantics in Spark and DuckDB, so the
+DuckDB oracle replays the ENTIRE training walk, not just the final
+vocabulary.
+
+Scale shape: one tokenize pass builds the (word, freq) table — shuffle =
+|vocabulary|, map-side combined; every merge round is one explode +
+pair-count aggregate over VOCABULARY rows (never corpus rows — word
+frequency carries the corpus weight) and collects ONE winning row to the
+driver (metadata, the k-means-centroid pattern); the symbol recode is a
+codegen'd projection, lineage-cut per round so round t+1 does not replay
+round t.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.textstats import tokens
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+
+
+def merge_chain_expr(syms_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned merge list to a symbol-array column as ONE codegen'd
+    projection (no joins, no shuffle): DOUBLE-space-join, one literal
+    replace of ``' l  r '`` with ``' lr '`` per merge in learned order,
+    split back on space runs.
+
+    Literal (non-regex) replace scans left to right on both engines;
+    symbols never contain spaces, so the delimiters make partial-symbol
+    matches impossible.  The double delimiter means each token keeps its
+    OWN flanking space, so a replacement never consumes the next pair's
+    leading delimiter — ``a a a a`` fuses to ``[aa, aa]`` (canonical BPE
+    left-to-right fusing), not ``[aa, a, a]`` — and every token boundary
+    stays exactly two spaces after any number of chained replaces."""
+    joined = F.concat(F.lit(" "), F.concat_ws("  ", syms_col), F.lit(" "))
+    for l, r in merges:
+        joined = F.replace(joined, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return F.split(F.trim(joined), " +")
+
+
+def _train_from_freqs(
+    freqs: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge-learning loop over a ``(__w, __f)`` vocabulary frame.
+    Returns ``(step, left, right, merged, pair_count)`` tuples in learned
+    order; stops early when no adjacent pair remains."""
+    cur = (
+        freqs.withColumn("__syms", F.expr("regexp_extract_all(__w, '.', 0)"))
+        .select("__f", "__syms")
+        .localCheckpoint(eager=False)
+    )
+    out_rows: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "__f",
+                F.explode(
+                    F.when(
+                        F.size("__syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("__syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("__syms", i).alias("l"),
+                                F.element_at("__syms", i + F.lit(1)).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r"))
+            .agg(F.sum("__f").alias("__c"))
+        )
+        best = pairs.orderBy(F.desc("__c"), "__l", "__r").first()
+        if best is None:
+            break
+        l, r, c = best["__l"], best["__r"], best["__c"]
+        out_rows.append((step, l, r, l + r, int(c)))
+        cur = cur.withColumn(
+            "__syms", merge_chain_expr(F.col("__syms"), [(l, r)])
+        ).localCheckpoint(eager=False)
+    return out_rows
+
+
+def train_bpe(
+    df: DataFrame, text_col: str = "text", n_merges: int = 2
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges over the corpus; returns the
+    merge table as driver-side tuples (model-sized — ``n_merges`` rows)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    return _train_from_freqs(_word_freqs(df, text_col), n_merges)
+
+
+def bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 2) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.  Returns
+    one row per merge step: ``(step, pair_left, pair_right, merged,
+    pair_count)`` in learned order — the head of the merge table a
+    tokenizer build would persist.
+
+    Stops early (fewer rows) if the corpus runs out of adjacent pairs."""
+    rows = train_bpe(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        rows, "step int, pair_left string, pair_right string, merged string, pair_count long"
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Train a BPE merge table on the whole corpus, encode the corpus with
+    it, and report per-group tokenizer **fertility** (tokens per word) —
+    the standard tokenizer-eval metric that exposes which languages a
+    vocabulary fragments (fertility ≫ 1 means the tokenizer was trained on
+    someone else's distribution).
+
+    Scale shape: ONE tokenize pass builds the (group, word, freq) table;
+    the corpus-level training vocabulary is derived from it by a second
+    small aggregate (vocabulary rows, not corpus rows), so training never
+    re-reads the corpus.  Encoding is a codegen'd literal-replace chain
+    over vocabulary rows; the per-group stats are one map-side-combined
+    aggregate.  NULL group is its own group.
+
+    Determinism: exact long counts; ``fertility`` is ONE division of two
+    exact longs rounded at 1e-6 (the :func:`ngram_diversity` contract)."""
+    wl = (
+        df.select(
+            F.col(group_col).alias("__grp"),
+            F.explode(tokens(F.col(text_col))).alias("__w"),
+        )
+        .groupBy("__grp", "__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .localCheckpoint(eager=False)
+    )
+    corpus_freqs = wl.groupBy("__w").agg(F.sum("__f").alias("__f"))
+    merges = [(l, r) for _, l, r, _, _ in _train_from_freqs(corpus_freqs, n_merges)]
+    enc = merge_chain_expr(F.expr("regexp_extract_all(__w, '.', 0)"), merges)
+    return (
+        wl.select("__grp", "__f", F.size(enc).alias("__n"))
+        .groupBy("__grp")
+        .agg(
+            F.sum("__f").cast("long").alias("n_words"),
+            F.sum(F.col("__f") * F.col("__n")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("fertility", F.round(F.col("n_tokens") / F.col("n_words"), 6))
+        .select(F.col("__grp").alias(group_col), "n_words", "n_tokens", "fertility")
+        .orderBy(group_col)
+    )
+
+
+def _oracle_toks(text_col: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+
+
+def _oracle_merge_apply(syms: str, l_sql: str, r_sql: str) -> str:
+    """DuckDB twin of one :func:`merge_chain_expr` step on a list
+    expression: double-space join, literal replace, split on space runs."""
+    return (
+        f"regexp_split_to_array(trim(replace(' ' || array_to_string({syms}, '  ') || ' ',"
+        f" ' ' || {l_sql} || '  ' || {r_sql} || ' ',"
+        f" ' ' || {l_sql} || {r_sql} || ' ')), ' +')"
+    )
+
+
+def bpe_cte_parts(corpus_sql: str, text_col: str, n_merges: int) -> list[str]:
+    """The unrolled training walk as DuckDB CTE strings: ``__w`` (word
+    freqs), ``s0`` (symbol split), then per step the pair-count ``p{t}``,
+    winner ``b{t}`` and (for steps that feed a next round) the recode
+    ``s{t}``.  An exhausted corpus makes ``b{t}`` empty and the NULL
+    replace poisons ``s{t}`` to NULL symbol lists, whose pairs vanish
+    under ``len(syms) >= 2`` — matching the Spark early stop."""
+    parts = [
+        f"__w AS (SELECT w, count(*) AS f FROM (SELECT unnest({_oracle_toks(text_col)}) AS w"
+        f" FROM ({corpus_sql})) GROUP BY w)",
+        "s0 AS (SELECT f, regexp_extract_all(w, '.') AS syms FROM __w)",
+    ]
+    prev = "s0"
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(f) AS c
+  FROM {prev}, unnest(generate_series(1, len(syms) - 1)) u(i)
+  WHERE len(syms) >= 2 GROUP BY 1, 2
+)"""
+        )
+        parts.append(f"b{t} AS (SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1)")
+        if t < n_merges:
+            applied = _oracle_merge_apply(
+                "syms", f"(SELECT l FROM b{t})", f"(SELECT r FROM b{t})"
+            )
+            parts.append(f"s{t} AS (SELECT f, {applied} AS syms FROM {prev})")
+            prev = f"s{t}"
+    return parts
+
+
+def bpe_merges_oracle_sql(corpus_sql: str, text_col: str = "text", n_merges: int = 2) -> str:
+    """DuckDB replay of :func:`bpe_merges`: identical word weighting, pair
+    counting, (count DESC, left, right) winner order and left-to-right
+    literal-replace merge application, unrolled per step."""
+    parts = bpe_cte_parts(corpus_sql, text_col, n_merges)
+    selects = [
+        f"SELECT {t} AS step, l AS pair_left, r AS pair_right,"
+        f" l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step"
+
+
+def bpe_fertility_oracle_sql(
+    corpus_sql: str,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_merges: int = 4,
+) -> str:
+    """DuckDB replay of :func:`bpe_fertility`: the training walk from
+    :func:`bpe_cte_parts` (on corpus-level word freqs derived from the
+    per-group table, exactly as the Spark side does), then an encode chain
+    ``e{t}`` over the per-group vocabulary guarded per step so an
+    early-stopped training (empty ``b{t}``) passes symbols through
+    unchanged."""
+    parts = [
+        f"__wl AS (SELECT grp, w, count(*) AS f FROM"
+        f" (SELECT {group_col} AS grp, unnest({_oracle_toks(text_col)}) AS w"
+        f" FROM ({corpus_sql})) GROUP BY grp, w)",
+    ]
+    # training chain on corpus-level freqs derived from __wl
+    train = bpe_cte_parts(corpus_sql, text_col, n_merges)
+    train[0] = "__w AS (SELECT w, sum(f) AS f FROM __wl GROUP BY w)"
+    parts.extend(train)
+    parts.append("e0 AS (SELECT grp, f, regexp_extract_all(w, '.') AS syms FROM __wl)")
+    prev = "e0"
+    for t in range(1, n_merges + 1):
+        applied = _oracle_merge_apply(
+            "syms", f"(SELECT l FROM b{t})", f"(SELECT r FROM b{t})"
+        )
+        parts.append(
+            f"""e{t} AS (
+  SELECT grp, f,
+         CASE WHEN (SELECT count(*) FROM b{t}) = 0 THEN syms ELSE {applied} END AS syms
+  FROM {prev}
+)"""
+        )
+        prev = f"e{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT grp AS {group_col},
+       CAST(sum(f) AS BIGINT) AS n_words,
+       CAST(sum(f * len(syms)) AS BIGINT) AS n_tokens,
+       round(CAST(sum(f * len(syms)) AS BIGINT) / CAST(sum(f) AS BIGINT), 6) AS fertility
+FROM {prev} GROUP BY grp ORDER BY {group_col} NULLS FIRST"""
+    )

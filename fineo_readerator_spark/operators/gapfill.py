@@ -1,0 +1,76 @@
+"""Time-series gap fill + last-observation-carried-forward (LOCF).
+
+The hypertable-rollup companion (TimescaleDB's ``time_bucket_gapfill`` /
+``locf`` surface re-expressed relationally): a bucketed aggregate only has
+rows for buckets that saw data, but downstream consumers (dashboards,
+drift monitors, forecasting features) need a DENSE series — every bucket
+present, missing ones flagged and optionally filled with the last
+observed value.
+
+Spark-first shape: the dense spine is ``keys × sequence(min, max, step)``
+— both sides are aggregates (metadata-sized relative to the fact table),
+the sequence explodes in-plan from a one-row bounds frame (no driver
+collect), and the bounds side is broadcast by AQE.  The fill itself is a
+left join plus one running ``last(ignorenulls)`` window per key — no UDFs
+anywhere, the whole thing stays in whole-stage codegen.
+
+At 100 TB the fact scan is the cost; the spine is |keys| × |buckets|
+rows, bounded by the time range over the step — a monitoring-sized
+frame.  The window shuffles the SPINE (not the corpus) by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill(
+    bucketed: DataFrame,
+    bucket_col: str,
+    key_cols: tuple[str, ...],
+    fill_cols: tuple[str, ...] = (),
+    step: str = "1 hour",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Densify a bucketed frame: emit one row per (key, bucket) over the
+    GLOBAL [min, max] bucket range at ``step`` granularity, with
+
+    - ``is_gap`` — true where the input had no row,
+    - ``count_col`` (if named) coalesced to 0 on gap rows,
+    - ``{col}_locf`` per ``fill_cols`` entry — the last non-NULL observed
+      value at or before this bucket within the key (NULL until the first
+      observation; gap rows keep the original column NULL so filled and
+      observed values stay distinguishable).
+
+    ``step`` is a SQL interval body (``"1 hour"``, ``"15 minutes"``)
+    applied via ``sequence(lo, hi, interval step)`` — inclusive ends on
+    both engines."""
+    if not key_cols:
+        raise ValueError("gap_fill needs at least one key column")
+    keys = bucketed.select(*key_cols).distinct()
+    bounds = bucketed.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step})")
+        ).alias(bucket_col),
+    )
+    joined = spine.join(bucketed, [*key_cols, bucket_col], "left")
+    probe = count_col or fill_cols[0] if (count_col or fill_cols) else None
+    if probe is None:
+        raise ValueError("gap_fill needs count_col or fill_cols to detect gaps")
+    out = joined.withColumn("is_gap", F.col(probe).isNull())
+    if count_col:
+        out = out.withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in fill_cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out

@@ -135,6 +135,48 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (llm_ops.dedup.containment_pairs):
+    directed doc pairs with |S(a)∩S(b)|/|S(a)| ≥ 0.6 over rare shingles
+    (df ≤ 20) — the quote/excerpt/superset signal Jaccard misses.
+    Inverted-index equi-join candidates, hot-shingle cap before the
+    self-join, integer counts + one rounded division."""
+    from fineo_readerator_spark.llm_ops.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        threshold=0.6,
+        max_df=20,
+        portable=True,
+    ).orderBy("id_a", "id_b")
+
+
+def _d_containment_oracle(
+    shingle_k: int = 3, threshold: float = 0.6, max_df: int = 20
+) -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _shingle_ctes
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),{_shingle_ctes('corpus', shingle_k)},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM __hs),
+dfk AS (SELECT h FROM (SELECT h, count(*) AS c FROM ex GROUP BY 1) WHERE c <= {max_df}),
+kept AS (SELECT e.doc_id, e.h FROM ex e JOIN dfk USING (h)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, round(shared / s.n, 6) AS containment
+FROM pr JOIN sz s ON pr.id_a = s.doc_id
+WHERE round(shared / s.n, 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 to the vec_id=0 embedding (the exact ANN
     baseline; the LSH-bucketed scale path is covered in tests)."""
@@ -1398,6 +1440,107 @@ FROM {prev} ORDER BY vec_id
     )
 
 
+def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the k-NN similarity graph (llm_ops.
+    similarity.pagerank): two damped power-iteration rounds with
+    1e-12-rounded per-edge contributions and exact decimal sums — the
+    whole walk is SQL-unrolled and oracle-checked.  Graph builds once;
+    each round is one edge×rank join plus a node-keyed agg."""
+    from fineo_readerator_spark.llm_ops.similarity import pagerank
+
+    return pagerank(
+        load(spark, sf_dir, "embeddings"), k=3, n_centroids=16, n_iters=2
+    )
+
+
+def _s_pagerank_oracle(
+    k: int = 3, n_centroids: int = 16, n_iters: int = 2, damping: float = 0.85
+) -> str:
+    """Unrolled PageRank replay on top of the shared knn-graph CTEs.  The
+    damping/teleport literals are ``repr()``-interpolated from the SAME
+    python floats the Spark side uses (1-0.85 is 0.15000000000000002 — a
+    bare 0.15 literal would diverge at the 1e-12 rounding boundary)."""
+    tele, damp = 1.0 - damping, float(damping)
+    parts = [
+        _knn_graph_ctes(k, n_centroids),
+        "nodes AS (SELECT DISTINCT id FROM"
+        " (SELECT vec_id AS id FROM graph UNION ALL SELECT nbr_id FROM graph))",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT vec_id AS src, count(*) AS d FROM graph GROUP BY 1)",
+        "r0 AS (SELECT id, round(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 12) AS r"
+        " FROM nodes)",
+    ]
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT g.nbr_id AS id, round(p.r / d.d, 12) AS c
+  FROM graph g JOIN {prev} p ON g.vec_id = p.id JOIN deg d ON g.vec_id = d.src
+)"""
+        )
+        parts.append(
+            f"s{t} AS (SELECT id, sum(CAST(c AS DECIMAL(38,12))) AS s"
+            f" FROM c{t} GROUP BY 1)"
+        )
+        parts.append(
+            f"""r{t} AS (
+  SELECT n.id, round(CAST({tele!r} AS DOUBLE) / (SELECT n FROM nn)
+       + CAST({damp!r} AS DOUBLE) * coalesce(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)), 12) AS r
+  FROM nodes n LEFT JOIN s{t} s ON n.id = s.id
+)"""
+        )
+        prev = f"r{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, r AS pagerank FROM {prev} ORDER BY vec_id"
+    )
+
+
+def s_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the k-NN graph vs exact brute force (llm_ops.
+    similarity.knn_recall_audit) on the vec_id%125==0 node sample — the
+    index-quality report that validates n_centroids/n_probe before the
+    graph consumers run.  Exact side broadcasts only the sampled queries
+    against one corpus scan; recall is a ratio of two exact counts."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_recall_audit
+
+    return knn_recall_audit(
+        load(spark, sf_dir, "embeddings"), sample_mod=125, k=3, n_centroids=16
+    )
+
+
+def _s_recall_audit_oracle(
+    sample_mod: int = 125, k: int = 3, n_centroids: int = 16, n_probe: int = 1
+) -> str:
+    return f"""
+WITH {_knn_graph_ctes(k, n_centroids, n_probe)},
+approx AS (SELECT vec_id AS qid, nbr_id AS nbr FROM graph WHERE vec_id % {sample_mod} = 0),
+rk AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM corpus
+),
+rankable AS (SELECT vec_id, embedding FROM rk WHERE nrm > 0),
+exact AS (
+  SELECT qid, nbr FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nbr,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_SEM_COS.format(a='c.embedding', b='q.embedding')} DESC, c.vec_id) AS rn
+    FROM (SELECT * FROM rankable WHERE vec_id % {sample_mod} = 0) q
+    JOIN rankable c ON c.vec_id != q.vec_id
+  ) WHERE rn <= {k}
+),
+ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+h AS (SELECT e.qid, count(*) AS c FROM exact e JOIN approx a ON e.qid = a.qid AND e.nbr = a.nbr GROUP BY 1)
+SELECT ne.qid AS vec_id, ne.n_exact,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.c, 0) AS BIGINT) / ne.n_exact, 6) AS recall
+FROM ne LEFT JOIN h ON ne.qid = h.qid
+ORDER BY vec_id
+"""
+
+
 def s_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe k-NN graph: each node ALSO searches its runner-up cell
     (n_probe=2), recovering the neighbors the single-cell graph loses at
@@ -2207,6 +2350,29 @@ def _a_hll_oracle() -> str:
     return hll_oracle_sql("SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k")
 
 
+def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source K-minimum-values distinct-text estimate (llm_ops.
+    sketches.kmv_distinct): the order-statistics distinct sketch — exact
+    integer state (k smallest portable hashes per group), so the estimate
+    is bit-reproducible and exact below k.  One hash+distinct pass plus a
+    WindowGroupLimit top-k; the per-group estimator is one rounded
+    division."""
+    from fineo_readerator_spark.llm_ops.sketches import kmv_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    return kmv_distinct(
+        docs, F.col("text"), k=64, group_cols=("source",)
+    ).orderBy("source")
+
+
+def _a_kmv_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql(
+        "SELECT source, text FROM documents", "text", k=64, group_col="source"
+    )
+
+
 def a_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-free cross-corpus overlap sizing (llm_ops.sketches.hll_overlap):
     how many distinct texts do the even-id and third-id document subsets
@@ -2515,6 +2681,27 @@ _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src4": 0.1}
 _MIX_TOTAL = 60
 
 
+def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (llm_ops.sampling.
+    temperature_weights, α=0.5): w_s ∝ √n_s — the multilingual-style
+    reweighting that up-samples small domains; produces the weights
+    p_domain_mix enforces.  One stratum-count agg + strata-sized
+    arithmetic; sqrt is IEEE-exact so the walk is oracle-checked."""
+    from fineo_readerator_spark.llm_ops.sampling import temperature_weights
+
+    return temperature_weights(
+        load(spark, sf_dir, "documents"), "source", alpha=0.5, target_total=10_000
+    )
+
+
+def _p_temperature_mix_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import temperature_weights_oracle_sql
+
+    return temperature_weights_oracle_sql(
+        "SELECT source FROM documents", "source", alpha=0.5, target_total=10_000
+    )
+
+
 def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting toward a target source mixture:
     hash-bucket membership, per-stratum counts joined as a broadcast."""
@@ -2613,6 +2800,39 @@ def _t_ngram_diversity_oracle() -> str:
     return ngram_diversity_oracle_sql("SELECT lang, text FROM documents")
 
 
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (llm_ops.tokenizer.bpe_merges):
+    the first 3 learned merges over the corpus — per step one
+    vocabulary-rows pair-count aggregate and a ONE-row driver collect;
+    exact integer counts + total winner order make the whole training
+    walk oracle-checked."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_merges
+
+    return bpe_merges(load(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _t_bpe_merges_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql("SELECT text FROM documents", n_merges=3)
+
+
+def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (llm_ops.tokenizer.bpe_fertility):
+    train 4 BPE merges corpus-wide, encode, report tokens-per-word by
+    lang — the vocabulary-fit metric; one tokenize pass, training and
+    encoding both run over vocabulary rows only."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_fertility
+
+    return bpe_fertility(load(spark, sf_dir, "documents"), n_merges=4)
+
+
+def _t_bpe_fertility_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_fertility_oracle_sql
+
+    return bpe_fertility_oracle_sql("SELECT lang, text FROM documents", n_merges=4)
+
+
 def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy (llm_ops.textstats.
     token_entropy): the gibberish/template pre-filter — one (doc, token)
@@ -2660,6 +2880,7 @@ LLM_QUERIES = [
     QueryDef("t_fingerprint", t_fingerprint, T_FP_ORACLE),
     QueryDef("t_winnow_fps", t_winnow_fps, T_WINNOW_ORACLE),
     QueryDef("d_ngram_jaccard", d_ngram_jaccard, D_JACCARD_ORACLE),
+    QueryDef("d_containment", d_containment, _d_containment_oracle()),
     QueryDef("s_ann_topk", s_ann_topk, S_ANN_ORACLE, bench=True),
     QueryDef("s_ann_lsh", s_ann_lsh, _ann_lsh_oracle()),
     QueryDef("s_ann_ivf", s_ann_ivf, S_ANN_IVF_ORACLE),
@@ -2703,10 +2924,14 @@ LLM_QUERIES = [
     QueryDef("s_ann_ivf_append", s_ann_ivf_append, S_ANN_IVF_APPEND_ORACLE),
     QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
     QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),
+    QueryDef("s_pagerank", s_pagerank, _s_pagerank_oracle()),
+    QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
+    QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
+    QueryDef("t_bpe_fertility", t_bpe_fertility, _t_bpe_fertility_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
@@ -2720,6 +2945,7 @@ LLM_QUERIES = [
     QueryDef("t_quality_classifier", t_quality_classifier, _t_quality_classifier_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
+    QueryDef("a_kmv_distinct", a_kmv_distinct, _a_kmv_oracle()),
     QueryDef("a_hll_overlap", a_hll_overlap, _a_hll_overlap_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),
     QueryDef("p_stratified_k", p_stratified_k, _p_stratified_oracle()),
@@ -2732,4 +2958,5 @@ LLM_QUERIES = [
     QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle(), bench=True),
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
+    QueryDef("p_temperature_mix", p_temperature_mix, _p_temperature_mix_oracle()),
 ]

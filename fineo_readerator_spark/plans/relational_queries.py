@@ -505,6 +505,57 @@ GROUP BY p.event_id
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with gap flags and LOCF
+    (operators.gapfill.gap_fill — the time_bucket_gapfill/locf surface):
+    buckets with no events appear with n=0, is_gap=true and the last
+    observed hourly value carried forward.  Spine explodes in-plan from a
+    broadcast one-row bounds frame; fill is one left join + one running
+    window — no collect, no UDF.  Value sums go through 1e-6-rounded
+    decimal partials so the double walk is oracle-checked."""
+    from fineo_readerator_spark.operators.gapfill import gap_fill
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).cast("double"), 6
+        ).alias("val"),
+    )
+    return gap_fill(
+        agg, "bucket", ("event_type",), fill_cols=("val",), step="1 hour",
+        count_col="n",
+    ).select(
+        "event_type", "bucket", "n", "val", "val_locf", "is_gap"
+    ).orderBy("event_type", "bucket")
+
+
+Q_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE), 6) AS val
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+  SELECT k.event_type, g.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM agg) k
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS b) g
+)
+SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n, a.val,
+       last_value(a.val IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_locf,
+       (a.n IS NULL) AS is_gap
+FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+ORDER BY s.event_type, s.bucket
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-level aggregation (subtotals + grand total) — Spark
     built-in grouping sets; GROUPING() marks the rolled-up levels so NULL
@@ -655,6 +706,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_scalar_funcs", q_scalar_funcs, Q_SCALAR_ORACLE),
     QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
     QueryDef("q_rollup", q_rollup, Q_ROLLUP_ORACLE),
+    QueryDef("q_gap_fill", q_gap_fill, Q_GAPFILL_ORACLE),
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),

@@ -349,6 +349,76 @@ def test_hll_overlap_inclusion_exclusion(spark):
     assert abs(same.est_intersect - same.est_a) < 0.01
 
 
+def test_bpe_merges_golden_walk(spark):
+    """Hand-computed 3-merge walk: frequency-weighted pair counts, the
+    (count DESC, left, right) tie-break, and merge application between
+    rounds."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_merges
+
+    # words: 'aaab'x2, 'ab'x3 → step1 (a,b):5 beats (a,a):4; step2 ties
+    # (a,a):2 vs (a,ab):2 → lexicographic winner (a,a); step3 (aa,ab):2
+    df = spark.createDataFrame(
+        [(1, "aaab ab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merges(df, n_merges=3).collect()]
+    assert got == [
+        (1, "a", "b", "ab", 5),
+        (2, "a", "a", "aa", 2),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_bpe_merge_application_is_left_to_right(spark):
+    """'aaa' under merge (a,a) must fuse non-overlapping left-to-right to
+    [aa, a] — so the next round's top pair is (aa, a), never (a, aa)."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(df, n_merges=2).collect()]
+    assert got == [(1, "a", "a", "aa", 2), (2, "aa", "a", "aaa", 1)]
+    # early stop: nothing left to merge after the word fully fuses
+    assert len([tuple(r) for r in bpe_merges(df, n_merges=9).collect()]) == 2
+    # canonical chained fusing: 'aaaa' -> [aa, aa], NOT [aa, a, a] — a
+    # replacement must not consume the next pair's leading delimiter
+    df4 = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got4 = [tuple(r) for r in bpe_merges(df4, n_merges=2).collect()]
+    assert got4 == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_bpe_fertility_golden(spark):
+    """Hand-computed fertility: train on the whole corpus, encode per
+    group. Corpus 'ab ab cd' + 'ab' → merges (a,b) then (c,d); lang en
+    has words {ab:2, cd:1} → 3 words, 3 tokens (all fully fused),
+    fertility 1.0; lang de has {ab:1} → 1 word, 1 token."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(1, "ab ab cd", "en"), (2, "ab", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = [tuple(r) for r in bpe_fertility(df, n_merges=2).collect()]
+    assert got == [("de", 1, 1, 1.0), ("en", 3, 3, 1.0)]
+    # with zero merges learned beyond exhaustion the chain passes through:
+    # n_merges=9 exhausts after (a,b),(c,d) — same fully-fused result
+    got9 = [tuple(r) for r in bpe_fertility(df, n_merges=9).collect()]
+    assert got9 == got
+
+
+def test_bpe_fertility_counts_fragments(spark):
+    """An untrained-for language fragments: train dominated by 'ab', then
+    'xyz' (lang fr) encodes to 3 single-char tokens → fertility 3.0."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab", "en"), (2, "xyz", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["lang"]: (r["n_words"], r["n_tokens"], r["fertility"])
+           for r in bpe_fertility(df, n_merges=1).collect()}
+    assert got["en"] == (3, 3, 1.0)
+    assert got["fr"] == (1, 3, 3.0)
+
+
 def test_label_propagation_stays_within_clusters(spark):
     """Seeded labels spread to their own cluster only (cell-bounded graph),
     seeds never change, and a node with no rankable embedding stays

@@ -515,3 +515,93 @@ def test_ngram_diversity_matches_duckdb(spark, docs, n):
         key=key,
     )
     assert got == exp
+
+
+# --- BPE tokenizer training / fertility ------------------------------------
+
+# tiny alphabet so merge candidates tie and chain constantly — the worst
+# case for the (count DESC, left, right) winner order and the left-to-right
+# fusing contract
+_bpe_word = st.text(alphabet="ab", min_size=1, max_size=5)
+bpe_doc = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(_bpe_word, min_size=1, max_size=8).map(" ".join),
+)
+bpe_corpus = st.lists(bpe_doc, min_size=1, max_size=8).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+bpe_lang_corpus = st.lists(
+    st.tuples(st.sampled_from([None, "en", "de"]), bpe_doc), min_size=1, max_size=8
+).map(lambda rows: [(i, g, t) for i, (g, t) in enumerate(rows)])
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=bpe_corpus, n_merges=st.sampled_from([1, 3, 6]))
+def test_bpe_merges_matches_duckdb(spark, docs, n_merges):
+    from fineo_readerator_spark.llm_ops.tokenizer import (
+        bpe_merges,
+        bpe_merges_oracle_sql,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(df, n_merges=n_merges).collect()]
+    con = _register(docs)
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            bpe_merges_oracle_sql("SELECT text FROM documents", n_merges=n_merges)
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=bpe_lang_corpus, n_merges=st.sampled_from([1, 4]))
+def test_bpe_fertility_matches_duckdb(spark, docs, n_merges):
+    from fineo_readerator_spark.llm_ops.tokenizer import (
+        bpe_fertility,
+        bpe_fertility_oracle_sql,
+    )
+
+    key = lambda t: (t[0] is None, t[0] or "", t[1:])  # noqa: E731
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = sorted(
+        (tuple(r) for r in bpe_fertility(df, n_merges=n_merges).collect()), key=key
+    )
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register(
+        "gdocs",
+        pa.table(
+            {
+                "doc_id": [r[0] for r in docs],
+                "lang": [r[1] for r in docs],
+                "text": [r[2] for r in docs],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+            ),
+        ),
+    )
+    exp = sorted(
+        (
+            tuple(r)
+            for r in con.execute(
+                bpe_fertility_oracle_sql(
+                    "SELECT lang, text FROM gdocs", n_merges=n_merges
+                )
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == exp
