@@ -522,6 +522,13 @@ def test_ngram_diversity_matches_duckdb(spark, docs, n):
 # tiny alphabet so merge candidates tie and chain constantly — the worst
 # case for the (count DESC, left, right) winner order and the left-to-right
 # fusing contract
+#
+# Example budget: every BPE example replays a FULL training walk — each
+# merge round is a Spark aggregate plus a driver collect (~15 actions per
+# example), ~30-60 s each, so the default 10-example budget would add
+# ~20 min to the suite for no extra semantic coverage (the tie/chaining
+# adversarial weight is in the alphabet, not the example count).
+_BPE_EXAMPLES = max(1, min(_EXAMPLES, 3))
 _bpe_word = st.text(alphabet="ab", min_size=1, max_size=5)
 bpe_doc = st.one_of(
     st.none(),
@@ -537,7 +544,7 @@ bpe_lang_corpus = st.lists(
 
 
 @settings(
-    max_examples=_EXAMPLES,
+    max_examples=_BPE_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -561,7 +568,7 @@ def test_bpe_merges_matches_duckdb(spark, docs, n_merges):
 
 
 @settings(
-    max_examples=_EXAMPLES,
+    max_examples=_BPE_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
