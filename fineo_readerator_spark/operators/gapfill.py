@@ -33,6 +33,7 @@ def gap_fill(
     fill_cols: tuple[str, ...] = (),
     step: str = "1 hour",
     count_col: str | None = None,
+    interp_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Densify a bucketed frame: emit one row per (key, bucket) over the
     GLOBAL [min, max] bucket range at ``step`` granularity, with
@@ -42,11 +43,21 @@ def gap_fill(
     - ``{col}_locf`` per ``fill_cols`` entry — the last non-NULL observed
       value at or before this bucket within the key (NULL until the first
       observation; gap rows keep the original column NULL so filled and
-      observed values stay distinguishable).
+      observed values stay distinguishable),
+    - ``{col}_interp`` per ``interp_cols`` entry — linear interpolation
+      between the surrounding observations (TimescaleDB ``interpolate()``
+      semantics): observed rows echo their own value, gap rows get
+      ``prev + (next-prev) · (t-t_prev)/(t_next-t_prev)`` over epoch
+      millis, rounded at 1e-6; buckets before the first or after the last
+      observation stay NULL (interpolation needs both endpoints).
 
     ``step`` is a SQL interval body (``"1 hour"``, ``"15 minutes"``)
     applied via ``sequence(lo, hi, interval step)`` — inclusive ends on
-    both engines."""
+    both engines.
+
+    Scale note: interpolation adds two more window passes over the SPINE
+    per column (same key partitioning as LOCF — one shuffle total); the
+    corpus-sized input is never re-scanned."""
     if not key_cols:
         raise ValueError("gap_fill needs at least one key column")
     keys = bucketed.select(*key_cols).distinct()
@@ -73,4 +84,24 @@ def gap_fill(
     )
     for c in fill_cols:
         out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    if interp_cols:
+        wf = (
+            Window.partitionBy(*key_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t = F.unix_millis(F.col(bucket_col).cast("timestamp"))
+        obs_t = lambda c: F.when(F.col(c).isNotNull(), t)  # noqa: E731
+        for c in interp_cols:
+            pv = F.last(c, ignorenulls=True).over(w)
+            pt = F.last(obs_t(c), ignorenulls=True).over(w)
+            nv = F.first(c, ignorenulls=True).over(wf)
+            nt = F.first(obs_t(c), ignorenulls=True).over(wf)
+            lerp = pv + (nv - pv) * ((t - pt) / (nt - pt))
+            out = out.withColumn(
+                f"{c}_interp",
+                F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                    F.round(lerp, 6)
+                ),
+            )
     return out

@@ -688,6 +688,145 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (operators.cohort.retention_matrix):
+    users grouped by first-seen day, fraction returning at each day
+    offset.  One (user, day) distinct + a user-keyed first-seen agg;
+    the matrix join is user-co-partitioned and cohort sizes join back as
+    a broadcast (bounded by the date range, never the corpus)."""
+    from fineo_readerator_spark.operators.cohort import retention_matrix
+
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+    )
+    return retention_matrix(act, "user_id", "bucket", granularity_days=1)
+
+
+def _q_retention_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import retention_oracle_sql
+
+    return retention_oracle_sql("SELECT user_id, ts FROM events")
+
+
+def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR interpolation (operators.gapfill interp_cols —
+    the TimescaleDB ``interpolate()`` companion to q_gap_fill's locf):
+    gap buckets get the straight line between surrounding observations
+    over epoch millis; before-first/after-last stay NULL.  Same spine +
+    one window pass, two extra frame aggregates, zero extra shuffles."""
+    from fineo_readerator_spark.operators.gapfill import gap_fill
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).cast("double"), 6
+        ).alias("val"),
+    )
+    return gap_fill(
+        agg, "bucket", ("event_type",), step="1 hour",
+        count_col="n", interp_cols=("val",),
+    ).select(
+        "event_type", "bucket", "n", "val", "val_interp", "is_gap"
+    ).orderBy("event_type", "bucket")
+
+
+Q_GAP_INTERP_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE), 6) AS val
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+  SELECT k.event_type, g.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM agg) k
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS b) g
+),
+j AS (
+  SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n, a.val,
+         (a.n IS NULL) AS is_gap, epoch_ms(s.bucket) AS t,
+         CASE WHEN a.val IS NOT NULL THEN epoch_ms(s.bucket) END AS obs_t
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+),
+w AS (
+  SELECT *,
+    last_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(obs_t IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(val IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(obs_t IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT event_type, bucket, n, val,
+       CASE WHEN val IS NOT NULL THEN val
+            ELSE round(pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+       END AS val_interp,
+       is_gap
+FROM w
+ORDER BY event_type, bucket
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the DENSE hourly count series
+    (operators.anomaly.rolling_zscore over operators.gapfill — a silent
+    feed is an anomaly, so gaps fill to 0 first): each bucket scored
+    against its trailing 24 buckets, |z| > 3 flagged.  One window pass
+    over the spine; exact-integer moments make the float z-tail
+    hash-comparable."""
+    from fineo_readerator_spark.operators.anomaly import rolling_zscore
+    from fineo_readerator_spark.operators.gapfill import gap_fill
+
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = gap_fill(
+        agg, "bucket", ("event_type",), step="1 hour", count_col="n"
+    )
+    return rolling_zscore(
+        dense, "n", "bucket", ("event_type",), window=24, min_periods=12,
+        z_thresh=3.0,
+    ).select("event_type", "bucket", "n", "z", "is_anomaly").orderBy(
+        "event_type", "bucket"
+    )
+
+
+def _q_anomaly_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import rolling_zscore_oracle_exprs
+
+    z, flag = rolling_zscore_oracle_exprs("n", window=24, min_periods=12,
+                                          z_thresh=3.0)
+    return f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+dense AS (
+  SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n
+  FROM (
+    SELECT k.event_type, g.b AS bucket
+    FROM (SELECT DISTINCT event_type FROM agg) k
+    CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                              (SELECT hi FROM bounds),
+                                              INTERVAL 1 HOUR)) AS b) g
+  ) s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+)
+SELECT event_type, bucket, CAST(n AS BIGINT) AS n, {z} AS z, {flag} AS is_anomaly
+FROM dense ORDER BY event_type, bucket
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -707,6 +846,9 @@ RELATIONAL_QUERIES = [
     QueryDef("q_setops", q_setops, Q_SETOPS_ORACLE),
     QueryDef("q_rollup", q_rollup, Q_ROLLUP_ORACLE),
     QueryDef("q_gap_fill", q_gap_fill, Q_GAPFILL_ORACLE),
+    QueryDef("q_gap_interpolate", q_gap_interpolate, Q_GAP_INTERP_ORACLE),
+    QueryDef("q_anomaly_zscore", q_anomaly_zscore, _q_anomaly_oracle()),
+    QueryDef("q_retention", q_retention, _q_retention_oracle()),
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),
