@@ -469,6 +469,80 @@ SELECT {strata_col}, n_docs, round(t / (SELECT s FROM tot), 6) AS weight,
 FROM t ORDER BY {strata_col} NULLS FIRST"""
 
 
+def curriculum_schedule(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    interleave_col: str = "source",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum training order: assign each doc a shard, then an
+    easy-first, source-interleaved position within it — the reproducible
+    "which example does the model see 17th in shard 3" manifest
+    curriculum-learning recipes need (easy→hard ordering, no source
+    clumping: round-robin across sources by per-source rank).
+
+    Output: (id, interleave, shard, src_rank, pos).  ``src_rank`` is the
+    doc's 1-based rank within (shard, source) by score DESC (highest
+    score = easiest = first); ``pos`` round-robins those ranks across
+    sources, so shard playback order is rank-1 of every source, then
+    rank-2, ...
+
+    Scale shape: shard assignment is a codegen'd hash projection; ONE
+    exchange on ``shard`` serves both windows (the (shard, source) window
+    is satisfied by shard-clustering — Spark's ClusteredDistribution
+    subset rule) AND the per-shard writer.  Ordering is GLOBAL only
+    within a shard — there is deliberately no corpus-wide total sort (a
+    single-partition window at 100 TB); shards are the training-consumer
+    parallelism unit.
+
+    Determinism: hash-bucket shard (retry-stable), total tie-breaks
+    (score DESC, id) and (src_rank, source, id) — the manifest is
+    byte-reproducible and oracle-checked."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    assigned = df.withColumn(
+        "shard", F.pmod(_bucket(F.col(id_col), seed), F.lit(n_shards)).cast("int")
+    ).repartition("shard")
+    w_src = Window.partitionBy("shard", interleave_col).orderBy(
+        F.desc(score_col), id_col
+    )
+    ranked = assigned.withColumn(
+        "src_rank", F.row_number().over(w_src).cast("long")
+    )
+    w_pos = Window.partitionBy("shard").orderBy(
+        "src_rank", F.asc_nulls_first(interleave_col), id_col
+    )
+    return ranked.withColumn(
+        "pos", F.row_number().over(w_pos).cast("long")
+    ).select(id_col, interleave_col, "shard", "src_rank", "pos")
+
+
+def curriculum_oracle_sql(
+    source_sql: str,
+    score_expr: str,
+    id_col: str = "doc_id",
+    interleave_col: str = "source",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of :func:`curriculum_schedule` — same hash shard,
+    same two-window rank walk, NULL sources pinned first to match Spark's
+    ascending NULLS FIRST."""
+    shard = f"CAST(({sample_oracle_bucket(id_col, seed)} % {n_shards}) AS INT)"
+    return f"""WITH s AS (SELECT {id_col}, {interleave_col}, {score_expr} AS q, {shard} AS shard
+           FROM ({source_sql})),
+r AS (SELECT *, row_number() OVER (PARTITION BY shard, {interleave_col}
+                                   ORDER BY q DESC, {id_col}) AS src_rank FROM s)
+SELECT {id_col}, {interleave_col}, shard,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(row_number() OVER (PARTITION BY shard
+            ORDER BY src_rank, {interleave_col} NULLS FIRST, {id_col}) AS BIGINT) AS pos
+FROM r
+ORDER BY shard, pos"""
+
+
 def topk_frequent(
     df: DataFrame, group_cols: list[str], item_col: str, k: int
 ) -> DataFrame:

@@ -981,6 +981,115 @@ def knn_recall_audit(
     )
 
 
+def embedding_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    split: Column | None = None,
+) -> DataFrame:
+    """Embedding-space drift report: per label, the cosine between the
+    centroid of split A and the centroid of split B (plus both halves'
+    sizes).  The embedding twin of the categorical/PSI drift operators —
+    catches a re-trained encoder, a corrupted shard or a shifted domain
+    whose token distributions still look identical.  ``split`` is any
+    boolean column expression (time shard, ingest batch); the default
+    even/odd id split is the self-calibration baseline (cos ≈ 1 expected;
+    a label whose halves disagree is the anomaly).
+
+    Scale shape: ONE posexplode pass over the corpus into a (label, half,
+    pos) partial-avg aggregate — the shuffle carries labels × 2 × dim
+    rows regardless of corpus size (the s_label_centroids shape); every
+    downstream step runs on that metadata-sized frame.  No self-join of
+    the corpus, no collect.
+
+    Determinism: centroids are 1e-6-rounded avgs (exact same leaf the
+    oracle computes); the cosine is 1e-12-rounded products summed as
+    exact decimals, one sqrt, one rounded division — hash-comparable.
+    NULL vectors are dropped; misdimensioned rows are excluded via the
+    modal dimension (the :func:`_modal_dim` contract); a zero-norm
+    CENTROID yields NULL cosine rather than NaN."""
+    split = split if split is not None else (F.col(id_col) % 2 == 0)
+    base = df.filter(F.col(vec_col).isNotNull())
+    base = base.filter(F.size(vec_col) == _modal_dim(base, vec_col))
+    ex = base.select(
+        F.col(label_col).alias("__lab"),
+        split.alias("__in_a"),
+        F.posexplode(vec_col).alias("__pos", "__v"),
+    )
+    cent = ex.groupBy("__lab", "__in_a", "__pos").agg(
+        F.round(F.avg(F.col("__v").cast("double")), 6).alias("__c"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    a = cent.filter(F.col("__in_a")).select(
+        "__lab", "__pos", F.col("__c").alias("__av"), F.col("__n").alias("__na")
+    )
+    b = cent.filter(~F.col("__in_a")).select(
+        "__lab", "__pos", F.col("__c").alias("__bv"), F.col("__n").alias("__nb")
+    )
+
+    def _ssum(prod: Column) -> Column:
+        return F.sum(F.round(prod, 12).cast("decimal(38,12)")).cast("double")
+
+    j = a.join(b, ["__lab", "__pos"])
+    s = j.groupBy("__lab").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        _ssum(F.col("__av") * F.col("__bv")).alias("__dot"),
+        _ssum(F.col("__av") * F.col("__av")).alias("__aa"),
+        _ssum(F.col("__bv") * F.col("__bv")).alias("__bb"),
+    )
+    den = F.sqrt(F.col("__aa")) * F.sqrt(F.col("__bb"))
+    return s.select(
+        F.col("__lab").alias(label_col),
+        "n_a",
+        "n_b",
+        F.when(den > 0, F.round(F.col("__dot") / den, 6)).alias("centroid_cos"),
+    ).orderBy(label_col)
+
+
+def embedding_drift_oracle_sql(
+    source_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    split_sql: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`embedding_drift`: same modal-dim filter,
+    1e-6-rounded centroid avgs, 1e-12-rounded decimal-summed cosine."""
+    split = split_sql or f"{id_col} % 2 = 0"
+    return f"""WITH base0 AS (SELECT * FROM ({source_sql}) WHERE {vec_col} IS NOT NULL),
+dim AS (SELECT d FROM (SELECT len({vec_col}) AS d, count(*) AS c FROM base0
+        GROUP BY 1 ORDER BY c DESC, d LIMIT 1)),
+base AS (SELECT * FROM base0 WHERE len({vec_col}) = (SELECT d FROM dim)),
+ex AS (
+  SELECT {label_col} AS lab, {split} AS in_a,
+         unnest(list_transform(generate_series(1, len({vec_col})),
+                i -> {{'pos': i - 1, 'v': CAST({vec_col}[i] AS DOUBLE)}})) AS u
+  FROM base
+),
+cent AS (
+  SELECT lab, in_a, u.pos AS pos, round(avg(u.v), 6) AS c, count(*) AS n
+  FROM ex GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.lab, a.pos, a.c AS av, b.c AS bv, a.n AS na, b.n AS nb
+  FROM cent a JOIN cent b ON a.lab = b.lab AND a.pos = b.pos
+  WHERE a.in_a AND NOT b.in_a
+),
+s AS (
+  SELECT lab, max(na) AS n_a, max(nb) AS n_b,
+         CAST(sum(CAST(round(av * bv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(round(av * av, 12) AS DECIMAL(38,12))) AS DOUBLE) AS aa,
+         CAST(sum(CAST(round(bv * bv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS bb
+  FROM j GROUP BY 1
+)
+SELECT lab AS {label_col}, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN sqrt(aa) * sqrt(bb) > 0
+            THEN round(dot / (sqrt(aa) * sqrt(bb)), 6) END AS centroid_cos
+FROM s ORDER BY {label_col} NULLS FIRST"""
+
+
 def kmeans_refine(
     df: DataFrame,
     n_centroids: int = 8,

@@ -69,6 +69,27 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_oracle_expr(text_col: str = "text") -> str:
+    """The quality-score blend alone as a DuckDB scalar expression — for
+    consumers that order/filter by quality without materializing the full
+    stats row (curriculum scheduling, resampling)."""
+    t = text_col
+    toks = f"list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> length(x) > 0)"
+    n_tok = f"len({toks})"
+    n_chars = f"length({t})"
+    n_punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    avg_wl = (
+        f"CASE WHEN {n_tok} > 0 THEN length(list_aggregate({toks}, 'string_agg', '')) * 1.0"
+        f" / {n_tok} ELSE 0.0 END"
+    )
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} * 1.0 / {n_chars} ELSE 0.0 END"
+    return (
+        f"(least({n_tok} * 1.0 / 50.0, 1.0) * 0.5"
+        f" + (1.0 - least({punct_ratio} * 5.0, 1.0)) * 0.3"
+        f" + least({avg_wl} / 8.0, 1.0) * 0.2)"
+    )
+
+
 def text_stats_oracle_exprs(text_col: str = "text") -> str:
     """The same stats as DuckDB SQL (kept textually adjacent to the Spark
     build so the two formulas evolve together)."""
@@ -83,11 +104,7 @@ def text_stats_oracle_exprs(text_col: str = "text") -> str:
     )
     punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} * 1.0 / {n_chars} ELSE 0.0 END"
     n_bpe = f"len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
-    quality = (
-        f"(least({n_tok} * 1.0 / 50.0, 1.0) * 0.5"
-        f" + (1.0 - least({punct_ratio} * 5.0, 1.0)) * 0.3"
-        f" + least({avg_wl} / 8.0, 1.0) * 0.2)"
-    )
+    quality = quality_score_oracle_expr(text_col)
     return (
         f"{n_tok} AS n_tokens, {n_bpe} AS n_bpe_tokens, {n_punct} AS n_punct, "
         f"{punct_ratio} AS punct_ratio, {avg_wl} AS avg_word_len, {quality} AS quality_score"

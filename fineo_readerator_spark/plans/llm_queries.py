@@ -498,6 +498,24 @@ FROM ex GROUP BY label, pos
 """
 
 
+def s_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (llm_ops.similarity.embedding_drift): per
+    label, cosine between the even-id-half and odd-id-half centroids —
+    the embedding twin of PSI/categorical drift.  One posexplode pass
+    into a (label, half, pos) partial-avg agg (labels × 2 × dim shuffle
+    rows regardless of corpus size); everything downstream is
+    metadata-sized."""
+    from fineo_readerator_spark.llm_ops.similarity import embedding_drift
+
+    return embedding_drift(load(spark, sf_dir, "embeddings"))
+
+
+def _s_embed_drift_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql("SELECT vec_id, embedding, label FROM embeddings")
+
+
 def p_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPORT half of a training-data pipeline, composed in one plan:
     quality filter → fingerprint-normalized exact dedup → deterministic
@@ -2702,6 +2720,31 @@ def _p_temperature_mix_oracle() -> str:
     )
 
 
+def p_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training manifest (llm_ops.sampling.curriculum_schedule):
+    hash-sharded docs ordered easy-first (quality score DESC) and
+    round-robin-interleaved across sources within each shard.  One
+    exchange on shard serves both windows; no corpus-wide sort."""
+    from fineo_readerator_spark.llm_ops.sampling import curriculum_schedule
+    from fineo_readerator_spark.llm_ops.textstats import with_text_stats
+
+    docs = with_text_stats(load(spark, sf_dir, "documents"), "text")
+    return curriculum_schedule(
+        docs, "quality_score", "doc_id", "source", n_shards=8
+    ).orderBy("shard", "pos")
+
+
+def _p_curriculum_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import curriculum_oracle_sql
+    from fineo_readerator_spark.llm_ops.textstats import quality_score_oracle_expr
+
+    return curriculum_oracle_sql(
+        "SELECT doc_id, source, text FROM documents",
+        quality_score_oracle_expr("text"),
+        n_shards=8,
+    )
+
+
 def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting toward a target source mixture:
     hash-bucket membership, per-stratum counts joined as a broadcast."""
@@ -2891,6 +2934,8 @@ LLM_QUERIES = [
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
     QueryDef("s_label_centroids", s_label_centroids, S_CENTROIDS_ORACLE),
+    QueryDef("s_embed_drift", s_embed_drift, _s_embed_drift_oracle()),
+    QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),

@@ -1683,3 +1683,60 @@ def test_minhash_cluster_labels_with_id_named_id(spark):
     out = {r["id"]: r["cluster_id"] for r in
            minhash_cluster_labels(df, "id").collect()}
     assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_embedding_drift_self_calibration_and_guards(spark):
+    """Identical halves → cos 1.0; NULL and misdimensioned vectors are
+    excluded (modal-dim contract); a label whose centroid is all-zero on
+    one side reports NULL, never NaN."""
+    from fineo_readerator_spark.llm_ops.similarity import embedding_drift
+
+    rows = []
+    for i in range(8):  # label 0: even/odd halves identical in aggregate
+        rows.append((i, [1.0, 2.0, 3.0], 0))
+    rows.append((100, [5.0, 5.0], 0))       # wrong dim: must not poison
+    rows.append((101, None, 0))             # NULL: dropped
+    rows.append((200, [0.0, 0.0, 0.0], 1))  # label 1 even half: zero centroid
+    rows.append((201, [1.0, 0.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in embedding_drift(df).collect()}
+    assert got[0]["centroid_cos"] == 1.0
+    assert got[0]["n_a"] == 4 and got[0]["n_b"] == 4
+    assert got[1]["centroid_cos"] is None  # zero-norm centroid → NULL, not NaN
+
+
+def test_curriculum_schedule_interleaves_and_validates(spark):
+    """Round-robin interleave: within a shard, pos order is rank-1 of every
+    source before any rank-2; easiest (highest score) first per source."""
+    from fineo_readerator_spark.llm_ops.sampling import curriculum_schedule
+
+    rows = [(i, "s%d" % (i % 2), float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = curriculum_schedule(df, "q", "doc_id", "source", n_shards=1)
+    ordered = [r for r in out.orderBy("pos").collect()]
+    # per-source ranks are easy-first (score DESC)
+    s0 = [r["doc_id"] for r in ordered if r["source"] == "s0"]
+    assert s0 == sorted(s0, reverse=True)
+    # interleave: the first len(sources) positions cover distinct sources
+    assert {ordered[0]["source"], ordered[1]["source"]} == {"s0", "s1"}
+    assert [r["src_rank"] for r in ordered[:4]] == [1, 1, 2, 2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_shards"):
+        curriculum_schedule(df, "q", "doc_id", "source", n_shards=0)
+
+
+def test_curriculum_schedule_single_exchange(spark):
+    """Both windows (per-(shard,source) rank and per-shard position) must
+    run under ONE hash exchange on shard — the ClusteredDistribution
+    subset rule the docstring claims."""
+    from fineo_readerator_spark.llm_ops.sampling import curriculum_schedule
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.rand(7).alias("q"),
+    )
+    out = curriculum_schedule(df, "q", "doc_id", "source", n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchange = sum("Exchange" in l for l in plan.splitlines())
+    assert n_exchange == 1, plan
