@@ -817,6 +817,105 @@ WHERE hb < CASE bucket WHEN 'head' THEN {thr['head']}
 """
 
 
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
+    distributions of two groups — the continuous-distribution drift test
+    beside the categorical/PSI operators: D = max |ECDF_a − ECDF_b|,
+    sensitive to ANY distribution change (shift, spread, shape), not just
+    bucket reweighting.
+
+    Scale shape: values bin to ``floor(value / bin_width)`` first (exact
+    KS on the binned data = KS of the underlying data evaluated at bin
+    boundaries — the standard streaming/histogram KS), so the corpus
+    reduces in ONE map-side-combined aggregate to ≤ #bins rows; the
+    cumulative window then runs on that metadata-sized frame (the same
+    bounded-spine exposure as gap fill; ``bin_width`` is the knob).
+
+    Determinism: the ECDF difference is compared as EXACT integers —
+    ``|ca_cum·n_b − cb_cum·n_a|`` over decimal(38,0) — and divided by
+    ``n_a·n_b`` once at the end, rounded 1e-6.  NULL values are excluded.
+
+    Returns one row: (n_a, n_b, ks_stat)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    v = F.col(value_col)
+    s = df.filter(
+        F.col(group_col).isin(group_a, group_b) & v.isNotNull()
+    ).select(
+        F.floor(v / F.lit(float(bin_width))).cast("long").alias("__bin"),
+        (F.col(group_col) == group_a).alias("__a"),
+    )
+    g = s.groupBy("__bin").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        F.sum("__ca").over(w).cast("decimal(38,0)").alias("__cca"),
+        F.sum("__cb").over(w).cast("decimal(38,0)").alias("__ccb"),
+    ).select(
+        "__cca",
+        "__ccb",
+        F.max("__cca").over(wtot).alias("__na"),
+        F.max("__ccb").over(wtot).alias("__nb"),
+    )
+    return cum.agg(
+        F.max("__cca").cast("long").alias("n_a"),
+        F.max("__ccb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cca") * F.col("__nb") - F.col("__ccb") * F.col("__na")
+                ).cast("double")
+            )
+            / (F.max("__cca").cast("double") * F.max("__ccb").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+def ks_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+    bin_width: float = 1.0,
+) -> str:
+    """DuckDB replay of :func:`ks_statistic`: same binning, exact-integer
+    cross-multiplied ECDF gap, one rounded division."""
+    return f"""WITH s AS (
+  SELECT CAST(floor(({value_expr}) / CAST({float(bin_width)!r} AS DOUBLE)) AS BIGINT) AS bin,
+         ({group_expr}) = '{group_a}' AS in_a
+  FROM ({source_sql})
+  WHERE ({group_expr}) IN ('{group_a}', '{group_b}') AND ({value_expr}) IS NOT NULL
+),
+g AS (
+  SELECT bin, sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+  FROM g
+)
+SELECT CAST(max(cca) AS BIGINT) AS n_a, CAST(max(ccb) AS BIGINT) AS n_b,
+       round(CAST(max(abs(cca * (SELECT max(ccb) FROM c) - ccb * (SELECT max(cca) FROM c))) AS DOUBLE)
+             / (CAST(max(cca) AS DOUBLE) * CAST(max(ccb) AS DOUBLE)), 6) AS ks_stat
+FROM c"""
+
+
 def windowed_drift(
     win_counts: DataFrame,
     baseline: DataFrame,

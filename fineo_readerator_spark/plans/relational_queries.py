@@ -827,6 +827,51 @@ FROM dense ORDER BY event_type, bucket
 """
 
 
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase (operators.funnel.
+    ordered_funnel): per user, chained windowed conditional-mins under ONE
+    exchange on user — a click counts only at/after that user's first
+    view, a purchase only after that click.  No fact-table self-join."""
+    from fineo_readerator_spark.operators.funnel import ordered_funnel
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", "event_type", epoch_millis(ev, "ts").alias("ts_ms")
+    )
+    return ordered_funnel(ev, ["view", "click", "purchase"])
+
+
+def _q_user_funnel_oracle() -> str:
+    from fineo_readerator_spark.operators.funnel import ordered_funnel_oracle_sql
+
+    return ordered_funnel_oracle_sql(
+        "SELECT user_id, event_type, ts FROM events",
+        ["view", "click", "purchase"],
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the value distributions of click
+    and purchase events (llm_ops.sampling.ks_statistic): corpus reduces to
+    ≤ #bins rows in one map-side-combined agg; the ECDF gap is compared as
+    exact cross-multiplied integers, divided once."""
+    from fineo_readerator_spark.llm_ops.sampling import ks_statistic
+
+    return ks_statistic(
+        load(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase", bin_width=1.0,
+    )
+
+
+def _q_ks_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import ks_oracle_sql
+
+    return ks_oracle_sql(
+        "SELECT event_type, value FROM events", "value", "event_type",
+        "click", "purchase", bin_width=1.0,
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -849,6 +894,8 @@ RELATIONAL_QUERIES = [
     QueryDef("q_gap_interpolate", q_gap_interpolate, Q_GAP_INTERP_ORACLE),
     QueryDef("q_anomaly_zscore", q_anomaly_zscore, _q_anomaly_oracle()),
     QueryDef("q_retention", q_retention, _q_retention_oracle()),
+    QueryDef("q_user_funnel", q_user_funnel, _q_user_funnel_oracle()),
+    QueryDef("q_ks_drift", q_ks_drift, _q_ks_oracle()),
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),
     QueryDef("q_date_funcs", q_date_funcs, Q_DATE_ORACLE),

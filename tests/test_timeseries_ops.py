@@ -20,9 +20,9 @@ def _t(h):
 
 
 def test_gap_fill_locf_and_interp_golden(spark):
-    # key 'a': observations at hours 0 (val 10.0) and 4 (val 20.0); hour 2
-    # row exists but with NULL val (observed-but-null: counts as a gap for
-    # interpolation input since probe is n? no — probe is count col here)
+    # key 'a': observations at hours 0 (val 10.0) and 4 (val 20.0) with a
+    # 3-bucket gap to fill; key 'b' has a single observation so every other
+    # bucket exercises the before-first / after-last edges
     df = spark.createDataFrame(
         [
             ("a", _t(0), 1, 10.0),
@@ -118,3 +118,66 @@ def test_retention_matrix_validates(spark):
                                "user_id long, bucket timestamp_ntz")
     with pytest.raises(ValueError, match="granularity_days"):
         retention_matrix(df, "user_id", "bucket", granularity_days=0)
+
+
+def test_ordered_funnel_enforces_order(spark):
+    """u1 converts fully; u2 clicked BEFORE viewing (click must not count);
+    u3 views only.  Conversions are ratios of the ordered counts."""
+    from fineo_readerator_spark.operators.funnel import ordered_funnel
+
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 100), (2, "view", 200), (2, "purchase", 300),
+        (3, "view", 100),
+        (4, "signup", 50),  # never in the funnel: counted in n_users only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    r = ordered_funnel(df, ["view", "click", "purchase"]).collect()[0]
+    assert (r["n_users"], r["n_view"], r["n_click"], r["n_purchase"]) == (4, 3, 1, 1)
+    # u2's purchase follows no ordered click -> only u1 purchases
+    assert r["conv_click"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["conv_purchase"] == 1.0
+
+
+def test_ordered_funnel_same_timestamp_counts(spark):
+    """ts >= t_prev: a step landing at the SAME millisecond as the previous
+    milestone converts (the reference semantics of 'at or after')."""
+    from fineo_readerator_spark.operators.funnel import ordered_funnel
+
+    df = spark.createDataFrame(
+        [(1, "view", 100), (1, "click", 100)],
+        "user_id long, event_type string, ts_ms long",
+    )
+    r = ordered_funnel(df, ["view", "click"]).collect()[0]
+    assert r["n_click"] == 1 and r["conv_click"] == 1.0
+
+
+def test_ordered_funnel_validates(spark):
+    from fineo_readerator_spark.operators.funnel import ordered_funnel
+
+    df = spark.createDataFrame([(1, "view", 1)],
+                               "user_id long, event_type string, ts_ms long")
+    with pytest.raises(ValueError, match="at least 2"):
+        ordered_funnel(df, ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        ordered_funnel(df, ["view", "view"])
+
+
+def test_ks_statistic_bounds(spark):
+    """Identical distributions → 0; disjoint supports → 1; NULLs ignored."""
+    from fineo_readerator_spark.llm_ops.sampling import ks_statistic
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3)] + [("b", float(v)) for v in (1, 2, 3)]
+        + [("a", None), ("c", 9.0)],
+        "g string, v double",
+    )
+    r = ks_statistic(same, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (3, 3, 0.0)
+    disjoint = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)], "g string, v double"
+    )
+    r = ks_statistic(disjoint, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 1.0
+    with pytest.raises(ValueError, match="bin_width"):
+        ks_statistic(same, "v", "g", "a", "b", bin_width=0)
