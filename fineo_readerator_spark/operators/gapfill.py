@@ -60,6 +60,10 @@ def gap_fill(
     corpus-sized input is never re-scanned."""
     if not key_cols:
         raise ValueError("gap_fill needs at least one key column")
+    # three consumers (keys, bounds, the fill join) — cut lineage so the
+    # upstream aggregate computes once, and so a table-backed input's
+    # attribute ids don't conflict in the spine self-join
+    bucketed = bucketed.localCheckpoint(eager=False)
     keys = bucketed.select(*key_cols).distinct()
     bounds = bucketed.agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")

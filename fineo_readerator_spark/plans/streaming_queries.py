@@ -751,12 +751,56 @@ def _st_drift_oracle() -> str:
     return windowed_drift_oracle_sql(wc, "SELECT event_type FROM events", "event_type")
 
 
+def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly monitor: the stream reduces to watermarked hourly
+    event_type counts (the only corpus-sized work), then the drained
+    series densifies (operators.gapfill — a silent hour must flag, so
+    gaps become 0 first) and scores against its trailing 24 hours
+    (operators.anomaly.rolling_zscore).  Everything after the drain runs
+    on the |keys × hours| spine.  Same composition as the batch
+    q_anomaly_zscore, so the batch oracle checks the whole pipeline."""
+    from fineo_readerator_spark.operators.anomaly import rolling_zscore
+    from fineo_readerator_spark.operators.gapfill import gap_fill
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    counts = windowed_rollup(
+        stream,
+        "event_time",
+        keys=["event_type"],
+        aggs={"n": "count(*)"},
+        window="1 hour",
+        watermark="1 day",
+    )
+    drained = _drain(counts, "st_anomaly_sink", "complete")
+    agg = drained.select(
+        "event_type",
+        F.expr("CAST(timestamp_millis(window_start) AS timestamp_ntz)").alias(
+            "bucket"
+        ),
+        "n",
+    )
+    dense = gap_fill(agg, "bucket", ("event_type",), step="1 hour", count_col="n")
+    return rolling_zscore(
+        dense, "n", "bucket", ("event_type",), window=24, min_periods=12,
+        z_thresh=3.0,
+    ).select("event_type", "bucket", "n", "z", "is_anomaly").orderBy(
+        "event_type", "bucket"
+    )
+
+
+def _st_anomaly_oracle() -> str:
+    from fineo_readerator_spark.plans.relational_queries import _q_anomaly_oracle
+
+    return _q_anomaly_oracle()
+
+
 STREAMING_QUERIES = [
     QueryDef("st_kmeans", st_kmeans, _st_kmeans_oracle()),
     QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
     QueryDef("st_audit_monitor", st_audit_monitor, ST_AUDIT_ORACLE),
     QueryDef("st_funnel", st_funnel, ST_FUNNEL_ORACLE),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),
+    QueryDef("st_anomaly", st_anomaly, _st_anomaly_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),
     QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),
