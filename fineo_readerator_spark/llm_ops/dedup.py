@@ -909,6 +909,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int = 20,
     portable: bool = False,
+    min_kept: int = 3,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment: directed pairs where
     ``|S(a) ∩ S(b)| / |S(a)|`` ≥ threshold — doc ``a`` is (mostly)
@@ -922,15 +923,25 @@ def containment_pairs(
     shingles whose document frequency exceeds the cap BEFORE the
     self-join (boilerplate shingles are both noise in the measure and a
     D² pair bomb; the df table grows with the corpus so the semi-join
-    carries no broadcast hint, AQE sizes it).  Containment is then
-    measured over RETAINED shingles only (denominator included — the
-    docstring contract, so dropping hot shingles never inflates the
-    score).  Integer counts + one rounded division: oracle-replayable.
+    carries no broadcast hint, AQE sizes it).  Integer counts + one
+    rounded division: oracle-replayable.
+
+    Measurement contract: containment is computed over RETAINED (rare)
+    shingles only — numerator AND denominator.  Scores are therefore
+    relative to the distinctive-shingle space, NOT the raw text: a doc
+    that is mostly boilerplate scores on what remains, which can be
+    HIGHER than its raw-text containment.  ``min_kept`` is the noise
+    floor for that effect — docs with fewer than ``min_kept`` retained
+    shingles emit no pairs as the contained (``id_a``) side, so a
+    boilerplate-heavy doc can't be flagged off one coincidental rare
+    shingle.
 
     Returns (id_a, id_b, shared, containment): ``a`` contained-in ``b``,
     both directions possible since the measure is asymmetric."""
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
+    if min_kept < 1:
+        raise ValueError(f"min_kept must be >= 1, got {min_kept}")
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_hashes(F.col(text_col), shingle_k, portable=portable)).alias(
@@ -944,7 +955,11 @@ def containment_pairs(
         .select("__h")
     )
     kept = sh.join(rare, "__h").localCheckpoint(eager=False)  # feeds sizes + both join sides
-    sizes = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = (
+        kept.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_kept)
+    )
     a = kept.select(F.col("__id").alias("__ida"), "__h")
     b = kept.select(F.col("__id").alias("__idb"), "__h")
     pairs = (

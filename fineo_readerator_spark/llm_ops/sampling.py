@@ -842,7 +842,8 @@ def ks_statistic(
     ``|ca_cum·n_b − cb_cum·n_a|`` over decimal(38,0) — and divided by
     ``n_a·n_b`` once at the end, rounded 1e-6.  NULL values are excluded.
 
-    Returns one row: (n_a, n_b, ks_stat)."""
+    Returns one row: (n_a, n_b, ks_stat); ``ks_stat`` is NULL when either
+    group contributes no rows (there is no second ECDF to compare)."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
     v = F.col(value_col)
@@ -869,17 +870,23 @@ def ks_statistic(
         F.max("__cca").over(wtot).alias("__na"),
         F.max("__ccb").over(wtot).alias("__nb"),
     )
+    # an empty group means there is no second ECDF: ks_stat is NULL, not a
+    # DIVIDE_BY_ZERO crash under ANSI mode
     return cum.agg(
-        F.max("__cca").cast("long").alias("n_a"),
-        F.max("__ccb").cast("long").alias("n_b"),
-        F.round(
-            F.max(
-                F.abs(
-                    F.col("__cca") * F.col("__nb") - F.col("__ccb") * F.col("__na")
-                ).cast("double")
-            )
-            / (F.max("__cca").cast("double") * F.max("__ccb").cast("double")),
-            6,
+        F.coalesce(F.max("__cca").cast("long"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max("__ccb").cast("long"), F.lit(0)).alias("n_b"),
+        F.when(
+            (F.max("__cca") > 0) & (F.max("__ccb") > 0),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__cca") * F.col("__nb")
+                        - F.col("__ccb") * F.col("__na")
+                    ).cast("double")
+                )
+                / (F.max("__cca").cast("double") * F.max("__ccb").cast("double")),
+                6,
+            ),
         ).alias("ks_stat"),
     )
 
@@ -910,9 +917,12 @@ c AS (
          sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
   FROM g
 )
-SELECT CAST(max(cca) AS BIGINT) AS n_a, CAST(max(ccb) AS BIGINT) AS n_b,
-       round(CAST(max(abs(cca * (SELECT max(ccb) FROM c) - ccb * (SELECT max(cca) FROM c))) AS DOUBLE)
-             / (CAST(max(cca) AS DOUBLE) * CAST(max(ccb) AS DOUBLE)), 6) AS ks_stat
+SELECT CAST(coalesce(max(cca), 0) AS BIGINT) AS n_a,
+       CAST(coalesce(max(ccb), 0) AS BIGINT) AS n_b,
+       CASE WHEN max(cca) > 0 AND max(ccb) > 0 THEN
+         round(CAST(max(abs(cca * (SELECT max(ccb) FROM c) - ccb * (SELECT max(cca) FROM c))) AS DOUBLE)
+               / (CAST(max(cca) AS DOUBLE) * CAST(max(ccb) AS DOUBLE)), 6)
+       END AS ks_stat
 FROM c"""
 
 

@@ -558,9 +558,14 @@ def kmv_sketch(
         raise ValueError(f"k must be >= 2, got {k}")
     from pyspark.sql.window import Window
 
-    hashed = df.select(
-        *group_cols, _md5_long(key.cast("string")).alias("__h")
-    ).distinct()
+    # NULL keys are excluded — count-distinct semantics (and Spark's
+    # NULLS FIRST vs DuckDB's NULLS LAST ordering would otherwise let a
+    # NULL hash evict the real kth minimum and inflate the estimate)
+    hashed = (
+        df.filter(key.isNotNull())
+        .select(*group_cols, _md5_long(key.cast("string")).alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     return (
         hashed.withColumn("rank", F.row_number().over(w))
@@ -612,7 +617,7 @@ def kmv_oracle_sql(
     part = f"PARTITION BY {group_col} " if group_col else ""
     order = f"ORDER BY {group_col} NULLS FIRST" if group_col else ""
     return f"""WITH hashed AS (
-  SELECT DISTINCT {grp}{h} AS h FROM ({source_sql})
+  SELECT DISTINCT {grp}{h} AS h FROM ({source_sql}) WHERE {key_expr} IS NOT NULL
 ),
 topk AS (
   SELECT * FROM (

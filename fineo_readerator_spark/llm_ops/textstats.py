@@ -69,10 +69,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_oracle_expr(text_col: str = "text") -> str:
-    """The quality-score blend alone as a DuckDB scalar expression — for
-    consumers that order/filter by quality without materializing the full
-    stats row (curriculum scheduling, resampling)."""
+def _stats_oracle_fragments(text_col: str) -> dict[str, str]:
+    """The shared DuckDB twins of :func:`with_text_stats`' building blocks
+    — single definition so the quality blend and the reported stats
+    columns can never desynchronize."""
     t = text_col
     toks = f"list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> length(x) > 0)"
     n_tok = f"len({toks})"
@@ -83,10 +83,25 @@ def quality_score_oracle_expr(text_col: str = "text") -> str:
         f" / {n_tok} ELSE 0.0 END"
     )
     punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} * 1.0 / {n_chars} ELSE 0.0 END"
+    return {
+        "toks": toks,
+        "n_tok": n_tok,
+        "n_chars": n_chars,
+        "n_punct": n_punct,
+        "avg_wl": avg_wl,
+        "punct_ratio": punct_ratio,
+    }
+
+
+def quality_score_oracle_expr(text_col: str = "text") -> str:
+    """The quality-score blend alone as a DuckDB scalar expression — for
+    consumers that order/filter by quality without materializing the full
+    stats row (curriculum scheduling, resampling)."""
+    f = _stats_oracle_fragments(text_col)
     return (
-        f"(least({n_tok} * 1.0 / 50.0, 1.0) * 0.5"
-        f" + (1.0 - least({punct_ratio} * 5.0, 1.0)) * 0.3"
-        f" + least({avg_wl} / 8.0, 1.0) * 0.2)"
+        f"(least({f['n_tok']} * 1.0 / 50.0, 1.0) * 0.5"
+        f" + (1.0 - least({f['punct_ratio']} * 5.0, 1.0)) * 0.3"
+        f" + least({f['avg_wl']} / 8.0, 1.0) * 0.2)"
     )
 
 
@@ -94,15 +109,11 @@ def text_stats_oracle_exprs(text_col: str = "text") -> str:
     """The same stats as DuckDB SQL (kept textually adjacent to the Spark
     build so the two formulas evolve together)."""
     t = text_col
-    toks = f"list_filter(regexp_split_to_array(trim({t}), '\\s+'), x -> length(x) > 0)"
-    n_tok = f"len({toks})"
-    n_chars = f"length({t})"
-    n_punct = f"(length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
-    avg_wl = (
-        f"CASE WHEN {n_tok} > 0 THEN length(list_aggregate({toks}, 'string_agg', '')) * 1.0"
-        f" / {n_tok} ELSE 0.0 END"
-    )
-    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN {n_punct} * 1.0 / {n_chars} ELSE 0.0 END"
+    frags = _stats_oracle_fragments(text_col)
+    n_tok = frags["n_tok"]
+    n_punct = frags["n_punct"]
+    avg_wl = frags["avg_wl"]
+    punct_ratio = frags["punct_ratio"]
     n_bpe = f"len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
     quality = quality_score_oracle_expr(text_col)
     return (

@@ -38,7 +38,9 @@ def gap_fill(
     """Densify a bucketed frame: emit one row per (key, bucket) over the
     GLOBAL [min, max] bucket range at ``step`` granularity, with
 
-    - ``is_gap`` — true where the input had no row,
+    - ``is_gap`` — true where the input had no row (observation-based via
+      a presence marker, so an observed bucket whose measure is NULL is
+      NOT a gap),
     - ``count_col`` (if named) coalesced to 0 on gap rows,
     - ``{col}_locf`` per ``fill_cols`` entry — the last non-NULL observed
       value at or before this bucket within the key (NULL until the first
@@ -60,6 +62,10 @@ def gap_fill(
     corpus-sized input is never re-scanned."""
     if not key_cols:
         raise ValueError("gap_fill needs at least one key column")
+    # the presence marker makes is_gap observation-based, not value-based:
+    # an input row whose measure happens to be NULL is still an observed
+    # bucket, and callers need no probe column at all
+    bucketed = bucketed.withColumn("__present", F.lit(True))
     # three consumers (keys, bounds, the fill join) — cut lineage so the
     # upstream aggregate computes once, and so a table-backed input's
     # attribute ids don't conflict in the spine self-join
@@ -75,10 +81,9 @@ def gap_fill(
         ).alias(bucket_col),
     )
     joined = spine.join(bucketed, [*key_cols, bucket_col], "left")
-    probe = count_col or fill_cols[0] if (count_col or fill_cols) else None
-    if probe is None:
-        raise ValueError("gap_fill needs count_col or fill_cols to detect gaps")
-    out = joined.withColumn("is_gap", F.col(probe).isNull())
+    out = joined.withColumn("is_gap", F.col("__present").isNull()).drop(
+        "__present"
+    )
     if count_col:
         out = out.withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
     w = (

@@ -151,11 +151,12 @@ def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         max_df=20,
         portable=True,
+        min_kept=3,
     ).orderBy("id_a", "id_b")
 
 
 def _d_containment_oracle(
-    shingle_k: int = 3, threshold: float = 0.6, max_df: int = 20
+    shingle_k: int = 3, threshold: float = 0.6, max_df: int = 20, min_kept: int = 3
 ) -> str:
     from fineo_readerator_spark.llm_ops.dedup_oracles import _shingle_ctes
 
@@ -164,7 +165,7 @@ WITH corpus AS (SELECT doc_id, text FROM documents),{_shingle_ctes('corpus', shi
 ex AS (SELECT doc_id, unnest(hs) AS h FROM __hs),
 dfk AS (SELECT h FROM (SELECT h, count(*) AS c FROM ex GROUP BY 1) WHERE c <= {max_df}),
 kept AS (SELECT e.doc_id, e.h FROM ex e JOIN dfk USING (h)),
-sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1 HAVING count(*) >= {min_kept}),
 pr AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
   FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id != b.doc_id

@@ -505,6 +505,52 @@ GROUP BY p.event_id
 """
 
 
+def _hourly_agg(ev: DataFrame, with_val: bool = True) -> DataFrame:
+    """Shared hourly per-event_type aggregate feeding the gap-fill family
+    (q_gap_fill / q_gap_interpolate / q_anomaly_zscore / st_anomaly's
+    oracle): exact count plus (optionally) the 1e-6-rounded decimal value
+    sum, so the double walk is oracle-checked."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if with_val:
+        aggs.append(
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("val")
+        )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(*aggs)
+
+
+def _hourly_agg_sql(with_val: bool = True) -> str:
+    """DuckDB twin of :func:`_hourly_agg` as an ``agg`` CTE."""
+    val = (
+        ",\n         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)"
+        " AS DECIMAL(25,6))) AS DOUBLE), 6) AS val"
+        if with_val
+        else ""
+    )
+    return (
+        "agg AS (\n  SELECT event_type, date_trunc('hour', ts) AS bucket,"
+        f" count(*) AS n{val}\n  FROM events GROUP BY 1, 2\n)"
+    )
+
+
+# the dense-spine CTEs shared by every gap-fill-family oracle: one bounds
+# row, keys × hourly sequence
+_SPINE_SQL = """bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+spine AS (
+  SELECT k.event_type, g.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM agg) k
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS b) g
+)"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series per event_type with gap flags and LOCF
     (operators.gapfill.gap_fill — the time_bucket_gapfill/locf surface):
@@ -515,15 +561,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal partials so the double walk is oracle-checked."""
     from fineo_readerator_spark.operators.gapfill import gap_fill
 
-    ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).cast("double"), 6
-        ).alias("val"),
-    )
+    agg = _hourly_agg(load(spark, sf_dir, "events"))
     return gap_fill(
         agg, "bucket", ("event_type",), fill_cols=("val",), step="1 hour",
         count_col="n",
@@ -532,20 +570,9 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
-Q_GAPFILL_ORACLE = """
-WITH agg AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
-         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE), 6) AS val
-  FROM events GROUP BY 1, 2
-),
-bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
-spine AS (
-  SELECT k.event_type, g.b AS bucket
-  FROM (SELECT DISTINCT event_type FROM agg) k
-  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
-                                            (SELECT hi FROM bounds),
-                                            INTERVAL 1 HOUR)) AS b) g
-)
+Q_GAPFILL_ORACLE = f"""
+WITH {_hourly_agg_sql()},
+{_SPINE_SQL}
 SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n, a.val,
        last_value(a.val IGNORE NULLS) OVER (
          PARTITION BY s.event_type ORDER BY s.bucket
@@ -717,15 +744,7 @@ def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window pass, two extra frame aggregates, zero extra shuffles."""
     from fineo_readerator_spark.operators.gapfill import gap_fill
 
-    ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).cast("double"), 6
-        ).alias("val"),
-    )
+    agg = _hourly_agg(load(spark, sf_dir, "events"))
     return gap_fill(
         agg, "bucket", ("event_type",), step="1 hour",
         count_col="n", interp_cols=("val",),
@@ -734,20 +753,9 @@ def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
-Q_GAP_INTERP_ORACLE = """
-WITH agg AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
-         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(25,6))) AS DOUBLE), 6) AS val
-  FROM events GROUP BY 1, 2
-),
-bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
-spine AS (
-  SELECT k.event_type, g.b AS bucket
-  FROM (SELECT DISTINCT event_type FROM agg) k
-  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
-                                            (SELECT hi FROM bounds),
-                                            INTERVAL 1 HOUR)) AS b) g
-),
+Q_GAP_INTERP_ORACLE = f"""
+WITH {_hourly_agg_sql()},
+{_SPINE_SQL},
 j AS (
   SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n, a.val,
          (a.n IS NULL) AS is_gap, epoch_ms(s.bucket) AS t,
@@ -786,10 +794,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fineo_readerator_spark.operators.anomaly import rolling_zscore
     from fineo_readerator_spark.operators.gapfill import gap_fill
 
-    ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = _hourly_agg(load(spark, sf_dir, "events"), with_val=False)
     dense = gap_fill(
         agg, "bucket", ("event_type",), step="1 hour", count_col="n"
     )
@@ -807,20 +812,11 @@ def _q_anomaly_oracle() -> str:
     z, flag = rolling_zscore_oracle_exprs("n", window=24, min_periods=12,
                                           z_thresh=3.0)
     return f"""
-WITH agg AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
-  FROM events GROUP BY 1, 2
-),
-bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+WITH {_hourly_agg_sql(with_val=False)},
+{_SPINE_SQL},
 dense AS (
   SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n
-  FROM (
-    SELECT k.event_type, g.b AS bucket
-    FROM (SELECT DISTINCT event_type FROM agg) k
-    CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
-                                              (SELECT hi FROM bounds),
-                                              INTERVAL 1 HOUR)) AS b) g
-  ) s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
 )
 SELECT event_type, bucket, CAST(n AS BIGINT) AS n, {z} AS z, {flag} AS is_anomaly
 FROM dense ORDER BY event_type, bucket

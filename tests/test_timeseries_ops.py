@@ -59,8 +59,24 @@ def test_gap_fill_validates_inputs(spark):
     )
     with pytest.raises(ValueError, match="key column"):
         gap_fill(df, "bucket", (), count_col="n")
-    with pytest.raises(ValueError, match="count_col or fill_cols"):
-        gap_fill(df, "bucket", ("k",))
+    # no fill/count columns is fine: dense spine + is_gap alone is useful
+    bare = gap_fill(df, "bucket", ("k",))
+    assert {r["is_gap"] for r in bare.collect()} == {False}
+
+
+def test_gap_fill_observed_null_value_is_not_a_gap(spark):
+    """Review regression: is_gap must be observation-based — an input row
+    whose measure is NULL is an observed bucket, not a gap (the old probe
+    on fill_cols[0] misclassified it)."""
+    df = spark.createDataFrame(
+        [("a", _t(0), 1.0), ("a", _t(1), None), ("a", _t(3), 4.0)],
+        "k string, bucket timestamp_ntz, val double",
+    )
+    rows = {r["bucket"].hour: r for r in
+            gap_fill(df, "bucket", ("k",), fill_cols=("val",)).collect()}
+    assert rows[1]["is_gap"] is False   # observed, value just NULL
+    assert rows[2]["is_gap"] is True    # genuinely absent
+    assert rows[1]["val_locf"] == 1.0   # LOCF still skips the NULL value
 
 
 def test_rolling_zscore_constant_and_spike(spark):
@@ -181,3 +197,27 @@ def test_ks_statistic_bounds(spark):
     assert r["ks_stat"] == 1.0
     with pytest.raises(ValueError, match="bin_width"):
         ks_statistic(same, "v", "g", "a", "b", bin_width=0)
+
+
+def test_ks_statistic_empty_group_is_null_not_crash(spark):
+    """Review regression: an empty comparison group returned DIVIDE_BY_ZERO
+    under ANSI mode; it must report NULL ks_stat with exact counts."""
+    from fineo_readerator_spark.llm_ops.sampling import ks_statistic
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (2, 0, None)
+
+
+def test_kmv_null_keys_excluded(spark):
+    """Review regression: NULL keys occupied a top-k slot on the Spark side
+    (NULLS FIRST) but not in DuckDB (NULLS LAST), inflating the estimate;
+    contract is count-distinct semantics — NULLs excluded."""
+    from fineo_readerator_spark.llm_ops.sketches import kmv_distinct
+
+    rows = [(f"t{i}",) for i in range(10)] + [(None,)]
+    df = spark.createDataFrame(rows, "text string")
+    r = kmv_distinct(df, F.col("text"), k=4).collect()[0]
+    assert r["n_kept"] == 4  # the NULL never entered the sketch
+    exact = kmv_distinct(df, F.col("text"), k=64).collect()[0]
+    assert (exact["n_kept"], exact["est_distinct"]) == (10, 10.0)
