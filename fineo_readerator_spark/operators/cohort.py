@@ -82,6 +82,86 @@ def retention_matrix(
     )
 
 
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    bucket_col: str = "bucket",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling stickiness: per day, DAU (distinct users that day), WAU
+    (distinct users over the trailing ``window_days`` ending that day)
+    and DAU/WAU — the habit-strength metric next to cohort retention.
+
+    Rolling DISTINCT doesn't decompose over window frames, so instead of
+    a per-day self-join the activity frame EXPLODES each (user, day) row
+    to the ``window_days`` report days it supports (a constant ×W fan-out
+    of the already-deduped activity frame, not of the corpus), then ONE
+    (report_day, user) distinct + count pass.  Report days with no
+    in-window activity simply don't appear; days before the first full
+    window still report (their window is clipped by data start — the
+    standard convention).
+
+    Determinism: exact counts, one rounded division."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    act = df.select(user_col, bucket_col).distinct()
+    # each activity day supports report days d .. d+W-1
+    support = act.select(
+        user_col,
+        F.col(bucket_col).alias("__day"),
+        F.explode(
+            F.expr(
+                f"sequence({bucket_col}, {bucket_col} + interval "
+                f"{window_days - 1} days, interval 1 day)"
+            )
+        ).alias("__report"),
+    )
+    wau = (
+        support.select(user_col, "__report").distinct()
+        .groupBy("__report")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = act.groupBy(F.col(bucket_col).alias("__report")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    # report only days with actual same-day activity (dau side) — the
+    # trailing days a user "supports" beyond the data range are clipped
+    return (
+        dau.join(wau, "__report")
+        .select(
+            F.col("__report").alias(bucket_col),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy(bucket_col)
+    )
+
+
+def stickiness_oracle_sql(
+    events_sql: str,
+    user_col: str = "user_id",
+    bucket_expr: str = "CAST(date_trunc('day', ts) AS TIMESTAMP)",
+    window_days: int = 7,
+) -> str:
+    """DuckDB replay of :func:`stickiness`: same explode-to-report-days
+    walk, same clipping convention."""
+    return f"""WITH act AS (
+  SELECT DISTINCT {user_col} AS u, {bucket_expr} AS day FROM ({events_sql})
+),
+support AS (
+  SELECT u, unnest(generate_series(day, day + INTERVAL {window_days - 1} DAY,
+                                   INTERVAL 1 DAY)) AS report
+  FROM act
+),
+wau AS (SELECT report, count(*) AS wau FROM (SELECT DISTINCT u, report FROM support) GROUP BY 1),
+dau AS (SELECT day AS report, count(*) AS dau FROM act GROUP BY 1)
+SELECT d.report AS bucket, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       round(d.dau / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w ON d.report = w.report
+ORDER BY bucket"""
+
+
 def retention_oracle_sql(
     events_sql: str,
     user_col: str = "user_id",

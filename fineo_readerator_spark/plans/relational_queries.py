@@ -823,6 +823,26 @@ FROM dense ORDER BY event_type, bucket
 """
 
 
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU stickiness (operators.cohort.stickiness): rolling
+    distinct doesn't decompose over window frames, so the deduped activity
+    frame explodes ×7 to the report days each row supports — one
+    (report_day, user) distinct + count, never a per-day self-join."""
+    from fineo_readerator_spark.operators.cohort import stickiness
+
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+    )
+    return stickiness(act, "user_id", "bucket", window_days=7)
+
+
+def _q_stickiness_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import stickiness_oracle_sql
+
+    return stickiness_oracle_sql("SELECT user_id, ts FROM events")
+
+
 def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view→click→purchase (operators.funnel.
     ordered_funnel): per user, chained windowed conditional-mins under ONE
@@ -891,6 +911,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_anomaly_zscore", q_anomaly_zscore, _q_anomaly_oracle()),
     QueryDef("q_retention", q_retention, _q_retention_oracle()),
     QueryDef("q_user_funnel", q_user_funnel, _q_user_funnel_oracle()),
+    QueryDef("q_stickiness", q_stickiness, _q_stickiness_oracle()),
     QueryDef("q_ks_drift", q_ks_drift, _q_ks_oracle()),
     QueryDef("q_asof_join", q_asof_join, Q_ASOF_ORACLE),
     QueryDef("q_range_join", q_range_join, Q_RANGE_ORACLE),

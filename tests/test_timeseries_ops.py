@@ -221,3 +221,22 @@ def test_kmv_null_keys_excluded(spark):
     assert r["n_kept"] == 4  # the NULL never entered the sketch
     exact = kmv_distinct(df, F.col("text"), k=64).collect()[0]
     assert (exact["n_kept"], exact["est_distinct"]) == (10, 10.0)
+
+
+def test_stickiness_golden(spark):
+    """u1 active days 1+2, u2 day 1 only, window 2: day1 DAU=2 WAU=2;
+    day2 DAU=1 (u1) but WAU=2 (u2's day-1 activity supports day 2)."""
+    from fineo_readerator_spark.operators.cohort import stickiness
+
+    d = lambda n: dt.datetime(2024, 1, n)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, d(1)), (1, d(2)), (2, d(1)), (1, d(1))],  # dup row ignored
+        "user_id long, bucket timestamp_ntz",
+    )
+    got = {r["bucket"].day: (r["dau"], r["wau"], r["stickiness"])
+           for r in stickiness(df, window_days=2).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (1, 2, 0.5)
+    assert set(got) == {1, 2}  # day 3 has no same-day activity: absent
+    with pytest.raises(ValueError, match="window_days"):
+        stickiness(df, window_days=0)
