@@ -57,10 +57,11 @@ def build_fixture(spark) -> None:
         stamp_snapshot,
     )
 
-    # "v3:" = fixture-builder version salt: the stamp otherwise only tracks
+    # "v4:" = fixture-builder version salt: the stamp otherwise only tracks
     # SOURCE files, so a builder change would silently serve the old fixture
-    fp = "v3:" + "+".join(
-        source_fingerprint(SRC, t) for t in ("documents", "embeddings", "orders", "lineitem")
+    fp = "v4:" + "+".join(
+        source_fingerprint(SRC, t)
+        for t in ("documents", "embeddings", "orders", "lineitem", "events")
     )
     if snapshot_is_fresh(FIXTURE, fp):
         return
@@ -114,6 +115,20 @@ def build_fixture(spark) -> None:
                 df.withColumn(key, F.col(key) + r * OFF).select(*df.columns)
             )
         _union_write(parts, FIXTURE / f"{table}.parquet")
+
+    # events: replica r is a disjoint user/event population in the SAME
+    # time window — the realistic scale-up for the event-analytics ops
+    # (retention/funnel/stickiness/anomaly): 10x users, constant date
+    # range, so spines/matrices stay fixed-size while scans grow 10x
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [ev]
+    for r in range(1, REPLICAS):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + r * OFF)
+            .withColumn("user_id", F.col("user_id") + r * OFF)
+            .select(*ev.columns)
+        )
+    _union_write(parts, FIXTURE / "events.parquet")
     stamp_snapshot(FIXTURE, fp)
 
 
@@ -192,6 +207,23 @@ def main() -> None:
         "d_boilerplate": QUERIES["d_boilerplate"].fn,
         # (id, token) agg + id-keyed window: both corpus-linear
         "t_token_entropy": QUERIES["t_token_entropy"].fn,
+        # inverted-index containment: max_df caps the per-shingle fan-out,
+        # so candidate pairs grow with docs, not docs²
+        "d_containment": QUERIES["d_containment"].fn,
+        # per merge round: pair-count agg over VOCABULARY rows — vocab grows
+        # ~10x here (disjoint replica alphabets), the worst case for the claim
+        "t_bpe_merges": QUERIES["t_bpe_merges"].fn,
+        # graph cost dominates (16 cells fixed — same documented hazard as
+        # s_knn_graph); the per-round joins are edge-linear
+        "s_pagerank (16 cells fixed)": QUERIES["s_pagerank"].fn,
+        # one posexplode pass into a labels x 2 x dim agg
+        "s_embed_drift": QUERIES["s_embed_drift"].fn,
+        # event analytics: 10x users in the SAME window — scans 10x,
+        # spines/matrices constant
+        "q_retention": QUERIES["q_retention"].fn,
+        "q_user_funnel": QUERIES["q_user_funnel"].fn,
+        "q_stickiness": QUERIES["q_stickiness"].fn,
+        "q_anomaly_zscore": QUERIES["q_anomaly_zscore"].fn,
     }
 
     results: dict[str, dict] = {name: {} for name in ops}
