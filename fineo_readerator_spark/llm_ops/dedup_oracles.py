@@ -57,11 +57,21 @@ __hs AS (
 
 
 def _minhash_sig_cte(num_hashes: int, seed: int) -> str:
+    """Signatures as 64 VECTORIZED min-aggregates over the exploded
+    (doc, shingle-hash) rows — semantically identical to the original
+    ``list_min(list_transform(hs, ...))`` per-row lambdas, but DuckDB
+    executes plain aggregates ~10x faster than nested list lambdas (the
+    lambda version dominated every minhash oracle's runtime).  A NULL-text
+    doc carries a single NULL hash row, so every min is NULL — the same
+    all-NULL signature the lambda form produced."""
     params = _hash_params(num_hashes, seed)
     mins = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MERSENNE_P}))" for a, b in params
+        f"min(({a} * h + {b}) % {_MERSENNE_P})" for a, b in params
     )
-    return f"__sig AS (SELECT doc_id, [{mins}] AS sig FROM __hs)"
+    return (
+        "__sigex AS (SELECT doc_id, unnest(hs) AS h FROM __hs),\n"
+        f"__sig AS (SELECT doc_id, [{mins}] AS sig FROM __sigex GROUP BY doc_id)"
+    )
 
 
 def _minhash_pairs_ctes(

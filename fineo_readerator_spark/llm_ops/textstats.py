@@ -266,6 +266,63 @@ def quality_signals_oracle_exprs(text_col: str = "text") -> str:
     )
 
 
+def quality_signals_oracle_sql(
+    source_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Relational DuckDB replay of :func:`with_quality_signals`: every
+    source column passes through plus the seven signal columns.
+
+    This exists because the inline-lambda twin
+    (:func:`quality_signals_oracle_exprs`) computes top-word/top-bigram
+    via ``list_max(list_transform(distinct, g -> len(list_filter(...))))``
+    — O(N·V) per document with the tokenizer re-inlined in every fragment
+    (DuckDB does not CSE across lambdas), which measured ~47 s for 500
+    docs and scales with the square of document length.  The relational
+    shape (unnest → per-(doc, gram) count → per-doc max) is linear and
+    ~50x faster; the arithmetic leaves (same integer counts, same ``*
+    1.0 /`` divisions, same guards) are identical, so results are
+    bit-equal.  ``source_sql`` must expose a unique ``id_col``."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    d_frac = "CASE WHEN __n > 0 THEN __nd * 1.0 / __n ELSE 0.0 END"
+    tw_frac = "CASE WHEN __n > 0 THEN __topw * 1.0 / __n ELSE 0.0 END"
+    tg_frac = "CASE WHEN coalesce(__ng, 0) > 0 THEN __topg * 1.0 / __ng ELSE 0.0 END"
+    dg_frac = (
+        "CASE WHEN coalesce(__ng, 0) > 0 THEN (__ng - __ndg) * 1.0 / __ng"
+        " ELSE 0.0 END"
+    )
+    mean_wl = "CASE WHEN __n > 0 THEN __chars * 1.0 / __n ELSE 0.0 END"
+    gopher = (
+        f"(__n >= 15 AND ({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0"
+        f" AND ({d_frac}) >= 0.2 AND ({tw_frac}) <= 0.2"
+        f" AND ({dg_frac}) <= 0.75)"
+    )
+    return f"""
+WITH __d AS (SELECT *, {toks} AS __toks FROM ({source_sql})),
+__b AS (SELECT *, len(__toks) AS __n,
+               length(list_aggregate(__toks, 'string_agg', '')) AS __chars
+        FROM __d),
+__wc AS (SELECT {id_col}, w, count(*) AS c
+         FROM (SELECT {id_col}, unnest(__toks) AS w FROM __d) GROUP BY 1, 2),
+__ws AS (SELECT {id_col}, count(*) AS __nd, max(c) AS __topw FROM __wc GROUP BY 1),
+__g AS (SELECT {id_col}, __toks[i] || ' ' || __toks[i + 1] AS g
+        FROM __b, unnest(generate_series(1, __n - 1)) u(i) WHERE __n >= 2),
+__gc AS (SELECT {id_col}, g, count(*) AS c FROM __g GROUP BY 1, 2),
+__gs AS (SELECT {id_col}, sum(c) AS __ng, count(*) AS __ndg, max(c) AS __topg
+         FROM __gc GROUP BY 1)
+SELECT __b.* EXCLUDE (__toks, __n, __chars),
+       CAST(__n AS BIGINT) AS n_words,
+       {d_frac} AS distinct_word_frac,
+       {tw_frac} AS top_word_frac,
+       {tg_frac} AS top_2gram_frac,
+       {dg_frac} AS dup_2gram_frac,
+       {mean_wl} AS mean_word_len,
+       {gopher} AS gopher_pass
+FROM __b LEFT JOIN __ws USING ({id_col}) LEFT JOIN __gs USING ({id_col})"""
+
+
 def with_repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",

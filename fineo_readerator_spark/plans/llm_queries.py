@@ -412,14 +412,15 @@ def p_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _p_dataset_card_oracle() -> str:
     from fineo_readerator_spark.llm_ops.textstats import (
-        quality_signals_oracle_exprs,
+        quality_signals_oracle_sql,
         text_stats_oracle_exprs,
     )
 
+    sig = quality_signals_oracle_sql("SELECT doc_id, lang, text FROM documents")
     return f"""
 WITH s AS (
-  SELECT lang, text, {text_stats_oracle_exprs('text')}, {quality_signals_oracle_exprs('text')}
-  FROM documents
+  SELECT lang, text, {text_stats_oracle_exprs('text')}, gopher_pass
+  FROM ({sig})
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -2235,9 +2236,13 @@ def t_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t_quality_oracle() -> str:
-    from fineo_readerator_spark.llm_ops.textstats import quality_signals_oracle_exprs
+    from fineo_readerator_spark.llm_ops.textstats import quality_signals_oracle_sql
 
-    return f"SELECT doc_id, {quality_signals_oracle_exprs('text')} FROM documents"
+    sig = quality_signals_oracle_sql("SELECT doc_id, text FROM documents")
+    return (
+        "SELECT doc_id, n_words, distinct_word_frac, top_word_frac,"
+        f" top_2gram_frac, dup_2gram_frac, mean_word_len, gopher_pass FROM ({sig})"
+    )
 
 
 def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,13 +2320,15 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _t_quality_classifier_oracle() -> str:
     from fineo_readerator_spark.llm_ops.classifier import logistic_oracle_sql
     from fineo_readerator_spark.llm_ops.textstats import (
-        quality_signals_oracle_exprs,
+        quality_signals_oracle_sql,
         text_stats_oracle_exprs,
     )
 
+    sig = quality_signals_oracle_sql("SELECT doc_id, text FROM documents")
     feats = (
         f"SELECT doc_id, {text_stats_oracle_exprs('text')},"
-        f" {quality_signals_oracle_exprs('text')} FROM documents"
+        " n_words, distinct_word_frac, top_word_frac, top_2gram_frac,"
+        f" dup_2gram_frac, mean_word_len, gopher_pass FROM ({sig})"
     )
     return logistic_oracle_sql(
         feats,

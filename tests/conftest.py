@@ -48,3 +48,28 @@ def _drain_jvm_state(request):
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass  # no active session (pure-python module) — nothing to drain
+
+
+_drain_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _drain_every_n_tests():
+    """Intra-module drain: the oracle-parity module alone runs ~190
+    Spark-heavy tests, so module-boundary draining still lets blocks pile
+    up inside it (its tail tests measured 4-10x slower than isolated).
+    Every 25 tests, same drain as the module fixture."""
+    yield
+    _drain_counter["n"] += 1
+    if _drain_counter["n"] % 25 == 0:
+        try:
+            import gc
+
+            from fineo_readerator_spark.session import get_spark
+
+            spark = get_spark("fineo-tests", shuffle_partitions=8)
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
