@@ -102,11 +102,13 @@ def main() -> None:
         "sf": sf,
         # ambient-load forensics: the r4→r5 regression triage showed ±40%
         # run-to-run swings on sub-second queries tracking machine load, so
-        # record it with every snapshot to make noise attributable
-        # end-of-run load includes the bench's own 32 threads — the hygiene
-        # signal is load BEFORE the JVM started
-        "load_avg": round(os.getloadavg()[0], 2),
-        "load_avg_start": round(load_start, 2),
+        # record it with every snapshot to make noise attributable.
+        # `load_avg` IS the hygiene signal = load BEFORE the JVM started;
+        # end-of-run load unavoidably includes the bench's own 32 threads
+        # (an earlier snapshot put the end value under the headline key and
+        # a clean run was misread as a dirty-machine bench)
+        "load_avg": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }
     if load_start > 1.0:
         out["load_warning"] = "machine not idle at bench start; timings noisy"
