@@ -273,11 +273,13 @@ def main() -> None:
         "α = log(t₁₀ₓ/t₁ₓ)/log(10): 1.0 = linear, 2.0 = quadratic.  Sub-second",
         "1x timings carry fixed JVM/planning overhead, so α < 1 readings mean",
         "'dominated by constant cost', not superlinear risk.  The two",
-        "'16 cells fixed' rows (semantic dedup, k-NN graph) exist to SHOW the",
-        "hazard `_gate_cell_sizing` exists for — rows/cell grows 10x, so the",
+        "'16 cells fixed' rows (semantic dedup, k-NN graph — and pagerank,",
+        "whose cost IS its graph build) exist to SHOW the hazard",
+        "`_gate_cell_sizing` exists for — rows/cell grows 10x, so the",
         "in-cell O(n²) pair volume grows ~100x (partially masked here by idle",
-        "cores at 1x) — and each has a knob-applied row holding rows/cell",
-        "constant, the 100 TB regime.",
+        "cores at 1x) — semantic dedup and the graph each have a knob-applied",
+        "row holding rows/cell constant, the 100 TB regime, and the same knob",
+        "governs every graph consumer (pagerank, label propagation, recall).",
         "",
     ]
     (REPO / "SCALE_CHECK.md").write_text("\n".join(lines))
