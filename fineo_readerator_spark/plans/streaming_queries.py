@@ -794,6 +794,40 @@ def _st_anomaly_oracle() -> str:
     return _q_anomaly_oracle()
 
 
+def st_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort retention: the stream reduces to watermarked daily
+    (user, day) activity counts — the per-user daily dedup happens IN the
+    stream (state = one count row per (day, user), watermark-evicted) —
+    then the drained activity frame feeds the batch retention matrix.
+    Same composition contract as st_anomaly: the batch oracle checks the
+    full pipeline."""
+    from fineo_readerator_spark.operators.cohort import retention_matrix
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    daily = windowed_rollup(
+        stream,
+        "event_time",
+        keys=["user_id"],
+        aggs={"n": "count(*)"},
+        window="1 day",
+        watermark="1 day",
+    )
+    drained = _drain(daily, "st_retention_sink", "complete")
+    act = drained.select(
+        "user_id",
+        F.expr("CAST(timestamp_millis(window_start) AS timestamp_ntz)").alias(
+            "bucket"
+        ),
+    )
+    return retention_matrix(act, "user_id", "bucket", granularity_days=1)
+
+
+def _st_retention_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import retention_oracle_sql
+
+    return retention_oracle_sql("SELECT user_id, ts FROM events")
+
+
 STREAMING_QUERIES = [
     QueryDef("st_kmeans", st_kmeans, _st_kmeans_oracle()),
     QueryDef("st_cdc_apply", st_cdc_apply, _st_cdc_apply_oracle()),
@@ -801,6 +835,7 @@ STREAMING_QUERIES = [
     QueryDef("st_funnel", st_funnel, ST_FUNNEL_ORACLE),
     QueryDef("st_drift", st_drift, _st_drift_oracle()),
     QueryDef("st_anomaly", st_anomaly, _st_anomaly_oracle()),
+    QueryDef("st_retention", st_retention, _st_retention_oracle()),
     QueryDef("st_store_maintain", st_store_maintain, _st_store_maintain_oracle()),
     QueryDef("st_kv_stream", st_kv_stream, ST_KV_STREAM_ORACLE),
     QueryDef("st_metric_build", st_metric_build, ST_METRIC_BUILD_ORACLE),
