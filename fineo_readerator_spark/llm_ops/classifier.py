@@ -54,6 +54,10 @@ def train_logistic(
     boolean/0-1; rows with a NULL label or NULL feature are EXCLUDED (they
     would poison the gradient sums with NULL on one engine and 0 on
     another)."""
+    if not feature_cols:
+        # keep the supported domain aligned with logistic_oracle_sql, whose
+        # rankable conjunction can't express a bias-only model
+        raise ValueError("train_logistic: need at least one feature column")
     cond = F.col(label_col).isNotNull()
     for c in feature_cols:
         cond = cond & F.col(c).isNotNull()
@@ -112,6 +116,10 @@ def logistic_oracle_sql(
     rounded-then-decimal-summed gradient and the SAME double-arithmetic
     update, so the two engines walk identical weight vectors."""
     k = len(feature_exprs)
+    if k == 0:
+        # mirrors train_logistic's guard: with zero features the rankable
+        # conjunction below would emit `y IS NOT NULL AND ` — invalid SQL
+        raise ValueError("logistic_oracle_sql: need at least one feature expr")
     xcols = ", ".join(f"{e} AS x{j}" for j, e in enumerate(feature_exprs, start=1))
     # the NULL filter gates TRAINING only; scoring covers every input row
     # (NULL feature → NULL score/pred on both engines), matching

@@ -147,12 +147,20 @@ def distribution_match_sample(
     key_col: str,
     seed: int = 42,
 ) -> DataFrame:
-    """Importance-sample the corpus so its ``bucket_col`` mix MATCHES a
-    target frame's distribution (match the eval set's length/language
-    profile, rebalance toward a reference mix): each row keeps with
-    probability ``min(1, target_share / corpus_share)`` of its bucket,
-    decided by the portable md5 hash — deterministic under repartitioning,
-    retries and engines.  Buckets absent from the target drop entirely.
+    """Importance-sample the corpus toward a target frame's ``bucket_col``
+    distribution (match the eval set's length/language profile, rebalance
+    toward a reference mix): each row keeps with probability
+    ``min(1, target_share / corpus_share)`` of its bucket, decided by the
+    portable md5 hash — deterministic under repartitioning, retries and
+    engines.  Buckets absent from the target drop entirely.
+
+    The keep rule is NOT renormalized by the max ratio, so buckets whose
+    target share exceeds their corpus share keep everything (can't mint
+    rows) and stay under-represented relative to the target; the output
+    mix equals the target exactly only when every bucket's target share
+    is <= its corpus share, and otherwise approaches it (maximum yield at
+    approximate matching — dividing all rates by the max ratio would give
+    exact matching at proportionally lower yield).
 
     The keep rule is ONE integer inequality — no float division anywhere:
     ``hash_bucket · c_n · t_total < t_n · c_total · B`` (exact decimal

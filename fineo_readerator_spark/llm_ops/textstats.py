@@ -259,7 +259,7 @@ def quality_signals_oracle_exprs(text_col: str = "text") -> str:
         f" AND ({dup_2gram_frac}) <= 0.75)"
     )
     return (
-        f"CAST({n_tok} AS BIGINT) AS n_words, {distinct_frac} AS distinct_word_frac, "
+        f"coalesce(CAST({n_tok} AS BIGINT), 0) AS n_words, {distinct_frac} AS distinct_word_frac, "
         f"{top_word_frac} AS top_word_frac, {top_2gram_frac} AS top_2gram_frac, "
         f"{dup_2gram_frac} AS dup_2gram_frac, {mean_wl} AS mean_word_len, "
         f"{gopher} AS gopher_pass"
@@ -313,7 +313,7 @@ __gc AS (SELECT {id_col}, g, count(*) AS c FROM __g GROUP BY 1, 2),
 __gs AS (SELECT {id_col}, sum(c) AS __ng, count(*) AS __ndg, max(c) AS __topg
          FROM __gc GROUP BY 1)
 SELECT __b.* EXCLUDE (__toks, __n, __chars),
-       CAST(__n AS BIGINT) AS n_words,
+       coalesce(CAST(__n AS BIGINT), 0) AS n_words,
        {d_frac} AS distinct_word_frac,
        {tw_frac} AS top_word_frac,
        {tg_frac} AS top_2gram_frac,

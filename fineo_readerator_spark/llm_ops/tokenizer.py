@@ -21,12 +21,17 @@ DuckDB oracle replays the ENTIRE training walk, not just the final
 vocabulary.
 
 Scale shape: one tokenize pass builds the (word, freq) table — shuffle =
-|vocabulary|, map-side combined; every merge round is one explode +
-pair-count aggregate over VOCABULARY rows (never corpus rows — word
-frequency carries the corpus weight) and collects ONE winning row to the
-driver (metadata, the k-means-centroid pattern); the symbol recode is a
-codegen'd projection, lineage-cut per round so round t+1 does not replay
-round t.
+|vocabulary|, map-side combined — then the top-``vocab_size`` rows (freq
+DESC, word ASC; the CCNet-style cap ``bigram_lm_scores`` also takes —
+rare-tail words carry negligible pair mass) are collected ONCE and the
+merge loop runs DRIVER-LOCAL over that in-memory table (the standard
+tokenizer-trainer shape).  Training is therefore ONE Spark job total
+regardless of merge count — the earlier formulation ran one
+vocabulary-frame aggregation + driver ``.first()`` PER merge, which at a
+production 32k-merge vocabulary is 32k sequential cluster jobs (days of
+wall-clock at web scale).  The collected table is ``vocab_size`` rows =
+model-sized, never corpus-sized.  Encoding with the learned table remains
+a distributed codegen'd projection (:func:`merge_chain_expr`).
 """
 
 from __future__ import annotations
@@ -64,67 +69,99 @@ def merge_chain_expr(syms_col: Column, merges: list[tuple[str, str]]) -> Column:
     return F.split(F.trim(joined), " +")
 
 
-def _train_from_freqs(
-    freqs: DataFrame, n_merges: int
+DEFAULT_VOCAB_SIZE = 30_000
+
+
+def _fuse(syms: list[str], l: str, r: str) -> list[str]:
+    """Canonical left-to-right non-overlapping fusing of one pair — the
+    in-memory twin of one :func:`merge_chain_expr` replace step (``a a a
+    a`` fuses to ``[aa, aa]``, not ``[aa, a, a]``)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_from_freq_rows(
+    freq_rows: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[int, str, str, str, int]]:
-    """The merge-learning loop over a ``(__w, __f)`` vocabulary frame.
+    """The driver-local merge loop over collected ``(word, freq)`` rows.
     Returns ``(step, left, right, merged, pair_count)`` tuples in learned
-    order; stops early when no adjacent pair remains."""
-    cur = (
-        freqs.withColumn("__syms", F.expr("regexp_extract_all(__w, '.', 0)"))
-        .select("__f", "__syms")
-        .localCheckpoint(eager=False)
-    )
+    order; stops early when no adjacent pair remains.
+
+    Exact integer pair counts and a (count DESC, left ASC, right ASC)
+    winner — Python's per-codepoint string order equals Spark's and
+    DuckDB's binary UTF-8 order, so the walk is replayable relationally."""
+    vocab: list[tuple[list[str], int]] = [(list(w), int(f)) for w, f in freq_rows]
     out_rows: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        pairs = (
-            cur.select(
-                "__f",
-                F.explode(
-                    F.when(
-                        F.size("__syms") >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("__syms") - 1),
-                            lambda i: F.struct(
-                                F.element_at("__syms", i).alias("l"),
-                                F.element_at("__syms", i + F.lit(1)).alias("r"),
-                            ),
-                        ),
-                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-                ).alias("__p"),
-            )
-            .groupBy(F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r"))
-            .agg(F.sum("__f").alias("__c"))
-        )
-        best = pairs.orderBy(F.desc("__c"), "__l", "__r").first()
-        if best is None:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
             break
-        l, r, c = best["__l"], best["__r"], best["__c"]
-        out_rows.append((step, l, r, l + r, int(c)))
-        cur = cur.withColumn(
-            "__syms", merge_chain_expr(F.col("__syms"), [(l, r)])
-        ).localCheckpoint(eager=False)
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out_rows.append((step, l, r, l + r, c))
+        vocab = [(_fuse(syms, l, r), f) for syms, f in vocab]
     return out_rows
 
 
+def _collect_capped_freqs(
+    freqs: DataFrame, vocab_size: int
+) -> list[tuple[str, int]]:
+    """ONE Spark action: the top-``vocab_size`` (word, freq) rows under the
+    total order (freq DESC, word ASC) — TakeOrdered, never a global sort."""
+    rows = (
+        freqs.orderBy(F.desc("__f"), F.asc("__w")).limit(vocab_size).collect()
+    )
+    return [(r["__w"], r["__f"]) for r in rows]
+
+
 def train_bpe(
-    df: DataFrame, text_col: str = "text", n_merges: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 2,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn the first ``n_merges`` BPE merges over the corpus; returns the
-    merge table as driver-side tuples (model-sized — ``n_merges`` rows)."""
+    merge table as driver-side tuples (model-sized — ``n_merges`` rows).
+
+    ``vocab_size`` caps the TRAINING vocabulary to the top-K words by
+    (freq DESC, word ASC); rarer words are dropped from training (their
+    pair mass is negligible by construction) but still encodable — the
+    merge table applies to any symbol sequence."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    return _train_from_freqs(_word_freqs(df, text_col), n_merges)
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    return _train_from_freq_rows(
+        _collect_capped_freqs(_word_freqs(df, text_col), vocab_size), n_merges
+    )
 
 
-def bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 2) -> DataFrame:
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 2,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.  Returns
     one row per merge step: ``(step, pair_left, pair_right, merged,
     pair_count)`` in learned order — the head of the merge table a
     tokenizer build would persist.
 
     Stops early (fewer rows) if the corpus runs out of adjacent pairs."""
-    rows = train_bpe(df, text_col, n_merges)
+    rows = train_bpe(df, text_col, n_merges, vocab_size)
     return df.sparkSession.createDataFrame(
         rows, "step int, pair_left string, pair_right string, merged string, pair_count long"
     )
@@ -135,6 +172,7 @@ def bpe_fertility(
     text_col: str = "text",
     group_col: str = "lang",
     n_merges: int = 4,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
 ) -> DataFrame:
     """Train a BPE merge table on the whole corpus, encode the corpus with
     it, and report per-group tokenizer **fertility** (tokens per word) —
@@ -144,10 +182,12 @@ def bpe_fertility(
 
     Scale shape: ONE tokenize pass builds the (group, word, freq) table;
     the corpus-level training vocabulary is derived from it by a second
-    small aggregate (vocabulary rows, not corpus rows), so training never
-    re-reads the corpus.  Encoding is a codegen'd literal-replace chain
-    over vocabulary rows; the per-group stats are one map-side-combined
-    aggregate.  NULL group is its own group.
+    small aggregate capped at ``vocab_size`` rows, collected once, and the
+    merge loop runs driver-local — training never re-reads the corpus and
+    costs ONE Spark job no matter the merge count.  Encoding is a
+    codegen'd literal-replace chain over vocabulary rows; the per-group
+    stats are one map-side-combined aggregate.  NULL group is its own
+    group.
 
     Determinism: exact long counts; ``fertility`` is ONE division of two
     exact longs rounded at 1e-6 (the :func:`ngram_diversity` contract)."""
@@ -161,7 +201,12 @@ def bpe_fertility(
         .localCheckpoint(eager=False)
     )
     corpus_freqs = wl.groupBy("__w").agg(F.sum("__f").alias("__f"))
-    merges = [(l, r) for _, l, r, _, _ in _train_from_freqs(corpus_freqs, n_merges)]
+    merges = [
+        (l, r)
+        for _, l, r, _, _ in _train_from_freq_rows(
+            _collect_capped_freqs(corpus_freqs, vocab_size), n_merges
+        )
+    ]
     enc = merge_chain_expr(F.expr("regexp_extract_all(__w, '.', 0)"), merges)
     return (
         wl.select("__grp", "__f", F.size(enc).alias("__n"))
@@ -193,17 +238,25 @@ def _oracle_merge_apply(syms: str, l_sql: str, r_sql: str) -> str:
     )
 
 
-def bpe_cte_parts(corpus_sql: str, text_col: str, n_merges: int) -> list[str]:
+def bpe_cte_parts(
+    corpus_sql: str,
+    text_col: str,
+    n_merges: int,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> list[str]:
     """The unrolled training walk as DuckDB CTE strings: ``__w`` (word
-    freqs), ``s0`` (symbol split), then per step the pair-count ``p{t}``,
-    winner ``b{t}`` and (for steps that feed a next round) the recode
-    ``s{t}``.  An exhausted corpus makes ``b{t}`` empty and the NULL
-    replace poisons ``s{t}`` to NULL symbol lists, whose pairs vanish
-    under ``len(syms) >= 2`` — matching the Spark early stop."""
+    freqs), ``__wcap`` (the top-``vocab_size`` training vocabulary under
+    the same (freq DESC, word ASC) total order the Spark side collects),
+    ``s0`` (symbol split), then per step the pair-count ``p{t}``, winner
+    ``b{t}`` and (for steps that feed a next round) the recode ``s{t}``.
+    An exhausted corpus makes ``b{t}`` empty and the NULL replace poisons
+    ``s{t}`` to NULL symbol lists, whose pairs vanish under
+    ``len(syms) >= 2`` — matching the driver-local early stop."""
     parts = [
         f"__w AS (SELECT w, count(*) AS f FROM (SELECT unnest({_oracle_toks(text_col)}) AS w"
         f" FROM ({corpus_sql})) GROUP BY w)",
-        "s0 AS (SELECT f, regexp_extract_all(w, '.') AS syms FROM __w)",
+        f"__wcap AS (SELECT w, f FROM __w ORDER BY f DESC, w ASC LIMIT {vocab_size})",
+        "s0 AS (SELECT f, regexp_extract_all(w, '.') AS syms FROM __wcap)",
     ]
     prev = "s0"
     for t in range(1, n_merges + 1):
@@ -224,11 +277,16 @@ def bpe_cte_parts(corpus_sql: str, text_col: str, n_merges: int) -> list[str]:
     return parts
 
 
-def bpe_merges_oracle_sql(corpus_sql: str, text_col: str = "text", n_merges: int = 2) -> str:
-    """DuckDB replay of :func:`bpe_merges`: identical word weighting, pair
-    counting, (count DESC, left, right) winner order and left-to-right
-    literal-replace merge application, unrolled per step."""
-    parts = bpe_cte_parts(corpus_sql, text_col, n_merges)
+def bpe_merges_oracle_sql(
+    corpus_sql: str,
+    text_col: str = "text",
+    n_merges: int = 2,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> str:
+    """DuckDB replay of :func:`bpe_merges`: identical word weighting,
+    vocabulary cap, pair counting, (count DESC, left, right) winner order
+    and left-to-right merge application, unrolled per step."""
+    parts = bpe_cte_parts(corpus_sql, text_col, n_merges, vocab_size)
     selects = [
         f"SELECT {t} AS step, l AS pair_left, r AS pair_right,"
         f" l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{t}"
@@ -242,6 +300,7 @@ def bpe_fertility_oracle_sql(
     text_col: str = "text",
     group_col: str = "lang",
     n_merges: int = 4,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
 ) -> str:
     """DuckDB replay of :func:`bpe_fertility`: the training walk from
     :func:`bpe_cte_parts` (on corpus-level word freqs derived from the
@@ -255,7 +314,7 @@ def bpe_fertility_oracle_sql(
         f" FROM ({corpus_sql})) GROUP BY grp, w)",
     ]
     # training chain on corpus-level freqs derived from __wl
-    train = bpe_cte_parts(corpus_sql, text_col, n_merges)
+    train = bpe_cte_parts(corpus_sql, text_col, n_merges, vocab_size)
     train[0] = "__w AS (SELECT w, sum(f) AS f FROM __wl GROUP BY w)"
     parts.extend(train)
     parts.append("e0 AS (SELECT grp, f, regexp_extract_all(w, '.') AS syms FROM __wl)")

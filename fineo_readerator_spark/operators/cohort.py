@@ -62,7 +62,13 @@ def retention_matrix(
         act.join(first, user_col)
         .select(
             "cohort",
-            (F.datediff(F.col(bucket_col), F.col("cohort")) / granularity_days)
+            # explicit floor on BOTH engines: Spark's cast("int") truncates
+            # toward zero while DuckDB's CAST(double AS INT) rounds to
+            # nearest, so off-grid buckets (not aligned to
+            # granularity_days) would silently diverge per engine
+            F.floor(
+                F.datediff(F.col(bucket_col), F.col("cohort")) / granularity_days
+            )
             .cast("int")
             .alias("bucket_offset"),
         )
@@ -178,7 +184,7 @@ f AS (SELECT u, min(bucket) AS cohort FROM act GROUP BY 1),
 sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
 m AS (
   SELECT f.cohort,
-         CAST(date_diff('day', f.cohort, a.bucket) / {granularity_days} AS INT) AS bucket_offset,
+         CAST(floor(date_diff('day', f.cohort, a.bucket) / {granularity_days}) AS INT) AS bucket_offset,
          count(*) AS n_active
   FROM act a JOIN f USING (u) GROUP BY 1, 2
 )

@@ -250,6 +250,22 @@ def test_train_logistic_learns_separable_data(spark):
         train_logistic(df.filter(F.lit(False)), ["x"], "y")
 
 
+def test_logistic_zero_features_rejected_on_both_engines(spark):
+    """A bias-only model is outside the shared Spark/oracle domain (the
+    oracle's rankable conjunction can't express it) — BOTH entry points
+    must refuse rather than diverge."""
+    from fineo_readerator_spark.llm_ops.classifier import (
+        logistic_oracle_sql,
+        train_logistic,
+    )
+
+    df = spark.createDataFrame([(1, True)], "doc_id long, y boolean")
+    with pytest.raises(ValueError, match="at least one feature"):
+        train_logistic(df, [], "y")
+    with pytest.raises(ValueError, match="at least one feature"):
+        logistic_oracle_sql("SELECT 1 AS doc_id, TRUE AS y", [], "y")
+
+
 def test_logistic_oracle_parity_with_null_rows(spark):
     """Review regression: the oracle filtered NULL-label/feature rows out of
     SCORING (not just training), so its row set diverged from
@@ -383,6 +399,67 @@ def test_bpe_merge_application_is_left_to_right(spark):
     df4 = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
     got4 = [tuple(r) for r in bpe_merges(df4, n_merges=2).collect()]
     assert got4 == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_bpe_training_job_count_independent_of_merges(spark):
+    """The scale contract of the driver-local trainer: training cost is ONE
+    Spark action (the capped word-freq collect) no matter the merge count —
+    the merge loop must not issue per-merge cluster jobs.  (AQE may
+    materialize the shuffle as its own job, so the assertion is on job
+    GROWTH across merge counts plus a small absolute cap.)"""
+    from fineo_readerator_spark.llm_ops.tokenizer import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "abra cadabra abra kadabra") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(n_merges: int, tag: str) -> int:
+        sc.setJobGroup(tag, "bpe-train-job-count")
+        try:
+            merges = train_bpe(df, n_merges=n_merges)
+        finally:
+            sc.setJobGroup(None, None)  # type: ignore[arg-type]
+        assert len(merges) >= min(n_merges, 3)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j1 = jobs_for(1, "bpe-j1")
+    j8 = jobs_for(8, "bpe-j8")
+    assert j8 == j1, f"merge count multiplied Spark jobs: {j1} -> {j8}"
+    assert j1 <= 3, f"training ran {j1} jobs; expected one action"
+
+
+def test_bpe_vocab_cap_binds_and_matches_oracle(spark):
+    """With vocab_size smaller than the vocabulary, training sees only the
+    top-K words by (freq DESC, word ASC) — rare words stop contributing
+    pair counts, and the DuckDB oracle's __wcap CTE replays the identical
+    cap (boundary ties broken by the word order)."""
+    import duckdb
+
+    from fineo_readerator_spark.llm_ops.tokenizer import (
+        bpe_merges,
+        bpe_merges_oracle_sql,
+    )
+
+    # 'zz'x3, 'ab'x2, 'ac'x2, 'qq'x1 — cap at 3 keeps {zz, ab, ac} (tie
+    # at f=2 is inside the cap; 'qq' drops), so (q,q) must never win and
+    # step2's winner comes from the capped table only
+    docs = [(1, "zz zz zz ab ab"), (2, "ac ac qq")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(df, n_merges=3, vocab_size=3).collect()]
+    assert all(m[1] != "q" for m in got)
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    exp = [
+        tuple(r)
+        for r in con.execute(
+            bpe_merges_oracle_sql("SELECT text FROM documents", n_merges=3, vocab_size=3)
+        ).fetchall()
+    ]
+    assert got == exp
 
 
 def test_bpe_fertility_golden(spark):

@@ -36,6 +36,36 @@ def _register(docs):
     return con
 
 
+def test_quality_signals_null_text_matches_duckdb(spark):
+    """NULL-text docs: Spark coalesces n_words to 0 (and every frac/flag to
+    its zero/False default) — the relational oracle must emit the same 0,
+    not NULL, or any corpus with a NULL text row hash-mismatches."""
+    from fineo_readerator_spark.llm_ops.textstats import (
+        quality_signals_oracle_sql,
+        with_quality_signals,
+    )
+
+    docs = [(1, "alpha beta beta gamma"), (2, None), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in with_quality_signals(df)
+        .select("doc_id", "n_words", "distinct_word_frac", "gopher_pass")
+        .collect()
+    )
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT doc_id, n_words, distinct_word_frac, gopher_pass FROM ("
+            + quality_signals_oracle_sql("SELECT * FROM documents")
+            + ")"
+        ).fetchall()
+    )
+    assert got == exp
+    assert (2, 0, 0.0, False) in got  # the NULL-text row defaults, not NULLs
+
+
 @settings(
     max_examples=_EXAMPLES,
     deadline=None,

@@ -129,6 +129,37 @@ def test_retention_matrix_golden(spark):
     assert (1, 2) not in got  # no day-3 activity from cohort 1
 
 
+def test_retention_matrix_off_grid_weekly_matches_oracle(spark):
+    # off-grid returns (day diffs NOT multiples of granularity_days) are
+    # where trunc-vs-round cast semantics diverge across engines: day-11
+    # return at weekly granularity is 11/7 = 1.571 — floor must give 1 on
+    # BOTH engines (DuckDB's CAST(double AS INT) alone would round to 2)
+    import duckdb
+
+    from fineo_readerator_spark.operators.cohort import retention_oracle_sql
+
+    d = lambda n: dt.datetime(2024, 1, n)  # noqa: E731
+    rows = [(1, d(1)), (1, d(12)), (2, d(1)), (2, d(4)), (3, d(2)), (3, d(25))]
+    df = spark.createDataFrame(rows, "user_id long, bucket timestamp_ntz")
+    got = sorted(
+        (r["cohort"], r["bucket_offset"], r["n_active"], r["n_cohort"],
+         r["retention"])
+        for r in retention_matrix(df, "user_id", "bucket",
+                                  granularity_days=7).collect()
+    )
+    assert (d(1), 1, 1, 2, 0.5) in got  # day-11 diff → floor(11/7) = 1
+    con = duckdb.connect()
+    vals = ", ".join(f"({u}, TIMESTAMP '{t:%Y-%m-%d %H:%M:%S}')"
+                     for u, t in rows)
+    sql = retention_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) t(user_id, ts)",
+        bucket_expr="CAST(date_trunc('day', ts) AS TIMESTAMP)",
+        granularity_days=7,
+    )
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == oracle
+
+
 def test_retention_matrix_validates(spark):
     df = spark.createDataFrame([(1, _t(0))],
                                "user_id long, bucket timestamp_ntz")
