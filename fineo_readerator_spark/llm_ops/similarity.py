@@ -208,6 +208,27 @@ def ivf_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+DEFAULT_TARGET_ROWS_PER_CELL = 256
+
+
+def auto_cells(
+    n_rows: int, target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL
+) -> int:
+    """Default codebook size: enough cells to hold ~``target_rows_per_cell``
+    rows each — ``ceil(N / target)``, so cell count grows LINEARLY with the
+    corpus and the in-cell O(rows²) join volume stays O(N · target), the
+    regime SCALE.md prescribes.  A FIXED cell count is the measured scale
+    hazard (16 cells at 10× data ≈ α 0.9–1.2 in SCALE_CHECK.md); callers
+    that need a pinned codebook (oracle determinism) pass ``n_centroids``
+    explicitly.  Deterministic given N, so auto-sized codebooks stay
+    data-seeded and replayable."""
+    if target_rows_per_cell < 1:
+        raise ValueError(
+            f"target_rows_per_cell must be >= 1, got {target_rows_per_cell}"
+        )
+    return max(1, -(-int(n_rows) // int(target_rows_per_cell)))
+
+
 def seeded_codebook(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> list[tuple[int, list[float]]]:
@@ -560,11 +581,12 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.9,
     round_digits: int = 6,
     max_rows_per_cell: int = 100_000,
     allow_oversized_cells: bool = False,
+    target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): cluster the embedding space coarsely, then drop items that
@@ -585,8 +607,14 @@ def semantic_dedup(
     broadcast in practice (near-dups are sparse).  An undersized codebook is
     a scale trap (16 cells over 10⁹ rows ≈ (N/16)² comparisons per cell), so
     ``max_rows_per_cell`` gates it: exceeding the bound raises unless
-    ``allow_oversized_cells=True``.  Appends ``cell`` to the kept rows so
-    downstream sampling can stratify by semantic region."""
+    ``allow_oversized_cells=True``.  The DEFAULT codebook auto-sizes to
+    ``ceil(N / target_rows_per_cell)`` cells (one count — see
+    :func:`auto_cells`), so the default path scales linearly; pass a
+    literal ``n_centroids`` to pin the codebook (oracle determinism).
+    Appends ``cell`` to the kept rows so downstream sampling can stratify
+    by semantic region."""
+    if n_centroids is None:
+        n_centroids = auto_cells(df.count(), target_rows_per_cell)
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     # checkpoint EAGERLY: the argmin-over-codebook expression would
     # otherwise re-evaluate once per self-join side plus once for the final
@@ -607,7 +635,7 @@ def semantic_dedup(
 def knn_graph(
     df: DataFrame,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
@@ -616,6 +644,7 @@ def knn_graph(
     dim: int | None = None,
     n_probe: int = 1,
     neg_label_col: str | None = None,
+    target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL,
 ) -> DataFrame:
     """Approximate k-NN graph over the embedding corpus: every vector's
     top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
@@ -658,6 +687,11 @@ def knn_graph(
     if dim is None:
         dim = _modal_dim(df, vec_col)
     df = df.filter(F.size(vec_col) == dim)
+    if n_centroids is None:
+        # default auto-sizing: one count of the rankable frame (the same N
+        # the sizing gate checks) — cells grow with the corpus, the in-cell
+        # join stays O(N · target_rows_per_cell)
+        n_centroids = auto_cells(df.count(), target_rows_per_cell)
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     if not seeds:
         raise ValueError(
@@ -721,7 +755,7 @@ def knn_graph(
 def hard_negatives(
     df: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -751,7 +785,7 @@ def label_propagation(
     df: DataFrame,
     seed_label: Column,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -824,7 +858,7 @@ def label_propagation(
 def pagerank(
     df: DataFrame,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iters: int = 2,
     damping: float = 0.85,
     id_col: str = "vec_id",
@@ -902,7 +936,7 @@ def knn_recall_audit(
     df: DataFrame,
     sample_mod: int = 125,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -139,40 +139,49 @@ def _union_write(parts, dest: Path) -> None:
     out.write.mode("overwrite").parquet(str(dest))
 
 
-def _semantic_dedup_scaled(spark, sf_dir: str):
-    """Semantic dedup with the documented scale knob applied: cells sized to
-    hold ~125 rows each (the sf0.1/16-cell density), i.e. cells grow
-    LINEARLY with the corpus — the regime SCALE.md prescribes for 100 TB.
-    The registry query pins n_cells=16 for oracle determinism; this
-    measures the knob."""
-    from fineo_readerator_spark.llm_ops.similarity import (
-        seeded_cell_expr,
-        seeded_codebook,
-        semantic_dedup_assigned,
-    )
+def _semantic_dedup_default(spark, sf_dir: str):
+    """Semantic dedup on the DEFAULT path — n_centroids=None auto-sizes the
+    codebook to ceil(N / target_rows_per_cell) cells, so cells grow
+    LINEARLY with the corpus (the regime SCALE.md prescribes for 100 TB)
+    without the caller tuning anything.  The registry query pins
+    n_centroids=16 for oracle determinism; this measures the default."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
-    n = emb.count()
-    k = max(16, round(n / 125))
-    seeds = seeded_codebook(emb, "vec_id", "embedding", k)
-    assigned = emb.withColumn("cell", seeded_cell_expr("embedding", seeds))
-    kept = semantic_dedup_assigned(
-        assigned, "vec_id", "embedding", cell_col="cell", threshold=0.35, n_cells=k
+    kept = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, target_rows_per_cell=125
     )
     return kept.select("vec_id", "label", "cell")
 
 
-def _knn_graph_scaled(spark, sf_dir: str):
-    """k-NN graph with the documented knob applied: cell count grows with
-    the corpus (constant ~312 rows/cell, the sf0.1/16-cell density), so the
-    in-cell join volume scales linearly.  The registry query pins
-    n_centroids=16 for oracle determinism; this measures the knob."""
+def _knn_graph_default(spark, sf_dir: str):
+    """k-NN graph on the DEFAULT path — auto-sized cells (see above), so
+    the in-cell join volume scales linearly.  The registry query pins
+    n_centroids=16 for oracle determinism; this measures the default."""
     from fineo_readerator_spark.llm_ops.similarity import knn_graph
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
-    k = max(16, round(n / 312))
-    return knn_graph(emb, k=3, n_centroids=k)
+    return knn_graph(emb, k=3)
+
+
+def _pagerank_default(spark, sf_dir: str):
+    """PageRank over the DEFAULT auto-sized graph: the graph build is the
+    dominant cost (the fixed-16-cells registry row is the measured α≈0.93
+    hazard); per-round joins are edge-linear either way."""
+    from fineo_readerator_spark.llm_ops.similarity import pagerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pagerank(emb, k=3, n_iters=2)
+
+
+def _label_prop_default(spark, sf_dir: str):
+    """Label propagation over the DEFAULT auto-sized graph (same hazard
+    contrast as pagerank: the registry row pins 8 cells)."""
+    from fineo_readerator_spark.llm_ops.similarity import label_propagation
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = F.when(F.col("vec_id") % 25 == 0, F.col("label"))
+    return label_propagation(emb, seed, k=3, n_iters=2)
 
 
 def main() -> None:
@@ -189,7 +198,7 @@ def main() -> None:
         "d_paragraph_dedup": QUERIES["d_paragraph_dedup"].fn,
         "d_tfidf_pairs": QUERIES["d_tfidf_pairs"].fn,
         "s_knn_graph (16 cells fixed)": QUERIES["s_knn_graph"].fn,
-        "knn_graph (cells ~ N, the SCALE.md knob)": _knn_graph_scaled,
+        "knn_graph (DEFAULT auto-sized cells)": _knn_graph_default,
         "d_minhash_dedup": QUERIES["d_minhash_dedup"].fn,
         "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
         "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
@@ -198,7 +207,7 @@ def main() -> None:
         "t_bm25_topk": QUERIES["t_bm25_topk"].fn,
         "s_ann_pq": QUERIES["s_ann_pq"].fn,
         "d_semantic_dedup_layout (16 cells fixed)": QUERIES["d_semantic_dedup_layout"].fn,
-        "semantic_dedup (cells ~ N, the SCALE.md knob)": _semantic_dedup_scaled,
+        "semantic_dedup (DEFAULT auto-sized cells)": _semantic_dedup_default,
         # iterative algorithms: per-iteration cost is one corpus pass (k-means
         # assignment+update; logistic gradient), so both must scale linearly
         "s_kmeans (C=8, 2 iters)": QUERIES["s_kmeans"].fn,
@@ -216,6 +225,8 @@ def main() -> None:
         # graph cost dominates (16 cells fixed — same documented hazard as
         # s_knn_graph); the per-round joins are edge-linear
         "s_pagerank (16 cells fixed)": QUERIES["s_pagerank"].fn,
+        "pagerank (DEFAULT auto-sized cells)": _pagerank_default,
+        "label_propagation (DEFAULT auto-sized cells)": _label_prop_default,
         # one posexplode pass into a labels x 2 x dim agg
         "s_embed_drift": QUERIES["s_embed_drift"].fn,
         # event analytics: 10x users in the SAME window — scans 10x,

@@ -741,6 +741,43 @@ def test_semantic_dedup_undersized_codebook_raises(spark, vectors):
     assert kept.count() > 0
 
 
+def test_auto_cells_sizing_rule():
+    """The default codebook grows linearly with the corpus: ceil(N/target),
+    floor 1 — so a 10× corpus gets ~10× cells and the in-cell join volume
+    stays O(N · target) instead of O(N²/C)."""
+    from fineo_readerator_spark.llm_ops.similarity import auto_cells
+
+    assert auto_cells(0) == 1
+    assert auto_cells(1) == 1
+    assert auto_cells(256) == 1
+    assert auto_cells(257) == 2
+    assert auto_cells(2560) == 10
+    assert auto_cells(2560 * 10) == 100  # 10x data -> 10x cells
+    assert auto_cells(100, target_rows_per_cell=10) == 10
+    with pytest.raises(ValueError, match="target_rows_per_cell"):
+        auto_cells(100, target_rows_per_cell=0)
+
+
+def test_knn_graph_default_auto_sizes_cells(spark, vectors):
+    """With no n_centroids the graph auto-sizes from the rankable count —
+    a small target forces multiple cells and every edge stays in-cell
+    (neighbor counts bounded by cell population, not corpus)."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    g = knn_graph(vectors, k=50, target_rows_per_cell=5)
+    per_src = [r["n"] for r in g.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    n_rows = vectors.count()
+    # auto: ceil(N/5) = 11 cells; assignment is skewed but every node's
+    # candidate set is its cell, far below the 50-neighbor full graph a
+    # single cell would produce
+    assert per_src and max(per_src) < 20 < n_rows
+    # explicit single-cell override still degenerates to the full graph
+    # (every node fills its k=50 slots out of the 52 corpus candidates)
+    g1 = knn_graph(vectors, k=50, n_centroids=1, allow_oversized_cells=True)
+    assert g1.groupBy("vec_id").count().agg(F.max("count")).first()[0] == 50
+
+
 def test_semantic_layout_reuses_cells(spark):
     """The layout-backed semantic dedup must read cells from the stored
     partition column — no codebook argmin recompute in the plan."""
