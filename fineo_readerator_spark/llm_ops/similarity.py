@@ -790,6 +790,7 @@ def label_propagation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation over the approximate k-NN graph:
     seeded nodes keep their label; every other node takes, per round, the
@@ -811,10 +812,14 @@ def label_propagation(
     origin)`` with origin ∈ seed/propagated/unlabeled."""
     from pyspark.sql.window import Window
 
-    g = knn_graph(
-        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
-    ).select(F.col(id_col).alias("__node"), F.col("nbr_id").alias("__nbr"))
-    g = g.localCheckpoint(eager=False)  # one build, consumed every round
+    if graph is not None:
+        # persisted-layout re-attach: same contract as pagerank's graph=
+        g = graph.select(F.col(id_col).alias("__node"), F.col("nbr_id").alias("__nbr"))
+    else:
+        g = knn_graph(
+            df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+        ).select(F.col(id_col).alias("__node"), F.col("nbr_id").alias("__nbr"))
+        g = g.localCheckpoint(eager=False)  # one build, consumed every round
     seeds = df.select(
         F.col(id_col).alias("__id"), seed_label.alias("__seed")
     ).localCheckpoint(eager=False)
@@ -864,6 +869,7 @@ def pagerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank centrality over the approximate k-NN similarity graph —
     the corpus-level "representativeness" score: documents whose neighbors
@@ -883,11 +889,20 @@ def pagerank(
     one edge×rank join (≤ N·k rows, contributions map-side combined) plus
     one node-keyed agg; rank frame lineage-cut per round.  The node count
     is the only driver scalar.  Dangling mass (nodes with in-edges only)
-    is dropped, not redistributed — documented PageRank simplification."""
-    g = knn_graph(
-        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
-    ).select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
-    g = g.localCheckpoint(eager=False)  # one build, consumed every round
+    is dropped, not redistributed — documented PageRank simplification.
+
+    Pass ``graph`` (``(id_col, nbr_id)`` edge rows — e.g. a persisted
+    knn-graph layout read back from parquet) to skip the build entirely:
+    at 100 TB the graph build dominates every consumer, so it materializes
+    ONCE per (corpus, k, cells, n_probe) and rank/label/audit queries
+    re-attach (the IVF/bucketed-layout lifecycle)."""
+    if graph is not None:
+        g = graph.select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
+    else:
+        g = knn_graph(
+            df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+        ).select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
+        g = g.localCheckpoint(eager=False)  # one build, consumed every round
     deg = g.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     edges = g.join(deg, "__src").localCheckpoint(eager=False)
     nodes = (
@@ -941,6 +956,7 @@ def knn_recall_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k audit of the cell-bounded k-NN graph against exact brute
     force, on a deterministic node sample (``id % sample_mod == 0``) —
@@ -950,8 +966,10 @@ def knn_recall_audit(
     (restricted to the same rankable corpus the graph indexes), the
     graph's in-cell top-k, and ``recall = |approx ∩ exact| / |exact|``.
 
-    Scale shape: the graph side is the artifact under audit (in
-    production, read back the persisted graph instead of rebuilding); the
+    Scale shape: the graph side is the artifact under audit — pass
+    ``graph`` (stored ``(id_col, nbr_id, ...)`` edge rows, e.g. the
+    ``ensure_knn_graph_layout`` parquet) to audit the persisted graph
+    instead of rebuilding it; the
     exact side broadcasts only the SAMPLED queries against one corpus
     scan (the :func:`ann_batch_topk` shape) — audit cost is
     |sample| × N scored pairs, tuned by ``sample_mod``.  The recall
@@ -960,10 +978,12 @@ def knn_recall_audit(
 
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
-    approx = knn_graph(
-        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-        n_probe=n_probe,
-    ).filter((F.col(id_col) % sample_mod) == 0).select(
+    if graph is None:
+        graph = knn_graph(
+            df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            n_probe=n_probe,
+        )
+    approx = graph.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col).alias("__qid"), F.col("nbr_id").alias("__nbr")
     )
     # the same rankability contract knn_graph applies internally

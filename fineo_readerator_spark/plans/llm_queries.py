@@ -1460,6 +1460,72 @@ FROM {prev} ORDER BY vec_id
     )
 
 
+def ensure_knn_graph_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+) -> str:
+    """Materialize the k-NN graph AT REST, once per (corpus fingerprint,
+    k, cells, n_probe): at 100 TB the graph build (cell assignment +
+    in-cell join + top-k) dominates every graph consumer — pagerank, label
+    propagation, hard negatives, recall audit each rebuilt it per query.
+    Same lifecycle as the IVF layout: edges written under ``.kv_cache``,
+    ``_params.json`` carries the build parameters (probes must never
+    re-derive them — the derived-store rule), and the source-fingerprint
+    stamp is written LAST as the completion marker.  A parameter change or
+    source regeneration rebuilds; consumers re-attach via
+    ``spark.read.parquet`` and the ``graph=`` argument of
+    :func:`~fineo_readerator_spark.llm_ops.similarity.pagerank` /
+    ``label_propagation``."""
+    import json
+
+    from fineo_readerator_spark.llm_ops.dedup import _fs_read_text, _fs_write_text
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+    from fineo_readerator_spark.plans.registry import (
+        snapshot_is_fresh,
+        source_fingerprint,
+        stamp_snapshot,
+    )
+
+    path = _ivf_layout_path(sf_dir).with_name("knn_graph")
+    fp = source_fingerprint(sf_dir, "embeddings")
+    params = {"k": k, "n_centroids": n_centroids, "n_probe": n_probe}
+    fresh = snapshot_is_fresh(path, fp)
+    if fresh:
+        try:
+            fresh = json.loads(_fs_read_text(spark, f"{path}/_params.json")) == params
+        except Exception:  # noqa: BLE001 — unreadable meta = rebuild
+            fresh = False
+    if not fresh:
+        edges = knn_graph(
+            load(spark, sf_dir, "embeddings"),
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+        )
+        # overwrite clears any stale stamp/params before the new data lands
+        edges.write.mode("overwrite").parquet(str(path))
+        _fs_write_text(spark, f"{path}/_params.json", json.dumps(params))
+        stamp_snapshot(path, fp)
+    return str(path)
+
+
+def s_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank re-attached to the PERSISTED k-NN graph layout
+    (:func:`ensure_knn_graph_layout`): the per-query plan reads stored
+    edge rows — no codebook argmin, no in-cell join, no top-k window
+    (plan-pinned in tests) — so adding a graph consumer costs an
+    edge-frame read, not a graph build.  Same parameters as
+    ``s_pagerank``, so the oracle is the same unrolled replay."""
+    from fineo_readerator_spark.llm_ops.similarity import pagerank
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    return pagerank(load(spark, sf_dir, "embeddings"), n_iters=2, graph=edges)
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -2978,6 +3044,7 @@ LLM_QUERIES = [
     QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
     QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),
     QueryDef("s_pagerank", s_pagerank, _s_pagerank_oracle()),
+    QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),

@@ -719,6 +719,63 @@ def test_refined_ivf_layout_persists_centroids(spark):
     assert out.count() == 10
 
 
+def test_knn_graph_layout_reattach_and_staleness(spark, tmp_path):
+    """The persisted k-NN graph layout: consumers re-attach to stored edge
+    rows (plan has NO codebook argmin / in-cell join / top-k window), the
+    build is skipped while fresh, and a source regeneration OR parameter
+    change rebuilds (fingerprint stamp + _params.json meta)."""
+    import random as _random
+    from pathlib import Path
+
+    from fineo_readerator_spark.llm_ops.similarity import pagerank
+    from fineo_readerator_spark.plans.llm_queries import ensure_knn_graph_layout
+
+    rng = _random.Random(7)
+
+    def write_corpus(n):
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)], i % 3) for i in range(n)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    write_corpus(40)
+    p1 = ensure_knn_graph_layout(spark, str(tmp_path), k=2, n_centroids=4)
+    stamp = (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns
+    # fresh: second ensure is a no-op (stamp untouched)
+    assert ensure_knn_graph_layout(spark, str(tmp_path), k=2, n_centroids=4) == p1
+    assert (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns == stamp
+
+    # the re-attached consumer's plan reads stored edges only
+    edges = spark.read.parquet(p1).select("vec_id", "nbr_id")
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    ranked = pagerank(emb, n_iters=1, graph=edges)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+    assert ranked.count() == 40
+
+    # parameter change rebuilds (params travel with the store)
+    ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4)
+    assert (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns != stamp
+
+    # source regeneration rebuilds (fingerprint mismatch)
+    stamp2 = (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns
+    write_corpus(45)
+    p3 = ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4)
+    assert (Path(p3) / "_src_fingerprint.json").stat().st_mtime_ns != stamp2
+    assert spark.read.parquet(p3).select("vec_id").distinct().count() == 45
+
+
+def test_graph_layout_query_plan_reads_stored_edges(spark):
+    """s_graph_layout (the registry consumer) must not rebuild the graph:
+    after ensure, its executed plan carries none of the build machinery."""
+    from fineo_readerator_spark.plans.llm_queries import s_graph_layout
+
+    df = s_graph_layout(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+    assert df.count() > 0
+
+
 def test_semantic_dedup_undersized_codebook_raises(spark, vectors):
     """An undersized codebook on a large frame must raise, not silently run
     an O((N/cells)²) in-cell cartesian (VERDICT r4 'scale trap')."""
