@@ -632,6 +632,53 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL,
+    seed: int = 42,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup with HYPERPLANE-bucketed cells — the variant whose cell
+    count scales past the plan-literal codebook boundary.  The seeded
+    codebook embeds every centroid as a literal array in the plan, which
+    is oracle-friendly but caps out around ~10³ cells (plan size grows
+    C×dim literals); random-hyperplane bucketing reaches 2^n_planes cells
+    from only ``n_planes × dim`` literals, so a 10⁹-row corpus gets its
+    millions of cells at constant plan cost.  Same dominance rule as
+    :func:`semantic_dedup` (drop iff a lower-id vector in the same bucket
+    sits at cosine ≥ threshold); the recall trade moves from cell
+    boundaries to hyperplane boundaries.
+
+    ``n_planes`` defaults to ``ceil(log2(N / target_rows_per_cell))`` —
+    one count, buckets grow linearly with the corpus, in-bucket O(rows²)
+    work stays O(N · target).  Deterministic planes (seeded Gaussian) and
+    sign-bit arithmetic are SQL-replayable, so this stays oracle-checked.
+    Appends ``cell`` (the signature bucket)."""
+    import math
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        dim = _modal_dim(df, vec_col)
+    df = df.filter(F.size(vec_col) == dim)
+    if n_planes is None:
+        n_rows = df.count()
+        n_planes = max(
+            1, math.ceil(math.log2(max(2.0, n_rows / target_rows_per_cell)))
+        )
+    planes = _hyperplanes(dim, n_planes, seed)
+    assigned = df.withColumn(
+        "cell", hyperplane_signature(F.col(vec_col), planes).cast("long")
+    ).localCheckpoint(eager=True)
+    return semantic_dedup_assigned(
+        assigned, id_col, vec_col, "cell", threshold, round_digits
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 3,

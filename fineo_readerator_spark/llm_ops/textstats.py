@@ -1126,3 +1126,60 @@ SELECT CAST(stage AS INT) AS stage, gate,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_dropped AS BIGINT) AS n_passed
 FROM __d CROSS JOIN __tot ORDER BY stage
 """
+
+
+# PII patterns shared verbatim by the Spark and DuckDB sides: RE2-safe
+# (no lookaround — DuckDB's regex engine lacks it) and Java-regex-identical
+# for these constructs (literal classes, bounded repetition, \b).  Ordered:
+# emails redact FIRST (their local part can contain digits a later numeric
+# pattern would otherwise bite into), then IPv4 (dots disambiguate it from
+# phone runs, which exclude '.'), then phone-like digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4s", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phones", r"\+?\d[\d \-()]{7,}\d", "[PHONE]"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """PII masking for training corpora (the Dolma/RedPajama pre-release
+    step): redact emails / IPv4 addresses / phone-like digit runs with
+    typed placeholder tokens and append per-document match counts — the
+    counts feed release audits, the scrubbed column feeds training.
+
+    Scale shape: one codegen'd projection per row (chained
+    ``regexp_replace`` + ``regexp_count``), no shuffle, no UDF — the
+    regex classes are RE2-safe so the DuckDB oracle replays them with the
+    exact same pattern strings (:data:`PII_PATTERNS` is the single source
+    of truth).  NULL text passes through NULL with zero counts."""
+    scrubbed = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        # count on the PARTIALLY-scrubbed text each stage sees, so the
+        # stages compose exactly like the replacements do
+        counts[f"n_{name}"] = F.coalesce(
+            F.regexp_count(scrubbed, F.lit(pat)), F.lit(0)
+        ).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumns({**counts, out_col: scrubbed})
+
+
+def pii_scrub_oracle_exprs(text_col: str = "text", out_col: str = "scrubbed") -> str:
+    """The DuckDB twin of :func:`pii_scrub` as a SELECT-fragment: identical
+    pattern strings, identical stage order, counts taken on the same
+    partially-scrubbed stage inputs."""
+    cur = text_col
+    frags = []
+    for name, pat, token in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        frags.append(
+            f"coalesce(len(regexp_extract_all({cur}, '{esc}')), 0) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', '{token}', 'g')"
+    frags.append(f"{cur} AS {out_col}")
+    return ", ".join(frags)

@@ -319,6 +319,59 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
 """
 
 
+def d_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-bucketed SemDeDup (llm_ops.similarity.semantic_dedup_lsh)
+    over embeddings ∪ an id-shifted copy: the scale path past the
+    plan-literal codebook boundary — 2^n_planes cells from n_planes×dim
+    literals.  Each shifted duplicate shares its original's signature
+    bucket (identical vector → identical sign bits) so it MUST be
+    dominated away.  n_planes pinned at 4 for oracle determinism (the
+    default auto-sizes from the corpus count)."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup_lsh
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    corpus = emb.unionAll(
+        emb.select((F.col("vec_id") + _SHIFT).alias("vec_id"), "label", "embedding")
+    )
+    kept = semantic_dedup_lsh(
+        corpus, "vec_id", "embedding", threshold=0.9, n_planes=4, dim=64
+    )
+    return kept.select("vec_id", "label", "cell")
+
+
+def _d_semantic_dedup_lsh_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    from fineo_readerator_spark.llm_ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    sig = " | ".join(
+        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+  UNION ALL
+  SELECT vec_id + {_SHIFT}, label, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+cells AS (SELECT vec_id, label, embedding, CAST({sig} AS BIGINT) AS cell FROM corpus),
+dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_SEM_COS.format(a='a.embedding', b='b.embedding')} >= 0.9
+)
+SELECT vec_id, label, cell FROM cells
+WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+"""
+
+
 def d_semantic_dedup_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the MATERIALIZED cell layout: the assignment is read
     back as a partition column of the IVF cell layout (one codebook build
@@ -2934,6 +2987,48 @@ def _t_bpe_merges_oracle() -> str:
     return bpe_merges_oracle_sql("SELECT text FROM documents", n_merges=3)
 
 
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (llm_ops.textstats.pii_scrub): redact emails / IPv4s /
+    phone-like runs with typed placeholders + per-doc counts — the
+    Dolma/RedPajama pre-release step.  The fixtures carry no organic PII,
+    so a deterministic contact line derived from doc_id is appended first;
+    every stage is a codegen'd row-local regex, shared verbatim with the
+    oracle via PII_PATTERNS."""
+    from fineo_readerator_spark.llm_ops.textstats import pii_scrub
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555 010 "),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    seeded = docs.withColumn("text", F.concat_ws(" ", F.col("text"), synth))
+    return (
+        pii_scrub(seeded)
+        .select("doc_id", "n_emails", "n_ipv4s", "n_phones", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+def _t_pii_scrub_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import pii_scrub_oracle_exprs
+
+    synth = (
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555 010 '"
+        " || CAST(doc_id % 10000 AS VARCHAR)"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, concat_ws(' ', text, {synth}) AS text FROM documents
+)
+SELECT doc_id, {pii_scrub_oracle_exprs()} FROM seeded ORDER BY doc_id
+"""
+
+
 def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (llm_ops.tokenizer.bpe_fertility):
     train 4 BPE merges corpus-wide, encode, report tokens-per-word by
@@ -3015,6 +3110,7 @@ LLM_QUERIES = [
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
     QueryDef("d_semantic_dedup", d_semantic_dedup, _d_semantic_dedup_oracle(), bench=True),
+    QueryDef("d_semantic_dedup_lsh", d_semantic_dedup_lsh, _d_semantic_dedup_lsh_oracle()),
     QueryDef(
         "d_semantic_dedup_layout", d_semantic_dedup_layout, _d_semantic_dedup_layout_oracle()
     ),
@@ -3051,6 +3147,7 @@ LLM_QUERIES = [
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
+    QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
     QueryDef("t_bpe_fertility", t_bpe_fertility, _t_bpe_fertility_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),

@@ -835,6 +835,28 @@ def test_knn_graph_default_auto_sizes_cells(spark, vectors):
     assert g1.groupBy("vec_id").count().agg(F.max("count")).first()[0] == 50
 
 
+def test_semantic_dedup_lsh_dominates_duplicates(spark, vectors):
+    """Hyperplane-bucketed SemDeDup: an exact duplicate lands in its
+    original's signature bucket (identical sign bits) and must be
+    dominated away; auto n_planes sizes buckets from the corpus count."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup_lsh
+
+    dup = vectors.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = vectors.select("vec_id", "embedding").unionAll(dup)
+    kept = semantic_dedup_lsh(corpus, "vec_id", "embedding", threshold=0.999)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 7 in ids and 1007 not in ids
+    # auto-sized planes: ceil(log2(54/256)) floors at 1 → >= 2 buckets seen
+    # only when the corpus outgrows the target; with a tiny target the
+    # buckets must multiply
+    kept_small = semantic_dedup_lsh(
+        corpus, "vec_id", "embedding", threshold=0.999, target_rows_per_cell=4
+    )
+    assert kept_small.select("cell").distinct().count() > 2
+
+
 def test_semantic_layout_reuses_cells(spark):
     """The layout-backed semantic dedup must read cells from the stored
     partition column — no codebook argmin recompute in the plan."""

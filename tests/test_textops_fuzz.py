@@ -36,6 +36,45 @@ def _register(docs):
     return con
 
 
+def test_pii_scrub_golden_and_duckdb_parity(spark):
+    """Redaction order (emails → IPv4 → phones), count-on-stage-input
+    semantics, NULL pass-through — golden values plus DuckDB parity on the
+    same rows."""
+    from fineo_readerator_spark.llm_ops.textstats import (
+        pii_scrub,
+        pii_scrub_oracle_exprs,
+    )
+
+    docs = [
+        (1, "mail a.b+c@ex-1.org and 10.0.0.1 or call +1 555 010 1234 now"),
+        (2, None),
+        (3, "two mails x@y.io z@w.ai, no numbers"),
+        (4, "just 999.999.999.999 and 12345678901"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in pii_scrub(df)
+        .select("doc_id", "n_emails", "n_ipv4s", "n_phones", "scrubbed")
+        .collect()
+    )
+    assert (1, 1, 1, 1,
+            "mail [EMAIL] and [IP] or call [PHONE] now") in got
+    assert (2, 0, 0, 0, None) in got
+    assert (3, 2, 0, 0, "two mails [EMAIL] [EMAIL], no numbers") in got
+    # 999.999.999.999 is a (syntactic) IPv4 hit; the bare digit run is a
+    # phone-like hit
+    assert (4, 0, 1, 1, "just [IP] and [PHONE]") in got
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {pii_scrub_oracle_exprs()} FROM documents"
+        ).fetchall()
+    )
+    assert got == exp
+
+
 def test_quality_signals_null_text_matches_duckdb(spark):
     """NULL-text docs: Spark coalesces n_words to 0 (and every frac/flag to
     its zero/False default) — the relational oracle must emit the same 0,
