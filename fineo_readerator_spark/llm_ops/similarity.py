@@ -210,6 +210,22 @@ def ivf_topk(
 
 DEFAULT_TARGET_ROWS_PER_CELL = 256
 
+# the seeded codebook embeds every centroid as literal arrays in the plan
+# (C × dim literals); past a few thousand cells the plan itself becomes the
+# bottleneck (codegen size, driver memory) — the auto path refuses instead
+# of silently degrading, pointing at the constant-plan-cost alternatives
+MAX_LITERAL_CODEBOOK = 4096
+
+
+def _gate_literal_codebook(n_centroids: int, op: str, alternative: str) -> None:
+    if n_centroids > MAX_LITERAL_CODEBOOK:
+        raise ValueError(
+            f"{op}: auto-sized codebook wants {n_centroids:,} cells, past the "
+            f"plan-literal boundary ({MAX_LITERAL_CODEBOOK:,}) — use "
+            f"{alternative}, or pass n_centroids explicitly to accept the "
+            "plan cost"
+        )
+
 
 def auto_cells(
     n_rows: int, target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL
@@ -615,6 +631,9 @@ def semantic_dedup(
     by semantic region."""
     if n_centroids is None:
         n_centroids = auto_cells(df.count(), target_rows_per_cell)
+        _gate_literal_codebook(
+            n_centroids, "semantic_dedup", "semantic_dedup_lsh (hyperplane cells)"
+        )
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     # checkpoint EAGERLY: the argmin-over-codebook expression would
     # otherwise re-evaluate once per self-join side plus once for the final
@@ -739,6 +758,10 @@ def knn_graph(
         # the sizing gate checks) — cells grow with the corpus, the in-cell
         # join stays O(N · target_rows_per_cell)
         n_centroids = auto_cells(df.count(), target_rows_per_cell)
+        _gate_literal_codebook(
+            n_centroids, "knn_graph",
+            "the kmeans IVF layout (ivf_assign) for cell assignment",
+        )
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     if not seeds:
         raise ValueError(

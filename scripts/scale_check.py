@@ -171,7 +171,8 @@ def build_fixture_100(spark) -> None:
         stamp_snapshot,
     )
 
-    fp = "v1:" + "+".join(
+    # v2: per-replica RNG stream for sign flips (was per-(r, i) seeds)
+    fp = "v2:" + "+".join(
         source_fingerprint(SRC, t)
         for t in ("documents", "embeddings", "orders", "lineitem")
     )
@@ -198,10 +199,10 @@ def build_fixture_100(spark) -> None:
     dim = len(emb.select("embedding").first()[0])
     parts = [emb]
     for r in range(1, REPLICAS100):
-        flips = [
-            1.0 if _random.Random(2000 + r * 100 + i).random() < 0.5 else -1.0
-            for i in range(dim)
-        ]
+        # one RNG stream per replica — per-(r, i) seeds could collide
+        # across replicas for dim > seed spacing
+        rng = _random.Random(2000 + r)
+        flips = [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
         flip_arr = "array(" + ",".join(f"{v!r}D" for v in flips) + ")"
         parts.append(
             emb.select(

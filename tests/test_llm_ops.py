@@ -815,6 +815,25 @@ def test_auto_cells_sizing_rule():
         auto_cells(100, target_rows_per_cell=0)
 
 
+def test_auto_cells_literal_codebook_gate():
+    """The auto path must refuse past the plan-literal codebook boundary
+    (C×dim literal arrays in the plan) rather than silently compile a
+    multi-MB expression — pointing at the constant-plan-cost variants."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        MAX_LITERAL_CODEBOOK,
+        _gate_literal_codebook,
+        auto_cells,
+    )
+
+    # a 10M-row corpus at the default target auto-sizes past the boundary
+    wanted = auto_cells(10_000_000)
+    assert wanted > MAX_LITERAL_CODEBOOK
+    with pytest.raises(ValueError, match="semantic_dedup_lsh"):
+        _gate_literal_codebook(wanted, "semantic_dedup",
+                               "semantic_dedup_lsh (hyperplane cells)")
+    _gate_literal_codebook(MAX_LITERAL_CODEBOOK, "x", "y")  # at the bound: ok
+
+
 def test_knn_graph_default_auto_sizes_cells(spark, vectors):
     """With no n_centroids the graph auto-sizes from the rankable count —
     a small target forces multiple cells and every edge stays in-cell
