@@ -116,10 +116,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature as an int bucket key (random-hyperplane LSH: P[bit
-    agree] = 1 - angle/π)."""
+    agree] = 1 - angle/π).  The dot is rounded at 1e-9 before the sign test —
+    same cross-engine guard as ``_cells_array_sql``: a projection within
+    float-noise of 0 must not flip its bit when another engine's summation
+    order drifts by an ulp."""
     bits = []
     for i, p in enumerate(planes):
-        bits.append(F.when(_dot(vec, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(
+            F.when(F.round(_dot(vec, _vec_lit(p)), 9) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
@@ -148,9 +155,10 @@ def lsh_bucketed_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     sig = hyperplane_signature(F.col(vec_col), planes)
     # query signature computed driver-side with identical arithmetic
+    # (including the 1e-9 sign-boundary rounding)
     qsig = 0
     for i, p in enumerate(planes):
-        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+        if round(sum(float(a) * float(b) for a, b in zip(query_vec, p)), 9) >= 0:
             qsig |= 1 << i
     probed = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_probe_dist
@@ -661,6 +669,8 @@ def semantic_dedup_lsh(
     seed: int = 42,
     round_digits: int = 6,
     dim: int | None = None,
+    max_rows_per_cell: int = 100_000,
+    allow_oversized_cells: bool = False,
 ) -> DataFrame:
     """SemDeDup with HYPERPLANE-bucketed cells — the variant whose cell
     count scales past the plan-literal codebook boundary.  The seeded
@@ -693,6 +703,22 @@ def semantic_dedup_lsh(
     assigned = df.withColumn(
         "cell", hyperplane_signature(F.col(vec_col), planes).cast("long")
     ).localCheckpoint(eager=True)
+    # Hyperplane buckets skew when the embedding distribution has a dominant
+    # mean direction (most rows share most sign bits), so gate on MEASURED
+    # occupancy, not the N/cells estimate the seeded path uses — the
+    # checkpointed frame makes this one cheap agg, and it fires BEFORE the
+    # O(rows_per_cell²) in-cell join starts.
+    row = assigned.groupBy("cell").count().agg(F.max("count")).first()
+    biggest = int(row[0] or 0)
+    if biggest > max_rows_per_cell and not allow_oversized_cells:
+        raise ValueError(
+            f"semantic_dedup_lsh cell sizing: largest signature bucket holds "
+            f"{biggest:,} rows (> max_rows_per_cell={max_rows_per_cell:,}); "
+            "the in-cell self-join is O(rows_per_cell**2).  Raise n_planes "
+            "(each plane halves expected bucket size), center the embeddings "
+            "(a dominant mean direction collapses sign bits), or pass "
+            "allow_oversized_cells=True if the comparison volume is intended"
+        )
     return semantic_dedup_assigned(
         assigned, id_col, vec_col, "cell", threshold, round_digits
     )
@@ -1053,6 +1079,27 @@ def knn_recall_audit(
             df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
             n_probe=n_probe,
         )
+    else:
+        # A stored graph carries the k it was BUILT with; auditing it against
+        # a different caller k silently inflates (graph k > k: more candidates
+        # than slots) or deflates recall.  The max out-degree IS the build k
+        # on any corpus with at least one cell of k+1 rankable rows, so one
+        # small agg over the edge frame catches the mismatch — the
+        # derived-store rule (never re-derive params) enforced at the consumer.
+        deg = (
+            graph.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .agg(F.max("__d"))
+            .first()
+        )
+        built_k = int(deg[0] or 0)
+        if built_k != k:
+            raise ValueError(
+                f"knn_recall_audit: stored graph's max out-degree is {built_k} "
+                f"but the audit was asked for recall@{k}; pass k={built_k} (the "
+                "k the graph was built with — see its _params.json) or rebuild "
+                "the layout at the desired k"
+            )
     approx = graph.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col).alias("__qid"), F.col("nbr_id").alias("__nbr")
     )

@@ -88,6 +88,14 @@ def _fuse(syms: list[str], l: str, r: str) -> list[str]:
     return out
 
 
+def _pair_counts(syms: list[str], f: int) -> dict[tuple[str, str], int]:
+    c: dict[tuple[str, str], int] = {}
+    for i in range(len(syms) - 1):
+        p = (syms[i], syms[i + 1])
+        c[p] = c.get(p, 0) + f
+    return c
+
+
 def _train_from_freq_rows(
     freq_rows: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[int, str, str, str, int]]:
@@ -97,22 +105,65 @@ def _train_from_freq_rows(
 
     Exact integer pair counts and a (count DESC, left ASC, right ASC)
     winner — Python's per-codepoint string order equals Spark's and
-    DuckDB's binary UTF-8 order, so the walk is replayable relationally."""
-    vocab: list[tuple[list[str], int]] = [(list(w), int(f)) for w, f in freq_rows]
+    DuckDB's binary UTF-8 order, so the walk is replayable relationally.
+
+    INCREMENTAL, the standard trainer shape: global pair counts and a
+    pair→words inverted index are built once; each merge touches only the
+    words that CONTAIN the winning pair (exact per-word count deltas) and
+    picks winners from a lazy max-heap whose entries are validated against
+    the live count on pop.  A naive re-count re-walks every symbol of
+    every word per merge — O(n_merges × Σ|word|), hours of driver CPU at a
+    production 32k-merge vocabulary — while this is O(Σ|word| + touched
+    work + heap log); the winner sequence is identical because the heap
+    tuple (-count, left, right) IS the (count DESC, left ASC, right ASC)
+    total order over exact integers."""
+    import heapq
+
+    vocab: list[list] = [[list(w), int(f)] for w, f in freq_rows]
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, f) in enumerate(vocab):
+        for p, c in _pair_counts(syms, f).items():
+            counts[p] = counts.get(p, 0) + c
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
     out_rows: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, f in vocab:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + f
-        if not counts:
-            break
-        (l, r), c = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        out_rows.append((step, l, r, l + r, c))
-        vocab = [(_fuse(syms, l, r), f) for syms, f in vocab]
+    step = 0
+    while step < n_merges and counts:
+        negc, l, r = heapq.heappop(heap)
+        if counts.get((l, r)) != -negc:
+            continue  # stale entry — the pair's count changed since the push
+        step += 1
+        out_rows.append((step, l, r, l + r, -negc))
+        pair = (l, r)
+        for idx in sorted(where.get(pair, ())):
+            syms, f = vocab[idx]
+            old = _pair_counts(syms, f)
+            new_syms = _fuse(syms, l, r)
+            new = _pair_counts(new_syms, f)
+            vocab[idx][0] = new_syms
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    nc = counts.get(p, 0) + d
+                    if nc <= 0:
+                        counts.pop(p, None)
+                    else:
+                        counts[p] = nc
+                        heapq.heappush(heap, (-nc, p[0], p[1]))
+                if p in new:
+                    where.setdefault(p, set()).add(idx)
+                elif p in old:
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(idx)
+                        if not s:
+                            where.pop(p, None)
+        # canonical full fusing leaves no (l, r) adjacency, so the delta
+        # loop drains its count to zero; pop defensively either way
+        counts.pop(pair, None)
+        where.pop(pair, None)
     return out_rows
 
 

@@ -48,6 +48,27 @@ from fineo_readerator_spark.plans.registry import QueryDef, load
 _SHIFT = 1_000_000  # synthetic duplicate id offset
 
 
+def _plane_dot_sql(vec_expr: str, plane: list[float], dim: int) -> str:
+    """DuckDB replay of ``similarity._dot`` against one inlined hyperplane."""
+    arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
+    )
+
+
+def _plane_sig_sql(vec_expr: str, planes: list[list[float]], dim: int) -> str:
+    """Sign-bit signature replay of ``similarity.hyperplane_signature`` —
+    ``round(dot, 9) >= 0`` mirrors the Spark side's sign-boundary guard, so
+    a projection within float-noise of 0 buckets identically in both
+    engines."""
+    return " | ".join(
+        f"(CASE WHEN round({_plane_dot_sql(vec_expr, p, dim)}, 9) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ an id-shifted copy — every text exactly twice, so exact
     dedup must recover precisely the original rows."""
@@ -340,21 +361,8 @@ def d_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d_semantic_dedup_lsh_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
-    from fineo_readerator_spark.llm_ops.similarity import _hyperplanes
-
     planes = _hyperplanes(dim, n_planes, seed)
-
-    def dot(vec_expr: str, plane: list[float]) -> str:
-        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
-    sig = " | ".join(
-        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    sig = _plane_sig_sql("embedding", planes, dim)
     return f"""
 WITH corpus AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
@@ -1104,18 +1112,8 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, max_probe_
     identical plane constants and arithmetic order as the Spark path."""
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def dot(vec_expr: str, plane: list[float]) -> str:
-        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
     def sig(vec_expr: str) -> str:
-        return " | ".join(
-            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
+        return _plane_sig_sql(vec_expr, planes, dim)
 
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1542,7 +1540,12 @@ def ensure_knn_graph_layout(
         stamp_snapshot,
     )
 
-    path = _ivf_layout_path(sf_dir).with_name("knn_graph")
+    # the parameter tuple is part of the layout identity — two consumers
+    # with different (k, cells, probe) must land in DIFFERENT slots, or they
+    # alternately fail the params check and rebuild the full graph per query
+    path = _ivf_layout_path(sf_dir).with_name(
+        f"knn_graph_k{k}_c{n_centroids}_p{n_probe}"
+    )
     fp = source_fingerprint(sf_dir, "embeddings")
     params = {"k": k, "n_centroids": n_centroids, "n_probe": n_probe}
     fresh = snapshot_is_fresh(path, fp)
@@ -2135,18 +2138,8 @@ def d_embed_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _d_embed_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42, threshold: float = 0.2) -> str:
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def dot(vec_expr: str, plane: list[float]) -> str:
-        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
     def sig(vec_expr: str) -> str:
-        return " | ".join(
-            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
+        return _plane_sig_sql(vec_expr, planes, dim)
 
     return f"""
 WITH s AS (SELECT vec_id, embedding, {sig('embedding')} AS sig FROM embeddings)
@@ -2183,18 +2176,8 @@ def _d_embed_decontaminate_oracle(
 ) -> str:
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def dot(vec_expr: str, plane: list[float]) -> str:
-        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
     def sig(vec_expr: str) -> str:
-        return " | ".join(
-            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
+        return _plane_sig_sql(vec_expr, planes, dim)
 
     cos = (
         f"round(list_sum(list_transform(generate_series(1, {dim}),"

@@ -196,7 +196,14 @@ def build_fixture_100(spark) -> None:
     _union_write(parts, FIXTURE100 / "documents.parquet")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+    # flip-pool length only: max over per-row sizes (NULL-safe, unlike a
+    # first()-row len which crashes on a NULL first row).  The rotation
+    # itself indexes by EACH row's own size — the 10x builder's form — so a
+    # wrong-dim row replicates as the same wrong-dim row (rankability status
+    # preserved), never as a right-length array of NULL elements.
+    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    if not dim:
+        raise ValueError("embeddings.parquet has no non-NULL embedding rows")
     parts = [emb]
     for r in range(1, REPLICAS100):
         # one RNG stream per replica — per-(r, i) seeds could collide
@@ -208,9 +215,12 @@ def build_fixture_100(spark) -> None:
             emb.select(
                 (F.col("vec_id") + r * OFF).alias("vec_id"),
                 F.expr(
-                    f"zip_with(transform(sequence(0, {dim - 1}),"
-                    f" i -> embedding[(i + {r}) % {dim}]), {flip_arr},"
-                    " (x, s) -> CAST(x AS DOUBLE) * s)"
+                    # size()=0 guard: sequence(0, -1) DESCENDS ([0, -1]),
+                    # it is not empty — pass empty arrays through unchanged
+                    "CASE WHEN size(embedding) = 0 THEN embedding ELSE "
+                    "transform(sequence(0, size(embedding) - 1),"
+                    f" i -> CAST(embedding[(i + {r}) % size(embedding)] AS DOUBLE)"
+                    f" * {flip_arr}[i % {dim}]) END"
                 ).cast(emb.schema["embedding"].dataType).alias("embedding"),
                 "label",
             ).select(*emb.columns)

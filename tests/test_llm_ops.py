@@ -753,14 +753,22 @@ def test_knn_graph_layout_reattach_and_staleness(spark, tmp_path):
     assert "array_min" not in plan and "named_struct" not in plan
     assert ranked.count() == 40
 
-    # parameter change rebuilds (params travel with the store)
-    ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4)
-    assert (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns != stamp
+    # a different parameter tuple is a DIFFERENT layout slot — the k=2
+    # store is untouched (no alternate-param clobber/rebuild thrash), and
+    # both remain attachable simultaneously
+    p2 = ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4)
+    assert p2 != p1
+    assert (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns == stamp
+    assert (
+        spark.read.parquet(p2).groupBy("vec_id").count().agg(F.max("count")).first()[0]
+        == 3
+    )
 
     # source regeneration rebuilds (fingerprint mismatch)
-    stamp2 = (Path(p1) / "_src_fingerprint.json").stat().st_mtime_ns
+    stamp2 = (Path(p2) / "_src_fingerprint.json").stat().st_mtime_ns
     write_corpus(45)
     p3 = ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4)
+    assert p3 == p2
     assert (Path(p3) / "_src_fingerprint.json").stat().st_mtime_ns != stamp2
     assert spark.read.parquet(p3).select("vec_id").distinct().count() == 45
 
@@ -874,6 +882,84 @@ def test_semantic_dedup_lsh_dominates_duplicates(spark, vectors):
         corpus, "vec_id", "embedding", threshold=0.999, target_rows_per_cell=4
     )
     assert kept_small.select("cell").distinct().count() > 2
+
+
+def test_semantic_dedup_lsh_gates_oversized_buckets(spark, vectors):
+    """The LSH variant gates on MEASURED bucket occupancy — an embedding
+    distribution whose sign bits collapse (here: one plane over a small
+    corpus) must raise before the O(rows²) in-cell join, exactly like the
+    seeded sibling's estimate gate, with the same explicit opt-in."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup_lsh
+
+    corpus = vectors.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="semantic_dedup_lsh cell sizing"):
+        semantic_dedup_lsh(
+            corpus, "vec_id", "embedding", n_planes=1, max_rows_per_cell=10
+        )
+    # explicit opt-in runs the oversized join
+    kept = semantic_dedup_lsh(
+        corpus, "vec_id", "embedding", n_planes=1, max_rows_per_cell=10,
+        allow_oversized_cells=True,
+    )
+    assert kept.count() > 0
+
+
+def test_recall_audit_rejects_graph_k_mismatch(spark, vectors):
+    """Auditing a stored graph at a different k than it was built with
+    silently inflates/deflates recall — the consumer must refuse instead
+    of re-deriving nothing (derived-store rule)."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        knn_graph,
+        knn_recall_audit,
+    )
+
+    g5 = knn_graph(vectors, k=5, n_centroids=2, allow_oversized_cells=True)
+    with pytest.raises(ValueError, match="max out-degree is 5"):
+        knn_recall_audit(vectors, sample_mod=10, k=3, graph=g5)
+    # matching k audits fine
+    out = knn_recall_audit(vectors, sample_mod=10, k=5, graph=g5)
+    assert out.count() > 0
+
+
+def test_bpe_incremental_trainer_matches_naive_recount():
+    """The incremental merge loop (pair-count deltas + lazy heap) must pick
+    the EXACT winner sequence of a full per-step recount — the equivalence
+    the DuckDB oracle's unrolled replay depends on."""
+    import random
+
+    from fineo_readerator_spark.llm_ops.tokenizer import (
+        _fuse,
+        _train_from_freq_rows,
+    )
+
+    def naive(freq_rows, n_merges):
+        vocab = [(list(w), int(f)) for w, f in freq_rows]
+        out = []
+        for step in range(1, n_merges + 1):
+            counts = {}
+            for syms, f in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, l + r, c))
+            vocab = [(_fuse(s, l, r), f) for s, f in vocab]
+        return out
+
+    rng = random.Random(7)
+    for _ in range(120):
+        rows, seen = [], set()
+        for _ in range(rng.randint(0, 12)):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+            if w not in seen:
+                seen.add(w)
+                rows.append((w, rng.randint(1, 5)))
+        m = rng.randint(1, 10)
+        assert _train_from_freq_rows(rows, m) == naive(rows, m)
 
 
 def test_semantic_layout_reuses_cells(spark):
