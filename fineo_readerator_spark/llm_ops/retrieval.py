@@ -405,3 +405,100 @@ SELECT id_a, id_b, {g_pre}cos_sim FROM (
   FROM __dot JOIN __norm na ON na.id = id_a JOIN __norm nb ON nb.id = id_b
 ) WHERE cos_sim >= {threshold}
 """
+
+
+def keyword_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the extraction twin of
+    :func:`tfidf_cosine_pairs` (document tagging / index-term selection;
+    in a training pipeline, the cheap topical signal domain-mix and
+    curriculum buckets key on).
+
+    Same integer-exact arithmetic as the pairs operator: idf quantizes to
+    ``round(ln((N+1)/(df+1)) * idf_scale)`` and the score ``tf·idf_int``
+    stays an exact long, so ranking never touches a float.  Ties break by
+    term ASC (binary UTF-8 order agrees across engines).
+
+    Scale shape: one tokenize pass, two map-side-combined aggregates (tf,
+    df), the df/n frames broadcast back onto tf (metadata-sized), and ONE
+    window shuffle on the doc id — WindowGroupLimit keeps per-mapper
+    top-k, so the exchange carries ~k rows per document."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    tf = (
+        base.select("__id", F.explode("__t").alias("__term"))
+        .groupBy("__id", "__term")
+        .agg(F.count("*").alias("__tf"))
+    ).localCheckpoint(eager=False)  # feeds n_docs, dfreq AND the scored join
+    n_docs = tf.select("__id").distinct().agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    idf_int = F.round(
+        F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) * idf_scale, 0
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__term",
+            (F.col("__tf").cast("long") * idf_int).alias("score"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("__term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__term").alias("term"),
+            F.col("__rn").cast("int").alias("rank"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+def keyword_topk_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    idf_scale: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`keyword_topk` — identical idf quantization,
+    exact integer scores, (score DESC, term ASC) window rank."""
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    return f"""
+WITH __base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM ({corpus_sql})
+),
+__base2 AS (SELECT * FROM __base WHERE len(t) > 0),
+__tf AS (
+  SELECT id, term, count(*) AS tf
+  FROM (SELECT id, unnest(t) AS term FROM __base2)
+  GROUP BY id, term
+),
+__n AS (SELECT count(*) AS n FROM __base2),
+__df AS (SELECT term, count(*) AS df FROM __tf GROUP BY term),
+__scored AS (
+  SELECT id, term,
+         tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * {idf_scale}, 0) AS BIGINT) AS score
+  FROM __tf JOIN __df USING (term) CROSS JOIN __n
+),
+__ranked AS (
+  SELECT id, term, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rn
+  FROM __scored
+)
+SELECT id AS {id_col}, term, CAST(rn AS INT) AS rank, CAST(score AS BIGINT) AS score
+FROM __ranked WHERE rn <= {k}
+"""

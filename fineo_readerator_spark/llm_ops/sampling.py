@@ -1071,3 +1071,172 @@ SELECT category,
 FROM j CROSS JOIN t
 ORDER BY category
 """
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_denom: int = 5,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, JMLR 21): mask spans of
+    tokens and emit ``(input_text, target_text)`` training pairs — inputs
+    carry ``<extra_id_k>`` sentinels where spans were removed, targets carry
+    each sentinel followed by the tokens it hides.
+
+    Deterministic, the content-hash sampling doctrine of this module: each
+    token position masks iff ``md5(id:pos) % mask_denom == 0`` (expected
+    mask rate 1/denom), so the pair set is stable under repartitioning,
+    retries and engines — the DuckDB oracle replays every sentinel.
+    CONSECUTIVE masked positions collapse into one span (span lengths come
+    out geometric, the shape T5's mean-3 spans approximate).
+
+    Scale shape: tokenize+posexplode is one codegen'd projection; the mask
+    bit is a hash filter; runs/spans are two windows on the SAME (id, pos)
+    ordering (one exchange); reassembly is the ``paragraph_dedup``
+    array_sort-collect aggregate, one shuffle on the doc id.  Rows with
+    NULL/empty text are excluded (nothing to corrupt).
+
+    Returns ``(id, input_text, target_text, n_spans, n_masked)``."""
+    from fineo_readerator_spark.llm_ops.dedup import _md5_long
+
+    if mask_denom < 2:
+        raise ValueError(f"mask_denom must be >= 2, got {mask_denom}")
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    key = F.concat(
+        F.col("__id").cast("string"), F.lit(":"), F.col("__pos").cast("string")
+    )
+    toks = (
+        base.select("__id", F.posexplode("__t").alias("__pos", "__tok"))
+        .withColumn("__m", F.pmod(_md5_long(key), F.lit(mask_denom)) == 0)
+        .localCheckpoint(eager=False)  # feeds the masked AND unmasked branches
+    )
+    w_pos = Window.partitionBy("__id").orderBy("__pos")
+    masked = (
+        toks.filter(F.col("__m"))
+        .withColumn("__run", F.col("__pos") - F.row_number().over(w_pos))
+        .withColumn(
+            "__span",
+            F.dense_rank().over(Window.partitionBy("__id").orderBy("__run")) - 1,
+        )
+        .localCheckpoint(eager=False)  # feeds input sentinels AND target runs
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("__span").cast("string"), F.lit(">"))
+    firsts = (
+        masked.groupBy("__id", "__span")
+        .agg(F.min("__pos").alias("__pos"))
+        .select("__id", "__pos", sentinel.alias("__tok"))
+    )
+    reassemble = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+            lambda s: s["__tok"],
+        ),
+    )
+    inputs = (
+        toks.filter(~F.col("__m"))
+        .select("__id", "__pos", "__tok")
+        .unionAll(firsts)
+        .groupBy("__id")
+        .agg(reassemble.alias("input_text"))
+    )
+    runs = masked.groupBy("__id", "__span").agg(
+        F.concat(
+            F.lit("<extra_id_"),
+            F.col("__span").cast("string"),
+            F.lit("> "),
+            reassemble,
+        ).alias("__seg"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    targets = runs.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__span", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+        ).alias("target_text"),
+        (F.max("__span") + 1).alias("__ns"),
+        F.sum("__nt").alias("__nm"),
+    )
+    return (
+        base.select("__id")
+        .join(inputs, "__id", "left")
+        .join(targets, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+            F.coalesce("__ns", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("__nm", F.lit(0)).cast("long").alias("n_masked"),
+        )
+    )
+
+
+def span_corrupt_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_denom: int = 5,
+) -> str:
+    """DuckDB replay of :func:`span_corrupt` — same md5(id:pos) mask bits,
+    run grouping, sentinel numbering and ordered reassembly."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    toks = f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    h = _hexparse("md5(CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))", 1, 15)
+    return f"""
+WITH __base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM ({corpus_sql})
+),
+__base2 AS (SELECT * FROM __base WHERE len(t) > 0),
+__tok AS (
+  SELECT id, CAST(i - 1 AS INT) AS pos, t[i] AS tok
+  FROM __base2, unnest(generate_series(1, len(t))) u(i)
+),
+__m AS (SELECT id, pos, tok, ({h}) % {mask_denom} = 0 AS m FROM __tok),
+__mm AS (
+  SELECT id, pos, tok,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS run
+  FROM __m WHERE m
+),
+__sp AS (
+  SELECT id, pos, tok, run,
+         dense_rank() OVER (PARTITION BY id ORDER BY run) - 1 AS span
+  FROM __mm
+),
+__firsts AS (
+  SELECT id, min(pos) AS pos,
+         '<extra_id_' || CAST(span AS VARCHAR) || '>' AS tok
+  FROM __sp GROUP BY id, span
+),
+__inp AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS input_text FROM (
+    SELECT id, pos, tok FROM __m WHERE NOT m
+    UNION ALL SELECT id, pos, tok FROM __firsts
+  ) GROUP BY id
+),
+__runs AS (
+  SELECT id, span,
+         '<extra_id_' || CAST(span AS VARCHAR) || '> '
+           || string_agg(tok, ' ' ORDER BY pos) AS seg,
+         count(*) AS nt
+  FROM __sp GROUP BY id, span
+),
+__tgt AS (
+  SELECT id, string_agg(seg, ' ' ORDER BY span) AS target_text,
+         max(span) + 1 AS ns, sum(nt) AS nm
+  FROM __runs GROUP BY id
+)
+SELECT b.id AS {id_col},
+       coalesce(input_text, '') AS input_text,
+       coalesce(target_text, '') AS target_text,
+       CAST(coalesce(ns, 0) AS INT) AS n_spans,
+       CAST(coalesce(nm, 0) AS BIGINT) AS n_masked
+FROM (SELECT id FROM __base2) b
+LEFT JOIN __inp USING (id) LEFT JOIN __tgt USING (id)
+"""

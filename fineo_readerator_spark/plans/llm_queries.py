@@ -3066,6 +3066,44 @@ def _d_boilerplate_oracle() -> str:
     )
 
 
+def t_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (llm_ops.retrieval.keyword_topk):
+    integer-quantized idf, exact long scores, one WindowGroupLimit shuffle
+    on the doc id — the topical tag domain-mix/curriculum buckets key on."""
+    from fineo_readerator_spark.llm_ops.retrieval import keyword_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return keyword_topk(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+def _t_keywords_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.retrieval import keyword_topk_oracle_sql
+
+    return keyword_topk_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", k=3
+    )
+
+
+def p_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (llm_ops.sampling.span_corrupt): masked
+    spans become <extra_id_k> sentinels in the input, sentinel+tokens in
+    the target; mask bits are content-hashed (md5(id:pos) % 5 == 0) so the
+    pair set is engine- and partitioning-stable and the oracle replays
+    every sentinel."""
+    from fineo_readerator_spark.llm_ops.sampling import span_corrupt
+
+    docs = load(spark, sf_dir, "documents")
+    return span_corrupt(docs, "doc_id", "text", mask_denom=5).orderBy("doc_id")
+
+
+def _p_span_corrupt_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import span_corrupt_oracle_sql
+
+    return span_corrupt_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", "text", mask_denom=5
+    )
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_dataset_card", p_dataset_card, _p_dataset_card_oracle()),
@@ -3159,4 +3197,6 @@ LLM_QUERIES = [
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
     QueryDef("p_temperature_mix", p_temperature_mix, _p_temperature_mix_oracle()),
+    QueryDef("t_keywords", t_keywords, _t_keywords_oracle()),
+    QueryDef("p_span_corrupt", p_span_corrupt, _p_span_corrupt_oracle()),
 ]

@@ -888,6 +888,56 @@ def _q_ks_oracle() -> str:
     )
 
 
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators.entity.entity_match): a "dirty" feed of
+    lowercased customer mentions (every third customer, ids offset) linked
+    back to the reference table by blocked Levenshtein best-match —
+    blocking on (nation, name-suffix) keeps candidates an equi-join, the
+    skew gate bounds the hottest block, and the true match wins at
+    distance 1 (the case-folded initial)."""
+    from fineo_readerator_spark.operators.entity import entity_match
+
+    cust = load(spark, sf_dir, "customer")
+    blk = F.substring(F.col("c_name"), -3, 3).alias("blk")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("mention_id"),
+        F.lower(F.col("c_name")).alias("mention"),
+        "c_nationkey",
+        blk,
+    )
+    ref = cust.select("c_custkey", "c_name", "c_nationkey", blk)
+    return entity_match(
+        dirty,
+        ref,
+        ["c_nationkey", "blk"],
+        "mention_id",
+        "c_custkey",
+        "mention",
+        "c_name",
+        k=1,
+        max_distance=5,
+        max_block_rows=100_000,
+    ).orderBy("mention_id")
+
+
+def _q_entity_match_oracle() -> str:
+    from fineo_readerator_spark.operators.entity import entity_match_oracle_sql
+
+    blk = "substr(c_name, length(c_name) - 2, 3) AS blk"
+    return entity_match_oracle_sql(
+        "SELECT c_custkey + 1000000 AS mention_id, lower(c_name) AS mention,"
+        f" c_nationkey, {blk} FROM customer WHERE c_custkey % 3 = 0",
+        f"SELECT c_custkey, c_name, c_nationkey, {blk} FROM customer",
+        ["c_nationkey", "blk"],
+        "mention_id",
+        "c_custkey",
+        "mention",
+        "c_name",
+        k=1,
+        max_distance=5,
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -919,4 +969,5 @@ RELATIONAL_QUERIES = [
     QueryDef("q_sessionize", q_sessionize, Q_SESSIONIZE_ORACLE),
     QueryDef("q_pivot", q_pivot, Q_PIVOT_ORACLE),
     QueryDef("q_cube", q_cube, Q_CUBE_ORACLE),
+    QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
 ]

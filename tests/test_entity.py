@@ -1,0 +1,81 @@
+"""Entity resolution (operators.entity): blocking, scoring, gates."""
+import pytest
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.operators.entity import entity_match
+
+
+@pytest.fixture()
+def ref(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Acme Corp", "NY"),
+            (2, "Acme Group", "NY"),
+            (3, "Bolt Ltd", "NY"),
+            (4, "Acme Corp", "CA"),
+        ],
+        "rid long, name string, state string",
+    )
+
+
+def test_entity_match_picks_min_distance_in_block(spark, ref):
+    dirty = spark.createDataFrame(
+        [(100, "acme corp", "NY")], "mid long, mention string, state string"
+    )
+    out = entity_match(
+        dirty, ref, ["state"], "mid", "rid", "mention", "name", k=2
+    ).collect()
+    # block NY: candidates 1/2/3; case-folded "Acme Corp" wins at distance 2,
+    # "Acme Group" second; the CA twin (distance 2 too) is outside the block
+    assert [(r["matched_rid"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["distance"] == 2
+
+
+def test_entity_match_tie_breaks_by_right_id(spark, ref):
+    # two reference rows at the same distance: lower rid wins rank 1
+    dirty = spark.createDataFrame(
+        [(100, "Acme Corp", "NY")], "mid long, mention string, state string"
+    )
+    dup = ref.union(
+        spark.createDataFrame([(0, "Acme Corp", "NY")], ref.schema)
+    )
+    out = entity_match(dirty, dup, ["state"], "mid", "rid", "mention", "name", k=2)
+    rows = out.collect()
+    assert [(r["matched_rid"], r["distance"], r["rank"]) for r in rows] == [
+        (0, 0, 1),
+        (1, 0, 2),
+    ]
+
+
+def test_entity_match_max_distance_drops_far_candidates(spark, ref):
+    dirty = spark.createDataFrame(
+        [(100, "zzzzzz", "NY")], "mid long, mention string, state string"
+    )
+    out = entity_match(
+        dirty, ref, ["state"], "mid", "rid", "mention", "name", max_distance=2
+    )
+    assert out.count() == 0  # non-matches are absent, not NULL rows
+
+
+def test_entity_match_requires_blocking(spark, ref):
+    with pytest.raises(ValueError, match="blocking"):
+        entity_match(ref, ref, [], "rid", "rid", "name", "name")
+
+
+def test_entity_match_gates_hot_blocks(spark, ref):
+    dirty = spark.createDataFrame(
+        [(100, "acme corp", "NY")], "mid long, mention string, state string"
+    )
+    with pytest.raises(ValueError, match="block sizing"):
+        entity_match(
+            dirty, ref, ["state"], "mid", "rid", "mention", "name",
+            max_block_rows=2,
+        )
+    # explicit higher bound passes
+    assert (
+        entity_match(
+            dirty, ref, ["state"], "mid", "rid", "mention", "name",
+            max_block_rows=3,
+        ).count()
+        == 1
+    )

@@ -962,6 +962,70 @@ def test_bpe_incremental_trainer_matches_naive_recount():
         assert _train_from_freq_rows(rows, m) == naive(rows, m)
 
 
+def test_keyword_topk_ranks_rare_terms_first(spark):
+    """Hand-computed: the term unique to one doc out-idfs the
+    corpus-universal one; ties break by term ASC."""
+    from fineo_readerator_spark.llm_ops.retrieval import keyword_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common common"),
+            (3, "common zebra"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in keyword_topk(docs, "doc_id", "text", k=2).collect()
+    }
+    # N=3 docs (NULL text excluded); idf(common)=round(ln(4/4)*1e6)=0,
+    # idf(rare)=idf(zebra)=round(ln(4/2)*1e6)=693147
+    assert out[(1, 1)] == ("rare", 693147)
+    assert out[(1, 2)] == ("common", 0)
+    assert out[(3, 1)] == ("zebra", 693147)
+    # doc 2 has only zero-score terms; still ranked (term ASC on ties)
+    assert out[(2, 1)] == ("common", 0)
+    assert (4, 1) not in out
+    with pytest.raises(ValueError, match="k must be"):
+        keyword_topk(docs, k=0)
+
+
+def test_span_corrupt_round_trips(spark):
+    """Substituting each input sentinel with its target span must rebuild
+    the original token sequence exactly, for every document."""
+    import re
+
+    from fineo_readerator_spark.llm_ops.sampling import span_corrupt
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = span_corrupt(docs, "doc_id", "text", mask_denom=3).collect()
+    assert len(out) == sum(1 for t in orig.values() if t and t.split())
+    saw_masked = 0
+    for r in out:
+        spans = {}
+        for seg in re.split(r"(?=<extra_id_\d+>)", r["target_text"]):
+            if not seg:
+                continue
+            m = re.match(r"<extra_id_(\d+)> (.*?)\s*$", seg)
+            assert m, seg
+            spans[int(m.group(1))] = m.group(2)
+        assert len(spans) == r["n_spans"]
+        assert sum(len(s.split()) for s in spans.values()) == r["n_masked"]
+        rebuilt = []
+        for tok in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))].split())
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig[r["doc_id"]].split()
+        saw_masked += r["n_masked"]
+    assert saw_masked > 0  # denom=3 masks ~1/3 of all tokens
+
+
 def test_semantic_layout_reuses_cells(spark):
     """The layout-backed semantic dedup must read cells from the stored
     partition column — no codebook argmin recompute in the plan."""
