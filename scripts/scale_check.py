@@ -60,11 +60,11 @@ def build_fixture(spark) -> None:
         stamp_snapshot,
     )
 
-    # "v4:" = fixture-builder version salt: the stamp otherwise only tracks
+    # "v5:" = fixture-builder version salt: the stamp otherwise only tracks
     # SOURCE files, so a builder change would silently serve the old fixture
-    fp = "v4:" + "+".join(
+    fp = "v5:" + "+".join(
         source_fingerprint(SRC, t)
-        for t in ("documents", "embeddings", "orders", "lineitem", "events")
+        for t in ("documents", "embeddings", "orders", "lineitem", "events", "customer")
     )
     if snapshot_is_fresh(FIXTURE, fp):
         return
@@ -132,6 +132,26 @@ def build_fixture(spark) -> None:
             .select(*ev.columns)
         )
     _union_write(parts, FIXTURE / "events.parquet")
+
+    # customer: replica keys offset AND names REGENERATED from the new key
+    # (the name is 'Customer#' + digits of the key, so per-replica name
+    # structure — digit suffix blocking included — stays isomorphic while
+    # cross-replica names can never collide; 12-digit pad because offset
+    # keys outgrow the original 9 digits)
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    parts = [cust]
+    for r in range(1, REPLICAS):
+        key = F.col("c_custkey") + r * OFF
+        parts.append(
+            cust.select(
+                key.alias("c_custkey"),
+                F.concat(
+                    F.lit("Customer#"), F.lpad(key.cast("string"), 12, "0")
+                ).alias("c_name"),
+                *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+            ).select(*cust.columns)
+        )
+    _union_write(parts, FIXTURE / "customer.parquet")
     stamp_snapshot(FIXTURE, fp)
 
 
@@ -283,6 +303,43 @@ def _label_prop_default(spark, sf_dir: str):
     return label_propagation(emb, seed, k=3, n_iters=2)
 
 
+def _entity_match_base(spark, sf_dir: str, suffix_len: int):
+    from fineo_readerator_spark.operators.entity import entity_match
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    blk = F.substring(F.col("c_name"), -suffix_len, suffix_len).alias("blk")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 50_000_000_000).alias("mention_id"),
+        F.lower(F.col("c_name")).alias("mention"),
+        "c_nationkey",
+        blk,
+    )
+    ref = cust.select("c_custkey", "c_name", "c_nationkey", blk)
+    return entity_match(
+        dirty, ref, ["c_nationkey", "blk"], "mention_id", "c_custkey",
+        "mention", "c_name", k=1, max_distance=5,
+    )
+
+
+def _entity_match_fixed(spark, sf_dir: str):
+    """Hazard row: the registry blocking key — (nation, last-3 digits) —
+    held FIXED while the corpus grows, so both sides of every block grow
+    10x and in-block candidate volume grows ~100x.  The record-linkage
+    twin of the fixed-16-cells rows; ``max_block_rows`` is the gate."""
+    return _entity_match_base(spark, sf_dir, 3)
+
+
+def _entity_match_knob(spark, sf_dir: str):
+    """Knob row: the blocking suffix lengthens with the corpus
+    (ceil(log10(N/15)) digits ≈ constant expected block size — one more
+    digit per 10x), holding per-block candidate volume flat: the 100 TB
+    blocking regime."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    k = max(3, math.ceil(math.log10(max(n, 10) / 15.0)))
+    return _entity_match_base(spark, sf_dir, k)
+
+
 def main() -> None:
     load1 = os.getloadavg()[0]
     if load1 > 1.0:
@@ -334,6 +391,18 @@ def main() -> None:
         "q_user_funnel": QUERIES["q_user_funnel"].fn,
         "q_stickiness": QUERIES["q_stickiness"].fn,
         "q_anomaly_zscore": QUERIES["q_anomaly_zscore"].fn,
+        # blocked record linkage: fixed blocking key = the measured hazard
+        # (block membership x10 on both sides => in-block pairs x100);
+        # suffix-grows-with-corpus = the knob that holds block size flat
+        "q_entity_match (fixed last-3 blocking)": _entity_match_fixed,
+        "entity_match (suffix ~ log10(N) blocking)": _entity_match_knob,
+        # (id, term) agg + broadcast df/n + one per-doc window: corpus-linear
+        # (replica vocabularies are disjoint, so df rows also grow 10x —
+        # the worst case for the broadcast-stats claim)
+        "t_keywords": QUERIES["t_keywords"].fn,
+        # per-doc hash bits + two windows on one (id, pos) ordering:
+        # row-local, corpus-linear
+        "p_span_corrupt": QUERIES["p_span_corrupt"].fn,
     }
 
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE), "10x")))
