@@ -191,10 +191,11 @@ def build_fixture_100(spark) -> None:
         stamp_snapshot,
     )
 
-    # v2: per-replica RNG stream for sign flips (was per-(r, i) seeds)
-    fp = "v2:" + "+".join(
+    # v3: + replicated customer (entity-match leg); v2 was the per-replica
+    # RNG stream for sign flips
+    fp = "v3:" + "+".join(
         source_fingerprint(SRC, t)
-        for t in ("documents", "embeddings", "orders", "lineitem")
+        for t in ("documents", "embeddings", "orders", "lineitem", "customer")
     )
     if snapshot_is_fresh(FIXTURE100, fp):
         return
@@ -255,6 +256,24 @@ def build_fixture_100(spark) -> None:
                 df.withColumn(key, F.col(key) + r * OFF).select(*df.columns)
             )
         _union_write(parts, FIXTURE100 / f"{table}.parquet")
+
+    # customer: same key-offset + name-regeneration scheme as the 10x
+    # fixture (names follow the new key, so per-replica digit structure is
+    # isomorphic and cross-replica names cannot collide)
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    parts = [cust]
+    for r in range(1, REPLICAS100):
+        key = F.col("c_custkey") + r * OFF
+        parts.append(
+            cust.select(
+                key.alias("c_custkey"),
+                F.concat(
+                    F.lit("Customer#"), F.lpad(key.cast("string"), 12, "0")
+                ).alias("c_name"),
+                *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+            ).select(*cust.columns)
+        )
+    _union_write(parts, FIXTURE100 / "customer.parquet")
     stamp_snapshot(FIXTURE100, fp)
 
 
@@ -508,12 +527,20 @@ def x100_main() -> None:
         "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
         "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
         "q_colocated_join": QUERIES["q_colocated_join"].fn,
+        # graph consumer on the DEFAULT auto-sized cells — the 10x knob rows
+        # hold at one decade; this is the two-decade confirmation that the
+        # cells~N default keeps the build (the dominant cost) linear
+        "pagerank (DEFAULT auto-sized cells)": _pagerank_default,
+        # record linkage with the suffix~log10(N) blocking knob (last-5
+        # digits at 1.5M reference rows): block size stays flat across both
+        # decades, so candidate volume tracks mentions, not mentions x refs
+        "entity_match (suffix ~ log10(N) blocking)": _entity_match_knob,
     }
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE100), "100x")))
 
     lines = [
         "",
-        "## 100× leg — the heavy five at two decades",
+        "## 100× leg — the heavy five (+ graph/linkage knob rows) at two decades",
         "",
         f"100× fixture: sf0.1 replicated {REPLICAS100}× (seeded-PERMUTATION",
         "alphabets for documents — the Caesar scheme has only 26 rotations and",
