@@ -216,41 +216,14 @@ def ivf_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_digits)
 
 
+# a FIXED cell count is the measured scale hazard (16 cells at 10× data ≈
+# α 0.9–1.2 in SCALE_CHECK.md), so the auto paths size CELL COUNT to the
+# corpus: ~target rows per cell, via n_planes ≈ log2(N/target) hyperplanes
+# (one more plane per corpus doubling — cells grow linearly with N at
+# O(N·logN·dim) assignment cost; an auto-sized LITERAL codebook would
+# assign at O(N²·dim/target), the 100×-measured trap).  Callers needing a
+# pinned codebook (oracle determinism) pass n_centroids explicitly.
 DEFAULT_TARGET_ROWS_PER_CELL = 256
-
-# the seeded codebook embeds every centroid as literal arrays in the plan
-# (C × dim literals); past a few thousand cells the plan itself becomes the
-# bottleneck (codegen size, driver memory) — the auto path refuses instead
-# of silently degrading, pointing at the constant-plan-cost alternatives
-MAX_LITERAL_CODEBOOK = 4096
-
-
-def _gate_literal_codebook(n_centroids: int, op: str, alternative: str) -> None:
-    if n_centroids > MAX_LITERAL_CODEBOOK:
-        raise ValueError(
-            f"{op}: auto-sized codebook wants {n_centroids:,} cells, past the "
-            f"plan-literal boundary ({MAX_LITERAL_CODEBOOK:,}) — use "
-            f"{alternative}, or pass n_centroids explicitly to accept the "
-            "plan cost"
-        )
-
-
-def auto_cells(
-    n_rows: int, target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL
-) -> int:
-    """Default codebook size: enough cells to hold ~``target_rows_per_cell``
-    rows each — ``ceil(N / target)``, so cell count grows LINEARLY with the
-    corpus and the in-cell O(rows²) join volume stays O(N · target), the
-    regime SCALE.md prescribes.  A FIXED cell count is the measured scale
-    hazard (16 cells at 10× data ≈ α 0.9–1.2 in SCALE_CHECK.md); callers
-    that need a pinned codebook (oracle determinism) pass ``n_centroids``
-    explicitly.  Deterministic given N, so auto-sized codebooks stay
-    data-seeded and replayable."""
-    if target_rows_per_cell < 1:
-        raise ValueError(
-            f"target_rows_per_cell must be >= 1, got {target_rows_per_cell}"
-        )
-    return max(1, -(-int(n_rows) // int(target_rows_per_cell)))
 
 
 def seeded_codebook(
@@ -307,6 +280,43 @@ def probe_cells_expr(
         f"transform(slice(array_sort({_cells_array_sql(vec_col, seeds)}),"
         f" 1, {n_probe}), s -> s.sid)"
     )
+
+
+def lsh_probe_cells_expr(
+    vec_col: str, planes: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` LSH probe cells of a vector as an array — element 1
+    is the primary hyperplane signature (bit-identical arithmetic to
+    :func:`hyperplane_signature`: dot rounded at 1e-9 before the sign
+    test); elements 2..n_probe flip the sign bit of the vector's
+    ``n_probe - 1`` lowest-|projection| planes (standard LSH multiprobe —
+    the planes a vector sits closest to are the ones whose far side its
+    true neighbors most plausibly landed on).  Margin ties break to the
+    lower plane index, so the probe list is deterministic."""
+    dots = [F.round(_dot(F.col(vec_col), _vec_lit(p)), 9) for p in planes]
+    sig: Column | None = None
+    for i, d in enumerate(dots):
+        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sig = sig.cast("long")
+    if n_probe == 1:
+        return F.array(sig)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    # shiftleft() needs a literal bit count, so the per-plane masks go in
+    # as a literal array indexed by the sorted struct's plane id
+    masks = F.array(*[F.lit(1 << i) for i in range(len(planes))])
+    flips = F.transform(
+        F.slice(margins, 1, n_probe - 1),
+        lambda s: sig.bitwiseXOR(F.element_at(masks, s["i"] + 1).cast("long")),
+    )
+    return F.concat(F.array(sig), flips)
 
 
 def seeded_cell_expr(vec_col: str, seeds: list[tuple[int, list[float]]]) -> Column:
@@ -638,9 +648,21 @@ def semantic_dedup(
     Appends ``cell`` to the kept rows so downstream sampling can stratify
     by semantic region."""
     if n_centroids is None:
-        n_centroids = auto_cells(df.count(), target_rows_per_cell)
-        _gate_literal_codebook(
-            n_centroids, "semantic_dedup", "semantic_dedup_lsh (hyperplane cells)"
+        # DEFAULT: hyperplane-LSH cells (same dominance rule, signature
+        # buckets) — the auto-sized seeded codebook's nearest-of-C
+        # assignment is O(N²·dim/target) (knn_graph's measured 100× trap),
+        # while n_planes ≈ log2(N/target) planes assign in O(N·logN·dim)
+        # at constant plan cost.  A literal n_centroids keeps the seeded
+        # path (oracle pinning).
+        return semantic_dedup_lsh(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            target_rows_per_cell=target_rows_per_cell,
+            round_digits=round_digits,
+            max_rows_per_cell=max_rows_per_cell,
+            allow_oversized_cells=allow_oversized_cells,
         )
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     # checkpoint EAGERLY: the argmin-over-codebook expression would
@@ -737,15 +759,30 @@ def knn_graph(
     n_probe: int = 1,
     neg_label_col: str | None = None,
     target_rows_per_cell: int = DEFAULT_TARGET_ROWS_PER_CELL,
+    n_planes: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate k-NN graph over the embedding corpus: every vector's
-    top-``k`` cosine neighbors WITHIN its seeded-codebook cell — the
+    top-``k`` cosine neighbors WITHIN its cell — the
     building block for graph-based dedup clustering, label propagation and
     diversity-aware sampling.  Cell-bounded means a node's candidate set is
     its cell, not the corpus (the SemDeDup blocking argument applied to
     graph construction); recall at the cell boundary is the documented
     trade — set ``n_probe > 1`` and each node ALSO searches its runner-up
     cells (candidate volume grows n_probe-fold, still cell-bounded).
+
+    Cell assignment has two modes.  With ``n_centroids`` set, cells are
+    the seeded literal codebook (oracle-friendly; assignment cost
+    O(N·C·dim), fine for a pinned handful of cells).  With
+    ``n_centroids=None`` (the DEFAULT), cells are random-hyperplane LSH
+    signatures over ``n_planes ≈ log2(N / target_rows_per_cell)`` planes —
+    the :func:`semantic_dedup_lsh` scheme.  The auto-sized SEEDED codebook
+    was the measured scale trap: C grows as N/target, so assignment alone
+    is O(N²·dim/target) — SCALE_CHECK's 100× pagerank leg clocked the
+    second decade at α≈1.25 before this path switched to LSH (O(N·logN·dim)
+    assignment at constant plan cost).  Under LSH, multiprobe flips the
+    ``n_probe - 1`` lowest-margin sign bits instead of ranking centroids
+    (:func:`lsh_probe_cells_expr`).
 
     With ``neg_label_col`` set the graph becomes HARD-NEGATIVE MINING for
     contrastive training: neighbors are restricted to rows whose label
@@ -780,30 +817,66 @@ def knn_graph(
         dim = _modal_dim(df, vec_col)
     df = df.filter(F.size(vec_col) == dim)
     if n_centroids is None:
-        # default auto-sizing: one count of the rankable frame (the same N
-        # the sizing gate checks) — cells grow with the corpus, the in-cell
-        # join stays O(N · target_rows_per_cell)
-        n_centroids = auto_cells(df.count(), target_rows_per_cell)
-        _gate_literal_codebook(
-            n_centroids, "knn_graph",
-            "the kmeans IVF layout (ivf_assign) for cell assignment",
+        # DEFAULT path: hyperplane-LSH cells.  One count sizes the plane
+        # set (buckets grow linearly with the corpus, in-cell join volume
+        # stays O(N · target)); assignment is n_planes dot products per
+        # row — O(N·logN·dim) total, vs the auto-sized seeded codebook's
+        # O(N²·dim/target) nearest-of-C scan (the measured 100× hazard)
+        import math
+
+        n_rows = df.count()
+        if n_rows == 0:
+            raise ValueError(
+                f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
+            )
+        if n_planes is None:
+            n_planes = max(
+                1, math.ceil(math.log2(max(2.0, n_rows / target_rows_per_cell)))
+            )
+        if n_probe > n_planes + 1:
+            raise ValueError(
+                f"n_probe={n_probe} exceeds n_planes + 1 = {n_planes + 1}: "
+                "multiprobe flips one sign bit per extra probe, so at most "
+                "n_planes runner-up cells exist (raise n_planes or lower "
+                "n_probe)"
+            )
+        probes_col = lsh_probe_cells_expr(
+            vec_col, _hyperplanes(dim, n_planes, seed), n_probe
         )
-    seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
-    if not seeds:
-        raise ValueError(
-            f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
-        )
+    else:
+        seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
+        if not seeds:
+            raise ValueError(
+                f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
+            )
+        probes_col = probe_cells_expr(vec_col, seeds, n_probe)
     # one checkpointed assignment carries the probe LIST; the primary cell
     # is its first element, so n_probe == 1 degenerates to the plain
     # single-cell graph with an identical plan shape
     assigned = (
-        df.withColumn("__probes", probe_cells_expr(vec_col, seeds, n_probe))
+        df.withColumn("__probes", probes_col)
         .withColumn("__cell", F.col("__probes")[0])
         .localCheckpoint(eager=True)
     )
-    _gate_cell_sizing(
-        assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
-    )
+    if n_centroids is None:
+        # hyperplane buckets skew when the embedding distribution has a
+        # dominant mean direction — gate on MEASURED occupancy (one cheap
+        # agg over the checkpointed frame), semantic_dedup_lsh's rule
+        row = assigned.groupBy("__cell").count().agg(F.max("count")).first()
+        biggest = int(row[0] or 0)
+        if biggest > max_rows_per_cell and not allow_oversized_cells:
+            raise ValueError(
+                f"knn_graph cell sizing: largest signature bucket holds "
+                f"{biggest:,} rows (> max_rows_per_cell={max_rows_per_cell:,});"
+                " the in-cell self-join is O(rows_per_cell**2).  Raise "
+                "n_planes, center the embeddings, or pass "
+                "allow_oversized_cells=True if the comparison volume is "
+                "intended"
+            )
+    else:
+        _gate_cell_sizing(
+            assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
+        )
     # source side probes its n_probe nearest cells (boundary-recall pass);
     # neighbors stay in their PRIMARY cell, so a pair appears at most once
     a_cols = [

@@ -1451,6 +1451,82 @@ SELECT vec_id, nbr_id AS {out_id}, cos_sim, CAST(rank AS INT) AS rank FROM graph
 """
 
 
+def s_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph on the HYPERPLANE-LSH cell path with multiprobe
+    (llm_ops.similarity.knn_graph, n_centroids=None): cells are sign-bit
+    signatures (constant plan cost, O(N·planes·dim) assignment — the 100 TB
+    default; the auto-sized seeded codebook's nearest-of-C assignment is
+    O(N²·dim/target), the measured SCALE_CHECK 100× hazard), and each
+    node's second probe flips its lowest-|projection| sign bit.  n_planes
+    pinned at 4 for oracle determinism (the default auto-sizes from the
+    corpus count)."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    return knn_graph(
+        load(spark, sf_dir, "embeddings"), k=3, n_planes=4, n_probe=2, dim=64
+    )
+
+
+def _s_knn_graph_lsh_oracle(
+    k: int = 3, n_planes: int = 4, n_probe: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB replay of the LSH-cell multiprobe graph: per-plane rounded
+    projections (1e-9 — hyperplane_signature's sign-boundary guard), the
+    sign-bit signature as the primary cell, and the second probe as
+    ``xor(sig, 1 << argmin |projection|)`` with margin ties to the lower
+    plane index — lsh_probe_cells_expr's exact contract.  Neighbors stay
+    in their PRIMARY cell (the Spark b-side), sources probe both cells."""
+    assert n_probe == 2, "oracle replays exactly one flipped probe"
+    planes = _hyperplanes(dim, n_planes, seed)
+    r_cols = ", ".join(
+        f"round({_plane_dot_sql('embedding', p, dim)}, 9) AS r{i}"
+        for i, p in enumerate(planes)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN r{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes)
+    )
+    # argmin over |r_i| with ties to the lower index: plane i wins iff it
+    # is <= every later plane and strictly beats no earlier winner
+    flip_cases = []
+    for i in range(n_planes - 1):
+        conds = [f"abs(r{i}) <= abs(r{j})" for j in range(i + 1, n_planes)]
+        if i > 0:
+            conds = [f"abs(r{i}) < abs(r{j})" for j in range(i)] + conds
+        flip_cases.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    flip = f"CASE {' '.join(flip_cases)} ELSE {n_planes - 1} END"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+),
+proj AS (SELECT vec_id, embedding, {r_cols} FROM corpus),
+cells AS (
+  SELECT vec_id, embedding, CAST(sig AS BIGINT) AS cell,
+         CAST(xor(sig, 1 << flip) AS BIGINT) AS cell2
+  FROM (SELECT vec_id, embedding, ({sig}) AS sig, ({flip}) AS flip FROM proj)
+),
+probes AS (
+  SELECT vec_id, embedding, cell FROM cells
+  UNION ALL SELECT vec_id, embedding, cell2 FROM cells
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         {_SEM_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+  FROM probes a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+graph AS (
+  SELECT vec_id, nbr_id, cos_sim, rank FROM (
+    SELECT vec_id, nbr_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+    FROM pairs
+  ) WHERE rank <= {k}
+)
+SELECT vec_id, nbr_id, cos_sim, CAST(rank AS INT) AS rank FROM graph
+"""
+
+
 def s_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation (llm_ops.similarity.
     label_propagation): labels seeded on the vec_id%4==0 quarter fan out
@@ -1515,8 +1591,9 @@ def ensure_knn_graph_layout(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 1,
+    n_planes: int | None = None,
 ) -> str:
     """Materialize the k-NN graph AT REST, once per (corpus fingerprint,
     k, cells, n_probe): at 100 TB the graph build (cell assignment +
@@ -1543,11 +1620,21 @@ def ensure_knn_graph_layout(
     # the parameter tuple is part of the layout identity — two consumers
     # with different (k, cells, probe) must land in DIFFERENT slots, or they
     # alternately fail the params check and rebuild the full graph per query
+    cell_tag = (
+        f"c{n_centroids}"
+        if n_centroids is not None
+        else ("lshauto" if n_planes is None else f"lsh{n_planes}")
+    )
     path = _ivf_layout_path(sf_dir).with_name(
-        f"knn_graph_k{k}_c{n_centroids}_p{n_probe}"
+        f"knn_graph_k{k}_{cell_tag}_p{n_probe}"
     )
     fp = source_fingerprint(sf_dir, "embeddings")
-    params = {"k": k, "n_centroids": n_centroids, "n_probe": n_probe}
+    params = {
+        "k": k,
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "n_planes": n_planes,
+    }
     fresh = snapshot_is_fresh(path, fp)
     if fresh:
         try:
@@ -1560,6 +1647,7 @@ def ensure_knn_graph_layout(
             k=k,
             n_centroids=n_centroids,
             n_probe=n_probe,
+            n_planes=n_planes,
         )
         # overwrite clears any stale stamp/params before the new data lands
         edges.write.mode("overwrite").parquet(str(path))
@@ -3157,6 +3245,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_ivf_kmeans", s_ann_ivf_kmeans, _s_ann_ivf_kmeans_oracle()),
     QueryDef("s_cluster_quality", s_cluster_quality, _s_cluster_quality_oracle()),
     QueryDef("s_knn_multiprobe", s_knn_multiprobe, _s_knn_graph_oracle(n_probe=2)),
+    QueryDef("s_knn_graph_lsh", s_knn_graph_lsh, _s_knn_graph_lsh_oracle()),
     QueryDef("s_ann_ivf_append", s_ann_ivf_append, S_ANN_IVF_APPEND_ORACLE),
     QueryDef("s_hard_negatives", s_hard_negatives, _s_knn_graph_oracle(neg_labels=True)),
     QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),

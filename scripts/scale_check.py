@@ -51,6 +51,16 @@ X100_SECTION = REPO / ".scale_check" / "x100_section.md"
 REPLICAS = 10
 REPLICAS100 = 100
 OFF = 10**9
+# customer replicas use a NON-ROUND stride: with the round OFF every
+# replica of key K kept K's low 9 digits, so every name-SUFFIX block (the
+# entity-match blocking key) aliased across all replicas and in-block
+# candidate volume grew quadratically with the replica count — the 100×
+# entity knob row measured the fixture artifact, not the operator.  9973
+# is coprime with 10^5, so replica r shifts the low-5-digit window by
+# r·9973 mod 10^5 (per-replica suffix structure still isomorphic,
+# cross-replica suffix collisions ~uniform); the stride still exceeds the
+# base key range, so keys stay unique.
+CUST_STRIDE = OFF + 9973
 
 
 def build_fixture(spark) -> None:
@@ -60,9 +70,10 @@ def build_fixture(spark) -> None:
         stamp_snapshot,
     )
 
-    # "v5:" = fixture-builder version salt: the stamp otherwise only tracks
-    # SOURCE files, so a builder change would silently serve the old fixture
-    fp = "v5:" + "+".join(
+    # "v6:" = fixture-builder version salt (non-round customer stride): the
+    # stamp otherwise only tracks SOURCE files, so a builder change would
+    # silently serve the old fixture
+    fp = "v6:" + "+".join(
         source_fingerprint(SRC, t)
         for t in ("documents", "embeddings", "orders", "lineitem", "events", "customer")
     )
@@ -141,7 +152,7 @@ def build_fixture(spark) -> None:
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
     parts = [cust]
     for r in range(1, REPLICAS):
-        key = F.col("c_custkey") + r * OFF
+        key = F.col("c_custkey") + r * CUST_STRIDE
         parts.append(
             cust.select(
                 key.alias("c_custkey"),
@@ -191,9 +202,9 @@ def build_fixture_100(spark) -> None:
         stamp_snapshot,
     )
 
-    # v3: + replicated customer (entity-match leg); v2 was the per-replica
-    # RNG stream for sign flips
-    fp = "v3:" + "+".join(
+    # v4: non-round customer stride (suffix-block aliasing fix); v3 added
+    # replicated customer; v2 was the per-replica RNG stream for sign flips
+    fp = "v4:" + "+".join(
         source_fingerprint(SRC, t)
         for t in ("documents", "embeddings", "orders", "lineitem", "customer")
     )
@@ -263,7 +274,7 @@ def build_fixture_100(spark) -> None:
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
     parts = [cust]
     for r in range(1, REPLICAS100):
-        key = F.col("c_custkey") + r * OFF
+        key = F.col("c_custkey") + r * CUST_STRIDE
         parts.append(
             cust.select(
                 key.alias("c_custkey"),
@@ -293,9 +304,13 @@ def _semantic_dedup_default(spark, sf_dir: str):
 
 
 def _knn_graph_default(spark, sf_dir: str):
-    """k-NN graph on the DEFAULT path — auto-sized cells (see above), so
-    the in-cell join volume scales linearly.  The registry query pins
-    n_centroids=16 for oracle determinism; this measures the default."""
+    """k-NN graph on the DEFAULT path — hyperplane-LSH cells (n_planes ~
+    log2(N/target)), so bucket count grows with the corpus at O(N·logN)
+    assignment cost.  The auto-sized SEEDED codebook was the measured
+    100× trap: nearest-of-C assignment is O(N·C) = O(N²/target) — the
+    pagerank 100× leg clocked its second decade at α≈1.25 before the
+    default switched.  The registry query pins n_centroids=16 for oracle
+    determinism; this measures the default."""
     from fineo_readerator_spark.llm_ops.similarity import knn_graph
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -303,7 +318,7 @@ def _knn_graph_default(spark, sf_dir: str):
 
 
 def _pagerank_default(spark, sf_dir: str):
-    """PageRank over the DEFAULT auto-sized graph: the graph build is the
+    """PageRank over the DEFAULT (LSH-cell) graph: the graph build is the
     dominant cost (the fixed-16-cells registry row is the measured α≈0.93
     hazard); per-round joins are edge-linear either way."""
     from fineo_readerator_spark.llm_ops.similarity import pagerank
@@ -313,7 +328,7 @@ def _pagerank_default(spark, sf_dir: str):
 
 
 def _label_prop_default(spark, sf_dir: str):
-    """Label propagation over the DEFAULT auto-sized graph (same hazard
+    """Label propagation over the DEFAULT (LSH-cell) graph (same hazard
     contrast as pagerank: the registry row pins 8 cells)."""
     from fineo_readerator_spark.llm_ops.similarity import label_propagation
 
@@ -373,7 +388,7 @@ def main() -> None:
         "d_paragraph_dedup": QUERIES["d_paragraph_dedup"].fn,
         "d_tfidf_pairs": QUERIES["d_tfidf_pairs"].fn,
         "s_knn_graph (16 cells fixed)": QUERIES["s_knn_graph"].fn,
-        "knn_graph (DEFAULT auto-sized cells)": _knn_graph_default,
+        "knn_graph (DEFAULT lsh cells)": _knn_graph_default,
         "d_minhash_dedup": QUERIES["d_minhash_dedup"].fn,
         "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
         "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
@@ -400,8 +415,8 @@ def main() -> None:
         # graph cost dominates (16 cells fixed — same documented hazard as
         # s_knn_graph); the per-round joins are edge-linear
         "s_pagerank (16 cells fixed)": QUERIES["s_pagerank"].fn,
-        "pagerank (DEFAULT auto-sized cells)": _pagerank_default,
-        "label_propagation (DEFAULT auto-sized cells)": _label_prop_default,
+        "pagerank (DEFAULT lsh cells)": _pagerank_default,
+        "label_propagation (DEFAULT lsh cells)": _label_prop_default,
         # one posexplode pass into a labels x 2 x dim agg
         "s_embed_drift": QUERIES["s_embed_drift"].fn,
         # event analytics: 10x users in the SAME window — scans 10x,
@@ -527,10 +542,10 @@ def x100_main() -> None:
         "d_incremental_dedup": QUERIES["d_incremental_dedup"].fn,
         "s_ann_ivf_pruned": QUERIES["s_ann_ivf_pruned"].fn,
         "q_colocated_join": QUERIES["q_colocated_join"].fn,
-        # graph consumer on the DEFAULT auto-sized cells — the 10x knob rows
-        # hold at one decade; this is the two-decade confirmation that the
-        # cells~N default keeps the build (the dominant cost) linear
-        "pagerank (DEFAULT auto-sized cells)": _pagerank_default,
+        # graph consumer on the DEFAULT LSH cells — the 10x knob rows hold
+        # at one decade; this is the two-decade confirmation that the
+        # buckets~N default keeps the build (the dominant cost) linear
+        "pagerank (DEFAULT lsh cells)": _pagerank_default,
         # record linkage with the suffix~log10(N) blocking knob (last-5
         # digits at 1.5M reference rows): block size stays flat across both
         # decades, so candidate volume tracks mentions, not mentions x refs

@@ -806,60 +806,118 @@ def test_semantic_dedup_undersized_codebook_raises(spark, vectors):
     assert kept.count() > 0
 
 
-def test_auto_cells_sizing_rule():
-    """The default codebook grows linearly with the corpus: ceil(N/target),
-    floor 1 — so a 10× corpus gets ~10× cells and the in-cell join volume
-    stays O(N · target) instead of O(N²/C)."""
-    from fineo_readerator_spark.llm_ops.similarity import auto_cells
-
-    assert auto_cells(0) == 1
-    assert auto_cells(1) == 1
-    assert auto_cells(256) == 1
-    assert auto_cells(257) == 2
-    assert auto_cells(2560) == 10
-    assert auto_cells(2560 * 10) == 100  # 10x data -> 10x cells
-    assert auto_cells(100, target_rows_per_cell=10) == 10
-    with pytest.raises(ValueError, match="target_rows_per_cell"):
-        auto_cells(100, target_rows_per_cell=0)
-
-
-def test_auto_cells_literal_codebook_gate():
-    """The auto path must refuse past the plan-literal codebook boundary
-    (C×dim literal arrays in the plan) rather than silently compile a
-    multi-MB expression — pointing at the constant-plan-cost variants."""
+def test_semantic_dedup_default_is_lsh(spark, vectors):
+    """semantic_dedup with no n_centroids delegates to the hyperplane-LSH
+    path (the production shape at scale): same kept set as calling
+    semantic_dedup_lsh directly, and an explicit literal codebook keeps
+    the seeded path (the oracle-pinning escape hatch)."""
     from fineo_readerator_spark.llm_ops.similarity import (
-        MAX_LITERAL_CODEBOOK,
-        _gate_literal_codebook,
-        auto_cells,
+        semantic_dedup,
+        semantic_dedup_lsh,
     )
 
-    # a 10M-row corpus at the default target auto-sizes past the boundary
-    wanted = auto_cells(10_000_000)
-    assert wanted > MAX_LITERAL_CODEBOOK
-    with pytest.raises(ValueError, match="semantic_dedup_lsh"):
-        _gate_literal_codebook(wanted, "semantic_dedup",
-                               "semantic_dedup_lsh (hyperplane cells)")
-    _gate_literal_codebook(MAX_LITERAL_CODEBOOK, "x", "y")  # at the bound: ok
+    corpus = vectors.select("vec_id", "embedding")
+    kept_default = semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=0.999, target_rows_per_cell=8
+    )
+    kept_lsh = semantic_dedup_lsh(
+        corpus, "vec_id", "embedding", threshold=0.999, target_rows_per_cell=8
+    )
+    assert (
+        sorted(r.vec_id for r in kept_default.collect())
+        == sorted(r.vec_id for r in kept_lsh.collect())
+    )
+    # the seeded path survives behind an explicit codebook
+    kept_seeded = semantic_dedup(
+        corpus, "vec_id", "embedding", n_centroids=4, threshold=0.999
+    )
+    assert kept_seeded.count() > 0
 
 
 def test_knn_graph_default_auto_sizes_cells(spark, vectors):
     """With no n_centroids the graph auto-sizes from the rankable count —
-    a small target forces multiple cells and every edge stays in-cell
-    (neighbor counts bounded by cell population, not corpus)."""
+    a small target forces multiple LSH buckets and every edge stays
+    in-cell (neighbor counts bounded by cell population, not corpus)."""
     from fineo_readerator_spark.llm_ops.similarity import knn_graph
 
     g = knn_graph(vectors, k=50, target_rows_per_cell=5)
     per_src = [r["n"] for r in g.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("n")).collect()]
     n_rows = vectors.count()
-    # auto: ceil(N/5) = 11 cells; assignment is skewed but every node's
-    # candidate set is its cell, far below the 50-neighbor full graph a
-    # single cell would produce
+    # auto: ceil(log2(53/5)) = 4 hyperplanes → up to 16 signature buckets;
+    # occupancy is skewed but every node's candidate set is its bucket,
+    # far below the 50-neighbor full graph a single cell would produce
     assert per_src and max(per_src) < 20 < n_rows
     # explicit single-cell override still degenerates to the full graph
     # (every node fills its k=50 slots out of the 52 corpus candidates)
     g1 = knn_graph(vectors, k=50, n_centroids=1, allow_oversized_cells=True)
     assert g1.groupBy("vec_id").count().agg(F.max("count")).first()[0] == 50
+
+
+def test_knn_graph_lsh_edges_stay_in_signature_buckets(spark, vectors):
+    """The DEFAULT (LSH) graph's single-probe edges must connect nodes with
+    IDENTICAL hyperplane signatures — the primary probe is bit-identical
+    to hyperplane_signature — and a near-duplicate pair sharing a bucket
+    must find each other."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        _hyperplanes,
+        hyperplane_signature,
+        knn_graph,
+    )
+
+    g = knn_graph(vectors, k=3, n_planes=3, n_probe=1)
+    planes = _hyperplanes(16, 3, 42)
+    sigs = {
+        r.vec_id: r.sig
+        for r in vectors.select(
+            "vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")
+        ).collect()
+    }
+    edges = g.collect()
+    assert edges
+    assert all(sigs[r.vec_id] == sigs[r.nbr_id] for r in edges)
+    # vec 50..52 are tiny perturbations of vec 0 → same sign bits, so the
+    # near-dup cluster is connected in-bucket
+    nbrs_of_0 = {r.nbr_id for r in edges if r.vec_id == 0}
+    assert nbrs_of_0 & {50, 51, 52}
+
+
+def test_knn_graph_lsh_multiprobe_never_worse(spark, vectors):
+    """LSH multiprobe (lowest-margin bit flip) searches a superset of each
+    node's single-probe candidates: every node's best neighbor is at least
+    as similar, and the probe count is validated against n_planes."""
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    single = {
+        r.vec_id: r.cos_sim
+        for r in knn_graph(vectors, k=1, n_planes=3, n_probe=1).collect()
+    }
+    multi = {
+        r.vec_id: r.cos_sim
+        for r in knn_graph(vectors, k=1, n_planes=3, n_probe=2).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[i] >= single[i] for i in single)
+    with pytest.raises(ValueError, match="exceeds n_planes"):
+        knn_graph(vectors, k=1, n_planes=2, n_probe=4)
+
+
+def test_knn_graph_lsh_gates_oversized_buckets(spark, vectors):
+    """The LSH graph gates on MEASURED bucket occupancy (hyperplane skew),
+    mirroring semantic_dedup_lsh, with the same explicit opt-in."""
+    import pytest
+
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    with pytest.raises(ValueError, match="knn_graph cell sizing"):
+        knn_graph(vectors, k=1, n_planes=1, max_rows_per_cell=10)
+    g = knn_graph(
+        vectors, k=1, n_planes=1, max_rows_per_cell=10,
+        allow_oversized_cells=True,
+    )
+    assert g.count() > 0
 
 
 def test_semantic_dedup_lsh_dominates_duplicates(spark, vectors):
