@@ -289,11 +289,11 @@ def build_fixture_100(spark) -> None:
 
 
 def _semantic_dedup_default(spark, sf_dir: str):
-    """Semantic dedup on the DEFAULT path — n_centroids=None auto-sizes the
-    codebook to ceil(N / target_rows_per_cell) cells, so cells grow
-    LINEARLY with the corpus (the regime SCALE.md prescribes for 100 TB)
-    without the caller tuning anything.  The registry query pins
-    n_centroids=16 for oracle determinism; this measures the default."""
+    """Semantic dedup on the DEFAULT path — n_centroids=None delegates to
+    hyperplane-LSH cells (n_planes ~ log2(N/target)), so buckets grow with
+    the corpus at O(N·logN) assignment cost without the caller tuning
+    anything.  The registry query pins n_centroids=16 for oracle
+    determinism; this measures the default."""
     from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
@@ -397,7 +397,7 @@ def main() -> None:
         "t_bm25_topk": QUERIES["t_bm25_topk"].fn,
         "s_ann_pq": QUERIES["s_ann_pq"].fn,
         "d_semantic_dedup_layout (16 cells fixed)": QUERIES["d_semantic_dedup_layout"].fn,
-        "semantic_dedup (DEFAULT auto-sized cells)": _semantic_dedup_default,
+        "semantic_dedup (DEFAULT lsh cells)": _semantic_dedup_default,
         # iterative algorithms: per-iteration cost is one corpus pass (k-means
         # assignment+update; logistic gradient), so both must scale linearly
         "s_kmeans (C=8, 2 iters)": QUERIES["s_kmeans"].fn,
