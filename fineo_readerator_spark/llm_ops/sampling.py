@@ -669,6 +669,48 @@ def train_val_test_split(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    fractions: tuple = (0.8, 0.1, 0.1),
+    seed: int = 42,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    minhash_seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Train/val/test split keyed on the near-duplicate CLUSTER id, not the
+    row id: every member of a MinHash dup cluster (exact twins included)
+    lands on the SAME side, so the eval split can never be contaminated by
+    a near-duplicate of a training document — the leakage mode a row-hash
+    split (:func:`train_val_test_split`) cannot prevent, and a documented
+    source of inflated eval numbers in LLM training pipelines.
+
+    Composition, not new machinery: the cluster map comes from the shared
+    dedup cascade (:func:`~fineo_readerator_spark.llm_ops.dedup.
+    minhash_cluster_labels` — any cascade change lands here too), and the
+    side assignment is the same portable hash bucket every sampler uses,
+    applied to ``cluster_id`` — so the split stays deterministic under
+    repartitioning, retries and incremental appends, and singleton docs
+    (their own cluster) split exactly like :func:`train_val_test_split`
+    keyed on the representative id.  Scale = the cluster map's cost (banded
+    candidate join) plus one label join; the split itself is row-local.
+    Output: input columns + ``cluster_id`` + ``split``."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels
+
+    # validate BEFORE the cluster build so a bad fractions tuple fails fast
+    if len(fractions) != 3 or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be 3 values summing to 1, got {fractions}")
+    labels = minhash_cluster_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold,
+        minhash_seed, portable,
+    )
+    return train_val_test_split(df.join(labels, id_col), "cluster_id", fractions, seed)
+
+
 def split_oracle_expr(key_expr: str, fractions: tuple = (0.8, 0.1, 0.1), seed: int = 42) -> str:
     t1 = int(fractions[0] * 1_000_000)
     t2 = t1 + int(fractions[1] * 1_000_000)

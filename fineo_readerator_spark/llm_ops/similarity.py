@@ -641,21 +641,27 @@ def semantic_dedup(
     broadcast in practice (near-dups are sparse).  An undersized codebook is
     a scale trap (16 cells over 10⁹ rows ≈ (N/16)² comparisons per cell), so
     ``max_rows_per_cell`` gates it: exceeding the bound raises unless
-    ``allow_oversized_cells=True``.  The DEFAULT codebook auto-sizes to
-    ``ceil(N / target_rows_per_cell)`` cells (one count — see
-    :func:`auto_cells`), so the default path scales linearly; pass a
-    literal ``n_centroids`` to pin the codebook (oracle determinism).
-    Appends ``cell`` to the kept rows so downstream sampling can stratify
-    by semantic region."""
+    ``allow_oversized_cells=True``.  The DEFAULT cells are hyperplane-LSH
+    signature buckets over ``n_planes ≈ log2(N / target_rows_per_cell)``
+    planes (:func:`semantic_dedup_lsh` — one more plane per corpus
+    doubling, so buckets grow with the corpus at O(N·logN·dim) assignment
+    cost; an auto-sized literal codebook would assign at O(N²·dim/target),
+    the measured 100× trap); pass a literal ``n_centroids`` to pin a
+    seeded codebook (oracle determinism).  Appends ``cell`` to the kept
+    rows so downstream sampling can stratify by semantic region;
+    unrankable rows (NULL / wrong-dimension vectors) are KEPT on both
+    paths — they cannot dominate or be dominated — with a NULL cell on
+    the default path."""
     if n_centroids is None:
-        # DEFAULT: hyperplane-LSH cells (same dominance rule, signature
-        # buckets) — the auto-sized seeded codebook's nearest-of-C
-        # assignment is O(N²·dim/target) (knn_graph's measured 100× trap),
-        # while n_planes ≈ log2(N/target) planes assign in O(N·logN·dim)
-        # at constant plan cost.  A literal n_centroids keeps the seeded
-        # path (oracle pinning).
-        return semantic_dedup_lsh(
-            df,
+        # DEFAULT: hyperplane-LSH cells, same dominance rule.  The LSH
+        # sibling's contract EXCLUDES unrankable rows, but the seeded path
+        # here keeps them (NULL cell never joins, the anti-join retains
+        # them) — re-append them so the default and pinned paths agree on
+        # the kept-row set.
+        dim = _modal_dim(df, vec_col)
+        rankable = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        kept = semantic_dedup_lsh(
+            df.filter(rankable),
             id_col=id_col,
             vec_col=vec_col,
             threshold=threshold,
@@ -663,7 +669,10 @@ def semantic_dedup(
             round_digits=round_digits,
             max_rows_per_cell=max_rows_per_cell,
             allow_oversized_cells=allow_oversized_cells,
+            dim=dim,
         )
+        rest = df.filter(~rankable).withColumn("cell", F.lit(None).cast("long"))
+        return kept.unionByName(rest)
     seeds = seeded_codebook(df, id_col, vec_col, n_centroids)
     # checkpoint EAGERLY: the argmin-over-codebook expression would
     # otherwise re-evaluate once per self-join side plus once for the final
@@ -721,29 +730,48 @@ def semantic_dedup_lsh(
         n_planes = max(
             1, math.ceil(math.log2(max(2.0, n_rows / target_rows_per_cell)))
         )
+    if n_planes < 1:
+        raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     planes = _hyperplanes(dim, n_planes, seed)
     assigned = df.withColumn(
         "cell", hyperplane_signature(F.col(vec_col), planes).cast("long")
     ).localCheckpoint(eager=True)
-    # Hyperplane buckets skew when the embedding distribution has a dominant
-    # mean direction (most rows share most sign bits), so gate on MEASURED
-    # occupancy, not the N/cells estimate the seeded path uses — the
-    # checkpointed frame makes this one cheap agg, and it fires BEFORE the
-    # O(rows_per_cell²) in-cell join starts.
-    row = assigned.groupBy("cell").count().agg(F.max("count")).first()
+    _gate_measured_occupancy(
+        assigned, "cell", "semantic_dedup_lsh", max_rows_per_cell,
+        allow_oversized_cells,
+    )
+    return semantic_dedup_assigned(
+        assigned, id_col, vec_col, "cell", threshold, round_digits
+    )
+
+
+def _gate_measured_occupancy(
+    assigned: DataFrame,
+    cell_col: str,
+    op: str,
+    max_rows_per_cell: int,
+    allow_oversized_cells: bool,
+) -> None:
+    """Hyperplane buckets skew when the embedding distribution has a
+    dominant mean direction (most rows share most sign bits), so the LSH
+    paths gate on MEASURED occupancy, not the N/cells estimate the seeded
+    paths use — one cheap agg over the checkpointed assignment, fired
+    BEFORE the O(rows_per_cell²) in-cell join starts.  With
+    ``allow_oversized_cells`` the agg itself is skipped (its result would
+    be discarded)."""
+    if allow_oversized_cells:
+        return
+    row = assigned.groupBy(cell_col).count().agg(F.max("count")).first()
     biggest = int(row[0] or 0)
-    if biggest > max_rows_per_cell and not allow_oversized_cells:
+    if biggest > max_rows_per_cell:
         raise ValueError(
-            f"semantic_dedup_lsh cell sizing: largest signature bucket holds "
+            f"{op} cell sizing: largest signature bucket holds "
             f"{biggest:,} rows (> max_rows_per_cell={max_rows_per_cell:,}); "
             "the in-cell self-join is O(rows_per_cell**2).  Raise n_planes "
             "(each plane halves expected bucket size), center the embeddings "
             "(a dominant mean direction collapses sign bits), or pass "
             "allow_oversized_cells=True if the comparison volume is intended"
         )
-    return semantic_dedup_assigned(
-        assigned, id_col, vec_col, "cell", threshold, round_digits
-    )
 
 
 def knn_graph(
@@ -821,18 +849,22 @@ def knn_graph(
         # set (buckets grow linearly with the corpus, in-cell join volume
         # stays O(N · target)); assignment is n_planes dot products per
         # row — O(N·logN·dim) total, vs the auto-sized seeded codebook's
-        # O(N²·dim/target) nearest-of-C scan (the measured 100× hazard)
+        # O(N²·dim/target) nearest-of-C scan (the measured 100× hazard).
+        # The count runs only when auto-sizing (semantic_dedup_lsh's rule):
+        # a pinned plane set must not pay a corpus pass for it.
         import math
 
-        n_rows = df.count()
-        if n_rows == 0:
-            raise ValueError(
-                f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
-            )
         if n_planes is None:
+            n_rows = df.count()
+            if n_rows == 0:
+                raise ValueError(
+                    f"no rankable vectors remain in {vec_col!r} at dimension {dim}"
+                )
             n_planes = max(
                 1, math.ceil(math.log2(max(2.0, n_rows / target_rows_per_cell)))
             )
+        if n_planes < 1:
+            raise ValueError(f"n_planes must be >= 1, got {n_planes}")
         if n_probe > n_planes + 1:
             raise ValueError(
                 f"n_probe={n_probe} exceeds n_planes + 1 = {n_planes + 1}: "
@@ -859,20 +891,10 @@ def knn_graph(
         .localCheckpoint(eager=True)
     )
     if n_centroids is None:
-        # hyperplane buckets skew when the embedding distribution has a
-        # dominant mean direction — gate on MEASURED occupancy (one cheap
-        # agg over the checkpointed frame), semantic_dedup_lsh's rule
-        row = assigned.groupBy("__cell").count().agg(F.max("count")).first()
-        biggest = int(row[0] or 0)
-        if biggest > max_rows_per_cell and not allow_oversized_cells:
-            raise ValueError(
-                f"knn_graph cell sizing: largest signature bucket holds "
-                f"{biggest:,} rows (> max_rows_per_cell={max_rows_per_cell:,});"
-                " the in-cell self-join is O(rows_per_cell**2).  Raise "
-                "n_planes, center the embeddings, or pass "
-                "allow_oversized_cells=True if the comparison volume is "
-                "intended"
-            )
+        _gate_measured_occupancy(
+            assigned, "__cell", "knn_graph", max_rows_per_cell,
+            allow_oversized_cells,
+        )
     else:
         _gate_cell_sizing(
             assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells

@@ -1477,6 +1477,7 @@ def _s_knn_graph_lsh_oracle(
     plane index — lsh_probe_cells_expr's exact contract.  Neighbors stay
     in their PRIMARY cell (the Spark b-side), sources probe both cells."""
     assert n_probe == 2, "oracle replays exactly one flipped probe"
+    assert n_planes >= 2, "the flip CASE chain needs at least two planes"
     planes = _hyperplanes(dim, n_planes, seed)
     r_cols = ", ".join(
         f"round({_plane_dot_sql('embedding', p, dim)}, 9) AS r{i}"
@@ -1620,6 +1621,11 @@ def ensure_knn_graph_layout(
     # the parameter tuple is part of the layout identity — two consumers
     # with different (k, cells, probe) must land in DIFFERENT slots, or they
     # alternately fail the params check and rebuild the full graph per query
+    # n_planes is meaningless on the seeded path — normalize it out, or two
+    # callers differing only in a no-op n_planes would share a slot name
+    # but fail each other's params check and rebuild alternately
+    if n_centroids is not None:
+        n_planes = None
     cell_tag = (
         f"c{n_centroids}"
         if n_centroids is not None
@@ -2137,6 +2143,32 @@ def _d_dup_clusters_oracle() -> str:
     corpus = f"""SELECT doc_id, text, n_chars FROM documents
 UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
     return minhash_cluster_labels_oracle(corpus)
+
+
+def p_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split over the doubled corpus
+    (llm_ops.sampling.leakage_safe_split): the side hash is keyed on the
+    near-dup CLUSTER id, so every exact twin (and near-dup) lands on the
+    same side — the eval-contamination guard a row-hash split lacks."""
+    from fineo_readerator_spark.llm_ops.sampling import leakage_safe_split
+
+    out = leakage_safe_split(
+        _docs_with_dups(spark, sf_dir), "doc_id", portable=True
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+def _p_leakage_split_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels_oracle
+    from fineo_readerator_spark.llm_ops.sampling import split_oracle_expr
+
+    corpus = f"""SELECT doc_id, text, n_chars FROM documents
+UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
+    labels = minhash_cluster_labels_oracle(corpus)
+    return f"""
+SELECT doc_id, cluster_id, {split_oracle_expr('cluster_id')} AS split
+FROM ({labels})
+"""
 
 
 def d_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3237,6 +3269,7 @@ LLM_QUERIES = [
     QueryDef("p_quality_resample", p_quality_resample, _p_quality_resample_oracle()),
     QueryDef("t_normalize", t_normalize, _t_normalize_oracle()),
     QueryDef("d_dup_clusters", d_dup_clusters, _d_dup_clusters_oracle()),
+    QueryDef("p_leakage_split", p_leakage_split, _p_leakage_split_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

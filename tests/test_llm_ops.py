@@ -834,6 +834,24 @@ def test_semantic_dedup_default_is_lsh(spark, vectors):
     assert kept_seeded.count() > 0
 
 
+def test_semantic_dedup_default_keeps_unrankable_rows(spark, vectors):
+    """NULL and wrong-dimension vectors cannot dominate or be dominated —
+    the default (LSH-delegating) path must KEEP them like the pinned
+    seeded path does (with a NULL cell), never silently drop them."""
+    from fineo_readerator_spark.llm_ops.similarity import semantic_dedup
+
+    corpus = vectors.select("vec_id", "embedding").unionAll(
+        spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    kept = semantic_dedup(corpus, "vec_id", "embedding", threshold=0.999)
+    by_id = {r.vec_id: r.cell for r in kept.collect()}
+    assert 900 in by_id and by_id[900] is None
+    assert 901 in by_id and by_id[901] is None
+
+
 def test_knn_graph_default_auto_sizes_cells(spark, vectors):
     """With no n_centroids the graph auto-sizes from the rankable count —
     a small target forces multiple LSH buckets and every edge stays

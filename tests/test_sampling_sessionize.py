@@ -279,3 +279,44 @@ def test_write_jsonl_shards_layout_and_determinism(spark, tmp_path):
     assert sorted(seen) == list(range(40))  # complete, no dup rows
     b = export(tmp_path / "b", df.repartition(7))
     assert a == b  # byte-identical under a different input partitioning
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fineo_readerator_spark.llm_ops.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    # exact twins with UNRELATED ids: a row-hash split strands some pairs
+    # on opposite sides; the cluster-keyed split must never
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") * 7 + 1_000_001)
+    )
+    out = leakage_safe_split(corpus, "doc_id").cache()
+    # every cluster lands on exactly one side
+    assert (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("s"))
+        .filter(F.col("s") > 1)
+        .count()
+        == 0
+    )
+    # twins share a cluster, hence a side
+    pairs = out.alias("a").join(
+        out.alias("b"),
+        F.col("a.doc_id") * 7 + 1_000_001 == F.col("b.doc_id"),
+    )
+    assert pairs.count() > 0
+    assert pairs.filter(F.col("a.split") != F.col("b.split")).count() == 0
+    # all three sides populated and deterministic under repartitioning
+    sides = {r.split for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "val", "test"}
+    again = leakage_safe_split(corpus.repartition(13), "doc_id")
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
