@@ -772,6 +772,21 @@ def test_knn_graph_layout_reattach_and_staleness(spark, tmp_path):
     assert (Path(p3) / "_src_fingerprint.json").stat().st_mtime_ns != stamp2
     assert spark.read.parquet(p3).select("vec_id").distinct().count() == 45
 
+    # the LSH default (n_centroids=None) gets its OWN slot; an explicit
+    # n_planes pins a distinct one; and a no-op n_planes on the seeded
+    # path is normalized out (same slot, stamp untouched — no alternating
+    # params-mismatch rebuild)
+    p4 = ensure_knn_graph_layout(spark, str(tmp_path), k=2, n_centroids=None)
+    p5 = ensure_knn_graph_layout(spark, str(tmp_path), k=2, n_centroids=None, n_planes=2)
+    assert len({p1, p4, p5}) == 3
+    assert spark.read.parquet(p4).select("vec_id").distinct().count() == 45
+    stamp3 = (Path(p3) / "_src_fingerprint.json").stat().st_mtime_ns
+    assert (
+        ensure_knn_graph_layout(spark, str(tmp_path), k=3, n_centroids=4, n_planes=2)
+        == p3
+    )
+    assert (Path(p3) / "_src_fingerprint.json").stat().st_mtime_ns == stamp3
+
 
 def test_graph_layout_query_plan_reads_stored_edges(spark):
     """s_graph_layout (the registry consumer) must not rebuild the graph:
