@@ -915,6 +915,18 @@ def test_knn_graph_lsh_edges_stay_in_signature_buckets(spark, vectors):
     assert nbrs_of_0 & {50, 51, 52}
 
 
+def test_knn_graph_lsh_plan_is_codebook_free(spark, vectors):
+    """The LSH graph's executed plan must contain no nearest-of-C codebook
+    machinery (array_min over named_struct distances — the O(N·C)
+    assignment the LSH default exists to avoid): the signature assignment
+    is checkpointed, so downstream consumers see stored rows only."""
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    g = knn_graph(vectors, k=2, n_planes=3)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+
+
 def test_knn_graph_lsh_multiprobe_never_worse(spark, vectors):
     """LSH multiprobe (lowest-margin bit flip) searches a superset of each
     node's single-probe candidates: every node's best neighbor is at least
