@@ -66,3 +66,38 @@ def test_pq_adc_matches_duckdb(spark, rows, m, n_codes):
     for (gid, gd), (eid, ed) in zip(got, exp):
         assert gid == eid
         assert gd == pytest.approx(ed, abs=1e-8)
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus, n_planes=st.sampled_from([2, 3, 4]), n_probe=st.sampled_from([1, 2, 3]))
+def test_lsh_probe_cells_match_python_replay(spark, rows, n_planes, n_probe):
+    """lsh_probe_cells_expr against a pure-Python replay of its contract:
+    primary = the 1e-9-rounded sign-bit signature, extra probes flip the
+    lowest-|margin| planes in (margin, plane-index) order.  Random float32
+    corpora hit the sign/tie boundaries the sf-data oracle row can't."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        _hyperplanes,
+        lsh_probe_cells_expr,
+    )
+
+    if n_probe > n_planes + 1:
+        n_probe = n_planes + 1
+    planes = _hyperplanes(DIM, n_planes, 42)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: list(r.probes)
+        for r in df.select(
+            "vec_id",
+            lsh_probe_cells_expr("embedding", planes, n_probe).alias("probes"),
+        ).collect()
+    }
+    for vid, v in rows:
+        dots = [round(sum(float(a) * float(b) for a, b in zip(v, p)), 9) for p in planes]
+        sig = sum(1 << i for i, d in enumerate(dots) if d >= 0)
+        order = sorted(range(n_planes), key=lambda i: (abs(dots[i]), i))
+        exp = [sig] + [sig ^ (1 << i) for i in order[: n_probe - 1]]
+        assert got[vid] == exp, (vid, v, dots)
