@@ -168,14 +168,20 @@ def key_skew_report(
     df: DataFrame,
     key_cols: list[str],
     k: int = 10,
-    round_digits: int = 6,
 ) -> DataFrame:
     """Shuffle-key skew diagnostics — the report you read BEFORE choosing
     between plain groupBy, AQE skew handling and :func:`salted_agg`: the
-    top-``k`` heaviest keys with their row share, alongside the global
-    shape (total rows, distinct keys, max/avg skew ratio).  A skew_ratio
-    near 1 means the key partitions evenly; 100× means the top key drowns
-    a reducer and the salted/bucketed paths are worth their cost.
+    top-``k`` heaviest keys with their row share (parts-per-million),
+    alongside the global shape (total rows, distinct keys, max/avg skew
+    ratio in ppm).  A skew_ratio_ppm near 1_000_000 means the key
+    partitions evenly; 100_000_000 means the top key drowns a reducer and
+    the salted/bucketed paths are worth their cost.
+
+    Ratios are BIGINT parts-per-million, never floats: ``share_ppm =
+    round_half_up(n_rows · 10⁶ / n_total)`` computed as the pure integer
+    ``(n·2·10⁶ + total) div (2·total)`` over decimal(38,0) intermediates —
+    float (or DECIMAL-vs-DOUBLE cross-engine) arithmetic can render the
+    same ratio differently between engines, integers cannot.
 
     Scale shape: ONE map-side-combined per-key count (the same shuffle the
     diagnosed aggregation itself would run), then two metadata-sized
@@ -185,6 +191,9 @@ def key_skew_report(
     counts = (
         df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     ).localCheckpoint(eager=False)
+    # skew_ratio = max / (total/keys) = max·keys/total; ·10⁶ and half-up
+    # rounded in exact integer arithmetic (decimal(38,0) headroom: the
+    # max·keys·2e6 product overflows BIGINT at ~10¹² rows × 10⁹ keys)
     totals = counts.agg(
         F.sum("n_rows").alias("n_total"),
         F.count(F.lit(1)).alias("n_keys"),
@@ -192,9 +201,10 @@ def key_skew_report(
     ).select(
         "n_total",
         "n_keys",
-        F.round(F.col("__max") * F.lit(1.0) / (F.col("n_total") / F.col("n_keys")), round_digits).alias(
-            "skew_ratio"
-        ),
+        F.expr(
+            "(cast(__max as decimal(38,0)) * n_keys * 2000000 + n_total)"
+            " div (cast(n_total as decimal(38,0)) * 2)"
+        ).alias("skew_ratio_ppm"),
     )
     # top-k via orderBy+limit (TakeOrdered: per-partition k-row heaps, never
     # a global sort or single-partition window over the key-count frame —
@@ -214,10 +224,13 @@ def key_skew_report(
             *key_cols,
             "rank",
             "n_rows",
-            F.round(F.col("n_rows") * F.lit(1.0) / F.col("n_total"), round_digits).alias("share"),
+            F.expr(
+                "(cast(n_rows as decimal(38,0)) * 2000000 + n_total)"
+                " div (cast(n_total as decimal(38,0)) * 2)"
+            ).alias("share_ppm"),
             "n_total",
             "n_keys",
-            "skew_ratio",
+            "skew_ratio_ppm",
         )
         .orderBy("rank")
     )
@@ -227,10 +240,12 @@ def key_skew_oracle_sql(
     corpus_sql: str,
     key_cols: list[str],
     k: int = 10,
-    round_digits: int = 6,
 ) -> str:
-    """DuckDB replay of :func:`key_skew_report` (same integer-exact counts,
-    same rounded ratios)."""
+    """DuckDB replay of :func:`key_skew_report` — the same pure-integer
+    half-up ppm division (HUGEINT here, decimal(38,0) Spark-side; both
+    truncate toward zero on positive operands, so the values are
+    bit-identical with no decimal-vs-double rendering hazard).  BIGINT
+    casts on the outputs keep the fetched dtypes aligned too."""
     keys = ", ".join(key_cols)
     order_keys = ", ".join(f"{c} ASC NULLS FIRST" for c in key_cols)
     return f"""
@@ -238,8 +253,9 @@ WITH counts AS (
   SELECT {keys}, count(*) AS n_rows FROM ({corpus_sql}) GROUP BY {keys}
 ),
 totals AS (
-  SELECT sum(n_rows) AS n_total, count(*) AS n_keys,
-         round(max(n_rows) * 1.0 / (sum(n_rows) / count(*)), {round_digits}) AS skew_ratio
+  SELECT CAST(sum(n_rows) AS BIGINT) AS n_total, count(*) AS n_keys,
+         CAST((CAST(max(n_rows) AS HUGEINT) * count(*) * 2000000 + sum(n_rows))
+              // (CAST(sum(n_rows) AS HUGEINT) * 2) AS BIGINT) AS skew_ratio_ppm
   FROM counts
 ),
 top AS (
@@ -248,7 +264,8 @@ top AS (
   FROM counts
 )
 SELECT {keys}, rank, n_rows,
-       round(n_rows * 1.0 / n_total, {round_digits}) AS share,
-       n_total, n_keys, skew_ratio
+       CAST((CAST(n_rows AS HUGEINT) * 2000000 + n_total)
+            // (CAST(n_total AS HUGEINT) * 2) AS BIGINT) AS share_ppm,
+       n_total, n_keys, skew_ratio_ppm
 FROM top, totals WHERE rank <= {k} ORDER BY rank
 """

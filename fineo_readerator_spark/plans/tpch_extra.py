@@ -678,7 +678,7 @@ monthly AS (
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS rev
   FROM {orders} GROUP BY 1
 )
-SELECT (year(m)*100 + month(m)) AS ym, coalesce(n, 0{L}) AS n_orders,
+SELECT CAST(year(m)*100 + month(m) AS BIGINT) AS ym, coalesce(n, 0{L}) AS n_orders,
        coalesce(rev, 0.0{D}) AS revenue
 FROM spine LEFT JOIN monthly USING (m) ORDER BY ym
 """

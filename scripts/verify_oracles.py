@@ -11,6 +11,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
+from fineo_readerator_spark.oracle_compare import kind_mismatches
 
 # deliberately vanilla: no engine confs, mirroring the driver's harness
 spark = (
@@ -46,15 +47,22 @@ for name, fn in qs.items():
     dt = time.time() - t0
     if name in oracles:
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            rows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols, dtypes = list(rel.columns), list(rel.types)
+            rows = rel.fetchall()
         except Exception as e:
             print(f"{name}: ORACLE-ERROR {str(e)[:200]}")
             bad += 1
             continue
         if sorted(dcols) != scols:
             print(f"{name}: COLUMN-NAME MISMATCH spark={scols} oracle={sorted(dcols)}")
+            bad += 1
+            continue
+        # r9 hardening: exact result-TYPE agreement (q_skew_report went
+        # driver-red on an un-cast HUGEINT that value-str compare couldn't see)
+        tmis = kind_mismatches(sdf.schema, dcols, dtypes)
+        if tmis:
+            print(f"{name}: TYPE-MISMATCH {tmis}")
             bad += 1
             continue
         idx = [dcols.index(c) for c in scols]

@@ -23,6 +23,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
+from fineo_readerator_spark.oracle_compare import kind_mismatches
 
 WINDOW = 50
 
@@ -85,9 +86,9 @@ def main() -> int:
             print(f"[{i:2}/{len(names)}] {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            rows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols, dtypes = list(rel.columns), list(rel.types)
+            rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"[{i:2}/{len(names)}] {name}: ORACLE-ERROR {str(e)[:200]}")
             bad += 1
@@ -95,6 +96,11 @@ def main() -> int:
         if sorted(dcols) != scols:
             print(f"[{i:2}/{len(names)}] {name}: COLUMN-NAME MISMATCH "
                   f"spark={scols} oracle={sorted(dcols)}")
+            bad += 1
+            continue
+        tmis = kind_mismatches(sdf.schema, dcols, dtypes)
+        if tmis:
+            print(f"[{i:2}/{len(names)}] {name}: TYPE-MISMATCH {tmis}")
             bad += 1
             continue
         idx = [dcols.index(c) for c in scols]

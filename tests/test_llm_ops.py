@@ -1923,6 +1923,87 @@ def test_tfidf_pairs_ungrouped_raises_and_zero_norm_excluded(spark):
     assert tfidf_cosine_pairs(df, "doc_id", "text", ["grp"]).count() == 0
 
 
+def test_tfidf_dfreq_broadcast_only_when_vocab_bounded(spark):
+    """r8 verdict: the per-term df table is |vocabulary| rows — unbounded
+    at corpus scale — so a FORCED broadcast of it is a driver OOM hazard.
+    Unbounded calls must carry exactly ONE broadcast hint (the single-row
+    n_docs frame); a min_df/max_vocab bound adds the dfreq hint back."""
+    from fineo_readerator_spark.llm_ops.retrieval import (
+        keyword_topk,
+        tfidf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare alpha beta", "g"),
+            (2, "rare alpha beta", "g"),
+            (3, "other words here", "g"),
+        ],
+        "doc_id long, text string, grp string",
+    )
+
+    from fineo_readerator_spark.llm_ops.retrieval import _maybe_broadcast
+
+    def hints(sdf):
+        return sdf._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    # unit contract: unbounded -> the frame itself (no hint node); bounded ->
+    # one broadcast hint wrapping it
+    dfreq = df.selectExpr("text as __term", "doc_id as __df")
+    assert _maybe_broadcast(dfreq, 1, None) is dfreq
+    assert hints(_maybe_broadcast(dfreq, 2, None)) == 1
+    assert hints(_maybe_broadcast(dfreq, 1, 100)) == 1
+    # integration (keyword_topk's final plan is not lineage-cut above the
+    # join, so the hint census is visible end-to-end; tfidf's is hidden
+    # behind the weighted localCheckpoint): n_docs' single-row hint only
+    assert hints(keyword_topk(df, "doc_id", "text")) == 1
+    assert hints(keyword_topk(df, "doc_id", "text", min_df=2)) == 2
+    # result unchanged by unhinting
+    assert tfidf_cosine_pairs(df, "doc_id", "text", ["grp"]).count() == 1
+
+
+def test_keyword_topk_vocab_cap_and_dup_ids_match_oracle(spark):
+    """min_df/max_vocab caps and duplicate doc ids (N = DISTINCT ids, the
+    r8 ADVICE convention fix) replay exactly in DuckDB."""
+    import duckdb
+    import pyarrow as pa
+
+    from fineo_readerator_spark.llm_ops.retrieval import (
+        keyword_topk,
+        keyword_topk_oracle_sql,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (1, "beta delta"),  # same doc id twice: one logical document
+        (2, "alpha beta"),
+        (3, "alpha epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "corpus",
+        pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        ),
+    )
+    for kw in ({}, {"min_df": 2}, {"max_vocab": 3}, {"min_df": 2, "max_vocab": 2}):
+        got = sorted(
+            tuple(r) for r in keyword_topk(df, "doc_id", "text", k=2, **kw).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(
+                keyword_topk_oracle_sql("SELECT doc_id, text FROM corpus", "doc_id", "text", k=2, **kw)
+            ).fetchall()
+        )
+        assert got == exp and got, kw
+    with pytest.raises(ValueError, match="min_df"):
+        keyword_topk(df, min_df=0)
+    with pytest.raises(ValueError, match="max_vocab"):
+        keyword_topk(df, max_vocab=0)
+
+
 # --- kNN graph --------------------------------------------------------------
 
 

@@ -9,6 +9,7 @@ import math
 import duckdb
 import pytest
 
+from fineo_readerator_spark.oracle_compare import kind_mismatches
 from fineo_readerator_spark.plans.queries import QUERIES
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -45,10 +46,14 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     if q.oracle is None:
         assert len(got) >= 0  # rows-only check
         return
-    res = duck.execute(q.oracle)
-    exp_cols = [d[0] for d in res.description]
-    exp = res.fetchall()
+    rel = duck.sql(q.oracle)
+    exp_cols, exp_types = list(rel.columns), list(rel.types)
+    exp = rel.fetchall()
     assert sorted(got_cols) == sorted(exp_cols), f"column names differ: {got_cols} vs {exp_cols}"
+    # r9 hardening: exact result-TYPE agreement — str()-compare is blind to
+    # DECIMAL-vs-DOUBLE / HUGEINT-vs-BIGINT drift, the driver's hash is not
+    tmis = kind_mismatches(sdf.schema, exp_cols, exp_types)
+    assert not tmis, f"result dtypes differ (spark_kind vs duckdb_kind): {tmis}"
     # driver compares columns sorted by name — do the same
     gidx = [got_cols.index(c) for c in sorted(got_cols)]
     eidx = [exp_cols.index(c) for c in sorted(exp_cols)]

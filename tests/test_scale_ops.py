@@ -165,14 +165,46 @@ def test_key_skew_report_values_and_takeordered_plan(spark):
     rows = [(i, "hot") for i in range(90)] + [(i, f"k{i % 5}") for i in range(10)]
     df = spark.createDataFrame(rows, "id long, key string")
     out = key_skew_report(df, ["key"], k=3)
-    got = [(r.key, r.rank, r.n_rows, r.share) for r in out.collect()]
-    assert got[0] == ("hot", 1, 90, 0.9)
+    got = [(r.key, r.rank, r.n_rows, r.share_ppm) for r in out.collect()]
+    assert got[0] == ("hot", 1, 90, 900000)
     top = out.first()
     assert top.n_total == 100 and top.n_keys == 6
-    # max/avg = 90 / (100/6) = 5.4
-    assert top.skew_ratio == 5.4
+    # max/avg = 90 / (100/6) = 5.4 -> 5_400_000 ppm; pure-integer output
+    assert top.skew_ratio_ppm == 5_400_000
+    assert dict(out.dtypes)["share_ppm"] == "bigint"
+    assert dict(out.dtypes)["skew_ratio_ppm"] == "bigint"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_key_skew_report_half_up_ppm_boundary(spark):
+    """r9 determinism fix: ratios are BIGINT ppm via integer half-up
+    division — 1 row of 128 is 7812.5 ppm, which must round UP to 7813
+    identically in Spark and the DuckDB oracle (truncation would say
+    7812; float/DECIMAL arithmetic could render either)."""
+    import duckdb
+    import pyarrow as pa
+
+    from fineo_readerator_spark.operators.scale import (
+        key_skew_oracle_sql,
+        key_skew_report,
+    )
+
+    keys = ["big"] * 127 + ["small"]
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "id long, key string")
+    out = {r.key: r for r in key_skew_report(df, ["key"], k=2).collect()}
+    assert out["small"].share_ppm == 7813  # half-up, not 7812
+    assert out["big"].share_ppm == 992188  # 992187.5 -> up
+    con = duckdb.connect()
+    con.register("corpus", pa.table({"id": list(range(len(keys))), "key": keys}))
+    exp = {
+        r[0]: r
+        for r in con.execute(
+            key_skew_oracle_sql("SELECT key FROM corpus", ["key"], k=2)
+        ).fetchall()
+    }
+    for k_ in ("big", "small"):
+        assert (out[k_].share_ppm, out[k_].skew_ratio_ppm) == (exp[k_][3], exp[k_][6])
 
 
 def test_key_skew_report_null_key_parity(spark):
@@ -190,7 +222,7 @@ def test_key_skew_report_null_key_parity(spark):
     keys = [None] * 10 + ["a"] * 10 + ["b"] * 3
     df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "id long, key string")
     got = sorted(
-        (r.key, r.rank, r.n_rows, r.share, r.n_total, r.n_keys, r.skew_ratio)
+        (r.key, r.rank, r.n_rows, r.share_ppm, r.n_total, r.n_keys, r.skew_ratio_ppm)
         for r in key_skew_report(df, ["key"], k=1).collect()
     )
     con = duckdb.connect()
