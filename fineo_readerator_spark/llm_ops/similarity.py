@@ -114,6 +114,19 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _round_half_up(x: float, digits: int = 9) -> float:
+    """Driver-side replica of Spark's ``F.round`` on a double: HALF_UP over
+    the SHORTEST decimal repr (Java ``BigDecimal.valueOf`` goes through
+    ``Double.toString``; Python ``repr`` is the same shortest round-trip).
+    Plain ``round()`` is banker's (HALF_EVEN) over the exact binary value —
+    it disagrees at exact decimal halves (dyadic doubles like 1/1024 =
+    0.0009765625 at digits=9), so every driver-computed value that must
+    match an executor/oracle F.round goes through this instead (r8 ADVICE)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature as an int bucket key (random-hyperplane LSH: P[bit
     agree] = 1 - angle/π).  The dot is rounded at 1e-9 before the sign test —
@@ -158,7 +171,7 @@ def lsh_bucketed_topk(
     # (including the 1e-9 sign-boundary rounding)
     qsig = 0
     for i, p in enumerate(planes):
-        if round(sum(float(a) * float(b) for a, b in zip(query_vec, p)), 9) >= 0:
+        if _round_half_up(sum(float(a) * float(b) for a, b in zip(query_vec, p))) >= 0:
             qsig |= 1 << i
     probed = df.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_probe_dist
@@ -352,7 +365,7 @@ def ivf_seeded_topk(
     cell = seeded_cell_expr(vec_col, seeds)
     # probe cells chosen driver-side with the same rounded arithmetic
     qd = sorted(
-        (round(sum((float(q) - s) ** 2 for q, s in zip(query_vec, sv)), 9), sid)
+        (_round_half_up(sum((float(q) - s) ** 2 for q, s in zip(query_vec, sv))), sid)
         for sid, sv in seeds
     )
     probe = [sid for _, sid in qd[:n_probe]]
@@ -485,7 +498,7 @@ def pq_seeded_topk(
         code = seeded_cell_expr(f"slice({vec_col}, {j * sub + 1}, {sub})", sub_seeds)
         qsub = [float(v) for v in query_vec[j * sub : (j + 1) * sub]]
         adc = {
-            sid: round(sum((q - c) ** 2 for q, c in zip(qsub, sv)), 9)
+            sid: _round_half_up(sum((q - c) ** 2 for q, c in zip(qsub, sv)))
             for sid, sv in sub_seeds
         }
         table = F.create_map(
@@ -1148,6 +1161,7 @@ def knn_recall_audit(
     vec_col: str = "embedding",
     round_digits: int = 6,
     graph: DataFrame | None = None,
+    built_k: int | None = None,
 ) -> DataFrame:
     """Recall@k audit of the cell-bounded k-NN graph against exact brute
     force, on a deterministic node sample (``id % sample_mod == 0``) —
@@ -1177,24 +1191,35 @@ def knn_recall_audit(
     else:
         # A stored graph carries the k it was BUILT with; auditing it against
         # a different caller k silently inflates (graph k > k: more candidates
-        # than slots) or deflates recall.  The max out-degree IS the build k
-        # on any corpus with at least one cell of k+1 rankable rows, so one
-        # small agg over the edge frame catches the mismatch — the
-        # derived-store rule (never re-derive params) enforced at the consumer.
-        deg = (
-            graph.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .agg(F.max("__d"))
-            .first()
-        )
-        built_k = int(deg[0] or 0)
-        if built_k != k:
-            raise ValueError(
-                f"knn_recall_audit: stored graph's max out-degree is {built_k} "
-                f"but the audit was asked for recall@{k}; pass k={built_k} (the "
-                "k the graph was built with — see its _params.json) or rebuild "
-                "the layout at the desired k"
+        # than slots) or deflates recall.  ``built_k`` from the layout's
+        # _params.json is the authoritative check (the derived-store rule —
+        # parameters come from the meta, never re-derived).  Without it, the
+        # max out-degree is a one-sided witness: degree > k PROVES a bigger
+        # build; degree < k is legal on sparse corpora/buckets where no cell
+        # held k+1 rankable rows (r8 ADVICE — the old == check raised
+        # spuriously there), so it passes.
+        if built_k is not None:
+            if built_k != k:
+                raise ValueError(
+                    f"knn_recall_audit: graph layout was built with k={built_k} "
+                    f"but the audit was asked for recall@{k}; pass k={built_k} "
+                    "or rebuild the layout at the desired k"
+                )
+        else:
+            deg = (
+                graph.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__d"))
+                .agg(F.max("__d"))
+                .first()
             )
+            max_deg = int(deg[0] or 0)
+            if max_deg > k:
+                raise ValueError(
+                    f"knn_recall_audit: stored graph's max out-degree is "
+                    f"{max_deg} > recall@{k} — it was built with a larger k; "
+                    "pass built_k from the layout's _params.json, or rebuild "
+                    "the layout at the desired k"
+                )
     approx = graph.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col).alias("__qid"), F.col("nbr_id").alias("__nbr")
     )

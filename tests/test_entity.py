@@ -57,6 +57,58 @@ def test_entity_match_max_distance_drops_far_candidates(spark, ref):
     assert out.count() == 0  # non-matches are absent, not NULL rows
 
 
+def test_entity_match_null_text_never_ranks(spark, ref):
+    """r8 ADVICE (medium): a NULL-text reference row scored a NULL distance,
+    which Spark's asc window sorted NULLS FIRST — it took rank 1 and
+    displaced real matches, while the DuckDB oracle (NULLS LAST) disagreed.
+    Unscorable candidates are dropped in BOTH engines now."""
+    import duckdb
+    import pyarrow as pa
+
+    from fineo_readerator_spark.operators.entity import entity_match_oracle_sql
+
+    ref_null = ref.union(
+        spark.createDataFrame(
+            [(0, None, "NY")], "rid long, name string, state string"
+        )
+    )
+    dirty = spark.createDataFrame(
+        [(100, "acme corp", "NY"), (101, None, "NY")],
+        "mid long, mention string, state string",
+    )
+    out = entity_match(
+        dirty, ref_null, ["state"], "mid", "rid", "mention", "name", k=2
+    ).collect()
+    # rid=0 (NULL name) must not appear at any rank; NULL-mention left rows
+    # have no scorable candidate at all
+    assert [(r["mid"], r["matched_rid"], r["rank"]) for r in out] == [
+        (100, 1, 1),
+        (100, 2, 2),
+    ]
+    con = duckdb.connect()
+    con.register(
+        "dirty",
+        pa.table({"mid": [100, 101], "mention": ["acme corp", None], "state": ["NY", "NY"]}),
+    )
+    con.register(
+        "refs",
+        pa.table(
+            {
+                "rid": [1, 2, 3, 4, 0],
+                "name": ["Acme Corp", "Acme Group", "Bolt Ltd", "Acme Corp", None],
+                "state": ["NY", "NY", "NY", "CA", "NY"],
+            }
+        ),
+    )
+    exp = con.execute(
+        entity_match_oracle_sql(
+            "SELECT * FROM dirty", "SELECT * FROM refs", ["state"],
+            "mid", "rid", "mention", "name", k=2,
+        )
+    ).fetchall()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in exp)
+
+
 def test_entity_match_requires_blocking(spark, ref):
     with pytest.raises(ValueError, match="blocking"):
         entity_match(ref, ref, [], "rid", "rid", "name", "name")

@@ -1022,6 +1022,51 @@ def test_recall_audit_rejects_graph_k_mismatch(spark, vectors):
     # matching k audits fine
     out = knn_recall_audit(vectors, sample_mod=10, k=5, graph=g5)
     assert out.count() > 0
+    # authoritative path: built_k from the layout's _params.json beats
+    # degree inference in both directions
+    with pytest.raises(ValueError, match="built with k=5"):
+        knn_recall_audit(vectors, sample_mod=10, k=3, graph=g5, built_k=5)
+    assert knn_recall_audit(vectors, sample_mod=10, k=5, graph=g5, built_k=5).count() > 0
+
+
+def test_round_half_up_matches_spark_round_at_dyadic_halves(spark):
+    """r8 ADVICE (low): driver-side Python round() is banker's; F.round is
+    HALF_UP over the shortest decimal repr.  They disagree exactly at
+    dyadic decimal halves (1/1024 has a 10-digit expansion ending in 5) —
+    _round_half_up must side with F.round there."""
+    from fineo_readerator_spark.llm_ops.similarity import _round_half_up
+
+    x = 1.0 / 1024.0  # 0.0009765625 exactly
+    assert round(x, 9) == 0.000976562  # banker's: ties to even
+    assert _round_half_up(x) == 0.000976563
+    got = spark.createDataFrame([(x,)], "v double").selectExpr("round(v, 9) r").first().r
+    assert got == _round_half_up(x)
+    # and agreement away from ties
+    for y in (0.1234567894, -0.5, 1.5e-10, -1.0 / 1024.0):
+        gr = spark.createDataFrame([(y,)], "v double").selectExpr("round(v, 9) r").first().r
+        assert gr == _round_half_up(y), y
+
+
+def test_recall_audit_accepts_sparse_graph_below_k(spark):
+    """r8 ADVICE (low): on a sparse corpus no cell holds k+1 rankable rows,
+    so a correctly built graph's max out-degree is < k — the audit must
+    NOT raise there (the old == check did)."""
+    from fineo_readerator_spark.llm_ops.similarity import (
+        knn_graph,
+        knn_recall_audit,
+    )
+
+    # 3 vectors, k=5: out-degree can never exceed 2
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.9, 0.1]), (10, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    g = knn_graph(tiny, k=5, n_centroids=1, allow_oversized_cells=True)
+    out = knn_recall_audit(tiny, sample_mod=5, k=5, graph=g)
+    assert out.count() > 0
+    # but an explicit smaller built_k still refuses a k mismatch
+    with pytest.raises(ValueError, match="built with k=2"):
+        knn_recall_audit(tiny, sample_mod=5, k=5, graph=g, built_k=2)
 
 
 def test_bpe_incremental_trainer_matches_naive_recount():

@@ -96,7 +96,11 @@ def test_lsh_probe_cells_match_python_replay(spark, rows, n_planes, n_probe):
         ).collect()
     }
     for vid, v in rows:
-        dots = [round(sum(float(a) * float(b) for a, b in zip(v, p)), 9) for p in planes]
+        # _round_half_up, not round(): the replay must use F.round's HALF_UP
+        # semantics or dyadic dot products (exact decimal halves) diverge
+        from fineo_readerator_spark.llm_ops.similarity import _round_half_up
+
+        dots = [_round_half_up(sum(float(a) * float(b) for a, b in zip(v, p))) for p in planes]
         sig = sum(1 << i for i, d in enumerate(dots) if d >= 0)
         order = sorted(range(n_planes), key=lambda i: (abs(dots[i]), i))
         exp = [sig] + [sig ^ (1 << i) for i in order[: n_probe - 1]]
