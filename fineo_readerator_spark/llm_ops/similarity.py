@@ -1605,3 +1605,141 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding corpus —
+    the 4× storage/bandwidth cut an ANN serving tier takes before building
+    IVF/PQ indexes: ``scale_j = max|x_j| / 127`` over the corpus, ``q_j =
+    round(x_j / scale_j)`` clamped to [-127, 127], plus a per-vector
+    ``max_abs_err`` reconstruction audit (``max_j |x_j - q_j·scale_j|``) so
+    the recall cost of quantizing is measurable BEFORE the index builds on
+    top (the same measure-first stance as ``knn_recall_audit``).
+
+    An all-zero dimension has scale 0 and quantizes to 0 with zero error.
+    NULL and non-modal-dimension vectors are excluded (the knn_graph
+    rankability contract).
+
+    Determinism: the division is rounded at 1e-9 (two orders below any
+    fixture magnitude) before the integer round, the error at
+    ``round_digits`` — the repo-standard guard against cross-engine
+    float-rendering drift at tie boundaries.
+
+    Scale shape: ONE posexplode→per-dimension max aggregate (map-side
+    combined, ``dim`` result rows), the dim-sized scales row broadcast
+    back onto the corpus, and quantization itself is a row-local
+    higher-order projection — the corpus never shuffles."""
+    if dim is None:
+        dim = _modal_dim(df, vec_col)
+    corpus = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    ex = corpus.select(F.posexplode(vec_col).alias("__j", "__x"))
+    per_dim = ex.groupBy("__j").agg(
+        F.max(F.abs(F.col("__x").cast("double"))).alias("__m")
+    )
+    scales_row = per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("__j", "__m"))).alias("__sm")
+    ).select(F.transform("__sm", lambda s: s["__m"] / 127.0).alias("__scales"))
+    qerr = F.transform(
+        F.col(vec_col),
+        lambda x, j: F.struct(
+            F.when(F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.round(
+                            F.round(
+                                x.cast("double")
+                                / F.element_at(F.col("__scales"), j + 1),
+                                9,
+                            ),
+                            0,
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .cast("int")
+            .alias("q"),
+            F.abs(
+                x.cast("double")
+                - F.when(F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.lit(-127),
+                        F.least(
+                            F.lit(127),
+                            F.round(
+                                F.round(
+                                    x.cast("double")
+                                    / F.element_at(F.col("__scales"), j + 1),
+                                    9,
+                                ),
+                                0,
+                            ).cast("int"),
+                        ),
+                    )
+                )
+                .cast("double")
+                * F.element_at(F.col("__scales"), j + 1)
+            ).alias("e"),
+        ),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(scales_row))
+        .withColumn("__qe", qerr)
+        .select(
+            F.col(id_col),
+            F.transform("__qe", lambda s: s["q"]).alias("qvec"),
+            F.round(
+                F.array_max(F.transform("__qe", lambda s: s["e"])), round_digits
+            ).alias("max_abs_err"),
+        )
+    )
+
+
+def quantize_int8_oracle_sql(
+    source_sql: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB replay of :func:`quantize_embeddings_int8` — identical scale
+    construction (per-dim max over the same rankable corpus), identical
+    two-stage round and clamp."""
+    qexpr = (
+        f"CASE WHEN scales[CAST(j AS INT)] = 0 THEN 0 "
+        f"ELSE CAST(greatest(-127, least(127, "
+        f"round(round(CAST({vec_col}[CAST(j AS INT)] AS DOUBLE) / scales[CAST(j AS INT)], 9), 0)"
+        f")) AS INT) END"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT {id_col}, {vec_col} FROM ({source_sql})
+  WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+),
+__e AS (
+  SELECT unnest(generate_series(1, len({vec_col}))) AS j,
+         unnest({vec_col}) AS x
+  FROM corpus
+),
+__d AS (SELECT j, max(abs(CAST(x AS DOUBLE))) AS m FROM __e GROUP BY j),
+__s AS (SELECT list(m / 127.0 ORDER BY j) AS scales FROM __d)
+SELECT {id_col},
+       list_transform(generate_series(1, len({vec_col})), j -> {qexpr}) AS qvec,
+       round(list_max(list_transform(generate_series(1, len({vec_col})),
+             j -> abs(CAST({vec_col}[CAST(j AS INT)] AS DOUBLE)
+                      - CAST({qexpr} AS DOUBLE) * scales[CAST(j AS INT)]))),
+             {round_digits}) AS max_abs_err
+FROM corpus, __s
+"""

@@ -775,6 +775,118 @@ FROM s
 """
 
 
+# --- content-defined chunking (rolling-hash boundaries) --------------------
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: split each document at tokens whose
+    portable hash ≡ 0 (mod ``divisor``) — boundaries depend only on local
+    CONTENT, so an insertion re-chunks one chunk instead of shifting every
+    fixed window after it (the FastCDC/rsync property; ``chunk_documents``
+    is the fixed-window complement).  Expected chunk length is ``divisor``
+    tokens.  That stability is what makes chunk-level dedup and incremental
+    RAG indexing possible: edited documents re-embed only the chunks that
+    actually changed.
+
+    One row per chunk: (id, chunk_idx, n_tokens, chunk_text).  A boundary
+    token ENDS its chunk; any tail after the last boundary is a final
+    chunk.  NULL and zero-token documents yield no chunks.
+
+    Determinism: the boundary test is the portable 60-bit md5 leaf
+    (``dedup._md5_long``) mod divisor — pure integer arithmetic the DuckDB
+    oracle replays bit-for-bit.
+
+    Scale shape: entirely ROW-LOCAL — the token array materializes once,
+    boundary positions / span bounds are higher-order functions over it
+    (lambdas touch only their arguments or the materialized column, never a
+    captured unevaluated subtree — the ``dedup.shingles`` lesson), and the
+    chunk rows inline-explode in place.  No shuffle anywhere: chunking
+    parallelizes with the scan, the classic explode→window formulation
+    (corpus-sized exchange on the doc id) is exactly what this avoids."""
+    from fineo_readerator_spark.llm_ops.dedup import _md5_long
+
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t")).filter(
+        F.col("__t").isNotNull() & (F.size("__t") > 0)
+    )
+    n = F.size("__t")
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pmod(_md5_long(F.element_at(F.col("__t"), i)), F.lit(divisor)) == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    # spans are strictly increasing, so only the TAIL span can be empty
+    # (text ending on a boundary) — dropping it never renumbers chunk_idx
+    spans = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda p: p["e"] >= p["s"],
+    )
+    chunks = F.transform(
+        spans,
+        lambda p, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (p["e"] - p["s"] + 1).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__t"), p["s"], p["e"] - p["s"] + 1), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return base.select(F.col(id_col), F.inline(chunks))
+
+
+def cdc_chunks_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> str:
+    """DuckDB replay of :func:`content_defined_chunks` — same portable
+    md5-leaf boundary test, same span construction, same tail-drop rule."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> length(x) > 0)"
+    )
+    # _hexparse's own lambda variable is ``i`` — the outer boundary lambda
+    # must use a distinct name or the inner one shadows it
+    tok_hash = _hexparse("md5(toks[CAST(bi AS INT)])", 1, 15)
+    return f"""
+WITH __t AS (SELECT {id_col} AS id, {toks} AS toks FROM ({source_sql})),
+__t2 AS (SELECT id, toks, len(toks) AS n FROM __t WHERE toks IS NOT NULL AND len(toks) > 0),
+__b AS (
+  SELECT id, toks, n,
+         list_filter(generate_series(1, n), bi -> ({tok_hash}) % {divisor} = 0) AS bpos
+  FROM __t2
+),
+__sp AS (
+  SELECT id, toks,
+         list_concat([CAST(1 AS BIGINT)], list_transform(bpos, b -> b + 1)) AS starts,
+         list_concat(bpos, [n]) AS ends
+  FROM __b
+),
+__ch AS (
+  SELECT id, toks, starts, ends,
+         list_filter(generate_series(1, len(starts)),
+                     c -> ends[CAST(c AS INT)] >= starts[CAST(c AS INT)]) AS keep
+  FROM __sp
+)
+SELECT id AS {id_col},
+       CAST(unnest(generate_series(1, len(keep))) - 1 AS INT) AS chunk_idx,
+       unnest(list_transform(keep,
+              c -> CAST(ends[CAST(c AS INT)] - starts[CAST(c AS INT)] + 1 AS INT))) AS n_tokens,
+       unnest(list_transform(keep,
+              c -> array_to_string(toks[CAST(starts[CAST(c AS INT)] AS INT):CAST(ends[CAST(c AS INT)] AS INT)], ' '))) AS chunk_text
+FROM __ch
+"""
+
+
 # --- corpus-trained bigram LM scoring (CCNet-style perplexity filter) ------
 
 

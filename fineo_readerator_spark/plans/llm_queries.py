@@ -3224,6 +3224,55 @@ def _p_span_corrupt_oracle() -> str:
     )
 
 
+def t_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (llm_ops.textstats.content_defined_chunks):
+    split documents at tokens whose portable hash ≡ 0 (mod 8) — boundaries
+    follow CONTENT, so edits re-chunk locally instead of shifting every
+    fixed window (the FastCDC property; p_chunk_windows is the fixed-stride
+    complement).  Entirely row-local: no shuffle, chunking rides the scan."""
+    from fineo_readerator_spark.llm_ops.textstats import content_defined_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return content_defined_chunks(docs, "doc_id", "text", divisor=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _t_cdc_chunks_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import cdc_chunks_oracle_sql
+
+    return (
+        cdc_chunks_oracle_sql("SELECT doc_id, text FROM documents", divisor=8).rstrip()
+        + "\nORDER BY doc_id, chunk_idx"
+    )
+
+
+def s_embed_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding corpus
+    (llm_ops.similarity.quantize_embeddings_int8) with a per-vector
+    max-abs reconstruction-error audit — the 4× storage cut an ANN tier
+    takes, with the recall cost measured before any index builds on it.
+    One dim-sized aggregate + a broadcast scales row; the corpus never
+    shuffles."""
+    from fineo_readerator_spark.llm_ops.similarity import quantize_embeddings_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb, "vec_id", "embedding", dim=64).orderBy(
+        "vec_id"
+    )
+
+
+def _s_embed_int8_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import quantize_int8_oracle_sql
+
+    return (
+        quantize_int8_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings", dim=64
+        ).rstrip()
+        + "\nORDER BY vec_id"
+    )
+
+
 LLM_QUERIES = [
     QueryDef("d_exact_dedup", d_exact_dedup, D_EXACT_ORACLE, bench=True),
     QueryDef("p_dataset_card", p_dataset_card, _p_dataset_card_oracle()),
@@ -3321,4 +3370,6 @@ LLM_QUERIES = [
     QueryDef("p_temperature_mix", p_temperature_mix, _p_temperature_mix_oracle()),
     QueryDef("t_keywords", t_keywords, _t_keywords_oracle()),
     QueryDef("p_span_corrupt", p_span_corrupt, _p_span_corrupt_oracle()),
+    QueryDef("t_cdc_chunks", t_cdc_chunks, _t_cdc_chunks_oracle()),
+    QueryDef("s_embed_int8", s_embed_int8, _s_embed_int8_oracle()),
 ]

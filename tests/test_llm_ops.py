@@ -2331,3 +2331,118 @@ def test_curriculum_schedule_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchange = sum("Exchange" in l for l in plan.splitlines())
     assert n_exchange == 1, plan
+
+
+# --- content-defined chunking -----------------------------------------------
+
+
+def test_cdc_chunks_reassemble_and_edge_cases(spark):
+    """Chunks concatenated in chunk_idx order must rebuild every document's
+    token stream exactly; NULL/empty docs yield no chunks; divisor=1 makes
+    every token its own chunk."""
+    from fineo_readerator_spark.llm_ops.textstats import content_defined_chunks
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "hello"),
+        (3, None),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(df, divisor=4)
+    re = {
+        r.doc_id: r.re
+        for r in out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk_text"))).getField(
+                    "chunk_text"
+                ),
+                " ",
+            ).alias("re")
+        )
+        .collect()
+    }
+    assert re == {1: rows[0][1], 2: "hello"}  # 3 and 4 yield no chunks
+    ones = content_defined_chunks(df, divisor=1).filter(F.col("doc_id") == 1)
+    got = [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in ones.orderBy("chunk_idx").collect()]
+    assert got == [(i, 1, t) for i, t in enumerate(rows[0][1].split())]
+    with pytest.raises(ValueError, match="divisor"):
+        content_defined_chunks(df, divisor=0)
+
+
+def test_cdc_chunks_boundaries_are_content_local(spark):
+    """The CDC property the operator exists for: prepending tokens to a
+    document must leave every chunk strictly after the first boundary
+    identical — fixed windows would shift all of them."""
+    from fineo_readerator_spark.llm_ops.textstats import content_defined_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    edited = "INSERTED TOKENS " + base
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, edited.strip())], "doc_id long, text string"
+    )
+    out = content_defined_chunks(df, divisor=4)
+    c1 = [r.chunk_text for r in out.filter("doc_id = 1").orderBy("chunk_idx").collect()]
+    c2 = [r.chunk_text for r in out.filter("doc_id = 2").orderBy("chunk_idx").collect()]
+    assert len(c1) > 2  # the fixture actually chunks
+    # all chunks after the first (edit-bearing) region realign exactly
+    assert c1[1:] == c2[len(c2) - len(c1) + 1 :]
+
+
+def test_cdc_chunks_plan_is_shuffle_free(spark):
+    """Chunking must ride the scan: no Exchange anywhere in the plan."""
+    from fineo_readerator_spark.llm_ops.textstats import content_defined_chunks
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        content_defined_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+
+def test_quantize_int8_bounds_and_zero_dim(spark):
+    """q stays in [-127,127] with the corpus max hitting ±127 exactly; an
+    all-zero dimension quantizes to 0 with zero error; reconstruction
+    error is bounded by half the largest scale; dirty rows are excluded."""
+    from fineo_readerator_spark.llm_ops.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [2.0, 0.0, -1.27]),
+        (2, [-4.0, 0.0, 0.635]),
+        (3, None),
+        (4, [1.0]),  # wrong dim: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    assert set(out) == {1, 2}
+    # dim 0: maxabs 4 -> scale 4/127; x=2 -> 63.5 -> 64 (half-up); x=-4 -> -127
+    assert out[1].qvec[0] == 64 and out[2].qvec[0] == -127
+    # dim 1 all zero: q 0, contributes 0 error
+    assert out[1].qvec[1] == 0 and out[2].qvec[1] == 0
+    # dim 2: maxabs 1.27 -> scale 0.01; ±127, 63.5 -> 64 half-up
+    assert out[1].qvec[2] == -127 and out[2].qvec[2] == 64
+    max_scale = 4.0 / 127.0
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert r.max_abs_err <= max_scale / 2 + 1e-9
+
+
+def test_quantize_int8_corpus_never_shuffles(spark):
+    """The only exchanges allowed are the dim-sized aggregate feeding the
+    broadcast scales row — the corpus-side projection itself must carry
+    no Exchange above its scan."""
+    from fineo_readerator_spark.llm_ops.similarity import quantize_embeddings_int8
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7).cast("float") for _ in range(4)]).alias("embedding"),
+    )
+    out = quantize_embeddings_int8(df, dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast of the scales row, never a shuffle join of the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
