@@ -266,11 +266,13 @@ def _cap_vocab(dfreq: DataFrame, min_df: int, max_vocab: int | None) -> DataFram
 
 
 def _maybe_broadcast(dfreq: DataFrame, min_df: int, max_vocab: int | None) -> DataFrame:
-    """Broadcast the df table only when a vocabulary bound is in force.
-    An UNBOUNDED per-term table is |vocabulary| rows — billions at web
-    scale — and a forced broadcast of it is a driver OOM, not a slowdown;
-    leave the strategy to AQE's measured sizes instead (r8 verdict)."""
-    return F.broadcast(dfreq) if (min_df > 1 or max_vocab is not None) else dfreq
+    """Broadcast the df table only when a HARD vocabulary bound is in force
+    — that means ``max_vocab`` alone: ``min_df`` merely drops sub-threshold
+    terms and the remainder is still O(|vocabulary|) rows at corpus scale,
+    so forcing a broadcast on it is the same driver-OOM hazard as the
+    unbounded case (r9 review).  Everything unbounded is left to AQE's
+    measured sizes (r8 verdict)."""
+    return F.broadcast(dfreq) if max_vocab is not None else dfreq
 
 
 def tfidf_cosine_pairs(

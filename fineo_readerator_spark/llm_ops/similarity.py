@@ -121,10 +121,18 @@ def _round_half_up(x: float, digits: int = 9) -> float:
     Plain ``round()`` is banker's (HALF_EVEN) over the exact binary value —
     it disagrees at exact decimal halves (dyadic doubles like 1/1024 =
     0.0009765625 at digits=9), so every driver-computed value that must
-    match an executor/oracle F.round goes through this instead (r8 ADVICE)."""
-    from decimal import ROUND_HALF_UP, Decimal
+    match an executor/oracle F.round goes through this instead (r8 ADVICE).
+    Runs under a widened decimal context: quantizing a magnitude ≥ 1e19 to
+    9 fraction digits needs > 28 significant digits and would raise
+    InvalidOperation under the default 28-digit context (r9 review); 340
+    digits cover the full double range (max exponent 308) + the fraction."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+    with localcontext() as ctx:
+        ctx.prec = 340
+        return float(
+            Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
+        )
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -1220,6 +1228,21 @@ def knn_recall_audit(
                     "pass built_k from the layout's _params.json, or rebuild "
                     "the layout at the desired k"
                 )
+            if max_deg < k:
+                # a dense smaller-k build and a sparse same-k build are
+                # indistinguishable by degree — the audit proceeds (sparse
+                # corpora are legal, r8 ADVICE) but the ambiguity is loud:
+                # a smaller-k build here would silently deflate recall
+                import warnings
+
+                warnings.warn(
+                    f"knn_recall_audit: stored graph's max out-degree is "
+                    f"{max_deg} < recall@{k}; if the graph was built with a "
+                    f"smaller k (not just a sparse corpus), recall will read "
+                    "deflated — pass built_k from the layout's _params.json "
+                    "to assert the build parameters",
+                    stacklevel=2,
+                )
     approx = graph.filter((F.col(id_col) % sample_mod) == 0).select(
         F.col(id_col).alias("__qid"), F.col("nbr_id").alias("__nbr")
     )
@@ -1648,61 +1671,48 @@ def quantize_embeddings_int8(
     scales_row = per_dim.agg(
         F.sort_array(F.collect_list(F.struct("__j", "__m"))).alias("__sm")
     ).select(F.transform("__sm", lambda s: s["__m"] / 127.0).alias("__scales"))
-    qerr = F.transform(
+    # quantize ONCE into a materialized column, then derive the error by
+    # zipping the original vector with the computed q — Catalyst does no CSE
+    # inside HOF lambdas, so inlining the clamp/round tree into the error
+    # term would execute it twice per element (r9 review)
+    qexpr = F.transform(
         F.col(vec_col),
-        lambda x, j: F.struct(
-            F.when(F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0))
-            .otherwise(
-                F.greatest(
-                    F.lit(-127),
-                    F.least(
-                        F.lit(127),
+        lambda x, j: F.when(
+            F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0)
+        )
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(
                         F.round(
-                            F.round(
-                                x.cast("double")
-                                / F.element_at(F.col("__scales"), j + 1),
-                                9,
-                            ),
-                            0,
-                        ).cast("int"),
-                    ),
-                )
-            )
-            .cast("int")
-            .alias("q"),
-            F.abs(
-                x.cast("double")
-                - F.when(F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0))
-                .otherwise(
-                    F.greatest(
-                        F.lit(-127),
-                        F.least(
-                            F.lit(127),
-                            F.round(
-                                F.round(
-                                    x.cast("double")
-                                    / F.element_at(F.col("__scales"), j + 1),
-                                    9,
-                                ),
-                                0,
-                            ).cast("int"),
+                            x.cast("double")
+                            / F.element_at(F.col("__scales"), j + 1),
+                            9,
                         ),
-                    )
-                )
-                .cast("double")
-                * F.element_at(F.col("__scales"), j + 1)
-            ).alias("e"),
+                        0,
+                    ).cast("int"),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    errs = F.transform(
+        F.col(vec_col),
+        lambda x, j: F.abs(
+            x.cast("double")
+            - F.element_at(F.col("qvec"), j + 1).cast("double")
+            * F.element_at(F.col("__scales"), j + 1)
         ),
     )
     return (
         corpus.crossJoin(F.broadcast(scales_row))
-        .withColumn("__qe", qerr)
+        .withColumn("qvec", qexpr)
         .select(
             F.col(id_col),
-            F.transform("__qe", lambda s: s["q"]).alias("qvec"),
-            F.round(
-                F.array_max(F.transform("__qe", lambda s: s["e"])), round_digits
-            ).alias("max_abs_err"),
+            "qvec",
+            F.round(F.array_max(errs), round_digits).alias("max_abs_err"),
         )
     )
 

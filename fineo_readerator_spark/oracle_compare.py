@@ -81,6 +81,9 @@ _DUCK_SIMPLE = {
     "date": "date",
     "timestamp": "timestamp",
     "timestamp with time zone": "timestamp",
+    "timestamp_s": "timestamp",
+    "timestamp_ms": "timestamp",
+    "timestamp_ns": "timestamp",
     '"null"': "null",
     "sqlnull": "null",
 }

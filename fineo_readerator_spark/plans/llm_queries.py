@@ -992,9 +992,13 @@ def _nearest_cells(
     """The ``n_probe`` nearest codebook cells to a query vector — THE probe
     derivation for every layout-backed ANN family (seeded and
     kmeans-refined): squared euclidean rounded at 1e-9 with the cell id as
-    tie-break, the identical contract the oracles unroll."""
+    tie-break, the identical contract the oracles unroll.  HALF_UP via
+    ``_round_half_up`` — the oracle recomputes these distances with SQL
+    round, and Python round() is banker's (diverges at dyadic halves)."""
+    from fineo_readerator_spark.llm_ops.similarity import _round_half_up
+
     qd = sorted(
-        (round(sum((float(q) - s) ** 2 for q, s in zip(qv, sv)), 9), cid)
+        (_round_half_up(sum((float(q) - s) ** 2 for q, s in zip(qv, sv))), cid)
         for cid, sv in cents
     )
     return [cid for _, cid in qd[:n_probe]]
@@ -1354,10 +1358,14 @@ def s_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = kmeans_refine(
         load(spark, sf_dir, "embeddings"), n_centroids=8, n_iters=2
     )
+    from fineo_readerator_spark.llm_ops.similarity import _round_half_up
+
+    # HALF_UP, not round(): the oracle's sep CTE recomputes these with SQL
+    # round, which disagrees with banker's rounding at dyadic decimal halves
     sep: dict[int, float] = {}
     for cid, v in cents:
         sep[cid] = min(
-            round(sum((a - b) ** 2 for a, b in zip(v, w)), 9)
+            _round_half_up(sum((a - b) ** 2 for a, b in zip(v, w)))
             for cid2, w in cents
             if cid2 != cid
         )

@@ -1045,6 +1045,10 @@ def test_round_half_up_matches_spark_round_at_dyadic_halves(spark):
     for y in (0.1234567894, -0.5, 1.5e-10, -1.0 / 1024.0):
         gr = spark.createDataFrame([(y,)], "v double").selectExpr("round(v, 9) r").first().r
         assert gr == _round_half_up(y), y
+    # huge magnitudes must not raise (default decimal context overflows at
+    # ~1e19 significant digits; r9 review) and must round-trip unchanged
+    for y in (1e19, -3.5e20, 1.7976931348623157e308):
+        assert _round_half_up(y) == y
 
 
 def test_recall_audit_accepts_sparse_graph_below_k(spark):
@@ -1992,17 +1996,18 @@ def test_tfidf_dfreq_broadcast_only_when_vocab_bounded(spark):
     def hints(sdf):
         return sdf._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
-    # unit contract: unbounded -> the frame itself (no hint node); bounded ->
-    # one broadcast hint wrapping it
+    # unit contract: only a HARD bound (max_vocab) earns the hint — min_df
+    # alone leaves the table O(|vocabulary|) (hapax removal is not a bound)
     dfreq = df.selectExpr("text as __term", "doc_id as __df")
     assert _maybe_broadcast(dfreq, 1, None) is dfreq
-    assert hints(_maybe_broadcast(dfreq, 2, None)) == 1
+    assert _maybe_broadcast(dfreq, 2, None) is dfreq
     assert hints(_maybe_broadcast(dfreq, 1, 100)) == 1
     # integration (keyword_topk's final plan is not lineage-cut above the
     # join, so the hint census is visible end-to-end; tfidf's is hidden
     # behind the weighted localCheckpoint): n_docs' single-row hint only
     assert hints(keyword_topk(df, "doc_id", "text")) == 1
-    assert hints(keyword_topk(df, "doc_id", "text", min_df=2)) == 2
+    assert hints(keyword_topk(df, "doc_id", "text", min_df=2)) == 1
+    assert hints(keyword_topk(df, "doc_id", "text", max_vocab=50)) == 2
     # result unchanged by unhinting
     assert tfidf_cosine_pairs(df, "doc_id", "text", ["grp"]).count() == 1
 
