@@ -304,26 +304,26 @@ def bpe_cte_parts(
     ``s{t}`` to NULL symbol lists, whose pairs vanish under
     ``len(syms) >= 2`` — matching the driver-local early stop."""
     parts = [
-        f"__w AS (SELECT w, count(*) AS f FROM (SELECT unnest({_oracle_toks(text_col)}) AS w"
+        f"__w AS MATERIALIZED (SELECT w, count(*) AS f FROM (SELECT unnest({_oracle_toks(text_col)}) AS w"
         f" FROM ({corpus_sql})) GROUP BY w)",
-        f"__wcap AS (SELECT w, f FROM __w ORDER BY f DESC, w ASC LIMIT {vocab_size})",
-        "s0 AS (SELECT f, regexp_extract_all(w, '.') AS syms FROM __wcap)",
+        f"__wcap AS MATERIALIZED (SELECT w, f FROM __w ORDER BY f DESC, w ASC LIMIT {vocab_size})",
+        "s0 AS MATERIALIZED (SELECT f, regexp_extract_all(w, '.') AS syms FROM __wcap)",
     ]
     prev = "s0"
     for t in range(1, n_merges + 1):
         parts.append(
-            f"""p{t} AS (
+            f"""p{t} AS MATERIALIZED (
   SELECT syms[i] AS l, syms[i + 1] AS r, sum(f) AS c
   FROM {prev}, unnest(generate_series(1, len(syms) - 1)) u(i)
   WHERE len(syms) >= 2 GROUP BY 1, 2
 )"""
         )
-        parts.append(f"b{t} AS (SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1)")
+        parts.append(f"b{t} AS MATERIALIZED (SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1)")
         if t < n_merges:
             applied = _oracle_merge_apply(
                 "syms", f"(SELECT l FROM b{t})", f"(SELECT r FROM b{t})"
             )
-            parts.append(f"s{t} AS (SELECT f, {applied} AS syms FROM {prev})")
+            parts.append(f"s{t} AS MATERIALIZED (SELECT f, {applied} AS syms FROM {prev})")
             prev = f"s{t}"
     return parts
 
@@ -360,22 +360,22 @@ def bpe_fertility_oracle_sql(
     early-stopped training (empty ``b{t}``) passes symbols through
     unchanged."""
     parts = [
-        f"__wl AS (SELECT grp, w, count(*) AS f FROM"
+        f"__wl AS MATERIALIZED (SELECT grp, w, count(*) AS f FROM"
         f" (SELECT {group_col} AS grp, unnest({_oracle_toks(text_col)}) AS w"
         f" FROM ({corpus_sql})) GROUP BY grp, w)",
     ]
     # training chain on corpus-level freqs derived from __wl
     train = bpe_cte_parts(corpus_sql, text_col, n_merges, vocab_size)
-    train[0] = "__w AS (SELECT w, sum(f) AS f FROM __wl GROUP BY w)"
+    train[0] = "__w AS MATERIALIZED (SELECT w, sum(f) AS f FROM __wl GROUP BY w)"
     parts.extend(train)
-    parts.append("e0 AS (SELECT grp, f, regexp_extract_all(w, '.') AS syms FROM __wl)")
+    parts.append("e0 AS MATERIALIZED (SELECT grp, f, regexp_extract_all(w, '.') AS syms FROM __wl)")
     prev = "e0"
     for t in range(1, n_merges + 1):
         applied = _oracle_merge_apply(
             "syms", f"(SELECT l FROM b{t})", f"(SELECT r FROM b{t})"
         )
         parts.append(
-            f"""e{t} AS (
+            f"""e{t} AS MATERIALIZED (
   SELECT grp, f,
          CASE WHEN (SELECT count(*) FROM b{t}) = 0 THEN syms ELSE {applied} END AS syms
   FROM {prev}

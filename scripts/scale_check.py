@@ -437,6 +437,12 @@ def main() -> None:
         # per-doc hash bits + two windows on one (id, pos) ordering:
         # row-local, corpus-linear
         "p_span_corrupt": QUERIES["p_span_corrupt"].fn,
+        # row-local HOF chunking with ZERO shuffle (plan-pinned in tests):
+        # must be exactly corpus-linear
+        "t_cdc_chunks": QUERIES["t_cdc_chunks"].fn,
+        # one dim-sized per-dimension max agg + a broadcast scales row;
+        # the corpus-side quantization never shuffles
+        "s_embed_int8": QUERIES["s_embed_int8"].fn,
     }
 
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE), "10x")))
