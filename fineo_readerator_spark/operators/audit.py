@@ -118,3 +118,70 @@ def audit_report(*parts: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_RESULT_COLS).orderBy("table_name", "check_name")
+
+
+def column_profile(
+    df: DataFrame, table_name: str, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-column profiling report — the first thing a pipeline looks at
+    on an unfamiliar table (and the statistics a quality gate's thresholds
+    are calibrated FROM): for every column, null count, exact distinct
+    count, and min/max rendered as strings (min/max taken on the NATIVE
+    type — casting before the aggregate would order numerics
+    lexicographically).
+
+    One row per column: (table_name, col_name, n_nulls, n_distinct,
+    min_val, max_val).
+
+    Scale shape: ONE aggregate pass — all per-column aggregates fold into
+    a single map-side-combined reduction to one row, then a row-local
+    ``stack`` unpivot (the row_checks pattern).  The exact
+    count-distincts make Catalyst EXPAND the input ×C before the partial
+    aggregate, which is the honest cost of exactness on a wide table; at
+    100 TB profile a column subset, or trade exactness for
+    ``approx_count_distinct`` (not oracle-replayable, so the registered
+    query stays exact)."""
+    cols = cols or df.columns
+    if not cols:
+        raise ValueError("column_profile needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__c{i}"),
+            F.count_distinct(F.col(c)).alias(f"__d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__lo{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__hi{i}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __total - __c{i}, __d{i}, __lo{i}, __hi{i}"
+        for i, c in enumerate(cols)
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        "col_name",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+def column_profile_oracle_sql(
+    source_sql: str, table_name: str, cols: list[str]
+) -> str:
+    """DuckDB replay of :func:`column_profile` — one UNION ALL branch per
+    column (the oracle pays C scans so the Spark side can be checked at
+    its one-pass shape)."""
+    branches = [
+        f"""SELECT '{table_name}' AS table_name, '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM ({source_sql})"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(branches)

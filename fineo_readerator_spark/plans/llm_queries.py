@@ -3232,6 +3232,38 @@ def _p_span_corrupt_oracle() -> str:
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over orders (operators.audit.
+    column_profile): null count, exact distinct count, native-typed
+    min/max rendered as strings — the statistics a quality gate's
+    thresholds are calibrated from.  ONE aggregate pass Spark-side
+    (all columns fold into a single map-side-combined reduction + a
+    row-local stack unpivot); the oracle pays a scan per column instead."""
+    from fineo_readerator_spark.operators.audit import column_profile
+
+    orders = load(spark, sf_dir, "orders")
+    return column_profile(orders, "orders", _PROFILE_COLS).orderBy("col_name")
+
+
+def _q_column_profile_oracle() -> str:
+    from fineo_readerator_spark.operators.audit import column_profile_oracle_sql
+
+    return (
+        column_profile_oracle_sql("SELECT * FROM orders", "orders", _PROFILE_COLS)
+        + "\nORDER BY col_name"
+    )
+
+
 def t_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (llm_ops.textstats.content_defined_chunks):
     split documents at tokens whose portable hash ≡ 0 (mod 8) — boundaries
@@ -3380,4 +3412,5 @@ LLM_QUERIES = [
     QueryDef("p_span_corrupt", p_span_corrupt, _p_span_corrupt_oracle()),
     QueryDef("t_cdc_chunks", t_cdc_chunks, _t_cdc_chunks_oracle()),
     QueryDef("s_embed_int8", s_embed_int8, _s_embed_int8_oracle()),
+    QueryDef("q_column_profile", q_column_profile, _q_column_profile_oracle()),
 ]

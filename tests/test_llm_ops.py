@@ -2451,3 +2451,25 @@ def test_quantize_int8_corpus_never_shuffles(spark):
     # broadcast of the scales row, never a shuffle join of the corpus
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_column_profile_single_pass_and_errors(spark):
+    """All per-column statistics must come from ONE aggregate over ONE scan
+    (a stack unpivot, never a per-column union of scans), and min/max must
+    aggregate the native type, not its string rendering."""
+    from fineo_readerator_spark.operators.audit import column_profile
+
+    df = spark.createDataFrame(
+        [(9, None), (10, "b"), (None, "a")], "n long, s string"
+    )
+    out = {r.col_name: r for r in column_profile(df, "t").collect()}
+    # native-typed min/max: 9 < 10 numerically (lexically '10' < '9')
+    assert (out["n"].min_val, out["n"].max_val) == ("9", "10")
+    assert (out["n"].n_nulls, out["n"].n_distinct) == (1, 2)
+    assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
+    plan = column_profile(df, "t")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1 and "Union" not in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one column"):
+        column_profile(df.select([]), "t")
