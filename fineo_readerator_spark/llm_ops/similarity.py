@@ -1633,6 +1633,48 @@ def embedding_near_dup_pairs(
 # --- int8 embedding quantization --------------------------------------------
 
 
+def _int8_scales_row(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """Single-row frame holding ``__scales`` = per-dimension ``max|x|/127``
+    over the corpus: one posexplode → dim-sized max aggregate, collapsed to
+    one sorted array (dim-sized collect inside the plan, not the driver)."""
+    ex = corpus.select(F.posexplode(vec_col).alias("__j", "__x"))
+    per_dim = ex.groupBy("__j").agg(
+        F.max(F.abs(F.col("__x").cast("double"))).alias("__m")
+    )
+    return per_dim.agg(
+        F.sort_array(F.collect_list(F.struct("__j", "__m"))).alias("__sm")
+    ).select(F.transform("__sm", lambda s: s["__m"] / 127.0).alias("__scales"))
+
+
+def _q8_elem(x: Column, scale: Column) -> Column:
+    """One element's symmetric int8 quantization against its dimension
+    scale: 1e-9-rounded division, integer HALF_UP round, clamp to ±127;
+    an all-zero dimension (scale 0) quantizes to 0."""
+    return (
+        F.when(scale == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(F.round(x.cast("double") / scale, 9), 0).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+    )
+
+
+def _q8_sql(elem: str, scale: str = "scales[CAST(j AS INT)]") -> str:
+    """DuckDB replay of :func:`_q8_elem`."""
+    return (
+        f"CASE WHEN {scale} = 0 THEN 0 "
+        f"ELSE CAST(greatest(-127, least(127, "
+        f"round(round(CAST({elem} AS DOUBLE) / {scale}, 9), 0)"
+        f")) AS INT) END"
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1664,39 +1706,14 @@ def quantize_embeddings_int8(
     if dim is None:
         dim = _modal_dim(df, vec_col)
     corpus = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
-    ex = corpus.select(F.posexplode(vec_col).alias("__j", "__x"))
-    per_dim = ex.groupBy("__j").agg(
-        F.max(F.abs(F.col("__x").cast("double"))).alias("__m")
-    )
-    scales_row = per_dim.agg(
-        F.sort_array(F.collect_list(F.struct("__j", "__m"))).alias("__sm")
-    ).select(F.transform("__sm", lambda s: s["__m"] / 127.0).alias("__scales"))
+    scales_row = _int8_scales_row(corpus, vec_col)
     # quantize ONCE into a materialized column, then derive the error by
     # zipping the original vector with the computed q — Catalyst does no CSE
     # inside HOF lambdas, so inlining the clamp/round tree into the error
     # term would execute it twice per element (r9 review)
     qexpr = F.transform(
         F.col(vec_col),
-        lambda x, j: F.when(
-            F.element_at(F.col("__scales"), j + 1) == 0, F.lit(0)
-        )
-        .otherwise(
-            F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.round(
-                        F.round(
-                            x.cast("double")
-                            / F.element_at(F.col("__scales"), j + 1),
-                            9,
-                        ),
-                        0,
-                    ).cast("int"),
-                ),
-            )
-        )
-        .cast("int"),
+        lambda x, j: _q8_elem(x, F.element_at(F.col("__scales"), j + 1)),
     )
     errs = F.transform(
         F.col(vec_col),
@@ -1727,12 +1744,7 @@ def quantize_int8_oracle_sql(
     """DuckDB replay of :func:`quantize_embeddings_int8` — identical scale
     construction (per-dim max over the same rankable corpus), identical
     two-stage round and clamp."""
-    qexpr = (
-        f"CASE WHEN scales[CAST(j AS INT)] = 0 THEN 0 "
-        f"ELSE CAST(greatest(-127, least(127, "
-        f"round(round(CAST({vec_col}[CAST(j AS INT)] AS DOUBLE) / scales[CAST(j AS INT)], 9), 0)"
-        f")) AS INT) END"
-    )
+    qexpr = _q8_sql(f"{vec_col}[CAST(j AS INT)]")
     return f"""
 WITH corpus AS (
   SELECT {id_col}, {vec_col} FROM ({source_sql})
@@ -1752,4 +1764,103 @@ SELECT {id_col},
                       - CAST({qexpr} AS DOUBLE) * scales[CAST(j AS INT)]))),
              {round_digits}) AS max_abs_err
 FROM corpus, __s
+"""
+
+
+def ann_int8_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact top-k by INTEGER int8 inner product: corpus and query quantize
+    against the same per-dimension scales (:func:`_q8_elem`), the score is
+    a pure int64 dot of int8 values — the arithmetic a SIMD int8 serving
+    tier runs, and the accuracy trade :func:`quantize_embeddings_int8`'s
+    error audit prices.  Unlike the float-cosine rankers, the score and
+    therefore the RANKING are exact integers: no rounding convention, no
+    cross-engine float hazard anywhere past quantization.
+
+    Scale shape: one dim-sized scales aggregate broadcast back, then a
+    single narrow projection + TakeOrdered top-k (per-partition k-row
+    heaps) — the corpus never shuffles.  |dot| ≤ dim·127² (~10⁶ at
+    dim 64), far inside int64."""
+    if dim is None:
+        dim = _modal_dim(df, vec_col)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} dims but the corpus dimension is {dim}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    corpus = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    scales_row = _int8_scales_row(corpus, vec_col)
+    qlit = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    with_scales = corpus.crossJoin(F.broadcast(scales_row))
+    q_corpus = F.transform(
+        F.col(vec_col), lambda x, j: _q8_elem(x, F.element_at(F.col("__scales"), j + 1))
+    )
+    q_query = F.transform(
+        qlit, lambda x, j: _q8_elem(x, F.element_at(F.col("__scales"), j + 1))
+    )
+    dot = F.aggregate(
+        F.zip_with(q_corpus, q_query, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        with_scales.select(F.col(id_col), dot.alias("dot_int8"))
+        .orderBy(F.desc("dot_int8"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_int8_oracle_sql(
+    source_sql: str,
+    query_vec: list[float] | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    query_arr_sql: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`ann_int8_topk` — same scales, same
+    quantization of both sides, BIGINT dot, (dot DESC, id ASC) top-k.
+    The query comes either as a literal float list or as ``query_arr_sql``
+    (a scalar-subquery array expression, so registry oracles stay static
+    strings that never read data at build time)."""
+    if (query_vec is None) == (query_arr_sql is None):
+        raise ValueError("pass exactly one of query_vec / query_arr_sql")
+    if query_vec is not None:
+        qarr = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]::DOUBLE[]"
+    else:
+        qarr = f"CAST({query_arr_sql} AS DOUBLE[])"
+    return f"""
+WITH corpus AS (
+  SELECT {id_col}, {vec_col} FROM ({source_sql})
+  WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+),
+__e AS (
+  SELECT unnest(generate_series(1, len({vec_col}))) AS j,
+         unnest({vec_col}) AS x
+  FROM corpus
+),
+__d AS (SELECT j, max(abs(CAST(x AS DOUBLE))) AS m FROM __e GROUP BY j),
+__s AS (SELECT list(m / 127.0 ORDER BY j) AS scales FROM __d),
+-- the query array must be a plain COLUMN before it enters a lambda:
+-- DuckDB rejects subqueries inside lambda expressions
+__qa AS (SELECT {qarr} AS qa),
+__qq AS (
+  SELECT list_transform(generate_series(1, {dim}),
+         j -> {_q8_sql("qa[CAST(j AS INT)]")}) AS qv
+  FROM __s, __qa
+)
+SELECT {id_col},
+       CAST(list_sum(list_transform(generate_series(1, {dim}),
+            j -> CAST({_q8_sql(f"{vec_col}[CAST(j AS INT)]")} AS BIGINT)
+                 * CAST(qv[CAST(j AS INT)] AS BIGINT))) AS BIGINT) AS dot_int8
+FROM corpus, __s, __qq
+ORDER BY dot_int8 DESC, {id_col} LIMIT {k}
 """

@@ -887,6 +887,54 @@ FROM __ch
 """
 
 
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Chunk-level exact dedup over content-defined chunks — the pipeline
+    :func:`content_defined_chunks` exists to enable: because boundaries are
+    content-local, a paragraph duplicated across documents (or surviving an
+    edit) lands in IDENTICAL chunks, so one hash pass removes it from every
+    copy; fixed windows would only dedup exact whole-window alignments.
+    Keeps the FIRST occurrence of each distinct chunk text in (id,
+    chunk_idx) order and returns surviving chunk rows.
+
+    Scale shape: the chunking is row-local (zero shuffle); dedup is ONE
+    hash shuffle partitioned by md5(chunk_text) with ``row_number() = 1``
+    (WindowGroupLimit keeps one row per hash per mapper, the exact_dedup
+    shape — the shuffle carries ~one row per distinct chunk per mapper,
+    not the corpus)."""
+    from pyspark.sql.window import Window
+
+    chunks = content_defined_chunks(df, id_col, text_col, divisor)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(id_col, "chunk_idx")
+    return (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_chunk_dedup_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> str:
+    """DuckDB replay of :func:`cdc_chunk_dedup` — the chunk oracle as a
+    subquery, then the same first-occurrence window."""
+    chunks = cdc_chunks_oracle_sql(source_sql, id_col, text_col, divisor)
+    return f"""
+SELECT {id_col}, chunk_idx, n_tokens, chunk_text FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                               ORDER BY {id_col}, chunk_idx) AS rn
+  FROM ({chunks})
+) WHERE rn = 1
+"""
+
+
 # --- corpus-trained bigram LM scoring (CCNet-style perplexity filter) ------
 
 

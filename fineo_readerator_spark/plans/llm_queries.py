@@ -3287,6 +3287,56 @@ def _t_cdc_chunks_oracle() -> str:
     )
 
 
+def d_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup over content-defined chunks (llm_ops.
+    textstats.cdc_chunk_dedup): content-local boundaries make duplicated
+    paragraphs land in identical chunks across documents, so ONE hash
+    shuffle removes them from every copy — the composition t_cdc_chunks
+    exists for."""
+    from fineo_readerator_spark.llm_ops.textstats import cdc_chunk_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, "doc_id", "text", divisor=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _d_cdc_chunk_dedup_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import cdc_chunk_dedup_oracle_sql
+
+    return (
+        cdc_chunk_dedup_oracle_sql(
+            "SELECT doc_id, text FROM documents", divisor=8
+        ).rstrip()
+        + "\nORDER BY doc_id, chunk_idx"
+    )
+
+
+def s_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by INTEGER int8 inner product to the vec_id=0 embedding
+    (llm_ops.similarity.ann_int8_topk): corpus and query quantize against
+    the same per-dimension scales, the score is an exact int64 dot of
+    int8 values — the SIMD serving-tier arithmetic, with a ranking that
+    is deterministic by construction (no float rounding convention
+    anywhere past quantization)."""
+    from fineo_readerator_spark.llm_ops.similarity import ann_int8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_int8_topk(emb.filter(F.col("vec_id") != 0), qv, k=10, dim=64)
+
+
+def _s_ann_int8_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.similarity import ann_int8_oracle_sql
+
+    return ann_int8_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0",
+        k=10,
+        dim=64,
+        query_arr_sql="(SELECT embedding FROM embeddings WHERE vec_id = 0)",
+    )
+
+
 def s_embed_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dimension int8 quantization of the embedding corpus
     (llm_ops.similarity.quantize_embeddings_int8) with a per-vector
@@ -3413,4 +3463,6 @@ LLM_QUERIES = [
     QueryDef("t_cdc_chunks", t_cdc_chunks, _t_cdc_chunks_oracle()),
     QueryDef("s_embed_int8", s_embed_int8, _s_embed_int8_oracle()),
     QueryDef("q_column_profile", q_column_profile, _q_column_profile_oracle()),
+    QueryDef("d_cdc_chunk_dedup", d_cdc_chunk_dedup, _d_cdc_chunk_dedup_oracle()),
+    QueryDef("s_ann_int8", s_ann_int8, _s_ann_int8_oracle()),
 ]

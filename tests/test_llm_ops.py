@@ -2473,3 +2473,49 @@ def test_column_profile_single_pass_and_errors(spark):
 
     with _pytest.raises(ValueError, match="at least one column"):
         column_profile(df.select([]), "t")
+
+
+def test_cdc_chunk_dedup_removes_cross_doc_duplicates(spark):
+    """A paragraph duplicated in a second document lands in identical
+    content-defined chunks, so first-occurrence dedup keeps it only in the
+    lower (doc_id, chunk_idx) and the unique material in both docs
+    survives."""
+    from fineo_readerator_spark.llm_ops.textstats import cdc_chunk_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    df = spark.createDataFrame(
+        [(1, (shared + "unique one tail").strip()),
+         (2, ("prefix two " + shared).strip())],
+        "doc_id long, text string",
+    )
+    out = cdc_chunk_dedup(df, divisor=4).collect()
+    texts = {(r.doc_id, r.chunk_text) for r in out}
+    # every surviving chunk text is globally unique
+    assert len({r.chunk_text for r in out}) == len(out)
+    # doc 2 keeps at least its unique prefix material
+    assert any(d == 2 and "two" in t for d, t in texts)
+    # the shared run survives somewhere exactly once
+    joined = " ".join(r.chunk_text for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)))
+    assert "alpha beta gamma" in joined
+
+
+def test_ann_int8_ranks_by_integer_dot(spark):
+    """Hand-checked integer ranking, clamp symmetry, and validation."""
+    from fineo_readerator_spark.llm_ops.similarity import ann_int8_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, [127.0, 0.0]),    # maxabs dim0 -> q [127, 0]
+            (2, [-127.0, 0.0]),   # q [-127, 0]
+            (3, [63.5, 63.5]),    # q [64, 64] (half-up)
+            (4, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = [(r.vec_id, r.dot_int8) for r in ann_int8_topk(df, [127.0, 0.0], k=3).collect()]
+    # scales: dim0 127/127=1, dim1 63.5/127=0.5; query q=[127,0]
+    assert out == [(1, 127 * 127), (3, 64 * 127), (2, -127 * 127)]
+    with pytest.raises(ValueError, match="dims"):
+        ann_int8_topk(df, [1.0, 2.0, 3.0], k=1, dim=2)
+    with pytest.raises(ValueError, match="k must be"):
+        ann_int8_topk(df, [1.0, 2.0], k=0, dim=2)
