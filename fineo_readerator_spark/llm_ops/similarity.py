@@ -1649,15 +1649,19 @@ def _int8_scales_row(corpus: DataFrame, vec_col: str) -> DataFrame:
 def _q8_elem(x: Column, scale: Column) -> Column:
     """One element's symmetric int8 quantization against its dimension
     scale: 1e-9-rounded division, integer HALF_UP round, clamp to ±127;
-    an all-zero dimension (scale 0) quantizes to 0."""
+    an all-zero dimension (scale 0) quantizes to 0.  The clamp applies to
+    the DOUBLE, before the int cast — an ann_int8 QUERY component can lie
+    far outside the corpus range its scale was fit on, and casting the
+    unclamped quotient overflows under ANSI (r9 fuzzer catch; the DuckDB
+    replay already clamped first)."""
     return (
         F.when(scale == 0, F.lit(0))
         .otherwise(
             F.greatest(
-                F.lit(-127),
+                F.lit(-127.0),
                 F.least(
-                    F.lit(127),
-                    F.round(F.round(x.cast("double") / scale, 9), 0).cast("int"),
+                    F.lit(127.0),
+                    F.round(F.round(x.cast("double") / scale, 9), 0),
                 ),
             )
         )

@@ -681,3 +681,42 @@ def test_bpe_fertility_matches_duckdb(spark, docs, n_merges):
         key=key,
     )
     assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus, divisor=st.sampled_from([1, 2, 5, 16]))
+def test_cdc_chunks_match_duckdb(spark, docs, divisor):
+    """Content-defined chunking replays bit-for-bit in DuckDB across random
+    corpora (NULL/empty docs, every divisor regime), and surviving chunks
+    reassemble each document's token stream exactly."""
+    from fineo_readerator_spark.llm_ops.textstats import (
+        cdc_chunks_oracle_sql,
+        content_defined_chunks,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = content_defined_chunks(df, divisor=divisor)
+    got = sorted(tuple(r) for r in out.collect())
+    con = _register(docs)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            cdc_chunks_oracle_sql("SELECT doc_id, text FROM documents", divisor=divisor)
+        ).fetchall()
+    )
+    assert got == exp
+    # reassembly invariant
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for did, idx, _n, text in got:
+        by_doc.setdefault(did, []).append((idx, text))
+    for did, t in docs:
+        toks = (t or "").split()
+        if t is None or not toks:
+            assert did not in by_doc
+        else:
+            parts = [x for _, x in sorted(by_doc[did])]
+            assert " ".join(parts).split() == toks

@@ -105,3 +105,57 @@ def test_lsh_probe_cells_match_python_replay(spark, rows, n_planes, n_probe):
         order = sorted(range(n_planes), key=lambda i: (abs(dots[i]), i))
         exp = [sig] + [sig ^ (1 << i) for i in order[: n_probe - 1]]
         assert got[vid] == exp, (vid, v, dots)
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=corpus, seed=st.integers(0, 2**16))
+def test_int8_quantize_and_ann_match_duckdb(spark, rows, seed):
+    """quantize_embeddings_int8 and ann_int8_topk replay in DuckDB on
+    random float32 corpora."""
+    import pyarrow as pa
+
+    from fineo_readerator_spark.llm_ops.similarity import (
+        ann_int8_oracle_sql,
+        ann_int8_topk,
+        quantize_embeddings_int8,
+        quantize_int8_oracle_sql,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    con = duckdb.connect()
+    con.register(
+        "vecs",
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            }
+        ),
+    )
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in quantize_embeddings_int8(df, dim=DIM).collect()
+    )
+    exp = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute(
+            quantize_int8_oracle_sql("SELECT vec_id, embedding FROM vecs", dim=DIM)
+        ).fetchall()
+    )
+    assert got == exp
+    rng = __import__("random").Random(seed)
+    qv = [rng.uniform(-2, 2) for _ in range(DIM)]
+    gota = [tuple(r) for r in ann_int8_topk(df, qv, k=5, dim=DIM).collect()]
+    expa = [
+        tuple(r)
+        for r in con.execute(
+            ann_int8_oracle_sql(
+                "SELECT vec_id, embedding FROM vecs", query_vec=qv, k=5, dim=DIM
+            )
+        ).fetchall()
+    ]
+    assert gota == expa
