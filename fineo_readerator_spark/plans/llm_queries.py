@@ -1684,6 +1684,25 @@ def s_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(load(spark, sf_dir, "embeddings"), n_iters=2, graph=edges)
 
 
+def s_label_prop_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation re-attached to the PERSISTED k-NN graph layout —
+    the second consumer proving the layout lifecycle is shared, not
+    pagerank-specific: ``ensure_knn_graph_layout`` materializes (or finds
+    fresh) the same (k=3, c16, p1) slot ``s_graph_layout`` uses, and the
+    per-query plan is two vote joins over stored edge rows with zero
+    build machinery (plan-pinned in tests).  At 100 TB the graph build
+    dominates every consumer, so re-attach — not rebuild — is the
+    production shape for label fan-out too.  Same seeds/parameters as
+    ``s_label_propagation``, so the oracle is the same unrolled replay."""
+    from fineo_readerator_spark.llm_ops.similarity import label_propagation
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    emb = load(spark, sf_dir, "embeddings")
+    seed = F.when(F.col("vec_id") % 4 == 0, F.col("label").cast("int"))
+    return label_propagation(emb, seed, n_iters=2, graph=edges).orderBy("vec_id")
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -3423,6 +3442,7 @@ LLM_QUERIES = [
     QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),
     QueryDef("s_pagerank", s_pagerank, _s_pagerank_oracle()),
     QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
+    QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),

@@ -920,6 +920,65 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mention_id")
 
 
+def q_entity_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution blocked on a PHONETIC key — the one-liner the
+    entity_match doctrine promises (functions.phonetic.soundex_key): a
+    dirty feed of part mentions (p_name with a trailing typo, ids offset)
+    links back to the part table inside soundex(first-word) blocks.
+    Spark's side is the native codegen'd ``soundex``; the oracle replays
+    it with the fuzz-verified DuckDB replica (this DuckDB ships no
+    soundex), so the blocking key itself is oracle-exact.  Soundex of the
+    first name word buckets the ~92 TPC-H color words into a few dozen
+    codes — blocks stay O(corpus/codes) and the skew gate bounds the
+    hottest one."""
+    from fineo_readerator_spark.functions.phonetic import soundex_key
+    from fineo_readerator_spark.operators.entity import entity_match
+
+    part = load(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 9_000_000).alias("mention_id"),
+        F.concat(F.col("p_name"), F.lit("x")).alias("mention"),
+    )
+    dirty = dirty.withColumn("blk", soundex_key(F.expr("split_part(mention, ' ', 1)")))
+    ref = part.select(
+        "p_partkey",
+        "p_name",
+        soundex_key(F.expr("split_part(p_name, ' ', 1)")).alias("blk"),
+    )
+    return entity_match(
+        dirty,
+        ref,
+        ["blk"],
+        "mention_id",
+        "p_partkey",
+        "mention",
+        "p_name",
+        k=1,
+        max_distance=4,
+        max_block_rows=500_000,
+    ).orderBy("mention_id")
+
+
+def _q_entity_soundex_oracle() -> str:
+    from fineo_readerator_spark.functions.phonetic import soundex_oracle_expr
+    from fineo_readerator_spark.operators.entity import entity_match_oracle_sql
+
+    dirty_blk = soundex_oracle_expr("split_part(p_name || 'x', ' ', 1)")
+    ref_blk = soundex_oracle_expr("split_part(p_name, ' ', 1)")
+    return entity_match_oracle_sql(
+        "SELECT p_partkey + 9000000 AS mention_id, p_name || 'x' AS mention,"
+        f" {dirty_blk} AS blk FROM part WHERE p_partkey % 3 = 0",
+        f"SELECT p_partkey, p_name, {ref_blk} AS blk FROM part",
+        ["blk"],
+        "mention_id",
+        "p_partkey",
+        "mention",
+        "p_name",
+        k=1,
+        max_distance=4,
+    )
+
+
 def _q_entity_match_oracle() -> str:
     from fineo_readerator_spark.operators.entity import entity_match_oracle_sql
 
@@ -970,4 +1029,5 @@ RELATIONAL_QUERIES = [
     QueryDef("q_pivot", q_pivot, Q_PIVOT_ORACLE),
     QueryDef("q_cube", q_cube, Q_CUBE_ORACLE),
     QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
+    QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
 ]

@@ -131,3 +131,38 @@ def test_entity_match_gates_hot_blocks(spark, ref):
         ).count()
         == 1
     )
+
+
+def test_soundex_oracle_replica_matches_spark(spark):
+    """The DuckDB soundex replica (functions.phonetic.soundex_oracle_expr)
+    must reproduce Spark's native soundex EXACTLY — it is the oracle side
+    of the phonetic blocking key, and this DuckDB ships no soundex.  Edge
+    cases pin the refinement rules (first-letter collapse, H/W
+    transparency, vowel/non-letter separators, non-alpha-initial
+    identity); the seeded fuzz sweeps mixed alpha/punctuation strings."""
+    import random
+
+    import duckdb
+
+    from fineo_readerator_spark.functions.phonetic import soundex_oracle_expr
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "Wu", "Hw", "a", "e", "HHHH", "WWWW", "Aeiou", "bcd",
+        "Jackson", "lloyd", "moses", "CZARKOWSKA", "Customer#0001", "",
+        "x1y", "x1c", "ab#cd", "a b", "ab cd", "Aé", "aBc", "s1s", "ss1s",
+        "Rr", "RobertX1234567890abc", "  spaced", "éclair",
+    ]
+    rng = random.Random(7)
+    chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 #-_."
+    words += [
+        "".join(rng.choice(chars) for _ in range(rng.randint(1, 12)))
+        for _ in range(400)
+    ]
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {r.w: r.sx for r in sdf.selectExpr("w", "soundex(w) AS sx").collect()}
+    con = duckdb.connect()
+    con.register("words", __import__("pandas").DataFrame({"w": words}))
+    expr = soundex_oracle_expr("w")
+    got_duck = dict(con.execute(f"SELECT w, {expr} FROM words").fetchall())
+    assert got_spark == got_duck

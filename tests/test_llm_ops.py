@@ -2519,3 +2519,16 @@ def test_ann_int8_ranks_by_integer_dot(spark):
         ann_int8_topk(df, [1.0, 2.0, 3.0], k=1, dim=2)
     with pytest.raises(ValueError, match="k must be"):
         ann_int8_topk(df, [1.0, 2.0], k=0, dim=2)
+
+
+def test_label_prop_layout_query_plan_reads_stored_edges(spark):
+    """s_label_prop_layout (the second persisted-layout consumer) must not
+    rebuild the graph: after ensure, its executed plan carries none of the
+    build machinery — proving the layout lifecycle is shared across graph
+    consumers, not pagerank-specific."""
+    from fineo_readerator_spark.plans.llm_queries import s_label_prop_layout
+
+    df = s_label_prop_layout(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+    assert df.count() > 0
