@@ -1760,6 +1760,56 @@ def _s_pagerank_oracle(
     )
 
 
+def s_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ranking metrics (llm_ops.ranking.ranking_metrics) over the
+    batch-ANN run: MRR / precision@5 / NDCG@5 per query against
+    label-match qrels (sparsified to vec_id%3==0 so n_rel varies) — the
+    eval gate a retrieval corpus passes before it ships.  Every metric is
+    an integer; the NDCG discounts are python-literal CASE tables shared
+    verbatim with the oracle, so no engine evaluates a logarithm."""
+    from fineo_readerator_spark.llm_ops.ranking import ranking_metrics
+    from fineo_readerator_spark.llm_ops.similarity import ann_batch_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    run = ann_batch_topk(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+    qrels = (
+        emb.filter(F.col("vec_id") < 3)
+        .alias("q")
+        .join(
+            emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") % 3 == 0)).alias("c"),
+            F.col("q.label") == F.col("c.label"),
+        )
+        .select(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("vec_id"))
+    )
+    return ranking_metrics(
+        run, qrels, k=5, query_col="query_id", doc_col="vec_id", rank_col="rank"
+    ).orderBy("query_id")
+
+
+def _s_rank_eval_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.ranking import ranking_metrics_oracle_sql
+
+    qrels_sql = (
+        "SELECT q.vec_id AS query_id, c.vec_id AS vec_id"
+        " FROM embeddings q, embeddings c"
+        " WHERE q.vec_id < 3 AND c.vec_id >= 3 AND c.vec_id % 3 = 0"
+        " AND q.label = c.label"
+    )
+    return (
+        ranking_metrics_oracle_sql(
+            f"SELECT query_id, vec_id, rank FROM ({S_ANN_BATCH_ORACLE})",
+            qrels_sql,
+            k=5,
+            query_col="query_id",
+            doc_col="vec_id",
+        )
+        + " ORDER BY query_id"
+    )
+
+
 def s_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the k-NN graph vs exact brute force (llm_ops.
     similarity.knn_recall_audit) on the vec_id%125==0 node sample — the
@@ -3444,6 +3494,7 @@ LLM_QUERIES = [
     QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
     QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
+    QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),

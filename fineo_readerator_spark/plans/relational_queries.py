@@ -920,6 +920,30 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mention_id")
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user event paths (operators.
+    transitions.event_transitions): per-user (ts, event_id)-ordered
+    next-event pairs, counted and normalized to half-up integer ppm within
+    each prev_type — funnel DISCOVERY (vs q_user_funnel's fixed step
+    list).  One user-keyed window shuffle; the matrix is |types|² rows."""
+    from fineo_readerator_spark.operators.transitions import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events")).orderBy(
+        "prev_type", "next_type"
+    )
+
+
+def _q_transitions_oracle() -> str:
+    from fineo_readerator_spark.operators.transitions import (
+        event_transitions_oracle_sql,
+    )
+
+    return (
+        event_transitions_oracle_sql("SELECT * FROM events")
+        + " ORDER BY prev_type, next_type"
+    )
+
+
 def q_entity_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution blocked on a PHONETIC key — the one-liner the
     entity_match doctrine promises (functions.phonetic.soundex_key): a
@@ -1030,4 +1054,5 @@ RELATIONAL_QUERIES = [
     QueryDef("q_cube", q_cube, Q_CUBE_ORACLE),
     QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
+    QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
 ]

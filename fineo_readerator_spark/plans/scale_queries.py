@@ -233,9 +233,82 @@ def _q_skew_report_oracle() -> str:
     )
 
 
+def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering profile of the fact table on (l_partkey,
+    l_suppkey) — the report you read before ``compact_zorder``: rows land
+    in 8 equal-width Morton-key ranges, and each range's min/max per
+    dimension shows the locality the clustered rewrite would give a
+    two-column filter (every bucket covers a narrow slice of BOTH keys, vs
+    a 1-D sort where the second key spans its full range in every file).
+    Scale shape: one metadata agg for the bounds (inside zorder_column),
+    one for the max key, then a single map-side-combined bucket rollup —
+    no global sort; the bucket assignment is the same arithmetic
+    repartitionByRange boundaries would apply.  The Morton key itself is
+    codegen'd shift/mask terms (operators/layout.py), replayed exactly in
+    the oracle: IEEE double scaling is exactly-rounded on both engines and
+    the truncating cast is pinned with trunc()."""
+    from fineo_readerator_spark.operators.layout import zorder_column
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    zk = zorder_column(li, ["l_partkey", "l_suppkey"], bits=16)
+    df = li.withColumn("zkey", zk)
+    mz = df.agg(F.max("zkey").alias("__mzk"))
+    return (
+        df.crossJoin(F.broadcast(mz))
+        .withColumn("bucket", F.expr("least(7L, (zkey * 8) div (__mzk + 1))"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_zorder_profile_oracle(bits: int = 16) -> str:
+    top = (1 << bits) - 1
+
+    def scaled(col: str, j: int) -> str:
+        span = f"(CASE WHEN mx{j} = mn{j} THEN 1.0 ELSE mx{j} - mn{j} END)"
+        return (
+            f"CAST(trunc(least(greatest((CAST({col} AS DOUBLE) - mn{j}) / {span},"
+            f" 0.0), 1.0) * {top}) AS BIGINT)"
+        )
+
+    terms = " + ".join(
+        f"(((s{j} >> {i}) & 1) << {i * 2 + j})" for i in range(bits) for j in (0, 1)
+    )
+    return f"""
+WITH src AS (SELECT l_partkey, l_suppkey FROM lineitem),
+b AS (
+  SELECT CAST(min(l_partkey) AS DOUBLE) AS mn0, CAST(max(l_partkey) AS DOUBLE) AS mx0,
+         CAST(min(l_suppkey) AS DOUBLE) AS mn1, CAST(max(l_suppkey) AS DOUBLE) AS mx1
+  FROM src
+),
+sc AS (
+  SELECT l_partkey, l_suppkey,
+         {scaled('l_partkey', 0)} AS s0,
+         {scaled('l_suppkey', 1)} AS s1
+  FROM src CROSS JOIN b
+),
+zk AS (SELECT l_partkey, l_suppkey, {terms} AS zkey FROM sc),
+mz AS (SELECT max(zkey) AS mzk FROM zk)
+SELECT CAST(least(7, (zkey * 8) // (mzk + 1)) AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+       min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+FROM zk CROSS JOIN mz
+GROUP BY 1 ORDER BY 1
+"""
+
+
 SCALE_QUERIES = [
     QueryDef("q_colocated_join", q_colocated_join, Q_COLOCATED_ORACLE, bench=True),
     QueryDef("q_salted_hot_agg", q_salted_hot_agg, Q_SALTED_ORACLE),
     QueryDef("q_bloom_prejoin", q_bloom_prejoin, Q_BLOOM_PREJOIN_ORACLE),
     QueryDef("q_skew_report", q_skew_report, _q_skew_report_oracle()),
+    QueryDef("q_zorder_profile", q_zorder_profile, _q_zorder_profile_oracle()),
 ]

@@ -556,6 +556,18 @@ def x100_main() -> None:
         # digits at 1.5M reference rows): block size stays flat across both
         # decades, so candidate volume tracks mentions, not mentions x refs
         "entity_match (suffix ~ log10(N) blocking)": _entity_match_knob,
+        # the three text heavies whose 10x exponents (0.41/0.61/0.58) are
+        # output-volume-driven IN THEORY (within-replica pair counts grow
+        # with replicas, cross-replica pairs impossible) — the two-decade
+        # point separates that from a hidden superlinear term:
+        # tfidf: candidate pairs via the shared-term index join; replica
+        # vocabularies are disjoint, so df rows grow 100x too — the worst
+        # case for the unhinted df join
+        "d_tfidf_pairs": QUERIES["d_tfidf_pairs"].fn,
+        # winnowing-fingerprint index join; output pairs ~100x
+        "d_span_overlap": QUERIES["d_span_overlap"].fn,
+        # inverted-index containment, max_df-capped per-shingle fan-out
+        "d_containment": QUERIES["d_containment"].fn,
     }
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE100), "100x")))
 

@@ -1,0 +1,108 @@
+"""Unit tests: event transition mining and retrieval ranking metrics."""
+import pytest
+from pyspark.sql import functions as F
+
+from fineo_readerator_spark.llm_ops.ranking import ranking_metrics
+from fineo_readerator_spark.operators.transitions import event_transitions
+
+
+@pytest.fixture()
+def events(spark):
+    # user 1: a->b->a->c ; user 2: a->b ; ts tie inside user 3 broken by id
+    rows = [
+        (1, 1, 100, "a"),
+        (2, 1, 200, "b"),
+        (3, 1, 300, "a"),
+        (4, 1, 400, "c"),
+        (5, 2, 100, "a"),
+        (6, 2, 200, "b"),
+        (7, 3, 100, "a"),
+        (8, 3, 100, "b"),  # same ts: id 7 < 8 => a->b
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+
+
+def test_event_transitions_counts_and_ppm(events):
+    out = {
+        (r.prev_type, r.next_type): (r.n, r.share_ppm)
+        for r in event_transitions(events).collect()
+    }
+    # from 'a': a->b x3 (u1, u2, u3), a->c x1  => 750000 / 250000 ppm
+    assert out[("a", "b")] == (3, 750_000)
+    assert out[("a", "c")] == (1, 250_000)
+    # from 'b': b->a x1 (u1 only; u2 and u3 end at b)
+    assert out[("b", "a")] == (1, 1_000_000)
+    assert ("c", "a") not in out  # c is terminal
+
+
+def test_event_transitions_ts_tie_breaks_by_id(spark):
+    # both events at ts=100: id order decides direction
+    df = spark.createDataFrame(
+        [(2, 1, 100, "x"), (1, 1, 100, "y")],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    rows = event_transitions(df).collect()
+    assert [(r.prev_type, r.next_type) for r in rows] == [("y", "x")]
+
+
+@pytest.fixture()
+def run(spark):
+    # one query, ranks 1..5, relevant at ranks 2 and 5
+    return spark.createDataFrame(
+        [(10, d, r) for r, d in enumerate([100, 101, 102, 103, 104], start=1)],
+        "query_id long, doc_id long, rank int",
+    )
+
+
+def test_ranking_metrics_hand_computed(spark, run):
+    qrels = spark.createDataFrame(
+        [(10, 101), (10, 104), (10, 999)],  # 999: relevant but not retrieved
+        "query_id long, doc_id long",
+    )
+    r = ranking_metrics(run, qrels, k=5).collect()[0]
+    assert (r.n_rel, r.hits) == (3, 2)
+    assert r.rr_ppm == 500_000  # first relevant at rank 2 -> floor(1e6/2)
+    assert r.prec_ppm == 400_000  # 2/5
+    # dcg = disc[2] + disc[5]; idcg = disc[1]+disc[2]+disc[3] (n_rel=3)
+    from fineo_readerator_spark.llm_ops.ranking import _discounts
+
+    d = _discounts(5)
+    dcg, idcg = d[1] + d[4], d[0] + d[1] + d[2]
+    assert r.ndcg_ppm == (dcg * 2_000_000 + idcg) // (2 * idcg)
+
+
+def test_ranking_metrics_no_hits_and_missing_qrels(spark, run):
+    qrels = spark.createDataFrame([(99, 1)], "query_id long, doc_id long")
+    r = ranking_metrics(run, qrels, k=5).collect()[0]
+    # query 10 has NO qrels at all: every metric zero, not NULL
+    assert (r.n_rel, r.hits, r.rr_ppm, r.prec_ppm, r.ndcg_ppm) == (0, 0, 0, 0, 0)
+
+
+def test_ranking_metrics_rejects_bad_k(spark, run):
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(run, run.select("query_id", "doc_id"), k=0)
+
+
+def test_ranking_metrics_oracle_matches_spark(spark):
+    """Cross-engine guard on the metric arithmetic itself (the registry
+    query s_rank_eval covers the full pipeline; this isolates the op)."""
+    import duckdb
+    import pandas as pd
+
+    from fineo_readerator_spark.llm_ops.ranking import ranking_metrics_oracle_sql
+
+    run_rows = [(q, q * 10 + r, r) for q in (1, 2) for r in range(1, 6)]
+    qrel_rows = [(1, 12), (1, 15), (2, 21), (2, 22), (2, 23), (2, 999)]
+    run = spark.createDataFrame(run_rows, "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame(qrel_rows, "query_id long, doc_id long")
+    got = sorted(
+        tuple(r) for r in ranking_metrics(run, qrels, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.register("run_t", pd.DataFrame(run_rows, columns=["query_id", "doc_id", "rank"]))
+    con.register("qrel_t", pd.DataFrame(qrel_rows, columns=["query_id", "doc_id"]))
+    sql = ranking_metrics_oracle_sql("SELECT * FROM run_t", "SELECT * FROM qrel_t", k=5)
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
