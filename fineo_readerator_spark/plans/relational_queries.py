@@ -944,6 +944,48 @@ def _q_transitions_oracle() -> str:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-order user paths (operators.transitions.path_ngrams): every
+    3-event window per user rendered 'a>b>c' and counted — path DISCOVERY
+    beyond the pairwise transition matrix; one window shuffle, ≤ |types|³
+    output rows."""
+    from fineo_readerator_spark.operators.transitions import path_ngrams
+
+    return path_ngrams(load(spark, sf_dir, "events"), n=3).orderBy("path")
+
+
+def _q_event_paths_oracle() -> str:
+    from fineo_readerator_spark.operators.transitions import path_ngrams_oracle_sql
+
+    return path_ngrams_oracle_sql("SELECT * FROM events", n=3) + " ORDER BY path"
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators.transitions.
+    linear_attribution): each purchase splits 10⁶ ppm of credit equally
+    across the same user's non-purchase events in the preceding 24 h —
+    user-keyed equi-join with a time-range residual, one per-conversion
+    window, |types| output rows."""
+    from fineo_readerator_spark.operators.transitions import linear_attribution
+
+    return linear_attribution(
+        load(spark, sf_dir, "events"), "purchase", 24 * 3600 * 1000
+    ).orderBy("event_type")
+
+
+def _q_attribution_oracle() -> str:
+    from fineo_readerator_spark.operators.transitions import (
+        linear_attribution_oracle_sql,
+    )
+
+    return (
+        linear_attribution_oracle_sql(
+            "SELECT * FROM events", "purchase", 24 * 3600 * 1000
+        )
+        + " ORDER BY event_type"
+    )
+
+
 def q_entity_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution blocked on a PHONETIC key — the one-liner the
     entity_match doctrine promises (functions.phonetic.soundex_key): a
@@ -1055,4 +1097,6 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
+    QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),
+    QueryDef("q_attribution", q_attribution, _q_attribution_oracle()),
 ]

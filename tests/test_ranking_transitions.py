@@ -106,3 +106,59 @@ def test_ranking_metrics_oracle_matches_spark(spark):
     sql = ranking_metrics_oracle_sql("SELECT * FROM run_t", "SELECT * FROM qrel_t", k=5)
     exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == exp
+
+
+def test_path_ngrams_counts_windows(events):
+    from fineo_readerator_spark.operators.transitions import path_ngrams
+
+    out = {r.path: r.n for r in path_ngrams(events, n=3).collect()}
+    # user 1 (a,b,a,c): a>b>a and b>a>c; users 2/3 are too short for n=3
+    assert out == {"a>b>a": 1, "b>a>c": 1}
+
+
+def test_path_ngrams_rejects_short_n(events):
+    from fineo_readerator_spark.operators.transitions import path_ngrams
+
+    with pytest.raises(ValueError, match="path length"):
+        path_ngrams(events, n=1)
+
+
+def test_linear_attribution_hand_computed(spark):
+    from fineo_readerator_spark.operators.transitions import linear_attribution
+
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+
+    def at(ms: int) -> datetime:
+        return t0 + timedelta(milliseconds=ms)
+
+    # user 1: view@1000, click@2000, buy@2500, window 2000 -> both credited
+    #         at 500000 each; click@2500 shares the conversion ts ->
+    #         excluded (strict <)
+    # user 2: buy@9000 with NO touches in window -> conversion drops out
+    # user 3: view@100, buy@5000 -> view older than the window
+    rows = [
+        (1, 1, at(1000), "view"),
+        (2, 1, at(2000), "click"),
+        (3, 1, at(2500), "click"),
+        (4, 1, at(2500), "buy"),
+        (5, 2, at(9000), "buy"),
+        (6, 3, at(100), "view"),
+        (7, 3, at(5000), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.event_type: (r.n_touches, r.n_conversions, r.credit_ppm)
+        for r in linear_attribution(df, "buy", 2000).collect()
+    }
+    assert out == {"view": (1, 1, 500_000), "click": (1, 1, 500_000)}
+
+
+def test_linear_attribution_rejects_bad_window(spark, events):
+    from fineo_readerator_spark.operators.transitions import linear_attribution
+
+    with pytest.raises(ValueError, match="window_ms"):
+        linear_attribution(events, "a", 0)
