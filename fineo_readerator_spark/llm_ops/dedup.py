@@ -485,6 +485,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+    sample_mod: int = 5,
+    max_sample_docs: int = 10_000,
+) -> DataFrame:
+    """Quality audit of the MinHash-LSH dedup pipeline against EXACT shingle
+    Jaccard — the dedup twin of ``knn_recall_audit``'s measure-first
+    doctrine: before a keep/drop policy trusts the candidate pairs, measure
+    what the estimator actually delivers at this (num_hashes, bands,
+    threshold) operating point.
+
+    One row: ``(n_candidates, true_pos, false_pos, precision_ppm,
+    sample_true_pairs, sample_caught, recall_ppm)``.
+
+    - **Precision** re-scores EVERY surviving candidate pair with exact
+      Jaccard over the same shingle-hash sets the signatures were built
+      from — candidate-set-sized work (near-dup pairs, not corpus²).
+    - **Recall** is exact only against ground truth, which needs all-pairs —
+      so it is measured on the ``id % sample_mod == 0`` doc sample (ids
+      must be non-negative): all exact pairs ≥ threshold within the sample,
+      vs how many the LSH pipeline caught.  O((N/sample_mod)²) by design;
+      ``max_sample_docs`` gates the quadratic term (same stance as
+      ``ngram_jaccard_pairs``' cartesian refusal).
+    - Threshold tests cross-multiply in integers (``inter·10⁶ ≥ thr_ppm ·
+      union``) — no float boundary; ppm ratios are half-up pure-integer
+      divisions; empty denominators report 10⁶ (vacuously perfect)."""
+    thr_ppm = int(round(threshold * 1_000_000))
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_k, portable).alias("hs"),
+    ).localCheckpoint(eager=False)
+    n_samp = sets.filter(F.col("id") % sample_mod == 0).count()
+    if n_samp > max_sample_docs:
+        raise ValueError(
+            f"minhash_audit recall sample holds {n_samp:,} docs "
+            f"(> max_sample_docs={max_sample_docs:,}); its exact all-pairs "
+            "leg is quadratic — raise sample_mod (or the bound explicitly)"
+        )
+    cand = (
+        minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+
+    def is_true() -> Column:
+        inter = F.size(F.array_distinct(F.array_intersect("hs_a", "hs_b"))).cast("long")
+        union = F.size(F.array_distinct(F.concat("hs_a", "hs_b"))).cast("long")
+        return inter * 1_000_000 >= F.lit(thr_ppm) * union
+
+    a_sets = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b_sets = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    conf = (
+        cand.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum(is_true().cast("long")), F.lit(0).cast("long")).alias(
+                "true_pos"
+            ),
+        )
+    )
+    samp_a = a_sets.filter(F.col("id_a") % sample_mod == 0)
+    samp_b = b_sets.filter(F.col("id_b") % sample_mod == 0)
+    truep = (
+        samp_a.crossJoin(samp_b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(is_true())
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    st = truep.agg(F.count(F.lit(1)).alias("sample_true_pairs"))
+    sc = truep.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("sample_caught")
+    )
+
+    def ppm(num: str, den: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {den} = 0 THEN 1000000L ELSE"
+            f" (cast({num} as decimal(38,0)) * 2000000 + {den})"
+            f" div (cast({den} as decimal(38,0)) * 2) END"
+        )
+
+    return conf.crossJoin(st).crossJoin(sc).select(
+        "n_candidates",
+        "true_pos",
+        (F.col("n_candidates") - F.col("true_pos")).alias("false_pos"),
+        ppm("true_pos", "n_candidates").alias("precision_ppm"),
+        "sample_true_pairs",
+        "sample_caught",
+        ppm("sample_caught", "sample_true_pairs").alias("recall_ppm"),
+    )
+
+
 # Gate for resolving connected components driver-side: 2M edges ≈ 32 MB of
 # id pairs — trivially within driver heap.  The LSH candidate-edge set is
 # orders of magnitude smaller than the corpus (it holds near-duplicate pairs

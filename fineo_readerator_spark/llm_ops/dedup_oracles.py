@@ -139,6 +139,53 @@ def minhash_pairs_oracle(
 SELECT id_a, id_b, est_jaccard FROM __good"""
 
 
+def minhash_audit_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+    sample_mod: int = 5,
+) -> str:
+    """Oracle for ``dedup.minhash_audit(portable=True)`` — replays the full
+    LSH cascade for the candidate set, then the exact-Jaccard re-score and
+    the sampled recall leg with the same integer cross-multiplied threshold
+    and half-up ppm arithmetic."""
+    thr_ppm = int(round(threshold * 1_000_000))
+    exact = (
+        "len(list_distinct(list_intersect(a.hs, b.hs))) * 1000000 >= "
+        f"{thr_ppm} * len(list_distinct(a.hs || b.hs))"
+    )
+    return f"""WITH __all AS ({corpus_sql}),
+{_minhash_pairs_ctes(num_hashes, bands, threshold, seed, '__all', shingle_k)},
+__conf AS (
+  SELECT count(*) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN {exact} THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_pos
+  FROM __good g JOIN __hs a ON a.doc_id = g.id_a JOIN __hs b ON b.doc_id = g.id_b
+),
+__samp AS (SELECT doc_id, hs FROM __hs WHERE doc_id % {sample_mod} = 0),
+__true AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __samp a JOIN __samp b ON a.doc_id < b.doc_id
+  WHERE {exact}
+),
+__st AS (SELECT count(*) AS sample_true_pairs FROM __true),
+__sc AS (
+  SELECT count(*) AS sample_caught
+  FROM __true t JOIN __good g ON g.id_a = t.id_a AND g.id_b = t.id_b
+)
+SELECT n_candidates, true_pos, n_candidates - true_pos AS false_pos,
+       CASE WHEN n_candidates = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((CAST(true_pos AS HUGEINT) * 2000000 + n_candidates)
+                      // (CAST(n_candidates AS HUGEINT) * 2) AS BIGINT) END AS precision_ppm,
+       sample_true_pairs, sample_caught,
+       CASE WHEN sample_true_pairs = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((CAST(sample_caught AS HUGEINT) * 2000000 + sample_true_pairs)
+                      // (CAST(sample_true_pairs AS HUGEINT) * 2) AS BIGINT) END AS recall_ppm
+FROM __conf, __st, __sc"""
+
+
 def minhash_dedup_oracle(
     corpus_sql: str,
     num_hashes: int = 64,

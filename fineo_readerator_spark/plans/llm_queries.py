@@ -1175,6 +1175,29 @@ def d_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pipeline quality audit (llm_ops.dedup.minhash_audit): every
+    surviving candidate pair re-scored with EXACT shingle Jaccard
+    (precision), plus an id%5-sampled all-pairs recall leg — the
+    measure-first report that validates (num_hashes, bands, threshold)
+    before a keep/drop policy trusts the candidates.  Integer
+    cross-multiplied thresholds, half-up ppm ratios."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_audit
+
+    return minhash_audit(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.7, portable=True, sample_mod=5,
+    )
+
+
+def _d_minhash_audit_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import minhash_audit_oracle
+
+    return minhash_audit_oracle(
+        _CORPUS_SQL, num_hashes=64, bands=16, threshold=0.7, sample_mod=5
+    )
+
+
 def d_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fuzzy-dedup pass (exact cascade + LSH + label propagation) over
     the doubled corpus, portable hashing; the oracle replays the whole
@@ -3465,6 +3488,7 @@ LLM_QUERIES = [
     ),
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
+    QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle(), bench=True),
     QueryDef("d_embed_decontaminate", d_embed_decontaminate, _d_embed_decontaminate_oracle()),

@@ -2532,3 +2532,28 @@ def test_label_prop_layout_query_plan_reads_stored_edges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "array_min" not in plan and "named_struct" not in plan
     assert df.count() > 0
+
+
+def test_minhash_audit_counts_and_gate(spark, docs):
+    """Audit semantics on the small corpus: exact dups land as true
+    positives, the sampled recall leg counts only in-sample pairs, and the
+    quadratic sample leg refuses to run past max_sample_docs."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_audit
+
+    doubled = docs.unionAll(
+        docs.selectExpr("doc_id + 1000 AS doc_id", "text")
+    )
+    row = minhash_audit(
+        doubled, "doc_id", "text", threshold=0.9, sample_mod=1
+    ).collect()[0]
+    # exact duplicate pairs (jaccard 1.0) must all be candidates AND true
+    assert row.n_candidates >= 6 and row.true_pos >= 6
+    assert row.false_pos == row.n_candidates - row.true_pos
+    # sample_mod=1 samples everything: the pipeline caught every true pair
+    # here, so recall is perfect and precision <= 1e6 by construction
+    assert row.recall_ppm == 1_000_000
+    assert 0 < row.precision_ppm <= 1_000_000
+    assert row.sample_caught <= row.sample_true_pairs
+
+    with pytest.raises(ValueError, match="max_sample_docs"):
+        minhash_audit(doubled, "doc_id", "text", sample_mod=1, max_sample_docs=3)
