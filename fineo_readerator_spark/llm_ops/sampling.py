@@ -1282,3 +1282,86 @@ SELECT b.id AS {id_col},
 FROM (SELECT id FROM __base2) b
 LEFT JOIN __inp USING (id) LEFT JOIN __tgt USING (id)
 """
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    score_col: str,
+    min_margin: int = 1,
+) -> DataFrame:
+    """Max-margin preference pairs for reward-model / DPO training: per
+    group (the "prompt"), pair the best-scoring row (chosen) against the
+    worst (rejected) — ties break to the SMALLEST id for chosen and the
+    LARGEST for rejected, so a ≥2-row group always yields two distinct
+    rows.  Groups whose margin (chosen − rejected score) is below
+    ``min_margin`` are dropped: a zero-margin pair carries no preference
+    signal (scores must be integers for the margin contract to be exact).
+
+    Scale shape: ONE exchange on the group key serves both rank windows
+    (same partitioning, two sort orders), then a group-keyed aggregate
+    collapses the two rank-1 rows — output is |groups| rows; no self-join
+    of the corpus against itself."""
+    if not group_cols:
+        raise ValueError("preference_pairs requires group columns (the prompt key)")
+    wc = Window.partitionBy(*group_cols).orderBy(F.desc("__s"), F.asc("__id"))
+    wr = Window.partitionBy(*group_cols).orderBy(F.asc("__s"), F.desc("__id"))
+    flagged = df.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("long").alias("__s"),
+    ).select(
+        "*",
+        F.row_number().over(wc).alias("__rc"),
+        F.row_number().over(wr).alias("__rr"),
+    )
+    return (
+        flagged.filter((F.col("__rc") == 1) | (F.col("__rr") == 1))
+        .groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("__rc") == 1, F.col("__id"))).alias("chosen_id"),
+            F.max(F.when(F.col("__rc") == 1, F.col("__s"))).alias("chosen_score"),
+            F.max(F.when(F.col("__rr") == 1, F.col("__id"))).alias("rejected_id"),
+            F.max(F.when(F.col("__rr") == 1, F.col("__s"))).alias("rejected_score"),
+        )
+        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .filter(F.col("margin") >= min_margin)
+    )
+
+
+def preference_pairs_oracle_sql(
+    corpus_sql: str,
+    group_cols: list[str],
+    id_col: str,
+    score_col: str,
+    min_margin: int = 1,
+) -> str:
+    """DuckDB replay of :func:`preference_pairs` — same two rank windows,
+    same tie-breaks and margin gate."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH base AS (
+  SELECT {g}, {id_col} AS id, CAST({score_col} AS BIGINT) AS s
+  FROM ({corpus_sql})
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY {g} ORDER BY s DESC, id ASC) AS rc,
+         row_number() OVER (PARTITION BY {g} ORDER BY s ASC, id DESC) AS rr
+  FROM base
+),
+pairs AS (
+  SELECT {g},
+         max(CASE WHEN rc = 1 THEN id END) AS chosen_id,
+         max(CASE WHEN rc = 1 THEN s END) AS chosen_score,
+         max(CASE WHEN rr = 1 THEN id END) AS rejected_id,
+         max(CASE WHEN rr = 1 THEN s END) AS rejected_score
+  FROM ranked WHERE rc = 1 OR rr = 1 GROUP BY {g}
+)
+SELECT {g}, chosen_id, chosen_score, rejected_id, rejected_score,
+       chosen_score - rejected_score AS margin
+FROM pairs
+WHERE chosen_id != rejected_id AND chosen_score - rejected_score >= {min_margin}
+"""

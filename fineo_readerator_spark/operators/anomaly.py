@@ -110,3 +110,88 @@ def rolling_zscore_oracle_exprs(
         f" THEN round((CAST({value_sql} AS DOUBLE) - {mean}) / {sd}, 6) END"
     )
     return z, f"coalesce(abs({z}) > {z_thresh!r}, false)"
+
+
+def cusum_shift(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM level-shift detection over a bucketed series: the bucket where
+    the cumulative deviation from the global mean peaks — the classic
+    change-point locator for "when did the feed's volume step?" (Page's
+    cumulative-sum test, argmax form).
+
+    Pure-integer statistic: with running sum S_k over k buckets, D buckets
+    and total T, the deviation is ``S_k·D − k·T`` (the cross-multiplied
+    form of ``S_k − k·(T/D)``) — no division anywhere, so the whole walk is
+    oracle-exact.  Positive peak = the series ran ABOVE its mean up to the
+    peak (a later drop); negative = below (a later rise).
+
+    Output is ONE row: (n_buckets, total, peak_bucket, peak_cusum,
+    direction).  Ties on |deviation| break to the earliest bucket.
+
+    Scale shape: one map-side-combined bucket aggregate (the only
+    corpus-sized pass), then a running-sum window over the BUCKET frame —
+    metadata-sized (days/hours, not rows) — and a TakeOrdered peak pick."""
+    per = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("v")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    kw = Window.orderBy("bucket")
+    cum = per.select(
+        "bucket",
+        F.sum("v").over(w).alias("s"),
+        F.row_number().over(kw).cast("long").alias("k"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("v").alias("total")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "n_buckets",
+        "total",
+        "bucket",
+        F.expr(
+            "cast(s as decimal(38,0)) * n_buckets - cast(k as decimal(38,0)) * total"
+        ).cast("long").alias("cusum"),
+    )
+    return (
+        dev.orderBy(F.abs(F.col("cusum")).desc(), F.asc("bucket"))
+        .limit(1)
+        .select(
+            "n_buckets",
+            "total",
+            F.col("bucket").alias("peak_bucket"),
+            F.col("cusum").alias("peak_cusum"),
+            F.when(F.col("cusum") >= 0, F.lit("above-then-drop"))
+            .otherwise(F.lit("below-then-rise"))
+            .alias("direction"),
+        )
+    )
+
+
+def cusum_shift_oracle_sql(series_sql: str, bucket_col: str, value_col: str) -> str:
+    """DuckDB replay of :func:`cusum_shift` (same cross-multiplied integer
+    deviation; HUGEINT ≡ the Spark side's decimal(38,0) intermediates)."""
+    return f"""
+WITH per AS (
+  SELECT {bucket_col} AS bucket, CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS v
+  FROM ({series_sql}) GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         sum(v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS s,
+         CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
+  FROM per
+),
+tot AS (SELECT count(*) AS n_buckets, CAST(sum(v) AS BIGINT) AS total FROM per)
+SELECT n_buckets, total, bucket AS peak_bucket,
+       CAST(CAST(s AS HUGEINT) * n_buckets - CAST(k AS HUGEINT) * total AS BIGINT)
+         AS peak_cusum,
+       CASE WHEN CAST(s AS HUGEINT) * n_buckets - CAST(k AS HUGEINT) * total >= 0
+            THEN 'above-then-drop' ELSE 'below-then-rise' END AS direction
+FROM cum CROSS JOIN tot
+ORDER BY abs(CAST(s AS HUGEINT) * n_buckets - CAST(k AS HUGEINT) * total) DESC,
+         bucket ASC
+LIMIT 1
+"""

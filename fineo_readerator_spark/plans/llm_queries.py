@@ -2245,6 +2245,38 @@ UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
     return minhash_cluster_labels_oracle(corpus)
 
 
+def p_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-margin preference pairs (llm_ops.sampling.preference_pairs):
+    per (lang, source) "prompt" group, the best-scoring document (by
+    n_chars, the stand-in integer quality score) paired against the worst
+    — the reward-model / DPO prep shape.  One group-keyed exchange serves
+    both rank windows; zero-margin groups drop."""
+    from fineo_readerator_spark.llm_ops.sampling import preference_pairs
+
+    return preference_pairs(
+        load(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        "doc_id",
+        "n_chars",
+        min_margin=1,
+    ).orderBy("lang", "source")
+
+
+def _p_pref_pairs_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import preference_pairs_oracle_sql
+
+    return (
+        preference_pairs_oracle_sql(
+            "SELECT lang, source, doc_id, n_chars FROM documents",
+            ["lang", "source"],
+            "doc_id",
+            "n_chars",
+            min_margin=1,
+        )
+        + " ORDER BY lang, source"
+    )
+
+
 def p_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split over the doubled corpus
     (llm_ops.sampling.leakage_safe_split): the side hash is keyed on the
@@ -3502,6 +3534,7 @@ LLM_QUERIES = [
     QueryDef("t_normalize", t_normalize, _t_normalize_oracle()),
     QueryDef("d_dup_clusters", d_dup_clusters, _d_dup_clusters_oracle()),
     QueryDef("p_leakage_split", p_leakage_split, _p_leakage_split_oracle()),
+    QueryDef("p_pref_pairs", p_pref_pairs, _p_pref_pairs_oracle()),
     QueryDef("d_paragraph_dedup", d_paragraph_dedup, _d_paragraph_dedup_oracle(), bench=True),
     QueryDef("d_best_rep_dedup", d_best_rep_dedup, _d_best_rep_oracle()),
     QueryDef("d_tfidf_pairs", d_tfidf_pairs, _d_tfidf_pairs_oracle(), bench=True),

@@ -920,6 +920,33 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mention_id")
 
 
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point locator (operators.anomaly.cusum_shift) over
+    daily event volume: the day where cumulative deviation from the global
+    mean peaks — pure cross-multiplied integers, one bucket aggregate plus
+    a metadata-sized running-sum window."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import cusum_shift
+
+    ev = load(spark, sf_dir, "events")
+    # integer `div`, never `/`: the repo's epoch-arithmetic rule (double
+    # rounding is off-by-one at exact bucket boundaries)
+    series = ev.select(epoch_millis(ev, "ts").alias("ms")).select(
+        F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return cusum_shift(series, "day", "one")
+
+
+def _q_cusum_shift_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import cusum_shift_oracle_sql
+
+    return cusum_shift_oracle_sql(
+        "SELECT epoch_ms(ts) // 86400000 AS day, 1 AS one FROM events",
+        "day",
+        "one",
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over user event paths (operators.
     transitions.event_transitions): per-user (ts, event_id)-ordered
@@ -1097,6 +1124,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
+    QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),
     QueryDef("q_attribution", q_attribution, _q_attribution_oracle()),
 ]

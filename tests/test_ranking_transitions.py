@@ -162,3 +162,49 @@ def test_linear_attribution_rejects_bad_window(spark, events):
 
     with pytest.raises(ValueError, match="window_ms"):
         linear_attribution(events, "a", 0)
+
+
+def test_cusum_shift_finds_level_step(spark):
+    from fineo_readerator_spark.operators.anomaly import cusum_shift
+
+    # 4 buckets at 10, then 4 at 30: the cumulative deviation from the
+    # global mean (20) peaks at bucket 4 (cusum = -40 * 8... scaled form:
+    # s_k*D - k*T with D=8, T=160 -> at k=4: 40*8 - 4*160 = -320)
+    rows = [(b, 10 if b <= 4 else 30) for b in range(1, 9)]
+    df = spark.createDataFrame(rows, "bucket long, v long")
+    r = cusum_shift(df, "bucket", "v").collect()[0]
+    assert (r.n_buckets, r.total) == (8, 160)
+    assert (r.peak_bucket, r.peak_cusum) == (4, -320)
+    assert r.direction == "below-then-rise"
+
+
+def test_cusum_tie_breaks_to_earliest_bucket(spark):
+    from fineo_readerator_spark.operators.anomaly import cusum_shift
+
+    # symmetric bump: |cusum| ties between the rise and fall edges
+    df = spark.createDataFrame(
+        [(1, 0), (2, 2), (3, 0)], "bucket long, v long"
+    )
+    r = cusum_shift(df, "bucket", "v").collect()[0]
+    assert r.peak_bucket == 1  # k=1: 0*3-1*2 = -2 ; k=2: 2*3-2*2 = +2 tie
+    assert r.peak_cusum == -2
+
+
+def test_preference_pairs_tie_breaks_and_margin_gate(spark):
+    from fineo_readerator_spark.llm_ops.sampling import preference_pairs
+
+    rows = [
+        ("g1", 1, 10), ("g1", 2, 30), ("g1", 3, 30),  # chosen=2 (tie->min id)
+        ("g2", 4, 5), ("g2", 5, 5),                   # margin 0 -> dropped
+        ("g3", 6, 7),                                 # singleton -> dropped
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score long")
+    out = {r.grp: r for r in preference_pairs(df, ["grp"], "id", "score").collect()}
+    assert list(out) == ["g1"]
+    r = out["g1"]
+    assert (r.chosen_id, r.chosen_score) == (2, 30)
+    assert (r.rejected_id, r.rejected_score) == (1, 10)
+    assert r.margin == 20
+
+    with pytest.raises(ValueError, match="group columns"):
+        preference_pairs(df, [], "id", "score")
