@@ -1726,6 +1726,107 @@ def s_label_prop_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(emb, seed, n_iters=2, graph=edges).orderBy("vec_id")
 
 
+def s_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    PERSISTED k-NN graph (third layout consumer, after pagerank and label
+    propagation): how clique-ish each vector's neighborhood is — low
+    coefficients flag hub/bridge points where the embedding manifold is
+    thin, high ones dense duplicate-ish clusters.
+
+    Exact combinatorics, no floats: the directed top-k edges collapse to a
+    DISTINCT undirected (u < v) edge set; triangles enumerate ONCE as
+    ordered (a < b < c) via two equi-joins plus a semi-join probe, then
+    explode to their three member nodes; ``clustering_ppm`` is the half-up
+    integer ppm of ``2·triangles / (degree·(degree−1))`` (0 when degree
+    < 2).  Scale shape: edges are O(N·k), the wedge join is bounded by
+    Σ deg² (k-regular: O(N·k²)) — never corpus²; the semi-join probes the
+    same O(N·k) edge frame."""
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    und = (
+        edges.select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(und.select(F.col("u").alias("a"), F.col("v").alias("c")), "a")
+        .filter(F.col("b") < F.col("c"))
+    )
+    tris = wedges.join(
+        und.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+            # coalesce INSIDE the expr: the bare name resolves to the
+            # pre-coalesce join column (NULL for triangle-free nodes)
+            F.expr(
+                "CASE WHEN degree < 2 THEN 0L ELSE"
+                " (cast(coalesce(triangles, 0) as decimal(38,0)) * 4000000"
+                "  + degree * (degree - 1))"
+                " div (cast(degree as decimal(38,0)) * (degree - 1) * 2) END"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _s_graph_triangles_oracle(k: int = 3, n_centroids: int = 16) -> str:
+    return f"""
+WITH {_knn_graph_ctes(k, n_centroids)},
+und AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+  FROM graph WHERE vec_id != nbr_id
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.u = e1.v AND e3.v = e2.v)
+),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT deg.node AS vec_id, degree,
+       CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) ELSE
+         CAST((CAST(coalesce(triangles, 0) AS HUGEINT) * 4000000
+               + degree * (degree - 1))
+              // (CAST(degree AS HUGEINT) * (degree - 1) * 2) AS BIGINT) END
+         AS clustering_ppm
+FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+ORDER BY vec_id
+"""
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -3550,6 +3651,7 @@ LLM_QUERIES = [
     QueryDef("s_pagerank", s_pagerank, _s_pagerank_oracle()),
     QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
     QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle()),
+    QueryDef("s_graph_triangles", s_graph_triangles, _s_graph_triangles_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),

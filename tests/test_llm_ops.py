@@ -2557,3 +2557,19 @@ def test_minhash_audit_counts_and_gate(spark, docs):
 
     with pytest.raises(ValueError, match="max_sample_docs"):
         minhash_audit(doubled, "doc_id", "text", sample_mod=1, max_sample_docs=3)
+
+
+def test_graph_triangles_plan_reads_stored_edges_and_counts(spark):
+    """s_graph_triangles (third layout consumer) must not rebuild the graph,
+    and its combinatorics must be internally consistent: sum of per-node
+    triangle counts = 3 x the number of distinct triangles."""
+    from fineo_readerator_spark.plans.llm_queries import s_graph_triangles
+
+    df = s_graph_triangles(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert sum(r.triangles for r in rows) % 3 == 0
+    for r in rows:
+        assert 0 <= r.clustering_ppm <= 1_000_000
