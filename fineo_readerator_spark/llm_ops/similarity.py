@@ -84,6 +84,94 @@ def cosine_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_shortlist: int = 1000,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank: greedily pick ``k`` results from
+    the exact cosine top-``shortlist``, each step maximizing ``λ·rel(d) −
+    (1−λ)·max_{s∈S} sim(d, s)`` — the standard diversity rerank that stops
+    a result page (or a RAG context window) from being k near-copies of
+    the same passage.
+
+    Scale shape: the corpus is touched ONCE (the cosine_topk scan); the
+    greedy loop runs DRIVER-LOCAL over the metadata-sized shortlist
+    (shortlist ids + vectors collect; the BPE-merges precedent for small
+    model-state iteration) with ``max_shortlist`` gating the collect.
+
+    Determinism: shortlist rels and pairwise sims use the SAME fold order
+    and half-up 1e-6 rounding as the executor/oracle cosine, and every
+    remaining double op (λ·rel, (1−λ)·maxsim, subtraction) is a single
+    exactly-rounded IEEE operation on identical operands — so the python
+    walk, the Spark values and the DuckDB unrolled replay pick identical
+    winners; ties break to the smaller id.  Output (rank, id, rel)."""
+    import math
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1 or shortlist < k:
+        raise ValueError(f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}")
+    if shortlist > max_shortlist:
+        raise ValueError(
+            f"shortlist={shortlist:,} exceeds max_shortlist={max_shortlist:,}: "
+            "the greedy loop collects the shortlist to the driver — raise the "
+            "bound explicitly if the driver can hold it"
+        )
+    top = cosine_topk(df, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col,
+                      round_digits=round_digits).collect()
+    rel = {r[id_col]: float(r["cos_sim"]) for r in top}
+    ids = list(rel)
+    vec_rows = (
+        df.filter(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    )
+    vecs = {r[id_col]: [float(v) for v in r[vec_col]] for r in vec_rows}
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):  # same left fold as _dot/_norm
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return _round_half_up(dot / (math.sqrt(na) * math.sqrt(nb)), round_digits)
+
+    sims = {
+        (a, b): cos(vecs[a], vecs[b]) for a in ids for b in ids if a != b
+    }
+    oml = 1.0 - lam  # repr-shared with the oracle (the 1-0.85 float lesson)
+    selected: list = []
+    remaining = set(ids)
+    out = []
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for cid in sorted(remaining):
+            maxsim = max((sims[(cid, s)] for s in selected), default=0.0)
+            score = lam * rel[cid] - oml * maxsim
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        selected.append(best_id)
+        remaining.discard(best_id)
+        out.append((len(selected), best_id, rel[best_id]))
+
+    from pyspark.sql import types as T
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("rel", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 def _modal_dim(df: DataFrame, vec_col: str) -> int:
     """Authoritative embedding dimension of a corpus: the MOST COMMON vector
     size among non-NULL vectors (ties → smaller size, deterministic).  Using

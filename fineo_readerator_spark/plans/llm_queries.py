@@ -255,6 +255,76 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
 
+def s_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity rerank (llm_ops.similarity.mmr_rerank): MMR top-5 out of
+    the exact cosine top-20 to the vec_id=0 query (λ=0.5) — one corpus
+    scan for the shortlist, then a driver-local greedy over metadata-sized
+    state; the whole walk (shared rounded cosines, exactly-rounded IEEE
+    score ops, id tie-breaks) is unrolled step-by-step in the oracle."""
+    from fineo_readerator_spark.llm_ops.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), qv, k=5, shortlist=20, lam=0.5
+    )
+
+
+def _s_mmr_rerank_oracle(k: int = 5, shortlist: int = 20, lam: float = 0.5) -> str:
+    """Unrolled MMR greedy: step t picks the remaining shortlist row
+    maximizing λ·rel − (1−λ)·max-sim-to-selected (empty set → 0.0), ties to
+    the smaller id.  λ and 1−λ interpolate as repr'd literals from the SAME
+    python floats the driver-local walk uses."""
+    oml = 1.0 - float(lam)
+    cos_q = (
+        "round(list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    cos_ab = (
+        "round(list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""rel AS (
+  SELECT e.vec_id, {cos_q} AS r
+  FROM embeddings e, q WHERE e.vec_id != 0
+  ORDER BY r DESC, vec_id LIMIT {shortlist}
+)""",
+        "base AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN rel USING (vec_id))",
+        f"""sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_ab} AS s
+  FROM base a JOIN base b ON a.vec_id != b.vec_id
+)""",
+        f"p1 AS (SELECT vec_id, r FROM rel ORDER BY ({lam!r} * r) DESC, vec_id LIMIT 1)",
+        "sel1 AS (SELECT vec_id FROM p1)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT c.vec_id, c.r FROM rel c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  ORDER BY ({lam!r} * c.r - {oml!r} * coalesce(
+      (SELECT max(s.s) FROM sims s
+       WHERE s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel{t - 1})),
+      0.0)) DESC, c.vec_id
+  LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{t} AS (SELECT vec_id FROM sel{t - 1} UNION ALL SELECT vec_id FROM p{t})"
+        )
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, vec_id, r AS rel FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({legs}) ORDER BY rank"
+
+
 def p_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-export sharding of the document corpus:
     (doc_id, shard, shard_pos) — reproducible shard files regardless of
@@ -3605,6 +3675,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_pq", s_ann_pq, _s_ann_pq_oracle(), bench=True),
     QueryDef("s_ann_filtered", s_ann_filtered, S_ANN_FILTERED_ORACLE),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
+    QueryDef("s_mmr_rerank", s_mmr_rerank, _s_mmr_rerank_oracle()),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
     QueryDef("s_label_centroids", s_label_centroids, S_CENTROIDS_ORACLE),

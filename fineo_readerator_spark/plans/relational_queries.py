@@ -272,6 +272,38 @@ SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, rn FROM (
 """
 
 
+def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function breadth on one window: rank / dense_rank /
+    percent_rank / cume_dist / ntile over per-nation account balances —
+    the remaining ANSI window-rank surface beyond row_number.
+    percent_rank and cume_dist are single divisions of exact integer
+    ranks/counts (IEEE-exact on both engines); the total order
+    (c_acctbal DESC, c_custkey) leaves no tie ambiguity."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+Q_WINDOW_RANK_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-customer revenue (unbounded-preceding frame, exact decimal)."""
     orders = load(spark, sf_dir, "orders")
@@ -1103,6 +1135,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_outer_agg", q_outer_agg, Q_OUTER_ORACLE),
     QueryDef("q_window_topn", q_window_topn, Q_WINDOW_TOPN_ORACLE, bench=True),
     QueryDef("q_window_running", q_window_running, Q_WINDOW_RUNNING_ORACLE),
+    QueryDef("q_window_rank_funcs", q_window_rank_funcs, Q_WINDOW_RANK_ORACLE),
     QueryDef("q_distinct_agg", q_distinct_agg, Q_DISTINCT_ORACLE),
     QueryDef("q_grouping_having", q_grouping_having, Q_HAVING_ORACLE),
     QueryDef("q_scalar_funcs", q_scalar_funcs, Q_SCALAR_ORACLE),

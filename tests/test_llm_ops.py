@@ -2573,3 +2573,32 @@ def test_graph_triangles_plan_reads_stored_edges_and_counts(spark):
     assert sum(r.triangles for r in rows) % 3 == 0
     for r in rows:
         assert 0 <= r.clustering_ppm <= 1_000_000
+
+
+def test_mmr_rerank_diversifies_and_gates(spark):
+    """Three near-copies of the relevant direction + one orthogonal-ish
+    vector: plain top-3 is the three copies; MMR at low lambda must swap
+    the diversity pick in. Gates: bad lambda / k > shortlist / collect cap."""
+    from fineo_readerator_spark.llm_ops.similarity import cosine_topk, mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0, 0.01]),
+        (2, [1.0, 0.0, 0.02]),   # near-copy of 1
+        (3, [1.0, 0.0, 0.03]),   # near-copy of 1
+        (4, [0.5, 0.9, 0.0]),    # diverse, still relevant-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.05, 0.0]
+    plain = [r.vec_id for r in cosine_topk(df, q, k=3).collect()]
+    assert 4 not in plain
+    mmr = mmr_rerank(df, q, k=3, shortlist=4, lam=0.3)
+    picked = [r.vec_id for r in mmr.orderBy("rank").collect()]
+    assert 4 in picked  # diversity pick displaced a near-copy
+    assert len(picked) == 3 and picked[0] == plain[0]  # first pick = max rel
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, q, lam=1.5)
+    with pytest.raises(ValueError, match="k <= shortlist"):
+        mmr_rerank(df, q, k=5, shortlist=3)
+    with pytest.raises(ValueError, match="max_shortlist"):
+        mmr_rerank(df, q, k=2, shortlist=4, max_shortlist=2)
