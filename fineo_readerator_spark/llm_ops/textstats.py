@@ -1343,3 +1343,156 @@ def pii_scrub_oracle_exprs(text_col: str = "text", out_col: str = "scrubbed") ->
         cur = f"regexp_replace({cur}, '{esc}', '{token}', 'g')"
     frags.append(f"{cur} AS {out_col}")
     return ", ".join(frags)
+
+
+def pii_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The extraction face of :func:`pii_scrub`: one row per distinct
+    (document, kind, value) PII match with its occurrence count — what a
+    release audit reads when counts alone aren't enough (which addresses
+    leaked, how often, from which docs).  Same ``PII_PATTERNS`` single
+    source as the scrubber, so the two faces can never disagree on what
+    counts as a match.
+
+    Scale shape: ONE text scan — the three extract-all arrays concat into
+    a (kind, value) struct array inside a single codegen'd projection,
+    then one explode + one (doc, kind, value) count aggregate whose output
+    is match-volume-sized, not corpus-sized."""
+    # Spark SQL string literals process backslash escapes (DuckDB's don't),
+    # so the shared patterns double their backslashes ONLY on this side
+    legs = ", ".join(
+        f"transform(regexp_extract_all({text_col}, '{pat.replace(chr(92), chr(92) * 2)}', 0),"
+        f" v -> struct('{kind}' AS kind, v AS value))"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(f"concat({legs})")).alias("m"),
+        )
+        .select(id_col, F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
+        .groupBy(id_col, "kind", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pii_extract_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`pii_extract` (same RE2-safe patterns, one
+    UNION ALL leg per kind)."""
+    legs = " UNION ALL ".join(
+        f"SELECT {id_col}, '{kind}' AS kind,"
+        f" unnest(regexp_extract_all({text_col}, '{pat}')) AS value"
+        f" FROM ({corpus_sql})"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH m AS ({legs})
+SELECT {id_col}, kind, value, count(*) AS n FROM m GROUP BY 1, 2, 3
+"""
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 3,
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by LIFT — ``c_xy·N /
+    (c_x·c_y)``, the integer-exact monotone core of PMI (no logarithm, so
+    no cross-engine float hazard): which word pairs co-occur far above
+    chance (named entities, technical terms, templated boilerplate).
+
+    Scale shape: one tokenize pass feeds both the bigram and unigram
+    counts (map-side-combined aggregates); ``min_count`` prunes the
+    bigram tail BEFORE the two unigram joins (hapax bigrams dominate the
+    pair table and can never rank); the unigram side is vocabulary-sized
+    and NOT broadcast-hinted — AQE sizes it (the tfidf dfreq lesson).
+    ``lift_ppm`` is half-up integer ppm over decimal(38,0)/HUGEINT
+    intermediates (c_xy·N·10⁶ stays under 38 digits out to ~10¹³ tokens).
+    Top-k is a TakeOrdered on (lift DESC, pair ASC)."""
+    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+    toks = toks.filter(F.size("__t") >= 2).localCheckpoint(eager=False)
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1),"
+                    " (v, i) -> struct(v AS w1, element_at(__t, i + 2) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    lift = F.expr(
+        "(cast(n_xy as decimal(38,0)) * n_tokens * 2000000"
+        " + cast(c1 as decimal(38,0)) * c2)"
+        " div (cast(c1 as decimal(38,0)) * c2 * 2)"
+    )
+    return (
+        joined.select("w1", "w2", "n_xy", lift.alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def collocations_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 3,
+) -> str:
+    """DuckDB replay of :func:`collocations` — same tokenization, adjacency
+    windows, min_count cut and half-up HUGEINT lift."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {toks} AS toks FROM ({corpus_sql})
+),
+t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t2) GROUP BY w
+),
+ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS n_xy FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM t2, unnest(generate_series(1, len(toks) - 1)) s(i)
+  ) GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+)
+SELECT w1, w2, n_xy,
+       CAST((CAST(n_xy AS HUGEINT) * n_tokens * 2000000 + CAST(c1 AS HUGEINT) * c2)
+            // (CAST(c1 AS HUGEINT) * c2 * 2) AS BIGINT) AS lift_ppm
+FROM (
+  SELECT bi.w1, bi.w2, bi.n_xy, u1.c AS c1, u2.c AS c2
+  FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+) CROSS JOIN ntok
+ORDER BY lift_ppm DESC, w1, w2
+LIMIT {k}
+"""

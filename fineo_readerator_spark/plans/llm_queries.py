@@ -3393,6 +3393,58 @@ def _t_bpe_merges_oracle() -> str:
     return bpe_merges_oracle_sql("SELECT text FROM documents", n_merges=3)
 
 
+def t_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII extraction (llm_ops.textstats.pii_extract): the row-per-match
+    face of the scrubber over the same seeded corpus — (doc, kind, value,
+    n) for the release audit that needs WHAT leaked, not just how much.
+    One text scan; PII_PATTERNS shared verbatim with pii_scrub and the
+    oracle."""
+    from fineo_readerator_spark.llm_ops.textstats import pii_extract
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 555 010 "),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    seeded = docs.withColumn("text", F.concat_ws(" ", F.col("text"), synth))
+    return pii_extract(seeded).orderBy("doc_id", "kind", "value")
+
+
+def _t_pii_extract_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import pii_extract_oracle_sql
+
+    seeded = (
+        "SELECT doc_id, concat_ws(' ', text,"
+        " 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555 010 '"
+        " || CAST(doc_id % 10000 AS VARCHAR)) AS text FROM documents"
+    )
+    return pii_extract_oracle_sql(seeded) + " ORDER BY doc_id, kind, value"
+
+
+def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (llm_ops.textstats.collocations): top-20
+    adjacent-token pairs by integer LIFT (the log-free monotone core of
+    PMI) with min_count=3 — named entities / templated phrases surface,
+    hapax pairs pruned before the vocabulary joins (which are NOT
+    broadcast-hinted; the tfidf dfreq lesson)."""
+    from fineo_readerator_spark.llm_ops.textstats import collocations
+
+    return collocations(load(spark, sf_dir, "documents"), k=20, min_count=3)
+
+
+def _t_collocations_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import collocations_oracle_sql
+
+    return collocations_oracle_sql(
+        "SELECT doc_id, text FROM documents", k=20, min_count=3
+    )
+
+
 def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking (llm_ops.textstats.pii_scrub): redact emails / IPv4s /
     phone-like runs with typed placeholders + per-doc counts — the
@@ -3731,6 +3783,8 @@ LLM_QUERIES = [
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
     QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
+    QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),
+    QueryDef("t_collocations", t_collocations, _t_collocations_oracle()),
     QueryDef("t_bpe_fertility", t_bpe_fertility, _t_bpe_fertility_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),

@@ -720,3 +720,54 @@ def test_cdc_chunks_match_duckdb(spark, docs, divisor):
         else:
             parts = [x for _, x in sorted(by_doc[did])]
             assert " ".join(parts).split() == toks
+
+
+def test_pii_extract_matches_scrub_counts(spark):
+    """The extraction face must agree with the scrubber's counts — same
+    PII_PATTERNS single source, two faces."""
+    from fineo_readerator_spark.llm_ops.textstats import pii_extract, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and a@b.co twice, ip 10.1.2.3"),
+            (2, "call +1 555 123 4567 now"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    ext = pii_extract(df).collect()
+    got = {}
+    for r in ext:
+        got[(r.doc_id, r.kind)] = got.get((r.doc_id, r.kind), 0) + r.n
+    scrub = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got.get((1, "emails"), 0) == scrub[1].n_emails == 2
+    assert got.get((1, "ipv4s"), 0) == scrub[1].n_ipv4s == 1
+    assert got.get((2, "phones"), 0) == scrub[2].n_phones == 1
+    assert not any(d == 3 for d, _ in got)
+    # distinct values deduped with counts: one row for the repeated email
+    email_rows = [r for r in ext if r.doc_id == 1 and r.kind == "emails"]
+    assert len(email_rows) == 1 and email_rows[0].n == 2
+
+
+def test_collocations_lift_ranks_fixed_phrases(spark):
+    from fineo_readerator_spark.llm_ops.textstats import collocations
+
+    df = spark.createDataFrame(
+        [(i, "new york is big and new york is old or a b") for i in range(4)]
+        + [(9, "a x b y a z b w a q b r")],
+        "doc_id long, text string",
+    )
+    rows = collocations(df, k=10, min_count=3).collect()
+    pairs = [(r.w1, r.w2) for r in rows]
+    # the always-adjacent phrase ranks; frequent-but-rarely-adjacent
+    # ('a','b') appears 4 times adjacent ('b y'... actually never adjacent
+    # in doc 9 where a/b alternate with fillers) and is pruned or ranks low
+    assert ("new", "york") in pairs
+    lifts = [r.lift_ppm for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    # exclusivity dominates raw frequency: every ranked pair's lift is
+    # c_xy*N/(c1*c2); verify one by hand — 'new york': c_xy=8, c=8/8
+    ny = next(r for r in rows if (r.w1, r.w2) == ("new", "york"))
+    n_tokens = 4 * 12 + 12  # four 12-token docs + the 12-token alternator
+    assert ny.n_xy == 8
+    assert ny.lift_ppm == (8 * n_tokens * 2_000_000 + 8 * 8) // (8 * 8 * 2)
