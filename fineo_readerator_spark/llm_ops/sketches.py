@@ -432,8 +432,6 @@ def histogram_quantiles(
 
     Returns one row per quantile: (q, n_rows, bin, est).
     """
-    from pyspark.sql import Window
-
     v = F.col(value_col).cast("double")
     bin_id = F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("long")
     bins = (
@@ -442,6 +440,21 @@ def histogram_quantiles(
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
+    return quantiles_from_bins(bins, width, quantiles, lo)
+
+
+def quantiles_from_bins(
+    bins: DataFrame,
+    width: float,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+) -> DataFrame:
+    """Estimate-on-read finalization over a stored/streamed ``(bin, cnt)``
+    sketch table — the second half of :func:`histogram_quantiles`, split
+    out so a streaming aggregation (whose state IS the bin table) or a
+    persisted sketch store can share the exact quantile walk."""
+    from pyspark.sql import Window
+
     cum = bins.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn(

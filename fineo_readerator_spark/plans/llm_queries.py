@@ -730,6 +730,50 @@ FROM documents
 """
 
 
+def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by binary content hash — the first pass every
+    multimodal pipeline runs before any decode (re-crawled bytes are the
+    dominant duplicate class and hashing is decode-free): over the doubled
+    payload corpus, keep the smallest id per content hash.  The hash comes
+    from the SAME attach_media_metadata struct the meta query exposes
+    (JVM-side md5 over the binary column, no Python in the plan); dedup is
+    one WindowGroupLimit shuffle on the hash."""
+    from pyspark.sql.window import Window
+
+    base = _docs_as_media(spark, sf_dir)
+    doubled = base.unionAll(
+        base.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "payload")
+    )
+    media = attach_media_metadata(doubled, "payload", "image", "png")
+    w = Window.partitionBy("media_meta.content_hash").orderBy("doc_id")
+    return (
+        media.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("media_meta.content_hash").alias("content_hash"),
+            F.col("media_meta.size_bytes").alias("size_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_DEDUP_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_SHIFT}, md5(text), CAST(octet_length(encode(text)) AS BIGINT)
+  FROM documents
+)
+SELECT doc_id, content_hash, size_bytes FROM (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM m
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode+featurize over the binary payloads.  The fake
     decoder derives dims from sha256 bytes, which DuckDB can replay
@@ -3734,6 +3778,7 @@ LLM_QUERIES = [
     QueryDef("s_embed_drift", s_embed_drift, _s_embed_drift_oracle()),
     QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
+    QueryDef("mm_dedup", mm_dedup, MM_DEDUP_ORACLE),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),

@@ -257,6 +257,37 @@ def _st_hll_oracle() -> str:
     )
 
 
+def st_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming p50/p90/p99 of the metric value via the fixed-bin
+    histogram sketch: the streaming aggregation state IS the mergeable
+    (bin, cnt) table — counts are associative/commutative and the bin
+    cardinality is value-range/width, bounded regardless of stream length
+    — and the quantile walk finalizes on READ from the drained bin table
+    (the stored-registers / estimate-on-read split st_hll_distinct uses;
+    streaming can't chain the cumulative window onto the aggregation in
+    one query)."""
+    from fineo_readerator_spark.llm_ops.sketches import quantiles_from_bins
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    v = F.col("value").cast("double")
+    bins = (
+        stream.filter(v.isNotNull())
+        .select(F.floor((v - F.lit(0.0)) / F.lit(25.0)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = _drain(bins, "st_qhist_sink", "complete")
+    return quantiles_from_bins(drained, width=25.0, quantiles=(0.5, 0.9, 0.99))
+
+
+def _st_quantile_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql(
+        "SELECT value FROM events", "value", width=25.0, quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 def st_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: a document stream (doc_id % 5 == 0) probes
     the PERSISTED MinHash signature store of the rest of the corpus and
@@ -842,6 +873,7 @@ STREAMING_QUERIES = [
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_store_probe", st_store_probe, _st_store_probe_oracle()),
     QueryDef("st_hll_distinct", st_hll_distinct, _st_hll_oracle()),
+    QueryDef("st_quantile_hist", st_quantile_hist, _st_quantile_oracle()),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),
     QueryDef("st_dedup", st_dedup, ST_DEDUP_ORACLE),
