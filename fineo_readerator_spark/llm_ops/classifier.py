@@ -109,6 +109,7 @@ def logistic_oracle_sql(
     n_iters: int = 3,
     lr: float = 1.0,
     round_digits: int = 6,
+    emit_label: bool = False,
 ) -> str:
     """DuckDB replay of train-then-score, fully unrolled: ``feats_sql``
     yields one row per example; ``feature_exprs``/``label_expr`` are column
@@ -160,12 +161,74 @@ def logistic_oracle_sql(
             for j in range(k + 1)
         )
         parts.append(f"w{t + 1} AS (SELECT {upd} FROM w{t} w, g{t} g)")
+    lab_out = ", y" if emit_label else ""
+    lab_in = ", f.y" if emit_label else ""
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT id AS {id_expr}, score, score >= 0.5 AS pred FROM (
-  SELECT f.id, round(1.0 / (1.0 + exp(-({z('w')}))), {round_digits}) AS score
+SELECT id AS {id_expr}, score, score >= 0.5 AS pred{lab_out} FROM (
+  SELECT f.id, round(1.0 / (1.0 + exp(-({z('w')}))), {round_digits}) AS score{lab_in}
   FROM feats f, w{n_iters} w
 )"""
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic scorer: equal-width score bins
+    × (count, positives, half-up ppm positive rate) — a well-calibrated
+    model's pos_rate tracks its bin midpoint; the drift between them is
+    what decides whether the 0.5 threshold (or any quality cutoff) means
+    what it claims.  The eval that closes the train → score → TRUST loop.
+
+    Rows with a NULL score or label are excluded (unscorable/unlabeled
+    rows calibrate nothing).  bin = least(n_bins−1, floor(score·n_bins)):
+    floor on the identically-rounded score double, so both engines bin
+    identically; output is n_bins rows, the aggregate map-side-combined."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int").cast("long")
+    binned = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.least(F.lit(n_bins - 1).cast("long"), F.floor(s * n_bins)).alias("bin"),
+        y.alias("__y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("n_pos"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr(
+                "(cast(n_pos as decimal(38,0)) * 2000000 + n)"
+                " div (cast(n as decimal(38,0)) * 2)"
+            ).alias("pos_rate_ppm"),
+        )
+    )
+
+
+def calibration_oracle_sql(
+    scored_sql: str,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> str:
+    """DuckDB replay of :func:`calibration_table` over a scored subquery."""
+    return f"""
+WITH binned AS (
+  SELECT least({n_bins - 1}, CAST(floor({score_col} * {n_bins}) AS BIGINT)) AS bin,
+         CAST(CAST({label_col} AS INT) AS BIGINT) AS y
+  FROM ({scored_sql})
+  WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+)
+SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST((CAST(sum(y) AS HUGEINT) * 2000000 + count(*))
+            // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS pos_rate_ppm
+FROM binned GROUP BY bin
+"""

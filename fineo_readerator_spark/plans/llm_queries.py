@@ -2886,6 +2886,64 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the in-engine quality classifier
+    (llm_ops.classifier.calibration_table): equal-width score bins ×
+    (count, positives, half-up ppm positive rate) against the gopher_pass
+    label — the eval that decides whether the 0.5 threshold means what it
+    claims.  Composes the SAME oracle-checked training walk as
+    t_quality_classifier; the binning floor runs on the identically-
+    rounded score double."""
+    from fineo_readerator_spark.llm_ops.classifier import (
+        calibration_table,
+        score_logistic,
+        train_logistic,
+    )
+    from fineo_readerator_spark.llm_ops.textstats import (
+        with_quality_signals,
+        with_text_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = _clf_features(with_quality_signals(with_text_stats(docs), "text"))
+    w = train_logistic(feats, _CLF_FEATURES, "gopher_pass", n_iters=3, lr=1.0)
+    scored = score_logistic(feats, _CLF_FEATURES, w)
+    return calibration_table(
+        scored, score_col="score", label_col="gopher_pass", n_bins=10
+    ).orderBy("bin")
+
+
+def _t_calibration_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.classifier import (
+        calibration_oracle_sql,
+        logistic_oracle_sql,
+    )
+    from fineo_readerator_spark.llm_ops.textstats import (
+        quality_signals_oracle_sql,
+        text_stats_oracle_exprs,
+    )
+
+    sig = quality_signals_oracle_sql("SELECT doc_id, text FROM documents")
+    feats = (
+        f"SELECT doc_id, {text_stats_oracle_exprs('text')},"
+        " n_words, distinct_word_frac, top_word_frac, top_2gram_frac,"
+        f" dup_2gram_frac, mean_word_len, gopher_pass FROM ({sig})"
+    )
+    scored = logistic_oracle_sql(
+        feats,
+        [
+            "least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)",
+            "punct_ratio",
+            "least(avg_word_len / 8.0, 1.0)",
+        ],
+        "gopher_pass",
+        n_iters=3,
+        lr=1.0,
+        emit_label=True,
+    )
+    return calibration_oracle_sql(scored, "score", "y", n_bins=10) + " ORDER BY bin"
+
+
 def _t_quality_classifier_oracle() -> str:
     from fineo_readerator_spark.llm_ops.classifier import logistic_oracle_sql
     from fineo_readerator_spark.llm_ops.textstats import (
@@ -3842,6 +3900,7 @@ LLM_QUERIES = [
     QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
     QueryDef("t_repetition", t_repetition, _t_repetition_oracle()),
     QueryDef("t_quality_classifier", t_quality_classifier, _t_quality_classifier_oracle()),
+    QueryDef("t_calibration", t_calibration, _t_calibration_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
     QueryDef("a_kmv_distinct", a_kmv_distinct, _a_kmv_oracle()),

@@ -2602,3 +2602,22 @@ def test_mmr_rerank_diversifies_and_gates(spark):
         mmr_rerank(df, q, k=5, shortlist=3)
     with pytest.raises(ValueError, match="max_shortlist"):
         mmr_rerank(df, q, k=2, shortlist=4, max_shortlist=2)
+
+
+def test_calibration_table_hand_computed(spark):
+    from fineo_readerator_spark.llm_ops.classifier import calibration_table
+
+    rows = [
+        (0.05, True), (0.08, False),          # bin 0: 1/2 pos
+        (0.95, True), (0.99, True), (1.0, True),  # bin 9 (1.0 clamps): 3/3
+        (None, True), (0.5, None),            # unscorable/unlabeled drop
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r.bin: (r.n, r.n_pos, r.pos_rate_ppm) for r in calibration_table(df).collect()}
+    assert out[0] == (2, 1, 500_000)
+    assert out[9] == (3, 3, 1_000_000)
+    assert set(out) == {0, 9}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_bins"):
+        calibration_table(df, n_bins=1)
