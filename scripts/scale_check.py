@@ -443,6 +443,19 @@ def main() -> None:
         # one dim-sized per-dimension max agg + a broadcast scales row;
         # the corpus-side quantization never shuffles
         "s_embed_int8": QUERIES["s_embed_int8"].fn,
+        # ONE user-keyed window shuffle; the count output is |types|^2
+        "q_transitions": QUERIES["q_transitions"].fn,
+        # user-keyed equi-join with a time-range residual: fan-out bounded
+        # by per-user window activity (users replicate 10x, per-user
+        # activity constant -> candidate volume must scale ~linearly)
+        "q_attribution": QUERIES["q_attribution"].fn,
+        # bigram+unigram aggs with min_count pruning before the un-hinted
+        # vocabulary joins; replica vocabularies are disjoint, so the
+        # vocab grows 10x too — the worst case for the join sizing
+        "t_collocations": QUERIES["t_collocations"].fn,
+        # two metadata aggs + one map-side-combined bucket rollup;
+        # the Morton-key projection is pure codegen
+        "q_zorder_profile": QUERIES["q_zorder_profile"].fn,
     }
 
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE), "10x")))

@@ -148,3 +148,53 @@ def test_compact_refuses_dest_equal_or_under_src(spark, sf_dir, tmp_path):
             compact_zorder(spark, src, dest, ["id"], bits=8)
     # a sibling whose name shares the prefix is NOT nested
     assert compact(spark, src, src + "_out") >= 1
+
+
+def test_zorder_key_matches_duckdb_replica(spark):
+    """The Morton-key arithmetic (driver-collected double bounds, IEEE
+    scaling, truncating cast, shift interleave) must replay exactly in the
+    oracle's SQL form — fuzzed over random two-column integer frames."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from fineo_readerator_spark.operators.layout import zorder_column
+
+    rng = random.Random(17)
+    for bits in (8, 16):
+        rows = [
+            (i, rng.randint(-1000, 10_000), rng.randint(0, 500))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, a long, b long")
+        zk = zorder_column(df, ["a", "b"], bits=bits)
+        got = {r.id: r.z for r in df.withColumn("z", zk).select("id", "z").collect()}
+        top = (1 << bits) - 1
+        scaled = {
+            c: (
+                f"CAST(trunc(least(greatest((CAST({c} AS DOUBLE) - mn_{c})"
+                f" / (CASE WHEN mx_{c} = mn_{c} THEN 1.0 ELSE mx_{c} - mn_{c} END),"
+                f" 0.0), 1.0) * {top}) AS BIGINT)"
+            )
+            for c in ("a", "b")
+        }
+        terms = " + ".join(
+            f"(((s{j} >> {i}) & 1) << {i * 2 + jx})"
+            for i in range(bits)
+            for jx, j in enumerate(("a", "b"))
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["id", "a", "b"]))
+        sql = f"""
+WITH bnd AS (
+  SELECT CAST(min(a) AS DOUBLE) AS mn_a, CAST(max(a) AS DOUBLE) AS mx_a,
+         CAST(min(b) AS DOUBLE) AS mn_b, CAST(max(b) AS DOUBLE) AS mx_b
+  FROM t
+),
+sc AS (SELECT id, {scaled['a']} AS sa, {scaled['b']} AS sb FROM t CROSS JOIN bnd)
+SELECT id, {terms} AS z
+FROM sc
+"""
+        exp = dict(con.execute(sql).fetchall())
+        assert got == exp

@@ -208,3 +208,90 @@ def test_preference_pairs_tie_breaks_and_margin_gate(spark):
 
     with pytest.raises(ValueError, match="group columns"):
         preference_pairs(df, [], "id", "score")
+
+
+def test_transitions_fuzz_vs_duckdb(spark):
+    """Seeded random event streams (ts ties included): event_transitions
+    must match its DuckDB oracle row-for-row."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from fineo_readerator_spark.operators.transitions import (
+        event_transitions_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    for _ in range(4):
+        rows = [
+            (
+                eid,
+                rng.randint(1, 6),               # user
+                rng.randint(1, 20),               # ts with plenty of ties
+                rng.choice("abcd"),
+            )
+            for eid in range(1, rng.randint(10, 60))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, event_type string"
+        )
+        got = sorted(tuple(r) for r in event_transitions(df).collect())
+        con = duckdb.connect()
+        con.register(
+            "ev", pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+        )
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(
+                event_transitions_oracle_sql("SELECT * FROM ev")
+            ).fetchall()
+        )
+        assert got == exp
+
+
+def test_attribution_fuzz_vs_duckdb(spark):
+    """Seeded random touch/conversion mixes: linear_attribution must match
+    its DuckDB oracle (epoch_ms alignment, strict-< boundary, floor
+    credit)."""
+    import random
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    from fineo_readerator_spark.operators.transitions import (
+        linear_attribution,
+        linear_attribution_oracle_sql,
+    )
+
+    rng = random.Random(13)
+    t0 = datetime(2024, 3, 1)
+    for _ in range(4):
+        rows = [
+            (
+                eid,
+                rng.randint(1, 5),
+                t0 + timedelta(milliseconds=rng.randint(0, 50_000)),
+                rng.choice(["view", "click", "buy"]),
+            )
+            for eid in range(1, rng.randint(15, 70))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = sorted(
+            tuple(r) for r in linear_attribution(df, "buy", 10_000).collect()
+        )
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.register(
+            "ev", pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+        )
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(
+                linear_attribution_oracle_sql("SELECT * FROM ev", "buy", 10_000)
+            ).fetchall()
+        )
+        assert got == exp
