@@ -392,3 +392,95 @@ SELECT grp AS {group_col},
        round(CAST(sum(f * len(syms)) AS BIGINT) / CAST(sum(f) AS BIGINT), 6) AS fertility
 FROM {prev} GROUP BY grp ORDER BY {group_col} NULLS FIRST"""
     )
+
+
+def bpe_doc_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> DataFrame:
+    """Per-document token counts under the corpus-trained BPE — the
+    sequence-budget every packing/truncation decision actually consumes
+    (whitespace counts under-estimate fragmenting languages; this is the
+    same number the real tokenizer would produce).  Output ``(id, n_words,
+    n_tokens)``.
+
+    Scale shape: the (doc, word) frequency table is the only corpus-sized
+    frame; training reuses :func:`bpe_merges`' driver-local loop on the
+    capped corpus vocabulary (ONE job); each DISTINCT word encodes once
+    through the codegen'd literal-replace chain and the vocabulary-sized
+    length table joins back UN-hinted (AQE sizes it — the dfreq lesson)."""
+    wl = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__w"),
+        )
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .localCheckpoint(eager=False)
+    )
+    corpus_freqs = wl.groupBy("__w").agg(F.sum("__f").alias("__f"))
+    merges = [
+        (l, r)
+        for _, l, r, _, _ in _train_from_freq_rows(
+            _collect_capped_freqs(corpus_freqs, vocab_size), n_merges
+        )
+    ]
+    enc = merge_chain_expr(F.expr("regexp_extract_all(__w, '.', 0)"), merges)
+    wlen = wl.select("__w").distinct().select("__w", F.size(enc).alias("__n"))
+    return (
+        wl.join(wlen, "__w")
+        .groupBy("__id")
+        .agg(
+            F.sum("__f").cast("long").alias("n_words"),
+            F.sum(F.col("__f") * F.col("__n")).cast("long").alias("n_tokens"),
+        )
+        .select(F.col("__id").alias(id_col), "n_words", "n_tokens")
+    )
+
+
+def bpe_doc_tokens_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+) -> str:
+    """DuckDB replay of :func:`bpe_doc_tokens` — the fertility replay with
+    the document id as the group (per-word encode is deterministic, so
+    encoding per (doc, word) row or per distinct word is value-identical)."""
+    parts = [
+        f"__wl AS MATERIALIZED (SELECT id, w, count(*) AS f FROM"
+        f" (SELECT {id_col} AS id, unnest({_oracle_toks(text_col)}) AS w"
+        f" FROM ({corpus_sql})) GROUP BY id, w)",
+    ]
+    train = bpe_cte_parts(corpus_sql, text_col, n_merges, vocab_size)
+    train[0] = "__w AS MATERIALIZED (SELECT w, sum(f) AS f FROM __wl GROUP BY w)"
+    parts.extend(train)
+    parts.append(
+        "e0 AS MATERIALIZED (SELECT id, f, regexp_extract_all(w, '.') AS syms FROM __wl)"
+    )
+    prev = "e0"
+    for t in range(1, n_merges + 1):
+        applied = _oracle_merge_apply(
+            "syms", f"(SELECT l FROM b{t})", f"(SELECT r FROM b{t})"
+        )
+        parts.append(
+            f"""e{t} AS MATERIALIZED (
+  SELECT id, f,
+         CASE WHEN (SELECT count(*) FROM b{t}) = 0 THEN syms ELSE {applied} END AS syms
+  FROM {prev}
+)"""
+        )
+        prev = f"e{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS {id_col},
+       CAST(sum(f) AS BIGINT) AS n_words,
+       CAST(sum(f * len(syms)) AS BIGINT) AS n_tokens
+FROM {prev} GROUP BY id"""
+    )

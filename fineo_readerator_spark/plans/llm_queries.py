@@ -3605,6 +3605,28 @@ def _t_bpe_fertility_oracle() -> str:
     return bpe_fertility_oracle_sql("SELECT lang, text FROM documents", n_merges=4)
 
 
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budget under the learned BPE (llm_ops.tokenizer.
+    bpe_doc_tokens): train 4 merges corpus-wide, encode each DISTINCT word
+    once, join the vocabulary-sized length table back un-hinted — the
+    sequence budget packing/truncation actually consumes, where whitespace
+    counts under-estimate fragmenting languages."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_doc_tokens
+
+    return bpe_doc_tokens(
+        load(spark, sf_dir, "documents"), n_merges=4
+    ).orderBy("doc_id")
+
+
+def _t_bpe_encode_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_doc_tokens_oracle_sql
+
+    return (
+        bpe_doc_tokens_oracle_sql("SELECT doc_id, text FROM documents", n_merges=4)
+        + " ORDER BY doc_id"
+    )
+
+
 def t_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy (llm_ops.textstats.
     token_entropy): the gibberish/template pre-filter — one (doc, token)
@@ -3889,6 +3911,7 @@ LLM_QUERIES = [
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),
     QueryDef("t_collocations", t_collocations, _t_collocations_oracle()),
     QueryDef("t_bpe_fertility", t_bpe_fertility, _t_bpe_fertility_oracle()),
+    QueryDef("t_bpe_encode", t_bpe_encode, _t_bpe_encode_oracle()),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),

@@ -2621,3 +2621,28 @@ def test_calibration_table_hand_computed(spark):
 
     with _pt.raises(ValueError, match="n_bins"):
         calibration_table(df, n_bins=1)
+
+
+def test_bpe_doc_tokens_sums_to_fertility_totals(spark):
+    """Per-doc token budgets must reconcile with the fertility report: both
+    encode under the same corpus-trained merges, so per-group sums agree."""
+    from fineo_readerator_spark.llm_ops.tokenizer import bpe_doc_tokens, bpe_fertility
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat ran"),
+        (3, "de", "der hund lief schnell davon heute"),
+        (4, "de", "der hund"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    per_doc = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_doc_tokens(df, n_merges=3).collect()}
+    fert = {r.lang: (r.n_words, r.n_tokens) for r in bpe_fertility(df, n_merges=3).collect()}
+    by_lang = {}
+    for did, lang, _ in rows:
+        w, t = per_doc[did]
+        aw, at = by_lang.get(lang, (0, 0))
+        by_lang[lang] = (aw + w, at + t)
+    assert by_lang == fert
+    # merges compress: token count strictly below character count somewhere
+    assert any(t < sum(len(w) for w in dict(
+        (r[0], r[2]) for r in rows)[d].split()) for d, (_, t) in per_doc.items())
