@@ -2460,6 +2460,39 @@ UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
     return minhash_cluster_labels_oracle(corpus)
 
 
+def d_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution over the doubled corpus — the
+    dup-rate dashboard's headline histogram (how much of the corpus sits
+    in 2-clusters vs mega-clusters decides the keep policy): every row's
+    cluster id from the shared cascade, then two metadata-sized counts
+    (clusters are ≤ corpus-sized, sizes a handful of rows)."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels
+
+    labels = minhash_cluster_labels(
+        _docs_with_dups(spark, sf_dir), "doc_id", portable=True
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def _d_cluster_sizes_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels_oracle
+
+    corpus = f"""SELECT doc_id, text, n_chars FROM documents
+UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars FROM documents"""
+    return f"""
+SELECT size, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS size
+  FROM ({minhash_cluster_labels_oracle(corpus)}) GROUP BY cluster_id
+) GROUP BY size ORDER BY size
+"""
+
+
 def p_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-margin preference pairs (llm_ops.sampling.preference_pairs):
     per (lang, source) "prompt" group, the best-scoring document (by
@@ -3870,6 +3903,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
+    QueryDef("d_cluster_sizes", d_cluster_sizes, _d_cluster_sizes_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
     QueryDef("d_span_overlap", d_span_overlap, _span_overlap_oracle(), bench=True),
     QueryDef("d_embed_decontaminate", d_embed_decontaminate, _d_embed_decontaminate_oracle()),

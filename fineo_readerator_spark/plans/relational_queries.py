@@ -952,6 +952,76 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mention_id")
 
 
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto contribution report over event revenue: per event_type exact
+    cent totals, half-up ppm share, CUMULATIVE share in (revenue DESC,
+    type) order, and the 80%-head flag (a row is head while the cumulative
+    share BEFORE it is under 800000 ppm — the crossing row included).
+    Cumulative ppm comes from exact cumulative cent sums, never from
+    summing rounded shares.  One map-side-combined type aggregate; the
+    window and rollup run over |types| rows."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.expr("cast(floor(value * 100) as bigint)")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("cents").alias("__tot"))
+    cum = per.select(
+        "event_type",
+        "cents",
+        F.sum("cents").over(w).alias("__cum"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "event_type"))
+        .cast("long")
+        .alias("rank"),
+    )
+    ppm = (
+        "(cast({n} as decimal(38,0)) * 2000000 + __tot)"
+        " div (cast(__tot as decimal(38,0)) * 2)"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "event_type",
+            "cents",
+            F.expr(ppm.format(n="cents")).alias("share_ppm"),
+            F.expr(ppm.format(n="__cum")).alias("cum_ppm"),
+            F.expr(
+                f"({ppm.format(n='__cum - cents')}) < 800000"
+            ).alias("in_head"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q_PARETO_ORACLE = """
+WITH per AS (
+  SELECT event_type, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type
+),
+cum AS (
+  SELECT event_type, cents,
+         sum(cents) OVER (ORDER BY cents DESC, event_type
+                          ROWS UNBOUNDED PRECEDING) AS c,
+         row_number() OVER (ORDER BY cents DESC, event_type) AS rank
+  FROM per
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM per)
+SELECT rank, event_type, cents,
+       CAST((CAST(cents AS HUGEINT) * 2000000 + t) // (CAST(t AS HUGEINT) * 2)
+            AS BIGINT) AS share_ppm,
+       CAST((CAST(c AS HUGEINT) * 2000000 + t) // (CAST(t AS HUGEINT) * 2)
+            AS BIGINT) AS cum_ppm,
+       (CAST((c - cents) AS HUGEINT) * 2000000 + t) // (CAST(t AS HUGEINT) * 2)
+         < 800000 AS in_head
+FROM cum CROSS JOIN tot
+ORDER BY rank
+"""
+
+
 def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point locator (operators.anomaly.cusum_shift) over
     daily event volume: the day where cumulative deviation from the global
@@ -1158,6 +1228,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
+    QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),
     QueryDef("q_attribution", q_attribution, _q_attribution_oracle()),
 ]

@@ -295,3 +295,14 @@ def test_attribution_fuzz_vs_duckdb(spark):
             ).fetchall()
         )
         assert got == exp
+
+
+def test_attribution_plan_has_no_cartesian(spark):
+    """The touch x conversion candidate join must stay a USER-keyed
+    equi-join with a range residual — never a cartesian product."""
+    from fineo_readerator_spark.plans.relational_queries import q_attribution
+
+    df = q_attribution(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
