@@ -1160,6 +1160,61 @@ def label_propagation(
     )
 
 
+def graph_triangles(edges: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over a
+    directed edge frame ``(id_col, nbr_id)`` — the combinatorics behind
+    the s_graph_triangles registry query, shared with the scale harness.
+
+    The directed edges collapse to a DISTINCT undirected (u < v) set;
+    triangles enumerate ONCE as ordered (a < b < c) wedges + a semi-join
+    probe (Σ deg² work — O(N·k²) on a k-regular graph, never corpus²);
+    ``clustering_ppm`` is the half-up integer ppm of ``2·triangles /
+    (degree·(degree−1))``, 0 when degree < 2."""
+    und = (
+        edges.select(
+            F.least(id_col, "nbr_id").alias("u"),
+            F.greatest(id_col, "nbr_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(und.select(F.col("u").alias("a"), F.col("v").alias("c")), "a")
+        .filter(F.col("b") < F.col("c"))
+    )
+    tris = wedges.join(
+        und.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        F.col("node").alias(id_col),
+        "degree",
+        F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+        # coalesce INSIDE the expr: the bare name resolves to the
+        # pre-coalesce join column (NULL for triangle-free nodes)
+        F.expr(
+            "CASE WHEN degree < 2 THEN 0L ELSE"
+            " (cast(coalesce(triangles, 0) as decimal(38,0)) * 4000000"
+            "  + degree * (degree - 1))"
+            " div (cast(degree as decimal(38,0)) * (degree - 1) * 2) END"
+        ).alias("clustering_ppm"),
+    )
+
+
 def pagerank(
     df: DataFrame,
     k: int = 3,

@@ -1855,55 +1855,11 @@ def s_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2).  Scale shape: edges are O(N·k), the wedge join is bounded by
     Σ deg² (k-regular: O(N·k²)) — never corpus²; the semi-join probes the
     same O(N·k) edge frame."""
+    from fineo_readerator_spark.llm_ops.similarity import graph_triangles
+
     path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
     edges = spark.read.parquet(path).select("vec_id", "nbr_id")
-    und = (
-        edges.select(
-            F.least("vec_id", "nbr_id").alias("u"),
-            F.greatest("vec_id", "nbr_id").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    wedges = (
-        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .join(und.select(F.col("u").alias("a"), F.col("v").alias("c")), "a")
-        .filter(F.col("b") < F.col("c"))
-    )
-    tris = wedges.join(
-        und.select(F.col("u").alias("b"), F.col("v").alias("c")),
-        ["b", "c"],
-        "left_semi",
-    )
-    per_node = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    return (
-        deg.join(per_node, "node", "left")
-        .select(
-            F.col("node").alias("vec_id"),
-            "degree",
-            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
-            # coalesce INSIDE the expr: the bare name resolves to the
-            # pre-coalesce join column (NULL for triangle-free nodes)
-            F.expr(
-                "CASE WHEN degree < 2 THEN 0L ELSE"
-                " (cast(coalesce(triangles, 0) as decimal(38,0)) * 4000000"
-                "  + degree * (degree - 1))"
-                " div (cast(degree as decimal(38,0)) * (degree - 1) * 2) END"
-            ).alias("clustering_ppm"),
-        )
-        .orderBy("vec_id")
-    )
+    return graph_triangles(edges).orderBy("vec_id")
 
 
 def _s_graph_triangles_oracle(k: int = 3, n_centroids: int = 16) -> str:

@@ -541,6 +541,17 @@ def _semantic_dedup_lsh_knob(spark, sf_dir: str):
     return kept.select("vec_id", "label", "cell")
 
 
+def _triangles_default(spark, sf_dir: str):
+    """Triangle counts over the DEFAULT-LSH k-NN graph — the production
+    shape at scale (a fixed-16-cell build is the documented hazard); the
+    wedge join is O(N·k²) on the k-regular edge set."""
+    from fineo_readerator_spark.llm_ops.similarity import graph_triangles, knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn_graph(emb, k=3, n_centroids=None).select("vec_id", "nbr_id")
+    return graph_triangles(edges)
+
+
 def x100_main() -> None:
     """The 100× leg: the five heaviest operators at 1× (sf0.1) and at the
     100× fixture — one far point to catch superlinear terms the 10× run
@@ -581,6 +592,12 @@ def x100_main() -> None:
         "d_span_overlap": QUERIES["d_span_overlap"].fn,
         # inverted-index containment, max_df-capped per-shingle fan-out
         "d_containment": QUERIES["d_containment"].fn,
+        # graph combinatorics on the DEFAULT LSH edges: build O(N·logN·dim),
+        # wedge join O(N·k²) on the k-regular set — both corpus-linear
+        "triangles (DEFAULT lsh cells)": _triangles_default,
+        # one user-keyed window; users replicate with per-user activity
+        # constant, so the pair volume must track the corpus
+        "q_transitions": QUERIES["q_transitions"].fn,
     }
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE100), "100x")))
 
