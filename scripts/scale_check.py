@@ -520,9 +520,17 @@ def _measure(spark, ops, legs) -> dict:
             print(f"{name:50s} {tag:>4s}: {best:7.3f}s  ({rows} rows)", file=sys.stderr)
             # the bench.py lesson: shared-JVM cache blocks (incl. prior runs'
             # localCheckpoints) and deferred GC taint the NEXT measurement —
-            # drop state and collect at operator boundaries, not inside them
+            # drop state and collect at operator boundaries, not inside them.
+            # localCheckpoint blocks release via the ASYNC ContextCleaner
+            # only after their RDD is GC'd: one measured x100 run OOM'd a
+            # later op's AQE broadcast because tfidf's 9M-row checkpoint
+            # blocks were still queued for cleanup — gc twice and give the
+            # cleaner a beat to drain before the next op is measured
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+            time.sleep(3)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
     return results
 
 
@@ -594,10 +602,9 @@ def x100_main() -> None:
         "d_containment": QUERIES["d_containment"].fn,
         # graph combinatorics on the DEFAULT LSH edges: build O(N·logN·dim),
         # wedge join O(N·k²) on the k-regular set — both corpus-linear
+        # (q_transitions has a 10x row only: the 100x fixture carries no
+        # events table)
         "triangles (DEFAULT lsh cells)": _triangles_default,
-        # one user-keyed window; users replicate with per-user activity
-        # constant, so the pair volume must track the corpus
-        "q_transitions": QUERIES["q_transitions"].fn,
     }
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE100), "100x")))
 
