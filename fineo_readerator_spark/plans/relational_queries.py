@@ -952,6 +952,40 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mention_id")
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    ((returnflag, linestatus), (returnflag), (linestatus), ()) in ONE
+    aggregate pass, with grouping_id disambiguating NULL-as-subtotal from
+    NULL-as-value — the remaining ANSI grouping surface beside q_rollup /
+    q_cube.  Exact decimal sums cast to double last."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+Q_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto contribution report over event revenue: per event_type exact
     cent totals, half-up ppm share, CUMULATIVE share in (revenue DESC,
@@ -1229,6 +1263,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
+    QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),
     QueryDef("q_attribution", q_attribution, _q_attribution_oracle()),
 ]
