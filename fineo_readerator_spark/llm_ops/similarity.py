@@ -1302,6 +1302,160 @@ def pagerank(
     ).orderBy(id_col)
 
 
+def personalized_pagerank(
+    df: DataFrame,
+    seed_pred: Column,
+    k: int = 3,
+    n_centroids: int | None = None,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Personalized PageRank over the k-NN similarity graph: the random
+    walk teleports ONLY to the seed set, so mass concentrates on the
+    neighborhood of the seeds — the "more like these" expansion a corpus
+    curator runs from a hand-picked exemplar set (topic expansion, seed-set
+    retrieval augmentation, targeted up-sampling), where global
+    :func:`pagerank` answers "central to the WHOLE corpus" instead.
+
+    Numerics follow :func:`pagerank`'s oracle-checked discipline exactly:
+    per-edge contributions ``round(r/outdeg, 12)`` summed as exact
+    ``decimal(38,12)`` (order-independent), each round one fixed-shape
+    double expression rounded at 1e-12.  The personalization vector is
+    ``1/n_seeds`` on seeds, 0 elsewhere; non-seed nodes get NO teleport
+    term, so unreachable components decay to 0 — the defining PPR
+    property.  ``n_seeds`` is the only extra driver scalar.
+
+    Scale shape: identical to pagerank — graph builds ONCE (or pass
+    ``graph=`` to re-attach a persisted layout; at 100 TB the build
+    dominates every consumer), then per round one edge×rank join (≤ N·k
+    rows) plus one node-keyed agg, rank frame lineage-cut per round."""
+    if graph is not None:
+        g = graph.select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
+    else:
+        g = knn_graph(
+            df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+        ).select(F.col(id_col).alias("__src"), F.col("nbr_id").alias("__nbr"))
+        g = g.localCheckpoint(eager=False)  # one build, consumed every round
+    deg = g.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    edges = g.join(deg, "__src").localCheckpoint(eager=False)
+    flags = df.select(
+        F.col(id_col).alias("__id"), seed_pred.cast("boolean").alias("__is_seed")
+    )
+    nodes = (
+        g.select(F.col("__src").alias("__id"))
+        .union(g.select(F.col("__nbr").alias("__id")))
+        .distinct()
+        .join(flags, "__id", "left")
+        .select("__id", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = nodes.filter(F.col("__is_seed")).count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no graph node satisfies seed_pred")
+    # teleport/damping literals come from the SAME python floats the oracle
+    # interpolates via repr() (the pagerank discipline)
+    tele, damp = 1.0 - damping, float(damping)
+    seed_mass = F.when(
+        F.col("__is_seed"),
+        F.round(F.lit(1.0) / F.lit(float(n_seeds)), 12),
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("__id", "__is_seed", seed_mass.alias("__r"))
+    for _ in range(n_iters):
+        contrib = edges.join(
+            ranks.select(F.col("__id").alias("__src"), "__r"), "__src"
+        ).select(
+            "__nbr", F.round(F.col("__r") / F.col("__deg"), 12).alias("__c")
+        )
+        s = contrib.groupBy("__nbr").agg(
+            F.sum(F.col("__c").cast("decimal(38,12)")).alias("__s")
+        )
+        ranks = (
+            nodes.join(s, nodes["__id"] == s["__nbr"], "left")
+            .select(
+                "__id",
+                "__is_seed",
+                F.round(
+                    F.when(
+                        F.col("__is_seed"),
+                        F.lit(tele) / F.lit(float(n_seeds)),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(damp)
+                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("__r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("__id").alias(id_col),
+        F.col("__is_seed").alias("is_seed"),
+        F.col("__r").alias("ppr"),
+    ).orderBy(id_col)
+
+
+def graph_degree_profile(edges: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """In-degree histogram + reciprocity audit over a directed edge frame
+    ``(id_col, nbr_id)`` — the graph-quality report a curator reads before
+    trusting any graph consumer: a top-k graph has constant OUT-degree by
+    construction, so the IN-degree distribution is where hubs show up
+    (a few nodes absorbing most edges = a collapsed embedding region or a
+    boilerplate cluster), and low reciprocity means the "nearest neighbor"
+    relation is one-directional — both are red flags for pagerank/label
+    propagation built on top.
+
+    Pure integers: per bucket ``n_nodes`` (nodes with that in-degree),
+    ``recip_edges`` (their out-edges whose reverse edge exists) and
+    ``recip_ppm`` (half-up ppm of recip_edges / out_edges; 0 when the
+    bucket has no out-edges).  Scale shape: edges are O(N·k); reciprocity
+    is one self-semi-join on the (src, dst) pair — no node×node blowup;
+    the histogram is ≤ max-in-degree rows."""
+    src = edges.select(F.col(id_col).alias("__node"), F.col("nbr_id").alias("__nbr"))
+    nodes = (
+        src.select("__node")
+        .union(src.select(F.col("__nbr").alias("__node")))
+        .distinct()
+    )
+    outd = src.groupBy("__node").agg(F.count(F.lit(1)).alias("__out"))
+    ind = (
+        src.groupBy(F.col("__nbr").alias("__node"))
+        .agg(F.count(F.lit(1)).alias("__in"))
+    )
+    recip = (
+        src.join(
+            src.select(
+                F.col("__nbr").alias("__node"), F.col("__node").alias("__nbr")
+            ),
+            ["__node", "__nbr"],
+            "left_semi",
+        )
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).alias("__recip"))
+    )
+    per = (
+        nodes.join(outd, "__node", "left")
+        .join(ind, "__node", "left")
+        .join(recip, "__node", "left")
+        .select(
+            F.coalesce("__in", F.lit(0).cast("long")).alias("in_degree"),
+            F.coalesce("__out", F.lit(0).cast("long")).alias("__out"),
+            F.coalesce("__recip", F.lit(0).cast("long")).alias("__recip"),
+        )
+    )
+    return per.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("__recip").cast("long").alias("recip_edges"),
+        F.expr(
+            "CASE WHEN sum(__out) = 0 THEN 0L ELSE"
+            " (cast(sum(__recip) as decimal(38,0)) * 2000000 + sum(__out))"
+            " div (cast(sum(__out) as decimal(38,0)) * 2) END"
+        ).alias("recip_ppm"),
+    )
+
+
 def knn_recall_audit(
     df: DataFrame,
     sample_mod: int = 125,

@@ -1897,6 +1897,132 @@ ORDER BY vec_id
 """
 
 
+def s_ppr_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank re-attached to the PERSISTED k-NN graph
+    layout (fourth layout consumer — llm_ops.similarity.
+    personalized_pagerank): the walk teleports only to the vec_id%7==0
+    seed set, so mass concentrates on the seeds' graph neighborhood — the
+    "more like these" corpus-expansion a curator runs from a hand-picked
+    exemplar set, where global pagerank answers corpus-wide centrality.
+    Re-attach matters MOST here: seed sets change per curation task while
+    the graph doesn't, so at 100 TB the same stored edges serve every
+    seed-set query (plan-pinned in tests: no codebook argmin, no in-cell
+    join).  Same numeric discipline as s_pagerank (1e-12-rounded double
+    rounds over exact decimal sums), so the walk is SQL-unrolled and
+    oracle-checked."""
+    from fineo_readerator_spark.llm_ops.similarity import personalized_pagerank
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    return personalized_pagerank(
+        load(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 7 == 0,
+        n_iters=2,
+        graph=edges,
+    )
+
+
+def _s_ppr_layout_oracle(
+    k: int = 3,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    seed_mod: int = 7,
+) -> str:
+    """Unrolled personalized-PageRank replay on the shared knn-graph CTEs.
+    Teleport goes only to seed nodes (``id % seed_mod = 0``) at
+    ``1/n_seeds``; literals are ``repr()``-interpolated from the SAME
+    python floats the Spark side uses (the pagerank discipline)."""
+    tele, damp = 1.0 - damping, float(damping)
+    parts = [
+        _knn_graph_ctes(k, n_centroids),
+        "nodes AS (SELECT DISTINCT id FROM"
+        " (SELECT vec_id AS id FROM graph UNION ALL SELECT nbr_id FROM graph))",
+        f"nf AS (SELECT id, id % {seed_mod} = 0 AS is_seed FROM nodes)",
+        "nsn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nf WHERE is_seed)",
+        "deg AS (SELECT vec_id AS src, count(*) AS d FROM graph GROUP BY 1)",
+        "r0 AS (SELECT id, is_seed,"
+        " CASE WHEN is_seed THEN round(CAST(1 AS DOUBLE) / (SELECT ns FROM nsn), 12)"
+        " ELSE CAST(0 AS DOUBLE) END AS r FROM nf)",
+    ]
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT g.nbr_id AS id, round(p.r / d.d, 12) AS c
+  FROM graph g JOIN {prev} p ON g.vec_id = p.id JOIN deg d ON g.vec_id = d.src
+)"""
+        )
+        parts.append(
+            f"s{t} AS (SELECT id, sum(CAST(c AS DECIMAL(38,12))) AS s"
+            f" FROM c{t} GROUP BY 1)"
+        )
+        parts.append(
+            f"""r{t} AS (
+  SELECT n.id, n.is_seed,
+         round(CASE WHEN n.is_seed THEN CAST({tele!r} AS DOUBLE) / (SELECT ns FROM nsn)
+                    ELSE CAST(0 AS DOUBLE) END
+               + CAST({damp!r} AS DOUBLE)
+               * coalesce(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)), 12) AS r
+  FROM nf n LEFT JOIN s{t} s ON n.id = s.id
+)"""
+        )
+        prev = f"r{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, is_seed, r AS ppr FROM {prev} ORDER BY vec_id"
+    )
+
+
+def s_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram + reciprocity audit over the PERSISTED k-NN
+    graph (fifth layout consumer — llm_ops.similarity.
+    graph_degree_profile): a top-k graph has constant out-degree, so hubs
+    only show in the IN-degree distribution (a few nodes absorbing most
+    edges = a collapsed embedding region or a boilerplate cluster), and
+    low reciprocity means "nearest neighbor" is one-directional — the
+    graph-quality gate a curator reads before trusting pagerank / label
+    propagation built on the same edges.  Pure integers (half-up ppm);
+    edges O(N·k), reciprocity one self-semi-join on (src,dst), output ≤
+    max-in-degree rows."""
+    from fineo_readerator_spark.llm_ops.similarity import graph_degree_profile
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    return graph_degree_profile(edges).orderBy("in_degree")
+
+
+def _s_graph_degrees_oracle(k: int = 3, n_centroids: int = 16) -> str:
+    return f"""
+WITH {_knn_graph_ctes(k, n_centroids)},
+src AS (SELECT vec_id AS node, nbr_id AS nbr FROM graph),
+nodes AS (SELECT DISTINCT node FROM (SELECT node FROM src UNION ALL SELECT nbr FROM src)),
+outd AS (SELECT node, count(*) AS o FROM src GROUP BY node),
+ind AS (SELECT nbr AS node, count(*) AS i FROM src GROUP BY nbr),
+recip AS (
+  SELECT s.node, count(*) AS rc FROM src s
+  WHERE EXISTS (SELECT 1 FROM src r WHERE r.node = s.nbr AND r.nbr = s.node)
+  GROUP BY s.node
+),
+per AS (
+  SELECT coalesce(i.i, 0) AS in_degree, coalesce(o.o, 0) AS o,
+         coalesce(rc.rc, 0) AS rc
+  FROM nodes n
+  LEFT JOIN outd o ON n.node = o.node
+  LEFT JOIN ind i ON n.node = i.node
+  LEFT JOIN recip rc ON n.node = rc.node
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(rc) AS BIGINT) AS recip_edges,
+       CASE WHEN sum(o) = 0 THEN CAST(0 AS BIGINT) ELSE
+         CAST((CAST(sum(rc) AS HUGEINT) * 2000000 + sum(o))
+              // (CAST(sum(o) AS HUGEINT) * 2) AS BIGINT) END AS recip_ppm
+FROM per GROUP BY in_degree ORDER BY in_degree
+"""
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -3890,6 +4016,8 @@ LLM_QUERIES = [
     QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
     QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle()),
     QueryDef("s_graph_triangles", s_graph_triangles, _s_graph_triangles_oracle()),
+    QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle()),
+    QueryDef("s_graph_degrees", s_graph_degrees, _s_graph_degrees_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),

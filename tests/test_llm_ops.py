@@ -2646,3 +2646,56 @@ def test_bpe_doc_tokens_sums_to_fertility_totals(spark):
     # merges compress: token count strictly below character count somewhere
     assert any(t < sum(len(w) for w in dict(
         (r[0], r[2]) for r in rows)[d].split()) for d, (_, t) in per_doc.items())
+
+
+def test_ppr_layout_plan_reads_stored_edges_and_concentrates(spark):
+    """s_ppr_layout (fourth layout consumer) must not rebuild the graph;
+    PPR semantics: total mass <= 1 (dangling decay), every seed carries its
+    teleport floor, and seed rows average strictly more mass than
+    non-seeds (the walk concentrates around the seed set)."""
+    from fineo_readerator_spark.plans.llm_queries import s_ppr_layout
+
+    df = s_ppr_layout(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan and "named_struct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r.ppr for r in rows)
+    assert 0 < total <= 1.0 + 1e-9
+    seeds = [r.ppr for r in rows if r.is_seed]
+    rest = [r.ppr for r in rows if not r.is_seed]
+    assert seeds and rest
+    # every seed keeps at least the teleport term (0.15 / n_seeds)
+    floor = (1.0 - 0.85) / len(seeds)
+    assert all(p >= floor - 1e-12 for p in seeds)
+    assert sum(seeds) / len(seeds) > sum(rest) / len(rest)
+
+
+def test_personalized_pagerank_empty_seed_raises(spark):
+    from fineo_readerator_spark.llm_ops.similarity import personalized_pagerank
+    import pytest as _pt
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "vec_id long, nbr_id long"
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="seed_pred"):
+        personalized_pagerank(df, df.vec_id > 100, graph=edges)
+
+
+def test_graph_degree_profile_hand_counts(spark):
+    """Tiny hand-checkable graph: 1->2, 2->1, 1->3.  All three nodes have
+    in-degree 1; of the 3 directed edges, the (1,2)/(2,1) pair is
+    reciprocal (2 reciprocated edges), so recip_ppm = half-up(2/3 * 1e6)."""
+    from fineo_readerator_spark.llm_ops.similarity import graph_degree_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "vec_id long, nbr_id long"
+    )
+    rows = graph_degree_profile(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.in_degree, r.n_nodes, r.recip_edges) == (1, 3, 2)
+    assert r.recip_ppm == 666667
