@@ -195,3 +195,92 @@ ORDER BY abs(CAST(s AS HUGEINT) * n_buckets - CAST(k AS HUGEINT) * total) DESC,
          bucket ASC
 LIMIT 1
 """
+
+
+def dyadic_ewma(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 and a hard
+    ``window``-bucket cutoff, computed in EXACT integers — the smoothed
+    trend line behind alerting dashboards, without the cross-engine float
+    hazard a true recursive EWMA carries (every engine accumulates
+    ``(1-α)·prev`` in its own float order).
+
+    Dyadic trick: with α = 1/2 the weight of the observation ``d`` buckets
+    back is ``2^(window-1-d)``, an integer; absent buckets contribute 0,
+    so the weight mass is the CONSTANT ``2^window - 1`` and
+    ``ewma_milli = half-up(1000 · Σ v·w / (2^window − 1))`` is one integer
+    division.  A true infinite-tail EWMA differs by < 2^-window of the
+    scale — at window=8, under 0.4%.
+
+    Scale shape: each bucket row expands into ``window`` (target-bucket,
+    weighted-value) contributions (a bounded explode, no window function
+    over an unbounded frame), one bucket-keyed agg re-collapses them, and
+    a semi-join keeps only observed buckets — all shuffles are on the
+    bucket key; fanout is the constant ``window``."""
+    if window < 1 or window > 62:
+        raise ValueError(f"window must be in [1, 62], got {window}")
+    per = series.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("v")
+    )
+    contribs = per.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("off"),
+        "bucket",
+        "v",
+    ).select(
+        (F.col("bucket") + F.col("off")).alias("t_bucket"),
+        F.expr(
+            "cast(v as decimal(38,0))"
+            f" * cast(shiftleft(1L, cast({window - 1} - off as int))"
+            "        as decimal(38,0))"
+        ).alias("wv"),
+    )
+    observed = per.select("bucket")
+    denom = (1 << window) - 1
+    smoothed = (
+        contribs.join(
+            observed.select(F.col("bucket").alias("t_bucket")), "t_bucket", "left_semi"
+        )
+        .groupBy("t_bucket")
+        .agg(F.sum("wv").alias("swv"))
+    )
+    return (
+        smoothed.join(per, smoothed["t_bucket"] == per["bucket"])
+        .select(
+            F.col("bucket"),
+            F.col("v").cast("long").alias("n"),
+            F.expr(
+                f"cast((swv * 2000 + {denom}) div ({denom} * 2) as bigint)"
+            ).alias("ewma_milli"),
+        )
+    )
+
+
+def dyadic_ewma_oracle_sql(
+    series_sql: str, bucket_col: str, value_col: str, window: int = 8
+) -> str:
+    """DuckDB replay of :func:`dyadic_ewma` — same bounded explode,
+    semi-join to observed buckets and half-up integer division."""
+    denom = (1 << window) - 1
+    return f"""
+WITH per AS (
+  SELECT {bucket_col} AS bucket, CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS v
+  FROM ({series_sql}) GROUP BY 1
+),
+contribs AS (
+  SELECT bucket + off AS t_bucket,
+         CAST(v AS HUGEINT) * (CAST(1 AS HUGEINT) << ({window} - 1 - off)) AS wv
+  FROM per, unnest(generate_series(0, {window} - 1)) t(off)
+),
+smoothed AS (
+  SELECT t_bucket, sum(wv) AS swv FROM contribs
+  WHERE t_bucket IN (SELECT bucket FROM per)
+  GROUP BY t_bucket
+)
+SELECT per.bucket, per.v AS n,
+       CAST((swv * 2000 + {denom}) // ({denom} * 2) AS BIGINT) AS ewma_milli
+FROM smoothed JOIN per ON smoothed.t_bucket = per.bucket
+"""

@@ -228,3 +228,126 @@ SELECT prev_type, next_type, n,
             AS BIGINT) AS share_ppm
 FROM pairs
 """
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    gap: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    item_col: str = "event_type",
+    k: int = 20,
+    min_sessions: int = 2,
+) -> DataFrame:
+    """Session-level item co-occurrence ("co-visitation") ranked by LIFT —
+    which item pairs appear in the same user session far above chance, the
+    association-mining primitive behind related-items panels and
+    behavioral segment discovery.  Lift is the integer-exact monotone core
+    of PMI, the same no-logarithm trick as
+    :func:`~fineo_readerator_spark.llm_ops.textstats.collocations`:
+    ``n_ab·S·10⁶ / (n_a·n_b)`` in half-up ppm over decimal(38,0)
+    intermediates, where S is the total session count and n_a the sessions
+    containing item a.
+
+    Scale shape: sessionization is the one user-keyed shuffle
+    (``sessionize_batch``); the DISTINCT (user, session, item) frame is
+    bounded by sessions × |item vocabulary|; the pair self-join is keyed
+    on (user, session) — co-partitioned, with per-session fanout ≤
+    |items-in-session|², bounded by the item vocabulary, never by corpus
+    rows.  ``min_sessions`` prunes the pair tail before the two item-count
+    joins; S rides along as a broadcast single-row frame.  Top-k is a
+    TakeOrdered on (lift DESC, pair ASC)."""
+    from fineo_readerator_spark.operators.sessionize import sessionize_batch
+
+    s = sessionize_batch(
+        df.select(user_col, ts_col, item_col), user_col, ts_col, gap
+    )
+    items = (
+        s.select(
+            F.col(user_col).alias("__u"),
+            F.col("session_idx").alias("__s"),
+            F.col(item_col).alias("__item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds S, per-item and pair counts
+    )
+    n_sessions = (
+        items.select("__u", "__s").distinct().agg(F.count(F.lit(1)).alias("__S"))
+    )
+    per_item = items.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), ["__u", "__s"])
+        .filter(F.col("a.__item") < F.col("b.__item"))
+        .groupBy(
+            F.col("a.__item").alias("item_a"), F.col("b.__item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_sessions)
+    )
+    joined = (
+        pairs.join(
+            per_item.select(F.col("__item").alias("item_a"), F.col("__c").alias("__ca")),
+            "item_a",
+        )
+        .join(
+            per_item.select(F.col("__item").alias("item_b"), F.col("__c").alias("__cb")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    lift = F.expr(
+        "(cast(n_ab as decimal(38,0)) * __S * 2000000"
+        " + cast(__ca as decimal(38,0)) * __cb)"
+        " div (cast(__ca as decimal(38,0)) * __cb * 2)"
+    )
+    return (
+        joined.select("item_a", "item_b", "n_ab", lift.alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), "item_a", "item_b")
+        .limit(k)
+    )
+
+
+def session_cooccurrence_oracle_sql(
+    events_sql: str,
+    gap: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    item_col: str = "event_type",
+    k: int = 20,
+    min_sessions: int = 2,
+) -> str:
+    """DuckDB replay of :func:`session_cooccurrence` — same sessionize
+    windows, DISTINCT grain, min_sessions cut and half-up HUGEINT lift."""
+    return f"""
+WITH e AS (SELECT {user_col} AS u, {ts_col} AS ms, {item_col} AS item FROM ({events_sql})),
+m AS (
+  SELECT u, ms, item,
+         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > {gap}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY ms)
+),
+s AS (
+  SELECT u, item,
+         sum(ns) OVER (PARTITION BY u ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sess
+  FROM m
+),
+items AS (SELECT DISTINCT u, sess, item FROM s),
+ns AS (SELECT count(*) AS S FROM (SELECT DISTINCT u, sess FROM items)),
+per_item AS (SELECT item, count(*) AS c FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM items a JOIN items b ON a.u = b.u AND a.sess = b.sess AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {min_sessions}
+)
+SELECT item_a, item_b, n_ab,
+       CAST((CAST(n_ab AS HUGEINT) * S * 2000000 + CAST(ca.c AS HUGEINT) * cb.c)
+            // (CAST(ca.c AS HUGEINT) * cb.c * 2) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN per_item ca ON ca.item = pairs.item_a
+JOIN per_item cb ON cb.item = pairs.item_b
+CROSS JOIN ns
+ORDER BY lift_ppm DESC, item_a, item_b
+LIMIT {k}
+"""

@@ -1226,6 +1226,65 @@ def _q_entity_match_oracle() -> str:
     )
 
 
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type co-occurrence ranked by integer lift
+    (operators.transitions.session_cooccurrence): which event types land
+    in the same 30-min user session far above chance — the co-visitation
+    primitive behind related-items panels, here run on the behavioral
+    stream.  One user-keyed sessionize shuffle; the pair self-join is
+    (user, session)-co-partitioned with fanout bounded by the event-type
+    vocabulary, and lift is half-up ppm over decimal(38,0) — no floats."""
+    from fineo_readerator_spark.operators.transitions import session_cooccurrence
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("user_id", epoch_millis(ev, "ts").alias("ts_ms"), "event_type")
+    return session_cooccurrence(ev, gap=1_800_000, k=20, min_sessions=2)
+
+
+def _q_cooccur_lift_oracle() -> str:
+    from fineo_readerator_spark.operators.transitions import (
+        session_cooccurrence_oracle_sql,
+    )
+
+    return session_cooccurrence_oracle_sql(
+        "SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events",
+        gap=1_800_000,
+        k=20,
+        min_sessions=2,
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA trend line over daily event volume (operators.anomaly.
+    dyadic_ewma): α=1/2 exponential smoothing with an 8-day cutoff,
+    computed in EXACT integers (weights are powers of two, the absent-day
+    mass is a constant) — a recursive float EWMA would accumulate in
+    engine-specific order and violate the repo's determinism rule.  All
+    shuffles are day-keyed; per-day fanout is the constant window."""
+    from fineo_readerator_spark.functions import epoch_millis as _em
+    from fineo_readerator_spark.operators.anomaly import dyadic_ewma
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select(_em(ev, "ts").alias("ms")).select(
+        F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return dyadic_ewma(series, "day", "one", window=8).orderBy("bucket")
+
+
+def _q_ewma_smooth_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import dyadic_ewma_oracle_sql
+
+    return (
+        dyadic_ewma_oracle_sql(
+            "SELECT epoch_ms(ts) // 86400000 AS day, 1 AS one FROM events",
+            "day",
+            "one",
+            window=8,
+        )
+        + " ORDER BY bucket"
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1262,6 +1321,8 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
+    QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle()),
+    QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

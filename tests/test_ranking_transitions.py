@@ -306,3 +306,40 @@ def test_attribution_plan_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_session_cooccurrence_hand_counts(spark):
+    """Four sessions: {a,b}, {a,b}, {a}, {c}.  Pair (a,b) co-occurs in 2 of
+    4 sessions with n_a=3, n_b=2 -> lift = 2*4/(3*2) = 1.3333, ppm half-up
+    1333333; the singleton (a,c) pair is cut by min_sessions."""
+    from fineo_readerator_spark.operators.transitions import session_cooccurrence
+
+    rows = [
+        (1, 0, "a"), (1, 1000, "b"),
+        (2, 0, "a"), (2, 500, "b"),
+        (3, 0, "a"), (3, 10_000_000, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    out = session_cooccurrence(df, gap=1_800_000, min_sessions=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_ab, r.lift_ppm) == ("a", "b", 2, 1333333)
+
+
+def test_dyadic_ewma_hand_values(spark):
+    """Days [0,1,3] with counts [2,4,8] at window=2 (weights 2,1 over the
+    constant mass 3): day0 -> 4/3, day1 -> (2*4+2)/3, day3 -> 16/3 (day 2
+    absent contributes 0), each half-up at milli scale."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.operators.anomaly import dyadic_ewma
+
+    rows = [(0, 2), (1, 4), (3, 8)]
+    df = spark.createDataFrame(rows, "day long, one long")
+    # pre-aggregated values ride in as repeated units via groupBy sum
+    out = {r.bucket: (r.n, r.ewma_milli)
+           for r in dyadic_ewma(df, "day", "one", window=2).collect()}
+    assert out == {0: (2, 1333), 1: (4, 3333), 3: (8, 5333)}
+
+    with _pt.raises(ValueError, match="window"):
+        dyadic_ewma(df, "day", "one", window=0)
