@@ -1365,3 +1365,158 @@ SELECT {g}, chosen_id, chosen_score, rejected_id, rejected_score,
 FROM pairs
 WHERE chosen_id != rejected_id AND chosen_score - rejected_score >= {min_margin}
 """
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Hashed-n-gram importance selection, the deterministic core of DSIR
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score each raw document by how much its token
+    distribution looks like the TARGET corpus, estimated over hashed
+    unigram features, and keep the top-``k``.  Where DSIR resamples with
+    Gumbel noise, this ranks by the importance proxy with a hash tiebreak
+    — reproducible on any engine/partitioning (the repo's determinism
+    rule; noise would be RNG-order-dependent).
+
+    Per feature ``f`` (a token md5-hashed into ``n_buckets``), the add-one
+    smoothed frequency ratio ``ratio_ppm(f) = half-up(10⁶ · (ct_t+1)
+    ·(N_r+B) / ((ct_r+1)·(N_t+B)))``; a document scores the
+    count-weighted mean of its tokens' ratios, ``score_ppm =
+    half-up(Σ c_f·ratio_ppm / Σ c_f)`` — 10⁶ means "exactly
+    target-typical", higher means over-represented in the target.  All
+    integer arithmetic over decimal(38,0)/HUGEINT (headroom to ~10¹³
+    corpus tokens at ppm scale).
+
+    Scale shape: hashing is what BOUNDS the feature space — the ratio
+    table is ≤ ``n_buckets`` rows by construction, so its join side is
+    metadata-sized no matter how large the corpus (the un-hashed
+    vocabulary table that must NOT be broadcast is exactly what this
+    avoids); token counts are map-side-combined feature-keyed aggs; the
+    per-doc score is one explode + one (doc, feature)-grain agg joined to
+    the bounded ratio table.  Top-k is a TakeOrdered."""
+    from fineo_readerator_spark.llm_ops.textstats import tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def feat(tok: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), tok)), 1, 15), 16, 10
+        )
+        return F.pmod(h.cast("long"), F.lit(n_buckets))
+
+    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("__id")] if with_id else []
+        return df.select(*cols, F.explode(tokens(F.col(text_col))).alias("__tok")).select(
+            *(["__id"] if with_id else []), feat(F.col("__tok")).alias("__f")
+        )
+
+    raw_f = featurize(raw, with_id=True).localCheckpoint(eager=False)
+    tgt_counts = (
+        featurize(target, with_id=False)
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("__ct_t"))
+    )
+    raw_counts = raw_f.groupBy("__f").agg(F.count(F.lit(1)).alias("__ct_r"))
+    # bounded by construction: <= n_buckets rows each — broadcast is safe
+    # here in a way it is NOT for an unhashed vocabulary table
+    totals = raw_counts.agg(F.sum("__ct_r").alias("__n_r")).crossJoin(
+        tgt_counts.agg(F.sum("__ct_t").alias("__n_t"))
+    )
+    ratios = (
+        raw_counts.join(tgt_counts, "__f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__f",
+            F.expr(
+                "cast(((cast(coalesce(__ct_t, 0) as decimal(38,0)) + 1)"
+                f" * (__n_r + {n_buckets}) * 2000000"
+                " + (cast(__ct_r as decimal(38,0)) + 1)"
+                f" * (__n_t + {n_buckets}))"
+                " div ((cast(__ct_r as decimal(38,0)) + 1)"
+                f" * (__n_t + {n_buckets}) * 2) as bigint)"
+            ).alias("__ratio_ppm"),
+        )
+    )
+    doc_feats = raw_f.groupBy("__id", "__f").agg(F.count(F.lit(1)).alias("__c"))
+    scored = (
+        doc_feats.join(F.broadcast(ratios), "__f")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.expr(
+                "cast((sum(cast(__c as decimal(38,0)) * __ratio_ppm) * 2 + sum(__c))"
+                " div (cast(sum(__c) as decimal(38,0)) * 2) as bigint)"
+            ).alias("score_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_ppm"), "__id")
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "n_tokens", "score_ppm")
+    )
+
+
+def dsir_oracle_sql(
+    raw_sql: str,
+    target_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k: int = 100,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of :func:`dsir_select` — same md5 feature hash,
+    add-one smoothing and half-up integer divisions."""
+    md5 = f"md5(concat('{seed}|', tok))"
+    parse = (
+        "list_sum(list_transform(generate_series(1, 15),"
+        f" i -> (strpos('0123456789abcdef', substr({md5}, CAST(i AS INT), 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4 * (15 - i)))))"
+    )
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    return f"""
+WITH raw_toks AS (
+  SELECT {id_col} AS id, unnest({toks}) AS tok FROM ({raw_sql})
+),
+tgt_toks AS (
+  SELECT unnest({toks}) AS tok FROM ({target_sql})
+),
+raw_f AS (SELECT id, {parse} % {n_buckets} AS f FROM raw_toks),
+tgt_f AS (SELECT {parse} % {n_buckets} AS f FROM tgt_toks),
+raw_counts AS (SELECT f, count(*) AS ct_r FROM raw_f GROUP BY f),
+tgt_counts AS (SELECT f, count(*) AS ct_t FROM tgt_f GROUP BY f),
+totals AS (
+  SELECT (SELECT sum(ct_r) FROM raw_counts) AS n_r,
+         (SELECT sum(ct_t) FROM tgt_counts) AS n_t
+),
+ratios AS (
+  SELECT rc.f,
+         CAST(((CAST(coalesce(tc.ct_t, 0) AS HUGEINT) + 1)
+                * (n_r + {n_buckets}) * 2000000
+               + (CAST(rc.ct_r AS HUGEINT) + 1) * (n_t + {n_buckets}))
+              // ((CAST(rc.ct_r AS HUGEINT) + 1) * (n_t + {n_buckets}) * 2)
+              AS BIGINT) AS ratio_ppm
+  FROM raw_counts rc LEFT JOIN tgt_counts tc ON rc.f = tc.f
+  CROSS JOIN totals
+),
+doc_feats AS (SELECT id, f, count(*) AS c FROM raw_f GROUP BY id, f)
+SELECT id AS {id_col},
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST((sum(CAST(c AS HUGEINT) * ratio_ppm) * 2 + sum(c))
+            // (CAST(sum(c) AS HUGEINT) * 2) AS BIGINT) AS score_ppm
+FROM doc_feats JOIN ratios ON doc_feats.f = ratios.f
+GROUP BY id
+ORDER BY score_ppm DESC, id
+LIMIT {k}
+"""

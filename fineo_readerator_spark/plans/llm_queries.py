@@ -3261,6 +3261,33 @@ def p_dist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance selection (llm_ops.sampling.dsir_select —
+    the deterministic core of DSIR): score every document by how
+    English-corpus-typical its token distribution is, over md5-hashed
+    unigram features with add-one smoothing, and keep the top 50.  The
+    hashing BOUNDS the feature space, so the frequency-ratio table is ≤
+    4096 rows by construction and its broadcast is safe at any corpus
+    size — the exact opposite of an unhashed vocabulary join.  Pure
+    integer ppm arithmetic; ranking tiebreaks on doc_id."""
+    from fineo_readerator_spark.llm_ops.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(raw, target, k=50).orderBy(F.desc("score_ppm"), "doc_id")
+
+
+def _p_dsir_select_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import dsir_oracle_sql
+
+    return dsir_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        k=50,
+    )
+
+
 def _p_dist_match_oracle() -> str:
     from fineo_readerator_spark.llm_ops.sampling import (
         distribution_match_oracle_predicate,
@@ -4051,6 +4078,7 @@ LLM_QUERIES = [
     QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),
     QueryDef("p_k_anonymize", p_k_anonymize, _p_k_anonymize_oracle()),
     QueryDef("p_dist_match", p_dist_match, _p_dist_match_oracle()),
+    QueryDef("p_dsir_select", p_dsir_select, _p_dsir_select_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),

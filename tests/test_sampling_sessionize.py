@@ -320,3 +320,26 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_dsir_select_favors_target_like_docs(spark):
+    """With an English target corpus, the English raw doc must outscore the
+    German one (its hashed-token ratios are target-heavy), and scores are
+    anchored at the ppm scale: a doc of only target-unseen tokens sits
+    below 1e6, target-typical tokens above."""
+    from fineo_readerator_spark.llm_ops.sampling import dsir_select
+    import pytest as _pt
+
+    raw = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "der hund lief schnell davon")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "the dog sat on the rug"), (11, "the bird sat near the mat")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.score_ppm for r in dsir_select(raw, target, k=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] > rows[2]
+    with _pt.raises(ValueError, match="n_buckets"):
+        dsir_select(raw, target, n_buckets=1)
