@@ -1496,3 +1496,90 @@ FROM (
 ORDER BY lift_ppm DESC, w1, w2
 LIMIT {k}
 """
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document, in clamped integer MILLI units —
+    the classic cheap readability gate an LLM data pipeline applies
+    alongside the Gopher rules (too-low scores flag legalese/boilerplate,
+    implausibly high ones flag word-salad).
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    computed as ONE integer rational over the common denominator S·W —
+    ``flesch_milli = half-up((206835·S·W − 1015·W² − 84600·Y·S)/(S·W))``,
+    clamped at 0 BEFORE the division so no engine ever divides a negative
+    (decimal ``div`` truncates toward zero, HUGEINT ``//`` floors — they
+    only agree on non-negatives, the repo's integer-division rule).
+    Syllables are approximated as vowel-letter groups ``[aeiouy]+`` with a
+    1-per-word floor (the standard heuristic); sentences as ``[.!?]+``
+    runs with a 1-per-doc floor.  Everything is codegen'd regexp counts —
+    one projection, no shuffle, no Python."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    w_cnt = F.size(toks)
+    s_cnt = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    )
+    vowel_groups = F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0))
+    voweled_words = F.size(F.filter(toks, lambda t: F.lower(t).rlike("[aeiouy]")))
+    syl = vowel_groups + (w_cnt - voweled_words)
+    out = df.select(
+        F.col(id_col),
+        w_cnt.cast("long").alias("n_words"),
+        s_cnt.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return out.withColumn(
+        "flesch_milli",
+        F.expr(
+            "CASE WHEN 206835 * n_sentences * n_words"
+            "          - 1015 * n_words * n_words"
+            "          - 84600 * n_syllables * n_sentences <= 0 THEN 0L ELSE"
+            " ((cast(206835 as decimal(38,0)) * n_sentences * n_words"
+            "   - cast(1015 as decimal(38,0)) * n_words * n_words"
+            "   - cast(84600 as decimal(38,0)) * n_syllables * n_sentences) * 2"
+            "  + cast(n_sentences as decimal(38,0)) * n_words)"
+            " div (cast(n_sentences as decimal(38,0)) * n_words * 2)"
+            " END"
+        ).cast("long"),
+    )
+
+
+def readability_oracle_sql(
+    corpus_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`readability` — same regexp counts, same
+    clamp-then-half-up integer rational."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {text_col} AS txt, {toks} AS toks FROM ({corpus_sql})
+),
+m AS (
+  SELECT {id_col},
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(txt, '[.!?]+'))) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(txt), '[aeiouy]+'))
+              + len(toks)
+              - len(list_filter(toks, x -> regexp_matches(lower(x), '[aeiouy]')))
+              AS BIGINT) AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT {id_col}, n_words, n_sentences, n_syllables,
+       CASE WHEN 206835 * n_sentences * n_words
+                 - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(((CAST(206835 AS HUGEINT) * n_sentences * n_words
+                        - CAST(1015 AS HUGEINT) * n_words * n_words
+                        - CAST(84600 AS HUGEINT) * n_syllables * n_sentences) * 2
+                       + CAST(n_sentences AS HUGEINT) * n_words)
+                      // (CAST(n_sentences AS HUGEINT) * n_words * 2) AS BIGINT)
+       END AS flesch_milli
+FROM m
+"""

@@ -3261,6 +3261,27 @@ def p_dist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document in clamped integer milli units
+    (llm_ops.textstats.readability) — the classic readability gate next to
+    the Gopher rules: vowel-group syllables, [.!?]-run sentences, one
+    integer rational over the S·W denominator, clamped at 0 before the
+    division so no engine divides a negative.  One codegen'd projection,
+    no shuffle, no Python."""
+    from fineo_readerator_spark.llm_ops.textstats import readability
+
+    return readability(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _t_readability_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import readability_oracle_sql
+
+    return (
+        readability_oracle_sql("SELECT doc_id, text FROM documents")
+        + " ORDER BY doc_id"
+    )
+
+
 def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-n-gram importance selection (llm_ops.sampling.dsir_select —
     the deterministic core of DSIR): score every document by how
@@ -4066,6 +4087,7 @@ LLM_QUERIES = [
     QueryDef("e_topk_events", e_topk_events, E_TOPK_ORACLE),
     QueryDef("t_bigram_lm", t_bigram_lm, _t_bigram_lm_oracle()),
     QueryDef("t_quality_gopher", t_quality_gopher, _t_quality_oracle(), bench=True),
+    QueryDef("t_readability", t_readability, _t_readability_oracle()),
     QueryDef("t_repetition", t_repetition, _t_repetition_oracle()),
     QueryDef("t_quality_classifier", t_quality_classifier, _t_quality_classifier_oracle()),
     QueryDef("t_calibration", t_calibration, _t_calibration_oracle()),

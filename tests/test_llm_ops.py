@@ -2699,3 +2699,26 @@ def test_graph_degree_profile_hand_counts(spark):
     r = rows[0]
     assert (r.in_degree, r.n_nodes, r.recip_edges) == (1, 3, 2)
     assert r.recip_ppm == 666667
+
+
+def test_readability_hand_values(spark):
+    """'The cat sat. It ran!' -> W=5, S=2, syllables 1 each (Y=5):
+    flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975 -> 119698 milli
+    (half-up).  A vowel-free token floors at 1 syllable; dense legalese
+    clamps at 0 instead of going negative."""
+    from fineo_readerator_spark.llm_ops.textstats import readability
+
+    rows = [
+        (1, "The cat sat. It ran!"),
+        (2, "zzz shh"),  # no vowels: 1-syllable floor per word
+        (3, "extraordinarily incomprehensibilities notwithstanding"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 2, 5)
+    assert r1.flesch_milli == 119698
+    r2 = out[2]
+    assert (r2.n_words, r2.n_syllables) == (2, 2)
+    # doc 3: one long-word sentence -> strongly negative raw score, clamped
+    assert out[3].flesch_milli == 0
