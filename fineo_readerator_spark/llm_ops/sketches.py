@@ -642,3 +642,65 @@ SELECT {grp}CAST(count(*) AS BIGINT) AS n_kept,
             ELSE round(CAST({float(k - 1)!r} AS DOUBLE) * CAST({float(_KMV_RANGE)!r} AS DOUBLE)
                        / max(h), 2) END AS est_distinct
 FROM topk {grp_by} {order}"""
+
+
+def hll_rolling(
+    df: DataFrame, key: Column, bucket_col: str, window: int = 7
+) -> DataFrame:
+    """Rolling ``window``-bucket distinct estimate by HLL register MERGE —
+    the mergeability payoff of sketching: rolling 7-day distinct users
+    computed exactly once per day from per-day register state, where the
+    exact equivalent re-shuffles ``window`` days of RAW keys per output
+    day (at 100 TB, a window-sized scan per day vs day × 128 longs here).
+
+    Register max is associative/commutative, so "merge the last ``window``
+    days" is a bounded explode of register rows (each day's registers
+    contribute to ``window`` target days), one (day, bucket) max re-agg,
+    and the shared finalize.  Absent days contribute nothing (register 0);
+    output is restricted to OBSERVED buckets via a semi-join.  The
+    register frame is |days| × ≤128 rows — metadata-sized no matter the
+    corpus."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    regs = hll_registers(df, key, group_cols=(bucket_col,))
+    contribs = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__off"),
+        F.col(bucket_col).alias("__b"),
+        "bucket",
+        "m_j",
+    ).select((F.col("__b") + F.col("__off")).alias("__t"), "bucket", "m_j")
+    observed = regs.select(F.col(bucket_col).alias("__t")).distinct()
+    merged = (
+        contribs.join(observed, "__t", "left_semi")
+        .groupBy("__t", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return hll_finalize(merged, ("__t",)).withColumnRenamed("__t", bucket_col)
+
+
+def hll_rolling_oracle_sql(
+    source_sql: str, bucket_col: str, key_expr: str, window: int = 7
+) -> str:
+    """DuckDB replay of :func:`hll_rolling` — same registers, bounded
+    explode merge and estimator."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _hexparse
+
+    h = _hexparse(f"md5({key_expr})", 1, 15)
+    bucket, m_j = _oracle_reg_exprs()
+    return f"""
+WITH h AS (
+  SELECT {bucket_col} AS b, {h} AS h FROM ({source_sql})
+),
+regs AS (SELECT b, {bucket}, {m_j} FROM h GROUP BY 1, 2),
+contribs AS (
+  SELECT b + off AS t, bucket, m_j
+  FROM regs, unnest(generate_series(0, {window - 1})) s(off)
+),
+merged AS (
+  SELECT t, bucket, max(m_j) AS m_j FROM contribs
+  WHERE t IN (SELECT DISTINCT b FROM regs) GROUP BY t, bucket
+)
+SELECT t AS {bucket_col}, {_oracle_est_expr()} AS est_distinct,
+       count(*) AS registers_set
+FROM merged GROUP BY t
+"""

@@ -3118,6 +3118,39 @@ def _a_hll_oracle() -> str:
     return hll_oracle_sql("SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k")
 
 
+def a_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimate by HLL register merge
+    (llm_ops.sketches.hll_rolling) — the mergeability payoff: each output
+    day folds the last 7 days' register state (≤128 longs/day) instead of
+    re-shuffling 7 days of raw keys, the only rolling-distinct shape that
+    survives 100 TB.  Register max is associative, so merge = bounded
+    explode + (day, bucket) max re-agg + the shared finalize."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.llm_ops.sketches import hll_rolling
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select(
+        epoch_millis(ev, "ts").alias("ms"),
+        F.col("user_id").cast("string").alias("k"),
+    ).select(F.expr("ms div 86400000").alias("day"), "k")
+    return hll_rolling(ev, F.col("k"), "day", window=7).orderBy("day")
+
+
+def _a_hll_rolling_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import hll_rolling_oracle_sql
+
+    return (
+        hll_rolling_oracle_sql(
+            "SELECT epoch_ms(ts) // 86400000 AS day,"
+            " CAST(user_id AS VARCHAR) AS k FROM events",
+            "day",
+            "k",
+            window=7,
+        )
+        + " ORDER BY day"
+    )
+
+
 def a_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source K-minimum-values distinct-text estimate (llm_ops.
     sketches.kmv_distinct): the order-statistics distinct sketch — exact
@@ -4093,6 +4126,7 @@ LLM_QUERIES = [
     QueryDef("t_calibration", t_calibration, _t_calibration_oracle()),
     QueryDef("t_redact", t_redact, _t_redact_oracle()),
     QueryDef("a_hll_distinct", a_hll_distinct, _a_hll_oracle()),
+    QueryDef("a_hll_rolling", a_hll_rolling, _a_hll_rolling_oracle()),
     QueryDef("a_kmv_distinct", a_kmv_distinct, _a_kmv_oracle()),
     QueryDef("a_hll_overlap", a_hll_overlap, _a_hll_overlap_oracle()),
     QueryDef("p_seq_pack", p_seq_pack, P_PACK_ORACLE),

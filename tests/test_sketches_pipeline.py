@@ -237,3 +237,33 @@ def test_bloom_member_sql_no_false_negatives_and_selective(spark, sf_dir):
     assert passed.join(cust, passed.o_custkey == cust.c_custkey).count() == n_true
     # selective: the filter kills a meaningful share of non-matching rows
     assert n_true <= n_passed < n_orders
+
+
+def test_hll_rolling_merge_semantics(spark):
+    """Rolling merge must equal the single-shot estimate over the same
+    window: day 2's 3-day rolling registers = registers of days 0..2
+    merged, so the estimates agree exactly; a bucket with no preceding
+    days equals its own per-day estimate."""
+    from pyspark.sql import functions as F
+
+    from fineo_readerator_spark.llm_ops.sketches import (
+        hll_estimate,
+        hll_rolling,
+    )
+
+    rows = [(d, f"u{d}_{i}") for d in (0, 1, 2) for i in range(40 * (d + 1))]
+    df = spark.createDataFrame(rows, "day long, k string")
+    roll = {r.day: r.est_distinct
+            for r in hll_rolling(df, F.col("k"), "day", window=3).collect()}
+    assert set(roll) == {0, 1, 2}
+    # day 2 window covers everything: must equal the global estimate
+    glob = hll_estimate(df, F.col("k")).collect()[0].est_distinct
+    assert roll[2] == glob
+    # day 0 has no history: equals its own single-day estimate
+    d0 = hll_estimate(df.filter("day = 0"), F.col("k")).collect()[0].est_distinct
+    assert roll[0] == d0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        hll_rolling(df, F.col("k"), "day", window=0)
