@@ -1285,6 +1285,43 @@ def _q_ewma_smooth_oracle() -> str:
     )
 
 
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by account balance per
+    nation, written as the per-row subquery a SQL user reaches for before
+    learning window functions.  Catalyst DECORRELATES it (the
+    DecorrelateInnerQuery rewrite) into the same shuffle-once top-k shape
+    as q_window_topn, so supporting the syntax costs nothing at scale;
+    balances are exact integer cents (floor·100) on both engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_name, c.acctbal_cents
+        FROM __lat_nation n,
+        LATERAL (
+          SELECT c_custkey, c_name,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM __lat_customer WHERE c_nationkey = n.n_nationkey
+          ORDER BY acctbal_cents DESC, c_custkey LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.acctbal_cents DESC, c.c_custkey
+        """
+    )
+
+
+Q_LATERAL_TOPN_ORACLE = """
+SELECT n.n_name, c.c_custkey, c.c_name, c.acctbal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_name,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY acctbal_cents DESC, c_custkey LIMIT 2
+) c
+ORDER BY n.n_name, c.acctbal_cents DESC, c.c_custkey
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1323,6 +1360,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle()),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
+    QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

@@ -306,3 +306,23 @@ def test_q9_q21_widest_joins_broadcast_dims_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21
     # the fact side shuffles once on the order key (the window), never more
     assert p21.count("SortMergeJoin") + p21.count("ShuffledHashJoin") <= 1, p21
+
+
+def test_lateral_topn_decorrelates_to_window_topk(spark):
+    """The correlated LATERAL (ORDER BY ... LIMIT inside) must decorrelate:
+    the executed plan is WindowGroupLimit + a broadcast equi-join — never a
+    per-outer-row nested loop or cartesian product."""
+    from fineo_readerator_spark.plans.relational_queries import q_lateral_topn
+
+    df = q_lateral_topn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    # per-nation cap holds
+    from collections import Counter
+
+    per = Counter(r.n_name for r in rows)
+    assert max(per.values()) <= 2
