@@ -174,3 +174,47 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(*cols).mapInPandas(run, out_schema)
+
+
+def media_near_dup(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    chunk_bytes: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Decode-free NEAR-dup detection over opaque media payloads — the step
+    between exact content-hash dedup (``mm_dedup``: catches re-crawled
+    byte-identical blobs) and perceptual hashing (needs a decoder): SimHash
+    over fixed-stride byte chunks, so payloads differing in a few chunks
+    (truncated downloads, re-muxed containers with changed trailers,
+    appended metadata) collapse while unrelated blobs don't.  A real pHash
+    drops in by replacing the chunking projection with a decoder UDF — the
+    banding/verification/cluster machinery downstream is unchanged.
+
+    Composition, not re-implementation: the payload is hex-encoded and cut
+    into ``chunk_bytes``-byte tokens in ONE codegen'd projection, then the
+    oracle-checked :func:`~fineo_readerator_spark.llm_ops.dedup.
+    simhash_dedup` cascade (exact-dup first, 16-bit pigeonhole buckets,
+    in-bucket hamming ≤ ``max_hamming``, min-id components) runs verbatim.
+    Fixed-stride chunks shift under byte INSERTIONS (the CDC caveat) —
+    that's the documented trade for a zero-shuffle chunking pass.
+
+    Returns the kept rows of ``df`` (near-dup losers removed)."""
+    from fineo_readerator_spark.llm_ops.dedup import simhash_dedup
+
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    chunked = df.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.regexp_extract_all(
+                F.hex(F.col(binary_col)), F.lit(f".{{{chunk_bytes * 2}}}"), 0
+            ),
+        ).alias("__chunk_text"),
+    )
+    kept = simhash_dedup(
+        chunked, id_col, "__chunk_text", max_hamming=max_hamming, portable=True
+    ).select(id_col)
+    return df.join(kept, id_col, "left_semi")

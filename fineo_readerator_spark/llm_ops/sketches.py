@@ -663,6 +663,19 @@ def hll_rolling(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     regs = hll_registers(df, key, group_cols=(bucket_col,))
+    return hll_rolling_finalize(regs, bucket_col, window)
+
+
+def hll_rolling_finalize(
+    regs: DataFrame, bucket_col: str, window: int = 7
+) -> DataFrame:
+    """The read-time half of :func:`hll_rolling`, split out so STORED
+    register state can be rolled up directly — the streaming pipeline
+    maintains per-day registers incrementally (``st_hll_rolling``) and
+    this merge+estimate runs on the drained table without touching raw
+    keys."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     contribs = regs.select(
         F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__off"),
         F.col(bucket_col).alias("__b"),

@@ -284,3 +284,72 @@ SELECT per.bucket, per.v AS n,
        CAST((swv * 2000 + {denom}) // ({denom} * 2) AS BIGINT) AS ewma_milli
 FROM smoothed JOIN per ON smoothed.t_bucket = per.bucket
 """
+
+
+def mad_outliers(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier flags by Median Absolute Deviation — the
+    breakdown-resistant twin of :func:`rolling_zscore`: mean/stddev move
+    with the outlier being tested (one 1000× spike inflates σ enough to
+    hide itself), median/MAD have a 50% breakdown point, the right default
+    for spiky operational series.
+
+    Flags ``|v − median| > k·MAD`` with MAD > 0 required (a constant
+    series has MAD 0 — every deviation would be infinite-σ, so those
+    groups flag nothing rather than everything).  Exact-percentile
+    medians: Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on integer
+    inputs (half-step averages are exact doubles — the q_percentiles
+    precedent), and the comparison cross-multiplies by 2 to stay on exact
+    halves.  Scale shape: one (group, bucket) count agg; both median
+    passes and the flag join run over the bucketed frame — |groups| ×
+    |buckets| rows, never raw events."""
+    per = series.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("bucket")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("v"))
+    med = per.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    with_med = per.join(med, "g")
+    mad = with_med.groupBy("g").agg(
+        F.expr("percentile(abs(v - med), 0.5)").alias("mad")
+    )
+    out = with_med.join(mad, "g")
+    # exact-halves comparison: 2·|v−med| and 2·k·mad are integers
+    flag = (F.col("mad") > 0) & (
+        F.abs(F.col("v") - F.col("med")) * 2 > F.lit(2 * k_mad) * F.col("mad")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "bucket",
+        "v",
+        "med",
+        "mad",
+        flag.alias("is_outlier"),
+    )
+
+
+def mad_outliers_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    k_mad: int = 3,
+) -> str:
+    """DuckDB replay of :func:`mad_outliers` — quantile_cont medians and
+    the same cross-multiplied exact-halves comparison."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS g, {bucket_col} AS bucket,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS v
+  FROM ({series_sql}) GROUP BY 1, 2
+),
+med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM per GROUP BY g),
+wm AS (SELECT per.g, bucket, v, med FROM per JOIN med ON per.g = med.g),
+mad AS (SELECT g, quantile_cont(abs(v - med), 0.5) AS mad FROM wm GROUP BY g)
+SELECT wm.g AS {group_col}, bucket, v, wm.med, mad.mad,
+       mad.mad > 0 AND abs(v - wm.med) * 2 > {2 * k_mad} * mad.mad AS is_outlier
+FROM wm JOIN mad ON wm.g = mad.g
+"""

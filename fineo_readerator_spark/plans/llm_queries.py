@@ -774,6 +774,46 @@ SELECT doc_id, content_hash, size_bytes FROM (
 """
 
 
+def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free media NEAR-dup (llm_ops.multimodal.media_near_dup): the
+    step between mm_dedup's exact content hash and decoder-backed
+    perceptual hashing — SimHash over 4-byte-stride payload chunks, then
+    the oracle-checked simhash_dedup cascade verbatim (exact cascade,
+    pigeonhole buckets, hamming ≤ 3, min-id components).  Run over the
+    doubled payload corpus: the exact copies fall to the cascade and
+    byte-level near-dups collapse from the BYTES, no decode anywhere."""
+    from fineo_readerator_spark.llm_ops.multimodal import media_near_dup
+
+    base = _docs_as_media(spark, sf_dir)
+    doubled = base.unionAll(
+        base.select((F.col("doc_id") + _SHIFT).alias("doc_id"), "payload")
+    )
+    kept = media_near_dup(doubled, "doc_id", "payload", chunk_bytes=4, max_hamming=3)
+    return kept.select(
+        "doc_id", F.length("payload").cast("long").alias("size_bytes")
+    ).orderBy("doc_id")
+
+
+def _mm_near_dup_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import simhash_dedup_oracle
+
+    chunked = (
+        "SELECT doc_id,"
+        " array_to_string(regexp_extract_all(hex(encode(text)), '.{8}'), ' ')"
+        " AS text,"
+        " CAST(octet_length(encode(text)) AS BIGINT) AS n_chars"
+        " FROM documents"
+    )
+    corpus = (
+        f"{chunked} UNION ALL "
+        + chunked.replace("SELECT doc_id,", f"SELECT doc_id + {_SHIFT},")
+    )
+    inner = simhash_dedup_oracle(corpus, max_hamming=3)
+    return (
+        f"SELECT doc_id, n_chars AS size_bytes FROM ({inner}) ORDER BY doc_id"
+    )
+
+
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode+featurize over the binary payloads.  The fake
     decoder derives dims from sha256 bytes, which DuckDB can replay
@@ -4055,6 +4095,7 @@ LLM_QUERIES = [
     QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_dedup", mm_dedup, MM_DEDUP_ORACLE),
+    QueryDef("mm_near_dup", mm_near_dup, _mm_near_dup_oracle()),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),

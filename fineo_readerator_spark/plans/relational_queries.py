@@ -1322,6 +1322,40 @@ ORDER BY n.n_name, c.acctbal_cents DESC, c.c_custkey
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume outlier flags per event type (operators.anomaly.
+    mad_outliers): median/MAD with a 50% breakdown point where
+    q_anomaly_zscore's mean/σ move with the spike being tested.  Exact
+    percentile medians on integer counts (the q_percentiles precedent) and
+    a cross-multiplied exact-halves comparison; every pass runs over the
+    |types| × |days| bucketed frame, never raw events."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import mad_outliers
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select(
+        "event_type", epoch_millis(ev, "ts").alias("ms")
+    ).select("event_type", F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one"))
+    return mad_outliers(series, "event_type", "day", "one").orderBy(
+        "event_type", "bucket"
+    )
+
+
+def _q_mad_outliers_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import mad_outliers_oracle_sql
+
+    return (
+        mad_outliers_oracle_sql(
+            "SELECT event_type, epoch_ms(ts) // 86400000 AS day, 1 AS one"
+            " FROM events",
+            "event_type",
+            "day",
+            "one",
+        )
+        + " ORDER BY event_type, bucket"
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1361,6 +1395,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle()),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),
+    QueryDef("q_mad_outliers", q_mad_outliers, _q_mad_outliers_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

@@ -257,6 +257,41 @@ def _st_hll_oracle() -> str:
     )
 
 
+def st_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling 7-day distinct users: the stream maintains
+    per-day HLL registers incrementally (register max = the streaming
+    aggregation state, ≤128 ints per day), and the ROLLING merge +
+    estimate runs at read time on the drained register table
+    (llm_ops.sketches.hll_rolling_finalize) — sketch mergeability end to
+    end: no raw key is ever re-scanned to answer "distinct over the last
+    7 days", the only shape that survives an unbounded stream."""
+    from fineo_readerator_spark.llm_ops.sketches import (
+        hll_registers,
+        hll_rolling_finalize,
+    )
+
+    stream = read_metric_stream(spark, events_store(sf_dir), ORG, METRIC)
+    keyed = stream.select(
+        F.expr(f"unix_millis(event_time) div {DAY_MS}").alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    regs = hll_registers(keyed, F.col("k"), group_cols=("day",))
+    drained = _drain(regs, "st_hll_rolling_sink", "complete")
+    return hll_rolling_finalize(drained, "day", window=7)
+
+
+def _st_hll_rolling_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import hll_rolling_oracle_sql
+
+    return hll_rolling_oracle_sql(
+        f"SELECT epoch_ms(ts) // {DAY_MS} AS day,"
+        " CAST(user_id AS VARCHAR) AS k FROM events",
+        "day",
+        "k",
+        window=7,
+    )
+
+
 def st_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming p50/p90/p99 of the metric value via the fixed-bin
     histogram sketch: the streaming aggregation state IS the mergeable
@@ -873,6 +908,7 @@ STREAMING_QUERIES = [
     QueryDef("st_windowed_rollup", st_windowed_rollup, ST_ROLLUP_ORACLE, bench=True),
     QueryDef("st_store_probe", st_store_probe, _st_store_probe_oracle()),
     QueryDef("st_hll_distinct", st_hll_distinct, _st_hll_oracle()),
+    QueryDef("st_hll_rolling", st_hll_rolling, _st_hll_rolling_oracle()),
     QueryDef("st_quantile_hist", st_quantile_hist, _st_quantile_oracle()),
     QueryDef("st_sessionize", st_sessionize, ST_SESSION_ORACLE),
     QueryDef("st_running_totals", st_running_totals, ST_TOTALS_ORACLE),

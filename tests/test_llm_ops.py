@@ -2722,3 +2722,27 @@ def test_readability_hand_values(spark):
     assert (r2.n_words, r2.n_syllables) == (2, 2)
     # doc 3: one long-word sentence -> strongly negative raw score, clamped
     assert out[3].flesch_milli == 0
+
+
+def test_media_near_dup_chunk_dominance(spark):
+    """SimHash dominance: a payload of 64 identical chunks and a variant
+    with ONE chunk swapped share every bit vote's majority, so they hash
+    identically (hamming 0) and the variant drops; an unrelated payload
+    (different dominant chunk) survives.  chunk_bytes gate raises."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.multimodal import media_near_dup
+
+    c1, c2, c3 = b"ABCD", b"WXYZ", b"1234"
+    rows = [
+        (1, c1 * 64),
+        (2, c1 * 63 + c2),   # one-chunk variant: same dominant votes
+        (3, c3 * 64),        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r.doc_id for r in media_near_dup(df, "doc_id", "payload").collect()
+    )
+    assert kept == [1, 3]
+    with _pt.raises(ValueError, match="chunk_bytes"):
+        media_near_dup(df, "doc_id", "payload", chunk_bytes=0)

@@ -271,3 +271,21 @@ def test_stickiness_golden(spark):
     assert set(got) == {1, 2}  # day 3 has no same-day activity: absent
     with pytest.raises(ValueError, match="window_days"):
         stickiness(df, window_days=0)
+
+
+def test_mad_outliers_hand_values(spark):
+    """Group 'b' (counts 1..6 then 100): med=4, MAD=2, only the spike
+    crosses 3*MAD.  Group 'a' (constant 5s + one spike) has MAD=0 and must
+    flag NOTHING — the zero-MAD guard, where a z-score would flag all."""
+    from fineo_readerator_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", d, 5) for d in range(6)] + [("a", 6, 50)]
+    rows += [("b", d, d + 1) for d in range(6)] + [("b", 6, 100)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    out = mad_outliers(df, "g", "day", "v").collect()
+    flagged = {(r.g, r.bucket) for r in out if r.is_outlier}
+    assert flagged == {("b", 6)}
+    b6 = next(r for r in out if r.g == "b" and r.bucket == 6)
+    assert (b6.med, b6.mad) == (4.0, 2.0)
+    a_rows = [r for r in out if r.g == "a"]
+    assert all(r.mad == 0.0 and not r.is_outlier for r in a_rows)
