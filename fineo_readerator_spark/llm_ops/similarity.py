@@ -1456,6 +1456,77 @@ def graph_degree_profile(edges: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def kcore_peel(
+    edges: DataFrame, k: int = 2, n_rounds: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """Bounded k-core peeling over a directed edge frame ``(id_col,
+    nbr_id)``: repeatedly drop nodes with undirected degree < ``k`` —
+    survivors form the densely-interconnected core (mutually-similar
+    duplicate clusters, topic cores worth up-sampling), the peeled
+    periphery is where outlier-mining starts.  Complements
+    :func:`graph_triangles` (local density) with SUBGRAPH-level density.
+
+    ``n_rounds`` bounds the peel (the iterative-algorithm discipline:
+    fixed, SQL-unrollable, oracle-checked); it equals the true k-core
+    when some round removes nothing — at scale, loop on a metadata-sized
+    "removed this round" count until 0 (the k-means/pagerank driver-loop
+    pattern).  Pure integer degrees, no tie-breaks needed (peeling is
+    order-independent within a round).
+
+    Scale shape: the undirected edge set is O(N·k_graph) and each round
+    is two semi-joins (edges alive on both ends) + one degree agg; the
+    alive frame is lineage-cut per round.  Output: surviving nodes with
+    their degree INSIDE the surviving subgraph."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    und = (
+        edges.select(
+            F.least(id_col, "nbr_id").alias("u"),
+            F.greatest(id_col, "nbr_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = None
+    for _ in range(n_rounds):
+        live = (
+            und.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+        )
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .unionAll(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= k).select("node").localCheckpoint(
+            eager=False
+        )
+    # final degree inside the surviving subgraph
+    live = (
+        und.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+    )
+    final_deg = (
+        live.select(F.col("u").alias("node"))
+        .unionAll(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return alive.join(final_deg, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("core_degree", F.lit(0).cast("long")).alias("core_degree"),
+    )
+
+
 def knn_recall_audit(
     df: DataFrame,
     sample_mod: int = 125,

@@ -2063,6 +2063,71 @@ FROM per GROUP BY in_degree ORDER BY in_degree
 """
 
 
+def s_kcore_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel over the PERSISTED k-NN graph (sixth layout
+    consumer — llm_ops.similarity.kcore_peel): survivors are the densely
+    mutually-similar core (duplicate-cluster hearts, topic cores), the
+    peeled periphery is the outlier-mining frontier — subgraph-level
+    density beside s_graph_triangles' local coefficient.  Three unrolled
+    peel rounds (k=2), pure integer degrees; each round two semi-joins +
+    one degree agg over O(N·k) stored edges."""
+    from fineo_readerator_spark.llm_ops.similarity import kcore_peel
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    return kcore_peel(edges, k=2, n_rounds=3).orderBy("vec_id")
+
+
+def _s_kcore_layout_oracle(
+    k: int = 3, n_centroids: int = 16, core_k: int = 2, n_rounds: int = 3
+) -> str:
+    parts = [
+        _knn_graph_ctes(k, n_centroids),
+        # MATERIALIZED: every round references und/a{t} 2-3x — without it
+        # DuckDB re-inlines the whole knn-graph chain per reference (the
+        # exponential re-inlining the BPE oracle hit)
+        "und AS MATERIALIZED (SELECT DISTINCT least(vec_id, nbr_id) AS u,"
+        " greatest(vec_id, nbr_id) AS v FROM graph WHERE vec_id != nbr_id)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT u AS node FROM und UNION ALL SELECT v FROM und))",
+    ]
+    prev = "a0"
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT u, v FROM und"
+            f" WHERE u IN (SELECT node FROM {prev})"
+            f" AND v IN (SELECT node FROM {prev}))"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT node, count(*) AS degree FROM"
+            f" (SELECT u AS node FROM e{t} UNION ALL SELECT v FROM e{t})"
+            " GROUP BY node)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE degree >= {core_k})"
+        )
+        prev = f"a{t}"
+    parts.append(
+        f"ef AS MATERIALIZED (SELECT u, v FROM und"
+        f" WHERE u IN (SELECT node FROM {prev})"
+        f" AND v IN (SELECT node FROM {prev}))"
+    )
+    parts.append(
+        "df AS (SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM"
+        " (SELECT u AS node FROM ef UNION ALL SELECT v FROM ef)"
+        " GROUP BY node)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.node AS vec_id, coalesce(df.core_degree, 0) AS core_degree
+FROM {prev} a LEFT JOIN df ON a.node = df.node
+ORDER BY vec_id
+"""
+    )
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -4140,6 +4205,7 @@ LLM_QUERIES = [
     QueryDef("s_graph_triangles", s_graph_triangles, _s_graph_triangles_oracle()),
     QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle()),
     QueryDef("s_graph_degrees", s_graph_degrees, _s_graph_degrees_oracle()),
+    QueryDef("s_kcore_layout", s_kcore_layout, _s_kcore_layout_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),

@@ -2746,3 +2746,22 @@ def test_media_near_dup_chunk_dominance(spark):
     assert kept == [1, 3]
     with _pt.raises(ValueError, match="chunk_bytes"):
         media_near_dup(df, "doc_id", "payload", chunk_bytes=0)
+
+
+def test_kcore_peel_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: the 2-core peel removes the
+    degree-1 pendant, survivors are the triangle with in-core degree 2;
+    parameter gates raise."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.similarity import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "vec_id long, nbr_id long"
+    )
+    rows = {r.vec_id: r.core_degree for r in kcore_peel(edges, k=2, n_rounds=3).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+    with _pt.raises(ValueError, match="k must"):
+        kcore_peel(edges, k=0)
+    with _pt.raises(ValueError, match="n_rounds"):
+        kcore_peel(edges, n_rounds=0)
