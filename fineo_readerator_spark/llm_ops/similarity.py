@@ -15,6 +15,7 @@ no UDFs, identical formula to the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -2236,3 +2237,119 @@ SELECT {id_col},
 FROM corpus, __s, __qq
 ORDER BY dot_int8 DESC, {id_col} LIMIT {k}
 """
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+) -> DataFrame:
+    """Top principal direction of the (mean-centered) embedding corpus by
+    distributed power iteration — the spectral audit behind anisotropy /
+    collapse detection: if the top direction's variance share is high, the
+    embedding space has degenerated toward a line (common after bad
+    pooling or an over-trained encoder) and every cosine-based operator
+    (dedup, ANN, clustering) upstream loses resolution.
+
+    Determinism (the pagerank discipline, float leaves under the
+    embedding_drift contract): the mean vector is the 1e-6-rounded
+    per-dimension avg; every inner product is per-term ``round(·,12)``
+    summed as exact ``decimal(38,12)`` (order-independent); the iterate is
+    renormalized each round with the norm computed the same way; v₀ is the
+    uniform unit vector ``1/sqrt(dim)`` (a literal both engines share).
+    The whole ``n_iters`` walk is SQL-unrolled and oracle-checked.
+
+    Output is ONE row: ``(n, dim, var_top, var_total, top_share)`` —
+    variance along the converged direction, total centered variance, and
+    their 1e-6-rounded ratio (the anisotropy headline).
+
+    Scale shape: everything runs on the posexploded ``(id, pos)`` grain —
+    N·dim rows, map-side combined into dim-sized (per-round w, norm) or
+    id-sized (per-round d) aggregates; the only broadcast frames are
+    dim-sized (mean, iterate) or single-row (norm).  No collect, no
+    corpus² anywhere; rounds are lineage-cut."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    base = df.filter(F.col(vec_col).isNotNull())
+    dim = _modal_dim(base, vec_col)
+    base = base.filter(F.size(vec_col) == dim)
+    ex = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(vec_col).alias("__pos", "__x"),
+    ).select("__id", "__pos", F.col("__x").cast("double").alias("__x"))
+    mu = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__m"))
+    xc = (
+        ex.join(F.broadcast(mu), "__pos")
+        .select("__id", "__pos", (F.col("__x") - F.col("__m")).alias("__xc"))
+        .localCheckpoint(eager=False)  # consumed every round + both variances
+    )
+
+    def _dsum(prod: Column) -> Column:
+        return F.sum(F.round(prod, 12).cast("decimal(38,12)")).cast("double")
+
+    v0 = 1.0 / math.sqrt(float(dim))
+    v = mu.select("__pos", F.lit(v0).alias("__val"))
+    d = None
+    for _ in range(n_iters):
+        d = (
+            xc.join(F.broadcast(v), "__pos")
+            .groupBy("__id")
+            .agg(_dsum(F.col("__xc") * F.col("__val")).alias("__d"))
+        )
+        w = (
+            xc.join(d, "__id")
+            .groupBy("__pos")
+            .agg(_dsum(F.col("__d") * F.col("__xc")).alias("__w"))
+        )
+        nrm = w.agg(
+            F.sqrt(_dsum(F.col("__w") * F.col("__w"))).alias("__nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "__pos",
+                F.when(
+                    F.col("__nrm") > 0, F.round(F.col("__w") / F.col("__nrm"), 12)
+                ).otherwise(F.lit(0.0)).alias("__val"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # variance along the final direction needs d against the FINAL iterate
+    d = (
+        xc.join(F.broadcast(v), "__pos")
+        .groupBy("__id")
+        .agg(_dsum(F.col("__xc") * F.col("__val")).alias("__d"))
+    )
+    top = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(_dsum(F.col("__d") * F.col("__d")) / F.count(F.lit(1)), 6).alias(
+            "var_top"
+        ),
+    )
+    tot = xc.groupBy("__id").agg(
+        _dsum(F.col("__xc") * F.col("__xc")).alias("__sq")
+    ).agg(
+        F.round(_dsum_identity(F.col("__sq")) / F.count(F.lit(1)), 6).alias(
+            "var_total"
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.lit(dim).cast("int").alias("dim"),
+            "var_top",
+            "var_total",
+            F.when(
+                F.col("var_total") > 0,
+                F.round(F.col("var_top") / F.col("var_total"), 6),
+            ).alias("top_share"),
+        )
+    )
+
+
+def _dsum_identity(col: Column) -> Column:
+    """Exact-decimal sum of already-rounded doubles (no extra per-term
+    product): the second-level fold of a two-level variance sum."""
+    return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")

@@ -2128,6 +2128,103 @@ ORDER BY vec_id
     )
 
 
+def s_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the centered embedding corpus by
+    distributed power iteration (llm_ops.similarity.power_iteration_top)
+    — the anisotropy/collapse audit: a high top_share means the space has
+    degenerated toward a line and every cosine-based operator upstream
+    (dedup, ANN, clustering) is losing resolution.  Two SQL-unrolled
+    rounds under the pagerank float discipline (1e-12-rounded terms,
+    exact decimal sums, shared v₀ = 1/sqrt(dim) literal); all shuffles on
+    the posexploded (id, pos) grain with dim-sized/single-row broadcasts
+    — no collect, no corpus²."""
+    from fineo_readerator_spark.llm_ops.similarity import power_iteration_top
+
+    return power_iteration_top(load(spark, sf_dir, "embeddings"), n_iters=2)
+
+
+def _s_top_direction_oracle(n_iters: int = 2) -> str:
+    parts = [
+        """base0 AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+dm AS MATERIALIZED (SELECT d FROM (SELECT len(embedding) AS d, count(*) AS c FROM base0
+      GROUP BY 1 ORDER BY c DESC, d LIMIT 1)),
+ex AS (
+  SELECT vec_id AS id, u.pos AS pos, u.v AS x
+  FROM (SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM base0 WHERE len(embedding) = (SELECT d FROM dm))
+),
+mu AS MATERIALIZED (SELECT pos, round(avg(x), 6) AS m FROM ex GROUP BY pos),
+xc AS MATERIALIZED (
+  SELECT id, ex.pos, x - m AS xc FROM ex JOIN mu ON ex.pos = mu.pos
+),
+v0 AS MATERIALIZED (SELECT pos, CAST(1 AS DOUBLE) / sqrt((SELECT d FROM dm)) AS val FROM mu)""",
+    ]
+    prev = "v0"
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT id, CAST(sum(CAST(round(xc * val, 12) AS DECIMAL(38,12))) AS DOUBLE) AS d
+  FROM xc JOIN {prev} v ON xc.pos = v.pos GROUP BY id
+)"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT pos, CAST(sum(CAST(round(d.d * xc.xc, 12) AS DECIMAL(38,12))) AS DOUBLE) AS w
+  FROM xc JOIN d{t} d ON xc.id = d.id GROUP BY pos
+)"""
+        )
+        parts.append(
+            f"n{t} AS MATERIALIZED (SELECT"
+            " sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE))"
+            f" AS nrm FROM w{t})"
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT pos, CASE WHEN (SELECT nrm FROM n{t}) > 0
+                   THEN round(w / (SELECT nrm FROM n{t}), 12)
+                   ELSE CAST(0 AS DOUBLE) END AS val
+  FROM w{t}
+)"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""df AS MATERIALIZED (
+  SELECT id, CAST(sum(CAST(round(xc * val, 12) AS DECIMAL(38,12))) AS DOUBLE) AS d
+  FROM xc JOIN {prev} v ON xc.pos = v.pos GROUP BY id
+)"""
+    )
+    parts.append(
+        """top AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(round(d * d, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS var_top
+  FROM df
+)"""
+    )
+    parts.append(
+        """sq AS (
+  SELECT id, CAST(sum(CAST(round(xc * xc, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sq
+  FROM xc GROUP BY id
+),
+tot AS (
+  SELECT round(CAST(sum(CAST(round(sq, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS var_total
+  FROM sq
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT n, CAST((SELECT d FROM dm) AS INT) AS dim, var_top, var_total,
+       CASE WHEN var_total > 0 THEN round(var_top / var_total, 6) END AS top_share
+FROM top CROSS JOIN tot
+"""
+    )
+
+
 def s_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the k-NN similarity graph (llm_ops.
     similarity.pagerank): two damped power-iteration rounds with
@@ -4206,6 +4303,7 @@ LLM_QUERIES = [
     QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle()),
     QueryDef("s_graph_degrees", s_graph_degrees, _s_graph_degrees_oracle()),
     QueryDef("s_kcore_layout", s_kcore_layout, _s_kcore_layout_oracle()),
+    QueryDef("s_top_direction", s_top_direction, _s_top_direction_oracle()),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),

@@ -2765,3 +2765,24 @@ def test_kcore_peel_hand_graph(spark):
         kcore_peel(edges, k=0)
     with _pt.raises(ValueError, match="n_rounds"):
         kcore_peel(edges, n_rounds=0)
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    """Corpus stretched along dim 0 (variance 10^2 scale) with tiny dim-1
+    noise: two power rounds must attribute nearly all centered variance to
+    the top direction; the gate raises on n_iters < 1."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.similarity import power_iteration_top
+
+    rows = [(i, [float(10 * i), float((i % 3) - 1) * 0.01]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = power_iteration_top(df, n_iters=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.dim) == (20, 2)
+    assert r.var_total > 0
+    assert r.top_share > 0.999
+    assert r.var_top <= r.var_total + 1e-9
+    with _pt.raises(ValueError, match="n_iters"):
+        power_iteration_top(df, n_iters=0)
