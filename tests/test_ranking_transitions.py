@@ -343,3 +343,56 @@ def test_dyadic_ewma_hand_values(spark):
 
     with _pt.raises(ValueError, match="window"):
         dyadic_ewma(df, "day", "one", window=0)
+
+
+def test_session_cooccurrence_fuzz_vs_python(spark):
+    """Random event streams through session_cooccurrence must match a
+    direct Python sessionize + pair-count + integer-lift evaluation."""
+    import random
+    from collections import defaultdict
+
+    from fineo_readerator_spark.operators.transitions import session_cooccurrence
+
+    rng = random.Random(23)
+    for trial in range(3):
+        gap = rng.choice([5, 50])
+        rows = []
+        for u in range(rng.randint(1, 5)):
+            t = 0
+            for _ in range(rng.randint(1, 12)):
+                t += rng.randint(1, 100)
+                rows.append((u, t, rng.choice("wxyz")))
+        df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+        got = {(r.item_a, r.item_b): (r.n_ab, r.lift_ppm)
+               for r in session_cooccurrence(
+                   df, gap=gap, k=100, min_sessions=1).collect()}
+        # python model
+        sessions = []
+        by_user = defaultdict(list)
+        for u, t, it in rows:
+            by_user[u].append((t, it))
+        for u, evs in by_user.items():
+            evs.sort()
+            cur, prev = set(), None
+            for t, it in evs:
+                if prev is not None and t - prev > gap:
+                    sessions.append(cur)
+                    cur = set()
+                cur.add(it)
+                prev = t
+            sessions.append(cur)
+        S = len(sessions)
+        n_item = defaultdict(int)
+        n_pair = defaultdict(int)
+        for s in sessions:
+            for it in s:
+                n_item[it] += 1
+            items = sorted(s)
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    n_pair[(items[i], items[j])] += 1
+        exp = {}
+        for (a, b), nab in n_pair.items():
+            denom = n_item[a] * n_item[b]
+            exp[(a, b)] = (nab, (nab * S * 2_000_000 + denom) // (denom * 2))
+        assert got == exp, f"trial {trial} gap {gap}"

@@ -289,3 +289,61 @@ def test_mad_outliers_hand_values(spark):
     assert (b6.med, b6.mad) == (4.0, 2.0)
     a_rows = [r for r in out if r.g == "a"]
     assert all(r.mad == 0.0 and not r.is_outlier for r in a_rows)
+
+
+def test_dyadic_ewma_fuzz_vs_python(spark):
+    """Random gappy integer series through dyadic_ewma must match a direct
+    Python evaluation of the dyadic weight formula (exact integers end to
+    end, so equality is exact)."""
+    import random
+
+    from fineo_readerator_spark.operators.anomaly import dyadic_ewma
+
+    rng = random.Random(7)
+    for trial in range(4):
+        w = rng.choice([1, 2, 5, 8])
+        days = sorted(rng.sample(range(0, 40), rng.randint(1, 12)))
+        vals = {d: rng.randint(0, 1000) for d in days}
+        rows = [(d, v) for d, v in vals.items()]
+        df = spark.createDataFrame(rows, "day long, one long")
+        got = {r.bucket: (r.n, r.ewma_milli)
+               for r in dyadic_ewma(df, "day", "one", window=w).collect()}
+        denom = (1 << w) - 1
+        exp = {}
+        for d in days:
+            swv = sum(
+                vals.get(d - off, 0) * (1 << (w - 1 - off)) for off in range(w)
+            )
+            exp[d] = (vals[d], (swv * 2000 + denom) // (denom * 2))
+        assert got == exp, f"trial {trial} window {w}"
+
+
+def test_mad_outliers_fuzz_vs_python(spark):
+    """Random grouped series through mad_outliers must match a direct
+    Python median/MAD evaluation (statistics.median interpolates at even
+    counts exactly like percentile/quantile_cont on integer inputs)."""
+    import random
+    import statistics
+
+    from fineo_readerator_spark.operators.anomaly import mad_outliers
+
+    rng = random.Random(11)
+    for trial in range(3):
+        rows = []
+        model = {}
+        for g in ("a", "b", "c")[: rng.randint(1, 3)]:
+            days = sorted(rng.sample(range(0, 30), rng.randint(1, 9)))
+            vals = {d: rng.randint(0, 50) for d in days}
+            model[g] = vals
+            rows += [(g, d, v) for d, v in vals.items()]
+        df = spark.createDataFrame(rows, "g string, day long, v long")
+        got = {(r.g, r.bucket): (r.v, r.med, r.mad, r.is_outlier)
+               for r in mad_outliers(df, "g", "day", "v").collect()}
+        exp = {}
+        for g, vals in model.items():
+            med = float(statistics.median(vals.values()))
+            mad = float(statistics.median(abs(v - med) for v in vals.values()))
+            for d, v in vals.items():
+                flag = mad > 0 and abs(v - med) * 2 > 6 * mad
+                exp[(g, d)] = (v, med, mad, flag)
+        assert got == exp, f"trial {trial}"
