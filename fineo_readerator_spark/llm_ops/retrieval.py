@@ -564,3 +564,88 @@ __ranked AS (
 SELECT id AS {id_col}, term, CAST(rn AS INT) AS rank, CAST(score AS BIGINT) AS score
 FROM __ranked WHERE rn <= {k}
 """
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via a positional-postings join — the search
+    primitive BM25 ranking can't express (bag-of-words scoring finds
+    "york new" as readily as "new york"): a document matches when the
+    phrase's tokens appear at CONSECUTIVE positions.
+
+    Plan shape is the positional-inverted-index walk every search engine
+    runs, expressed relationally: one tokenize pass emits (doc, pos)
+    postings FILTERED to the phrase's terms before anything joins (the
+    selective-term pushdown — postings for absent terms never shuffle),
+    then ``len(phrase)-1`` equi-joins on (doc, pos+offset) chain the
+    positions.  At 100 TB the postings frame is what you persist
+    (a parquet (term, doc, pos) table bucketed by term); the per-query
+    plan is unchanged — filtered scan + bounded joins, no corpus scan per
+    query.  Output: (id, n_matches) per matching doc — exact integers."""
+    terms = [t for t in phrase.strip().split() if t]
+    if len(terms) < 2:
+        raise ValueError(
+            f"phrase must have >= 2 tokens, got {phrase!r} "
+            "(single-term lookup is a plain filter; use bm25_topk to rank)"
+        )
+    from fineo_readerator_spark.llm_ops.textstats import tokens
+
+    postings = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(tokens(F.col(text_col))).alias("__pos", "__t"),
+        )
+        .filter(F.col("__t").isin(terms))
+        .localCheckpoint(eager=False)  # one tokenize pass feeds every leg
+    )
+    cur = postings.filter(F.col("__t") == terms[0]).select("__id", "__pos")
+    for off, term in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("__t") == term).select(
+            "__id", (F.col("__pos") - off).alias("__pos")
+        )
+        cur = cur.join(nxt, ["__id", "__pos"], "left_semi")
+    return cur.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    ).select(F.col("__id").alias(id_col), "n_matches")
+
+
+def phrase_search_oracle_sql(
+    corpus_sql: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`phrase_search` — same tokenization, postings
+    filter and consecutive-position joins."""
+    terms = [t for t in phrase.strip().split() if t]
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    quoted = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    legs = []
+    for off, term in enumerate(terms[1:], start=1):
+        legs.append(
+            f"AND EXISTS (SELECT 1 FROM postings p{off}"
+            f" WHERE p{off}.id = p0.id AND p{off}.t = '{term}'"
+            f" AND p{off}.pos = p0.pos + {off})"
+        )
+    return f"""
+WITH postings AS MATERIALIZED (
+  SELECT id, u.pos AS pos, u.t AS t FROM (
+    SELECT {id_col} AS id,
+           unnest(list_transform(generate_series(1, len({toks})),
+                  i -> {{'pos': i - 1, 't': {toks}[i]}})) AS u
+    FROM ({corpus_sql})
+  ) WHERE u.t IN ({quoted})
+)
+SELECT p0.id AS {id_col}, CAST(count(*) AS BIGINT) AS n_matches
+FROM postings p0
+WHERE p0.t = '{terms[0]}'
+{' '.join(legs)}
+GROUP BY p0.id
+"""

@@ -3517,6 +3517,32 @@ def _t_readability_oracle() -> str:
     )
 
 
+def t_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search "table hash" over documents (llm_ops.retrieval.
+    phrase_search) — the positional-inverted-index walk BM25's
+    bag-of-words scoring can't express, as a filtered postings frame +
+    one consecutive-position join per extra term.  Postings for absent
+    terms never shuffle; at 100 TB the postings frame persists
+    term-bucketed and the per-query plan is a filtered scan + bounded
+    joins."""
+    from fineo_readerator_spark.llm_ops.retrieval import phrase_search
+
+    return phrase_search(
+        load(spark, sf_dir, "documents"), "table hash"
+    ).orderBy("doc_id")
+
+
+def _t_phrase_search_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.retrieval import phrase_search_oracle_sql
+
+    return (
+        phrase_search_oracle_sql(
+            "SELECT doc_id, text FROM documents", "table hash"
+        )
+        + " ORDER BY doc_id"
+    )
+
+
 def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-n-gram importance selection (llm_ops.sampling.dsir_select —
     the deterministic core of DSIR): score every document by how
@@ -4340,6 +4366,7 @@ LLM_QUERIES = [
     QueryDef("p_k_anonymize", p_k_anonymize, _p_k_anonymize_oracle()),
     QueryDef("p_dist_match", p_dist_match, _p_dist_match_oracle()),
     QueryDef("p_dsir_select", p_dsir_select, _p_dsir_select_oracle()),
+    QueryDef("t_phrase_search", t_phrase_search, _t_phrase_search_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),

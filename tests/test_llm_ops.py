@@ -2786,3 +2786,26 @@ def test_power_iteration_finds_dominant_direction(spark):
     assert r.var_top <= r.var_total + 1e-9
     with _pt.raises(ValueError, match="n_iters"):
         power_iteration_top(df, n_iters=0)
+
+
+def test_phrase_search_consecutive_only(spark):
+    """'new york' matches only consecutive occurrences (doc 1 twice, doc 3
+    once); reversed/bag-of-words co-occurrence (doc 2) must NOT match;
+    single-token phrases raise."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.retrieval import phrase_search
+
+    rows = [
+        (1, "new york is new york"),
+        (2, "york new and also york then new"),
+        (3, "i love new york city"),
+        (4, "nothing here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches
+           for r in phrase_search(df, "new york").collect()}
+    assert got == {1: 2, 3: 1}
+    with _pt.raises(ValueError, match="phrase"):
+        phrase_search(df, "york")
