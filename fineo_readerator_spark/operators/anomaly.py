@@ -353,3 +353,91 @@ SELECT wm.g AS {group_col}, bucket, v, wm.med, mad.mad,
        mad.mad > 0 AND abs(v - wm.med) * 2 > {2 * k_mad} * mad.mad AS is_outlier
 FROM wm JOIN mad ON wm.g = mad.g
 """
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    period: int = 7,
+    trend_window: int = 8,
+) -> DataFrame:
+    """Classical additive decomposition (trend + seasonal + residual) of a
+    bucketed integer series, in EXACT integers end to end — the
+    statsmodels-style report for "is Monday really lower, or is the trend
+    falling?", without the float walks a moving-average/loess pipeline
+    carries cross-engine.
+
+    - trend: the :func:`dyadic_ewma` milli-line (α=1/2, ``trend_window``
+      cutoff) — already oracle-exact;
+    - detrended_milli = v·1000 − trend_milli (signed integer);
+    - season: per ``bucket % period`` phase, the decomposition keeps the
+      SUM form — ``season_sum_milli`` (Σ detrended over the phase) and
+      ``n_phase`` — instead of dividing: a signed integer mean would hit
+      the one cross-engine edge this repo bans (decimal ``div`` truncates
+      toward zero, HUGEINT ``//`` floors — they disagree on negatives);
+      ``season_sum/n_phase`` is the classic seasonal component;
+    - residual_scaled = detrended·n_phase − season_sum (signed integer,
+      zero divisions): the classic residual times n_phase.
+
+    Scale shape: one bucket aggregate (the only corpus-sized pass), the
+    EWMA's constant-fanout explode, and one phase-keyed agg over the
+    bucket frame — everything past the first agg is |buckets|-sized."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    ew = dyadic_ewma(series, bucket_col, value_col, window=trend_window)
+    det = ew.select(
+        "bucket",
+        "n",
+        F.col("ewma_milli").alias("trend_milli"),
+        (F.col("n") * 1000 - F.col("ewma_milli")).alias("detrended_milli"),
+        F.pmod(F.col("bucket"), F.lit(period)).alias("phase"),
+    )
+    season = det.groupBy("phase").agg(
+        F.sum("detrended_milli").cast("long").alias("season_sum_milli"),
+        F.count(F.lit(1)).cast("long").alias("n_phase"),
+    )
+    return det.join(season, "phase").select(
+        "bucket",
+        "n",
+        "trend_milli",
+        "phase",
+        "detrended_milli",
+        "season_sum_milli",
+        "n_phase",
+        (
+            F.col("detrended_milli") * F.col("n_phase")
+            - F.col("season_sum_milli")
+        ).cast("long").alias("residual_scaled"),
+    )
+
+
+def seasonal_decompose_oracle_sql(
+    series_sql: str,
+    bucket_col: str,
+    value_col: str,
+    period: int = 7,
+    trend_window: int = 8,
+) -> str:
+    """DuckDB replay of :func:`seasonal_decompose` — the EWMA replay plus
+    the same division-free phase aggregation."""
+    ewma = dyadic_ewma_oracle_sql(series_sql, bucket_col, value_col, trend_window)
+    return f"""
+WITH ew AS MATERIALIZED ({ewma}),
+det AS MATERIALIZED (
+  SELECT bucket, n, ewma_milli AS trend_milli,
+         n * 1000 - ewma_milli AS detrended_milli,
+         bucket % {period} AS phase
+  FROM ew
+),
+season AS (
+  SELECT phase, CAST(sum(detrended_milli) AS BIGINT) AS season_sum_milli,
+         CAST(count(*) AS BIGINT) AS n_phase
+  FROM det GROUP BY phase
+)
+SELECT bucket, n, trend_milli, det.phase, detrended_milli,
+       season_sum_milli, n_phase,
+       CAST(detrended_milli * n_phase - season_sum_milli AS BIGINT)
+         AS residual_scaled
+FROM det JOIN season ON det.phase = season.phase
+"""

@@ -105,3 +105,75 @@ def ordered_funnel_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT CAST(count(*) AS BIGINT) AS n_users, {counts}, {convs} FROM u"
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap from the FIRST
+    ``start_type`` event to the first ``end_type`` event at-or-after it,
+    summarized as exact p50/p90 percentiles — the latency companion to
+    :func:`ordered_funnel`'s conversion counts (funnels say HOW MANY
+    convert, this says HOW LONG the converting path takes).
+
+    Exactness: deltas are integer milliseconds; ``percentile`` on integer
+    inputs interpolates at exact halves (the q_percentiles precedent), so
+    the doubles agree cross-engine.  Scale shape: one user-keyed
+    conditional-min aggregate for the starts, one user-co-partitioned
+    join + min for the first qualifying end — never an event self-join;
+    the percentile runs over the |converting users| frame."""
+    starts = (
+        df.filter(F.col(type_col) == start_type)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__s"))
+    )
+    ends = (
+        df.filter(F.col(type_col) == end_type)
+        .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__e"))
+        .join(starts, "__u")
+        .filter(F.col("__e") >= F.col("__s"))
+        .groupBy("__u")
+        .agg(F.min("__e").alias("__e"), F.first("__s").alias("__s"))
+    )
+    deltas = ends.select((F.col("__e") - F.col("__s")).alias("__d"))
+    return deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(__d, 0.5)").alias("p50_ms"),
+        F.expr("percentile(__d, 0.9)").alias("p90_ms"),
+        F.max("__d").cast("long").alias("max_ms"),
+    )
+
+
+def conversion_latency_oracle_sql(
+    events_sql: str,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`conversion_latency` — quantile_cont ≡
+    Spark ``percentile`` on integer inputs."""
+    return f"""
+WITH ev AS ({events_sql}),
+starts AS (
+  SELECT {user_col} AS u, min({ts_col}) AS s
+  FROM ev WHERE {type_col} = '{start_type}' GROUP BY 1
+),
+ends AS (
+  SELECT ev.{user_col} AS u, min(ev.{ts_col}) AS e, min(starts.s) AS s
+  FROM ev JOIN starts ON ev.{user_col} = starts.u
+  WHERE ev.{type_col} = '{end_type}' AND ev.{ts_col} >= starts.s
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(e - s, 0.5) AS p50_ms,
+       quantile_cont(e - s, 0.9) AS p90_ms,
+       CAST(max(e - s) AS BIGINT) AS max_ms
+FROM ends
+"""

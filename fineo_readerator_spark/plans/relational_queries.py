@@ -1356,6 +1356,67 @@ def _q_mad_outliers_oracle() -> str:
     )
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily event volume (operators.
+    anomaly.seasonal_decompose): dyadic-EWMA trend, per-weekday seasonal
+    kept in division-free SUM form (a signed integer mean is the one
+    cross-engine edge the repo bans — decimal div truncates, HUGEINT //
+    floors), residual as the scaled integer detrended·n_phase −
+    season_sum.  One corpus-sized bucket agg; everything after is
+    |days|-sized."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select(epoch_millis(ev, "ts").alias("ms")).select(
+        F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return seasonal_decompose(series, "day", "one", period=7).orderBy("bucket")
+
+
+def _q_seasonal_decompose_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import (
+        seasonal_decompose_oracle_sql,
+    )
+
+    return (
+        seasonal_decompose_oracle_sql(
+            "SELECT epoch_ms(ts) // 86400000 AS day, 1 AS one FROM events",
+            "day",
+            "one",
+            period=7,
+        )
+        + " ORDER BY bucket"
+    )
+
+
+def q_convert_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution view→purchase (operators.funnel.
+    conversion_latency): per user, first purchase at-or-after the first
+    view, summarized as exact integer-millisecond p50/p90 — the latency
+    companion to q_user_funnel's conversion counts.  One user-keyed
+    conditional-min agg + one user-co-partitioned join; no event
+    self-join."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.funnel import conversion_latency
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", epoch_millis(ev, "ts").alias("ts_ms"))
+    return conversion_latency(ev, "view", "purchase")
+
+
+def _q_convert_latency_oracle() -> str:
+    from fineo_readerator_spark.operators.funnel import (
+        conversion_latency_oracle_sql,
+    )
+
+    return conversion_latency_oracle_sql(
+        "SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+        "view",
+        "purchase",
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1396,6 +1457,8 @@ RELATIONAL_QUERIES = [
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),
     QueryDef("q_mad_outliers", q_mad_outliers, _q_mad_outliers_oracle()),
+    QueryDef("q_seasonal_decompose", q_seasonal_decompose, _q_seasonal_decompose_oracle()),
+    QueryDef("q_convert_latency", q_convert_latency, _q_convert_latency_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

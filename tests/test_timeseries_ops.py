@@ -347,3 +347,47 @@ def test_mad_outliers_fuzz_vs_python(spark):
                 flag = mad > 0 and abs(v - med) * 2 > 6 * mad
                 exp[(g, d)] = (v, med, mad, flag)
         assert got == exp, f"trial {trial}"
+
+
+def test_seasonal_decompose_reconstruction(spark):
+    """Per-phase identities: residual_scaled sums to 0 within each phase
+    (the classical zero-mean-residual property, exact in the scaled
+    integer form), and detrended = v*1000 - trend everywhere; period gate
+    raises."""
+    import random
+
+    import pytest as _pt
+
+    from fineo_readerator_spark.operators.anomaly import seasonal_decompose
+
+    rng = random.Random(3)
+    rows = [(d, 10 + (d % 7) * 3 + rng.randint(0, 2)) for d in range(21)]
+    df = spark.createDataFrame(rows, "day long, one long")
+    out = seasonal_decompose(df, "day", "one", period=7).collect()
+    assert len(out) == 21
+    from collections import defaultdict
+
+    per_phase = defaultdict(int)
+    for r in out:
+        assert r.detrended_milli == r.n * 1000 - r.trend_milli
+        per_phase[r.phase] += r.residual_scaled
+    assert all(v == 0 for v in per_phase.values())
+    with _pt.raises(ValueError, match="period"):
+        seasonal_decompose(df, "day", "one", period=1)
+
+
+def test_conversion_latency_hand_values(spark):
+    """User 1 converts 100ms after first view (a later purchase is
+    ignored); user 2's purchase BEFORE the view doesn't count, the one
+    after does; user 3 never converts."""
+    from fineo_readerator_spark.operators.funnel import conversion_latency
+
+    rows = [
+        (1, "view", 1000), (1, "purchase", 1100), (1, "purchase", 5000),
+        (2, "purchase", 500), (2, "view", 2000), (2, "purchase", 2400),
+        (3, "view", 10), (3, "click", 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    r = conversion_latency(df, "view", "purchase").collect()[0]
+    assert r.n_converted == 2
+    assert (r.p50_ms, r.max_ms) == (250.0, 400)
