@@ -490,6 +490,17 @@ def main() -> None:
         "q_ewma_smooth": QUERIES["q_ewma_smooth"].fn,
         # one codegen'd regexp projection: must be exactly corpus-linear
         "t_readability": QUERIES["t_readability"].fn,
+        # postings filtered to the phrase's terms BEFORE the position
+        # joins: work tracks matching postings, not corpus tokens
+        "t_phrase_search": QUERIES["t_phrase_search"].fn,
+        # one bucket agg + |days|-sized EWMA/phase math
+        "q_seasonal_decompose": QUERIES["q_seasonal_decompose"].fn,
+        # two user-keyed aggs + one co-partitioned join
+        "q_convert_latency": QUERIES["q_convert_latency"].fn,
+        # peel rounds are two semi-joins + a degree agg over O(N·k) edges
+        "s_kcore_layout (stored edges)": QUERIES["s_kcore_layout"].fn,
+        # power rounds on the (id, pos) grain: N·dim rows, map-side combined
+        "s_top_direction": QUERIES["s_top_direction"].fn,
     }
 
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE), "10x")))
