@@ -592,6 +592,7 @@ def phrase_search(
             f"phrase must have >= 2 tokens, got {phrase!r} "
             "(single-term lookup is a plain filter; use bm25_topk to rank)"
         )
+    _check_phrase_terms(terms)
     from fineo_readerator_spark.llm_ops.textstats import tokens
 
     postings = (
@@ -613,6 +614,22 @@ def phrase_search(
     ).select(F.col("__id").alias(id_col), "n_matches")
 
 
+def _check_phrase_terms(terms: list[str]) -> None:
+    """Both faces interpolate terms into SQL string literals, so restrict
+    them to word characters — a quote/backslash term would be an injection
+    into the oracle (and no whitespace tokenizer can ever match one with
+    embedded whitespace anyway)."""
+    import re
+
+    for t in terms:
+        if not re.fullmatch(r"[A-Za-z0-9_\-]+", t):
+            raise ValueError(
+                f"phrase term {t!r} is not plain [A-Za-z0-9_-]+: quoted/"
+                "special-character terms are not supported (they would be "
+                "SQL-literal injection in the oracle face)"
+            )
+
+
 def phrase_search_oracle_sql(
     corpus_sql: str,
     phrase: str,
@@ -622,6 +639,7 @@ def phrase_search_oracle_sql(
     """DuckDB replay of :func:`phrase_search` — same tokenization, postings
     filter and consecutive-position joins."""
     terms = [t for t in phrase.strip().split() if t]
+    _check_phrase_terms(terms)
     toks = (
         f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
         " x -> length(x) > 0)"

@@ -427,7 +427,9 @@ WITH ew AS MATERIALIZED ({ewma}),
 det AS MATERIALIZED (
   SELECT bucket, n, ewma_milli AS trend_milli,
          n * 1000 - ewma_milli AS detrended_milli,
-         bucket % {period} AS phase
+         -- ((x % p) + p) % p: DuckDB % is a SIGNED remainder while the
+         -- Spark side uses pmod — they differ on negative buckets
+         ((bucket % {period}) + {period}) % {period} AS phase
   FROM ew
 ),
 season AS (

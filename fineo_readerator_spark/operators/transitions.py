@@ -259,9 +259,13 @@ def session_cooccurrence(
     TakeOrdered on (lift DESC, pair ASC)."""
     from fineo_readerator_spark.operators.sessionize import sessionize_batch
 
-    s = sessionize_batch(
-        df.select(user_col, ts_col, item_col), user_col, ts_col, gap
+    # NULL timestamps sort NULLS FIRST in Spark windows but NULLS LAST in
+    # DuckDB's, and a NULL item can't co-occur — drop both up front so the
+    # two faces never order them differently
+    clean = df.select(user_col, ts_col, item_col).filter(
+        F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
     )
+    s = sessionize_batch(clean, user_col, ts_col, gap)
     items = (
         s.select(
             F.col(user_col).alias("__u"),
@@ -320,7 +324,9 @@ def session_cooccurrence_oracle_sql(
     """DuckDB replay of :func:`session_cooccurrence` — same sessionize
     windows, DISTINCT grain, min_sessions cut and half-up HUGEINT lift."""
     return f"""
-WITH e AS (SELECT {user_col} AS u, {ts_col} AS ms, {item_col} AS item FROM ({events_sql})),
+WITH e AS (SELECT {user_col} AS u, {ts_col} AS ms, {item_col} AS item
+           FROM ({events_sql})
+           WHERE {ts_col} IS NOT NULL AND {item_col} IS NOT NULL),
 m AS (
   SELECT u, ms, item,
          CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > {gap}
