@@ -2102,7 +2102,12 @@ def quantize_embeddings_int8(
         .select(
             F.col(id_col),
             "qvec",
-            F.round(F.array_max(errs), round_digits).alias("max_abs_err"),
+            # + 0.0 normalizes IEEE negative zero: a -0.0 input yields a
+            # -0.0 error term whose sign survives DuckDB's round/list_max
+            # but not Spark's — (-0.0 + 0.0) is +0.0 on both (fuzz find)
+            (F.round(F.array_max(errs), round_digits) + F.lit(0.0)).alias(
+                "max_abs_err"
+            ),
         )
     )
 
@@ -2135,7 +2140,7 @@ SELECT {id_col},
        round(list_max(list_transform(generate_series(1, len({vec_col})),
              j -> abs(CAST({vec_col}[CAST(j AS INT)] AS DOUBLE)
                       - CAST({qexpr} AS DOUBLE) * scales[CAST(j AS INT)]))),
-             {round_digits}) AS max_abs_err
+             {round_digits}) + CAST(0 AS DOUBLE) AS max_abs_err
 FROM corpus, __s
 """
 

@@ -159,3 +159,42 @@ def test_int8_quantize_and_ann_match_duckdb(spark, rows, seed):
         ).fetchall()
     ]
     assert gota == expa
+
+
+def test_int8_negative_zero_error_normalized(spark):
+    """Pinned fuzz find: a -0.0 element yields a -0.0 reconstruction-error
+    term whose sign survives DuckDB's round/list_max but not Spark's abs
+    chain — both faces now normalize with +0.0, so the audit column is
+    +0.0 on each."""
+    import pyarrow as pa
+
+    from fineo_readerator_spark.llm_ops.similarity import (
+        quantize_embeddings_int8,
+        quantize_int8_oracle_sql,
+    )
+
+    dim = 8
+    rows = [(0, [0.0] * dim), (1, [0.0] * dim), (2, [-0.0] + [0.0] * (dim - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    con = duckdb.connect()
+    con.register(
+        "vecs",
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            }
+        ),
+    )
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in quantize_embeddings_int8(df, dim=dim).collect()
+    )
+    exp = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute(
+            quantize_int8_oracle_sql("SELECT vec_id, embedding FROM vecs", dim=dim)
+        ).fetchall()
+    )
+    assert got == exp
+    assert all(t[2] == "0.0" for t in got)
