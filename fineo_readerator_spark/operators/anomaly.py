@@ -443,3 +443,121 @@ SELECT bucket, n, trend_milli, det.phase, detrended_milli,
          AS residual_scaled
 FROM det JOIN season ON det.phase = season.phase
 """
+
+
+def trend_slopes(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line over a bucketed integer
+    series — the "which metrics are growing, and how fast" report
+    (slope/intercept/R² per key) that rolling z-scores and CUSUM don't
+    answer: they flag level CHANGES, this quantifies sustained DIRECTION.
+
+    Determinism is the :func:`rolling_zscore` contract: all five moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal(38,0)/HUGEINT integers —
+    buckets are rebased to each group's first bucket so the quadratic
+    terms stay small and the intercept is the fitted value AT that first
+    bucket — and only the final slope/intercept/R² touch doubles, with
+    the same operation order on both engines, rounded 1e-6.  A
+    single-bucket group has zero x-variance → NULL slope/intercept/R²;
+    a zero y-variance (flat) group gets slope 0 and NULL R² (0/0).
+
+    Scale shape: one (group, bucket) aggregate (the only corpus-sized
+    pass), one group-keyed min join, one moments aggregate — everything
+    past the first agg is |groups|×|buckets|-sized."""
+    per = series.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("y"))
+    base = per.groupBy("g").agg(F.min("b").alias("b0"))
+    xy = per.join(base, "g").select(
+        "g", (F.col("b") - F.col("b0")).cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    m = xy.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(
+        denx > 0, F.round(num.cast("double") / denx.cast("double"), 6)
+    )
+    out = m.withColumn("slope", slope)
+    intercept = F.when(
+        F.col("slope").isNotNull(),
+        F.round(
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ),
+    )
+    r2 = F.when(
+        (denx > 0) & (deny > 0),
+        F.round(
+            (num * num).cast("double") / (denx * deny).cast("double"), 6
+        ),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        "slope",
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def trend_slopes_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB replay of :func:`trend_slopes` — HUGEINT moments, the same
+    rounded-slope-feeds-intercept operation order."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS g, {bucket_col} AS b,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS y
+  FROM ({series_sql}) GROUP BY 1, 2
+),
+base AS (SELECT g, min(b) AS b0 FROM per GROUP BY g),
+xy AS (
+  SELECT per.g, CAST(per.b - base.b0 AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM per JOIN base ON per.g = base.g
+),
+m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY g
+),
+s AS (
+  SELECT g, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM m
+),
+sl AS (
+  SELECT *, CASE WHEN denx > 0
+                 THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+            END AS slope
+  FROM s
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_buckets, slope,
+       CASE WHEN slope IS NOT NULL
+            THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE), 6) END AS intercept,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN round(CAST(num * num AS DOUBLE)
+                       / CAST(denx * deny AS DOUBLE), 6) END AS r2
+FROM sl
+"""

@@ -1417,6 +1417,38 @@ def _q_convert_latency_oracle() -> str:
     )
 
 
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend over daily volume (operators.anomaly.
+    trend_slopes): slope/intercept/R² per type — sustained DIRECTION
+    where z-score/CUSUM flag level changes.  Exact HUGEINT/decimal(38,0)
+    moments over day-rebased buckets; only the final three stats touch
+    doubles, identical op order both engines (the rolling_zscore
+    contract)."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import trend_slopes
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select("event_type", epoch_millis(ev, "ts").alias("ms")).select(
+        "event_type", F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return trend_slopes(series, "event_type", "day", "one").orderBy("event_type")
+
+
+def _q_trend_slopes_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import trend_slopes_oracle_sql
+
+    return (
+        trend_slopes_oracle_sql(
+            "SELECT event_type, epoch_ms(ts) // 86400000 AS day, 1 AS one"
+            " FROM events",
+            "event_type",
+            "day",
+            "one",
+        )
+        + " ORDER BY event_type"
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1459,6 +1491,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_mad_outliers", q_mad_outliers, _q_mad_outliers_oracle()),
     QueryDef("q_seasonal_decompose", q_seasonal_decompose, _q_seasonal_decompose_oracle()),
     QueryDef("q_convert_latency", q_convert_latency, _q_convert_latency_oracle()),
+    QueryDef("q_trend_slopes", q_trend_slopes, _q_trend_slopes_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

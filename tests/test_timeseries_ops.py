@@ -391,3 +391,25 @@ def test_conversion_latency_hand_values(spark):
     r = conversion_latency(df, "view", "purchase").collect()[0]
     assert r.n_converted == 2
     assert (r.p50_ms, r.max_ms) == (250.0, 400)
+
+
+def test_trend_slopes_hand_values(spark):
+    """Group 'up' is exactly y = 2x + 3 (slope 2, intercept 3 at the
+    rebased first day, R^2 = 1); group 'flat' is constant (slope 0, R^2
+    NULL: zero y-variance); group 'one' has a single bucket (all NULL)."""
+    from fineo_readerator_spark.operators.anomaly import trend_slopes
+
+    rows = (
+        [("up", 100 + d, 3 + 2 * d) for d in range(5)]
+        + [("flat", 200 + d, 7) for d in range(4)]
+        + [("one", 300, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    out = {r.g: r for r in trend_slopes(df, "g", "day", "v").collect()}
+    up = out["up"]
+    assert (up.slope, up.intercept, up.r2) == (2.0, 3.0, 1.0)
+    flat = out["flat"]
+    assert (flat.slope, flat.intercept, flat.r2) == (0.0, 7.0, None)
+    one = out["one"]
+    assert (one.slope, one.intercept, one.r2) == (None, None, None)
+    assert one.n_buckets == 1
