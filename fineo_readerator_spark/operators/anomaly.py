@@ -561,3 +561,74 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_buckets, slope,
                        / CAST(denx * deny AS DOUBLE), 6) END AS r2
 FROM sl
 """
+
+
+def theil_sen_slopes(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes ``(y_j−y_i)/(x_j−x_i)`` — the regression twin of
+    :func:`mad_outliers`: one wild bucket drags an OLS slope
+    (:func:`trend_slopes`) arbitrarily, but Theil–Sen tolerates ~29%
+    contamination, the right default for spiky operational series.
+
+    Determinism: pairwise slopes are one double division each, rounded
+    1e-9 (identical inputs → identical doubles both engines); the median
+    interpolation formula could differ in the last ulp between engines,
+    which the 1e-9 pre-round plus the final 1e-6 round absorbs (the
+    repo's rounding-boundary argument).
+
+    Scale shape: the pair join runs over the BUCKETED frame, never raw
+    events — one (group, bucket) aggregate first, then a group-keyed
+    self-join bounded by |buckets|² per group (days/hours: hundreds of
+    pairs), then one group-keyed median.  ``n_pairs`` is reported so a
+    caller can see the support."""
+    per = series.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("y"))
+    a = per.select("g", F.col("b").alias("bi"), F.col("y").alias("yi"))
+    b = per.select("g", F.col("b").alias("bj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("bi") < F.col("bj"))
+        .select(
+            "g",
+            F.round(
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("bj") - F.col("bi")).cast("double"),
+                9,
+            ).alias("s"),
+        )
+    )
+    return pairs.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("ts_slope"),
+    )
+
+
+def theil_sen_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB replay of :func:`theil_sen_slopes` — same 1e-9 pre-rounded
+    pairwise slopes and quantile_cont median."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS g, {bucket_col} AS b,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS y
+  FROM ({series_sql}) GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g,
+         round(CAST(b.y - a.y AS DOUBLE) / CAST(b.b - a.b AS DOUBLE), 9) AS s
+  FROM per a JOIN per b ON a.g = b.g AND a.b < b.b
+)
+SELECT g AS {group_col}, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(s, 0.5), 6) AS ts_slope
+FROM pairs GROUP BY g
+"""

@@ -1449,6 +1449,39 @@ def _q_trend_slopes_oracle() -> str:
     )
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily trend per event type (operators.anomaly.
+    theil_sen_slopes) beside q_trend_slopes' OLS: median of pairwise
+    slopes tolerates ~29% contaminated buckets where one wild day drags
+    OLS arbitrarily.  The pair join runs on the |types|×|days| bucketed
+    frame, never raw events."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import theil_sen_slopes
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select("event_type", epoch_millis(ev, "ts").alias("ms")).select(
+        "event_type", F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return theil_sen_slopes(series, "event_type", "day", "one").orderBy(
+        "event_type"
+    )
+
+
+def _q_theil_sen_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import theil_sen_oracle_sql
+
+    return (
+        theil_sen_oracle_sql(
+            "SELECT event_type, epoch_ms(ts) // 86400000 AS day, 1 AS one"
+            " FROM events",
+            "event_type",
+            "day",
+            "one",
+        )
+        + " ORDER BY event_type"
+    )
+
+
 RELATIONAL_QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, bench=True),
     QueryDef("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, bench=True),
@@ -1492,6 +1525,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_seasonal_decompose", q_seasonal_decompose, _q_seasonal_decompose_oracle()),
     QueryDef("q_convert_latency", q_convert_latency, _q_convert_latency_oracle()),
     QueryDef("q_trend_slopes", q_trend_slopes, _q_trend_slopes_oracle()),
+    QueryDef("q_theil_sen", q_theil_sen, _q_theil_sen_oracle()),
     QueryDef("q_pareto", q_pareto, Q_PARETO_ORACLE),
     QueryDef("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE),
     QueryDef("q_event_paths", q_event_paths, _q_event_paths_oracle()),

@@ -413,3 +413,18 @@ def test_trend_slopes_hand_values(spark):
     one = out["one"]
     assert (one.slope, one.intercept, one.r2) == (None, None, None)
     assert one.n_buckets == 1
+
+
+def test_theil_sen_resists_outlier_where_ols_drifts(spark):
+    """y = 2x with one wild bucket: Theil-Sen stays exactly 2.0 while the
+    OLS slope drifts away — the robustness contract, plus n_pairs =
+    C(n, 2)."""
+    from fineo_readerator_spark.operators.anomaly import theil_sen_slopes, trend_slopes
+
+    rows = [("a", d, 2 * d + 1) for d in range(9)] + [("a", 9, 500)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    ts = theil_sen_slopes(df, "g", "day", "v").collect()[0]
+    assert ts.n_pairs == 45
+    assert ts.ts_slope == 2.0
+    ols = trend_slopes(df, "g", "day", "v").collect()[0]
+    assert abs(ols.slope - 2.0) > 5  # the wild point dragged OLS far off
