@@ -109,6 +109,22 @@ def duck_kind(t) -> str:
 # ------------------------------------------------------------------ compare
 
 
+def container_columns(spark_schema: T.StructType) -> list[tuple[str, str]]:
+    """(column, kind) for every top-level column whose type is a container
+    (Array/Map/Struct).  Round-10 gate: the driver canonicalizes results
+    through pandas ``sort_values``, and Python lists are unhashable — ANY
+    container-typed output column is an automatic driver red regardless of
+    values (r9: `s_embed_int8`'s `qvec array<int>`), and the local
+    str()-compare harness is blind to it.  Registry queries must emit
+    scalar encodings (`concat_ws`/`to_json`) instead; the underlying
+    operators can keep returning real containers for programmatic use."""
+    return [
+        (f.name, spark_kind(f.dataType))
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def kind_mismatches(spark_schema: T.StructType, duck_cols, duck_types):
     """(column, spark_kind, duck_kind) for every shared column whose
     canonical kinds differ.  Column-name agreement is the caller's check;

@@ -4238,23 +4238,40 @@ def s_embed_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-abs reconstruction-error audit — the 4× storage cut an ANN tier
     takes, with the recall cost measured before any index builds on it.
     One dim-sized aggregate + a broadcast scales row; the corpus never
-    shuffles."""
+    shuffles.
+
+    Registry face: the quantized vector is emitted as a CSV string
+    (`qvec_csv`) rather than the `array<int>` the operator returns —
+    container-typed outputs crash the driver's pandas canonicalizer
+    (r9 verdict: `sort_values` cannot hash lists), so EVERY registry
+    query's final schema must be scalar-only (the no-container gate in
+    tests/test_registry.py enforces this).  Programmatic consumers call
+    `quantize_embeddings_int8` directly and get the real array."""
     from fineo_readerator_spark.llm_ops.similarity import quantize_embeddings_int8
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantize_embeddings_int8(emb, "vec_id", "embedding", dim=64).orderBy(
-        "vec_id"
-    )
+    q = quantize_embeddings_int8(emb, "vec_id", "embedding", dim=64)
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "max_abs_err",
+    ).orderBy("vec_id")
 
 
 def _s_embed_int8_oracle() -> str:
     from fineo_readerator_spark.llm_ops.similarity import quantize_int8_oracle_sql
 
+    inner = quantize_int8_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", dim=64
+    ).rstrip()
     return (
-        quantize_int8_oracle_sql(
-            "SELECT vec_id, embedding FROM embeddings", dim=64
-        ).rstrip()
-        + "\nORDER BY vec_id"
+        "SELECT vec_id,\n"
+        "       array_to_string(qvec, ',') AS qvec_csv,\n"
+        "       max_abs_err\n"
+        f"FROM ({inner})\n"
+        "ORDER BY vec_id"
     )
 
 

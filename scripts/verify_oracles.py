@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
-from fineo_readerator_spark.oracle_compare import kind_mismatches
+from fineo_readerator_spark.oracle_compare import container_columns, kind_mismatches
 
 # deliberately vanilla: no engine confs, mirroring the driver's harness
 spark = (
@@ -38,6 +38,13 @@ for name, fn in qs.items():
     t0 = time.time()
     try:
         sdf = fn(spark, sf)
+        # r10 gate: any container-typed output crashes the driver's pandas
+        # canonicalizer (unhashable list) before values even compare
+        containers = container_columns(sdf.schema)
+        if containers:
+            print(f"{name}: CONTAINER-OUTPUT {containers}")
+            bad += 1
+            continue
         scols = sorted(sdf.columns)
         got = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
     except Exception as e:

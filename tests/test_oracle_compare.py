@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import types as T
 
 from fineo_readerator_spark.oracle_compare import (
+    container_columns,
     duck_kind,
     kind_mismatches,
     spark_kind,
@@ -93,3 +94,28 @@ def test_nested_kinds_recursive(con):
     assert kind_mismatches(schema, cols, types) == [
         ("v", "list<struct<x:int32>>", "list<struct<x:int64>>")
     ]
+
+
+def test_container_columns_flags_planted_offenders():
+    # the r9 s_embed_int8 shape: a qvec array<int> in the final output
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.IntegerType())),
+            T.StructField("meta", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("pt", T.StructType([T.StructField("x", T.DoubleType())])),
+            T.StructField("err", T.DoubleType()),
+        ]
+    )
+    assert container_columns(schema) == [
+        ("qvec", "list<int32>"),
+        ("meta", "map<string,int64>"),
+        ("pt", "struct<x:float64>"),
+    ]
+
+
+def test_container_columns_clean_schema_passes():
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    assert container_columns(schema) == []

@@ -9,7 +9,7 @@ import math
 import duckdb
 import pytest
 
-from fineo_readerator_spark.oracle_compare import kind_mismatches
+from fineo_readerator_spark.oracle_compare import container_columns, kind_mismatches
 from fineo_readerator_spark.plans.queries import QUERIES
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -41,6 +41,11 @@ def _rows(tuples):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     q = QUERIES[name]
     sdf = q.fn(spark, sf_dir)
+    # r10 gate: no container-typed output anywhere in the registry — the
+    # driver's pandas canonicalizer crashes on unhashable lists (r9:
+    # s_embed_int8), and the str()-compare below cannot see that class
+    containers = container_columns(sdf.schema)
+    assert not containers, f"container-typed output columns: {containers}"
     got_cols = list(sdf.columns)
     got = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
