@@ -198,7 +198,12 @@ def media_near_dup(
     simhash_dedup` cascade (exact-dup first, 16-bit pigeonhole buckets,
     in-bucket hamming ≤ ``max_hamming``, min-id components) runs verbatim.
     Fixed-stride chunks shift under byte INSERTIONS (the CDC caveat) —
-    that's the documented trade for a zero-shuffle chunking pass.
+    that's the documented trade for a zero-shuffle chunking pass.  A
+    trailing PARTIAL chunk is kept as its own (shorter) token — the greedy
+    ``.{{1,2k}}`` pattern — so a payload shorter than ``chunk_bytes``
+    hashes over its actual bytes; with the old ``.{{2k}}`` pattern every
+    sub-chunk payload tokenized to the empty string and they all collapsed
+    together as mutual near-dups (r9 ADVICE).
 
     Returns the kept rows of ``df`` (near-dup losers removed)."""
     from fineo_readerator_spark.llm_ops.dedup import simhash_dedup
@@ -210,7 +215,7 @@ def media_near_dup(
         F.concat_ws(
             " ",
             F.regexp_extract_all(
-                F.hex(F.col(binary_col)), F.lit(f".{{{chunk_bytes * 2}}}"), 0
+                F.hex(F.col(binary_col)), F.lit(f".{{1,{chunk_bytes * 2}}}"), 0
             ),
         ).alias("__chunk_text"),
     )

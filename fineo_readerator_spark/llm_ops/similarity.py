@@ -1449,10 +1449,13 @@ def graph_degree_profile(edges: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return per.groupBy("in_degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("__recip").cast("long").alias("recip_edges"),
+        # outer bigint cast: the CASE mixes 0L with a decimal div result,
+        # which would type the column decimal(38,0) — values compare equal
+        # but every sibling ppm column is BIGINT (r9 ADVICE consistency)
         F.expr(
-            "CASE WHEN sum(__out) = 0 THEN 0L ELSE"
+            "cast(CASE WHEN sum(__out) = 0 THEN 0L ELSE"
             " (cast(sum(__recip) as decimal(38,0)) * 2000000 + sum(__out))"
-            " div (cast(sum(__out) as decimal(38,0)) * 2) END"
+            " div (cast(sum(__out) as decimal(38,0)) * 2) END as bigint)"
         ).alias("recip_ppm"),
     )
 

@@ -1510,8 +1510,13 @@ def readability(
     computed as ONE integer rational over the common denominator S·W —
     ``flesch_milli = half-up((206835·S·W − 1015·W² − 84600·Y·S)/(S·W))``,
     clamped at 0 BEFORE the division so no engine ever divides a negative
-    (decimal ``div`` truncates toward zero, HUGEINT ``//`` floors — they
-    only agree on non-negatives, the repo's integer-division rule).
+    (native integer division truncates toward zero on both engines, which
+    breaks the half-up formula's floor assumption on negatives — the
+    repo's integer-division rule is clamp first or correct explicitly).
+    The clamp CONDITION itself runs in decimal(38,0)/HUGEINT like the
+    THEN branch: at multi-million-word documents ``1015·W²`` exceeds
+    int64, where Spark non-ANSI arithmetic wraps silently while the
+    DuckDB oracle raises (r9 ADVICE).
     Syllables are approximated as vowel-letter groups ``[aeiouy]+`` with a
     1-per-word floor (the standard heuristic); sentences as ``[.!?]+``
     runs with a 1-per-doc floor.  Everything is codegen'd regexp counts —
@@ -1534,9 +1539,10 @@ def readability(
     return out.withColumn(
         "flesch_milli",
         F.expr(
-            "CASE WHEN 206835 * n_sentences * n_words"
-            "          - 1015 * n_words * n_words"
-            "          - 84600 * n_syllables * n_sentences <= 0 THEN 0L ELSE"
+            "CASE WHEN cast(206835 as decimal(38,0)) * n_sentences * n_words"
+            "          - cast(1015 as decimal(38,0)) * n_words * n_words"
+            "          - cast(84600 as decimal(38,0)) * n_syllables * n_sentences"
+            "          <= 0 THEN 0L ELSE"
             " ((cast(206835 as decimal(38,0)) * n_sentences * n_words"
             "   - cast(1015 as decimal(38,0)) * n_words * n_words"
             "   - cast(84600 as decimal(38,0)) * n_syllables * n_sentences) * 2"
@@ -1572,9 +1578,10 @@ m AS (
   FROM t WHERE len(toks) > 0
 )
 SELECT {id_col}, n_words, n_sentences, n_syllables,
-       CASE WHEN 206835 * n_sentences * n_words
-                 - 1015 * n_words * n_words
-                 - 84600 * n_syllables * n_sentences <= 0 THEN CAST(0 AS BIGINT)
+       CASE WHEN CAST(206835 AS HUGEINT) * n_sentences * n_words
+                 - CAST(1015 AS HUGEINT) * n_words * n_words
+                 - CAST(84600 AS HUGEINT) * n_syllables * n_sentences
+                 <= 0 THEN CAST(0 AS BIGINT)
             ELSE CAST(((CAST(206835 AS HUGEINT) * n_sentences * n_words
                         - CAST(1015 AS HUGEINT) * n_words * n_words
                         - CAST(84600 AS HUGEINT) * n_syllables * n_sentences) * 2

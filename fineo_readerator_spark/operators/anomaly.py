@@ -216,6 +216,15 @@ def dyadic_ewma(
     division.  A true infinite-tail EWMA differs by < 2^-window of the
     scale — at window=8, under 0.4%.
 
+    Negative value sums are supported: half-up is ``floor((2n+d)/2d)``,
+    which needs FLOOR division for negative numerators — but BOTH engines
+    truncate toward zero natively (Spark decimal ``div`` AND DuckDB
+    ``//``, verified empirically: ``-469999 // 2 = -234999`` in DuckDB),
+    so both faces carry an explicit truncate-vs-floor correction term.
+    Without it the formula is off by one milli on exact negative values
+    (r9 ADVICE find; the advisory's DuckDB-floors premise was inverted,
+    the defect itself was real on both faces).
+
     Scale shape: each bucket row expands into ``window`` (target-bucket,
     weighted-value) contributions (a bounded explode, no window function
     over an unbounded frame), one bucket-keyed agg re-collapses them, and
@@ -247,13 +256,20 @@ def dyadic_ewma(
         .groupBy("t_bucket")
         .agg(F.sum("wv").alias("swv"))
     )
+    # floor division on the decimal numerator: `div` truncates toward zero,
+    # so subtract 1 when a NEGATIVE numerator has a nonzero remainder (the
+    # oracle applies the identical correction — DuckDB `//` truncates too)
+    d2 = denom * 2
     return (
         smoothed.join(per, smoothed["t_bucket"] == per["bucket"])
+        .withColumn("__num", F.expr(f"swv * 2000 + {denom}"))
         .select(
             F.col("bucket"),
             F.col("v").cast("long").alias("n"),
             F.expr(
-                f"cast((swv * 2000 + {denom}) div ({denom} * 2) as bigint)"
+                f"cast(__num div {d2}"
+                f" - (case when __num < 0 and __num % {d2} != 0"
+                f"     then 1 else 0 end) as bigint)"
             ).alias("ewma_milli"),
         )
     )
@@ -263,8 +279,14 @@ def dyadic_ewma_oracle_sql(
     series_sql: str, bucket_col: str, value_col: str, window: int = 8
 ) -> str:
     """DuckDB replay of :func:`dyadic_ewma` — same bounded explode,
-    semi-join to observed buckets and half-up integer division."""
+    semi-join to observed buckets and half-up integer division.  DuckDB's
+    ``//`` truncates toward zero (verified empirically for BIGINT and
+    HUGEINT alike — NOT floored), so the replay carries the same
+    truncate-vs-floor correction the Spark face does; without it an exact
+    negative sum like -235 at window=1 renders -234999 milli instead of
+    -235000."""
     denom = (1 << window) - 1
+    d2 = denom * 2
     return f"""
 WITH per AS (
   SELECT {bucket_col} AS bucket, CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS v
@@ -281,7 +303,10 @@ smoothed AS (
   GROUP BY t_bucket
 )
 SELECT per.bucket, per.v AS n,
-       CAST((swv * 2000 + {denom}) // ({denom} * 2) AS BIGINT) AS ewma_milli
+       CAST((swv * 2000 + {denom}) // {d2}
+            - (CASE WHEN (swv * 2000 + {denom}) < 0
+                     AND (swv * 2000 + {denom}) % {d2} != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ewma_milli
 FROM smoothed JOIN per ON smoothed.t_bucket = per.bucket
 """
 
@@ -317,7 +342,12 @@ def mad_outliers(
         F.expr("percentile(abs(v - med), 0.5)").alias("mad")
     )
     out = with_med.join(mad, "g")
-    # exact-halves comparison: 2·|v−med| and 2·k·mad are integers
+    # exact comparison: med is on the half grid, so MAD (a median of
+    # half-grid deviations) can land on the QUARTER grid — after the ×2,
+    # 2·|v−med| is an integer but 2·k·mad can still be a half (e.g. x.5).
+    # Both are exact dyadic doubles, so the comparison stays exact on both
+    # engines; the operands are NOT necessarily integers (r9 ADVICE: the
+    # old "are integers" claim was wrong for quarter-grid MADs)
     flag = (F.col("mad") > 0) & (
         F.abs(F.col("v") - F.col("med")) * 2 > F.lit(2 * k_mad) * F.col("mad")
     )
@@ -373,9 +403,11 @@ def seasonal_decompose(
     - detrended_milli = v·1000 − trend_milli (signed integer);
     - season: per ``bucket % period`` phase, the decomposition keeps the
       SUM form — ``season_sum_milli`` (Σ detrended over the phase) and
-      ``n_phase`` — instead of dividing: a signed integer mean would hit
-      the one cross-engine edge this repo bans (decimal ``div`` truncates
-      toward zero, HUGEINT ``//`` floors — they disagree on negatives);
+      ``n_phase`` — instead of dividing: a signed integer mean needs a
+      rounding convention on negatives (both engines' native integer
+      division truncates toward zero, so half-up formulas silently go
+      off-by-one there — the dyadic_ewma correction), and keeping the
+      sum avoids the convention entirely;
       ``season_sum/n_phase`` is the classic seasonal component;
     - residual_scaled = detrended·n_phase − season_sum (signed integer,
       zero divisions): the classic residual times n_phase.

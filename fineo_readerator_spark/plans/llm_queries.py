@@ -799,7 +799,7 @@ def _mm_near_dup_oracle() -> str:
 
     chunked = (
         "SELECT doc_id,"
-        " array_to_string(regexp_extract_all(hex(encode(text)), '.{8}'), ' ')"
+        " array_to_string(regexp_extract_all(hex(encode(text)), '.{1,8}'), ' ')"
         " AS text,"
         " CAST(octet_length(encode(text)) AS BIGINT) AS n_chars"
         " FROM documents"

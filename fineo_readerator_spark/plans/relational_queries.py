@@ -1359,10 +1359,11 @@ def _q_mad_outliers_oracle() -> str:
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of daily event volume (operators.
     anomaly.seasonal_decompose): dyadic-EWMA trend, per-weekday seasonal
-    kept in division-free SUM form (a signed integer mean is the one
-    cross-engine edge the repo bans — decimal div truncates, HUGEINT //
-    floors), residual as the scaled integer detrended·n_phase −
-    season_sum.  One corpus-sized bucket agg; everything after is
+    kept in division-free SUM form (a signed integer mean needs a
+    negative-rounding convention — both engines truncate natively, so
+    half-up formulas go off-by-one on negatives without the dyadic_ewma
+    correction; the sum form avoids it), residual as the scaled integer
+    detrended·n_phase − season_sum.  One corpus-sized bucket agg; everything after is
     |days|-sized."""
     from fineo_readerator_spark.functions import epoch_millis
     from fineo_readerator_spark.operators.anomaly import seasonal_decompose

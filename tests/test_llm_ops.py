@@ -2809,3 +2809,26 @@ def test_phrase_search_consecutive_only(spark):
     assert got == {1: 2, 3: 1}
     with _pt.raises(ValueError, match="phrase"):
         phrase_search(df, "york")
+
+
+def test_media_near_dup_keeps_partial_tail_and_sub_chunk_payloads(spark):
+    """r10 regression (ADVICE find): the old `.{2k}` chunk regexp dropped a
+    trailing partial chunk, so payloads SHORTER than chunk_bytes tokenized
+    to the empty string and all collapsed together as near-dups.  With the
+    greedy `.{1,2k}` pattern a sub-chunk payload hashes its actual bytes:
+    two unrelated 2-byte payloads (chunk_bytes=4) must BOTH survive, and a
+    payload differing from another only in its partial tail is now
+    distinguishable by that tail's vote."""
+    from fineo_readerator_spark.llm_ops.multimodal import media_near_dup
+
+    rows = [
+        (1, b"\x00\x01"),          # sub-chunk payload A
+        (2, b"\xfe\xff"),          # unrelated sub-chunk payload B
+        (3, b"ABCDABCDABCDAB"),    # 3.5 chunks: partial tail "AB"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r.doc_id
+        for r in media_near_dup(df, "doc_id", "payload", chunk_bytes=4).collect()
+    )
+    assert kept == [1, 2, 3]

@@ -300,10 +300,13 @@ def test_dyadic_ewma_fuzz_vs_python(spark):
     from fineo_readerator_spark.operators.anomaly import dyadic_ewma
 
     rng = random.Random(7)
-    for trial in range(4):
+    for trial in range(6):
         w = rng.choice([1, 2, 5, 8])
         days = sorted(rng.sample(range(0, 40), rng.randint(1, 12)))
-        vals = {d: rng.randint(0, 1000) for d in days}
+        # negative values included: half-up is floor((2n+d)/2d), and the
+        # Spark face's truncate-vs-floor correction must match Python //
+        # (r9 ADVICE find — bare decimal `div` diverged for negative sums)
+        vals = {d: rng.randint(-1000, 1000) for d in days}
         rows = [(d, v) for d, v in vals.items()]
         df = spark.createDataFrame(rows, "day long, one long")
         got = {r.bucket: (r.n, r.ewma_milli)
@@ -428,3 +431,59 @@ def test_theil_sen_resists_outlier_where_ols_drifts(spark):
     assert ts.ts_slope == 2.0
     ols = trend_slopes(df, "g", "day", "v").collect()[0]
     assert abs(ols.slope - 2.0) > 5  # the wild point dragged OLS far off
+
+
+def test_dyadic_ewma_negative_sums_match_oracle_and_floor(spark):
+    """r10 regression (ADVICE find, corrected): for NEGATIVE bucket sums the
+    half-up formula floor((2n+d)/2d) needs FLOOR division, but BOTH engines
+    truncate toward zero natively (Spark decimal `div` AND DuckDB `//` —
+    empirically verified; the advisory had DuckDB's semantics inverted), so
+    an exact value like -235 at window=1 rendered -234999 milli instead of
+    -235000 on both faces.  Both now carry an explicit trunc-vs-floor
+    correction; this pins spark == duckdb == python-floor on a negative
+    series including the exact-integer edge."""
+    import duckdb
+
+    from fineo_readerator_spark.operators.anomaly import (
+        dyadic_ewma,
+        dyadic_ewma_oracle_sql,
+    )
+
+    rows = [(0, -235), (1, -7), (2, 3), (5, -500), (6, 499)]
+    for w in (1, 2, 8):
+        df = spark.createDataFrame(rows, "day long, one long")
+        got = sorted(
+            (r.bucket, r.n, r.ewma_milli)
+            for r in dyadic_ewma(df, "day", "one", window=w).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(f"({d}, {v})" for d, v in rows)
+        sql = dyadic_ewma_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(day, one)", "day", "one", w
+        )
+        oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == oracle, f"window {w}: spark vs duckdb"
+        denom = (1 << w) - 1
+        vmap = dict(rows)
+        model = sorted(
+            (
+                d,
+                vmap[d],
+                (
+                    sum(vmap.get(d - off, 0) * (1 << (w - 1 - off)) for off in range(w))
+                    * 2000
+                    + denom
+                )
+                // (denom * 2),
+            )
+            for d in vmap
+        )
+        assert got == model, f"window {w}: spark vs python floor"
+    # the motivating exact-integer edge: window=1 is the identity line
+    w1 = {b: m for b, _, m in sorted(
+        (r.bucket, r.n, r.ewma_milli)
+        for r in dyadic_ewma(
+            spark.createDataFrame(rows, "day long, one long"), "day", "one", window=1
+        ).collect()
+    )}
+    assert w1[0] == -235000
