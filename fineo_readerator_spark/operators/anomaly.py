@@ -600,6 +600,7 @@ def theil_sen_slopes(
     group_col: str,
     bucket_col: str,
     value_col: str,
+    max_buckets_per_group: int = 5_000,
 ) -> DataFrame:
     """Theil–Sen robust trend per group: the MEDIAN of all pairwise
     slopes ``(y_j−y_i)/(x_j−x_i)`` — the regression twin of
@@ -617,10 +618,31 @@ def theil_sen_slopes(
     events — one (group, bucket) aggregate first, then a group-keyed
     self-join bounded by |buckets|² per group (days/hours: hundreds of
     pairs), then one group-keyed median.  ``n_pairs`` is reported so a
-    caller can see the support."""
+    caller can see the support.
+
+    ``max_buckets_per_group`` gates the quadratic term (the
+    ``minhash_audit`` refusal stance): |buckets|²/group is fine for
+    daily/hourly grains but a caller passing second-granularity buckets
+    over months would silently build billions of pairs per group — count
+    first, raise with the observed cardinality, let the caller re-bucket
+    or raise the bound deliberately.  The default 5,000 (≈12.5M pairs per
+    group worst case) covers >13 years daily / ~7 months hourly."""
+    if max_buckets_per_group < 2:
+        raise ValueError(
+            f"max_buckets_per_group must be >= 2, got {max_buckets_per_group}"
+        )
     per = series.groupBy(
         F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
     ).agg(F.sum(F.col(value_col).cast("long")).alias("y"))
+    per = per.localCheckpoint(eager=False)
+    widest = per.groupBy("g").count().agg(F.max("count")).first()[0]
+    if widest is not None and widest > max_buckets_per_group:
+        raise ValueError(
+            f"theil_sen_slopes: widest group holds {widest:,} buckets "
+            f"(> max_buckets_per_group={max_buckets_per_group:,}); the pair "
+            "join is |buckets|^2 per group. Re-bucket to a coarser grain or "
+            "raise max_buckets_per_group deliberately."
+        )
     a = per.select("g", F.col("b").alias("bi"), F.col("y").alias("yi"))
     b = per.select("g", F.col("b").alias("bj"), F.col("y").alias("yj"))
     pairs = (

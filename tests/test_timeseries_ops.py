@@ -487,3 +487,21 @@ def test_dyadic_ewma_negative_sums_match_oracle_and_floor(spark):
         ).collect()
     )}
     assert w1[0] == -235000
+
+
+def test_theil_sen_bucket_cardinality_gate(spark):
+    """r10 gate (verdict task): the Theil–Sen pair join is |buckets|²/group
+    — an over-bucketed frame (e.g. second-granularity over months) must
+    refuse with the observed cardinality instead of silently building
+    billions of pairs; a frame inside the bound still computes."""
+    from fineo_readerator_spark.operators.anomaly import theil_sen_slopes
+
+    rows = [("a", b, b * 2) for b in range(30)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    ok = theil_sen_slopes(df, "g", "day", "v").collect()
+    assert ok[0].n_pairs == 30 * 29 // 2 and ok[0].ts_slope == 2.0
+
+    with pytest.raises(ValueError, match=r"30 buckets.*max_buckets_per_group=10"):
+        theil_sen_slopes(df, "g", "day", "v", max_buckets_per_group=10).collect()
+    with pytest.raises(ValueError, match="must be >= 2"):
+        theil_sen_slopes(df, "g", "day", "v", max_buckets_per_group=1)
