@@ -1531,6 +1531,68 @@ def kcore_peel(
     )
 
 
+def kcore_peel_oracle_sql(
+    edges_sql: str,
+    k: int = 2,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    extra_ctes: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`kcore_peel` — the same unrolled peel rounds
+    as materialized CTEs.  ``edges_sql`` must select ``({id_col},
+    nbr_id)``; ``extra_ctes`` (a comma-joined CTE-list string) is
+    prepended inside the WITH for callers whose edge frame is itself
+    CTE-built (the knn-graph layout in ``_s_kcore_layout_oracle``).
+
+    Every round CTE is ``AS MATERIALIZED``: each is referenced 2-3× and
+    DuckDB re-inlines CTEs per reference — without the hint the unrolled
+    chain re-expands exponentially (the BPE-oracle lesson, re-hit by
+    k-core in r9)."""
+    parts = [] if extra_ctes is None else [extra_ctes]
+    parts += [
+        "und AS MATERIALIZED (SELECT DISTINCT least(__i, __n) AS u,"
+        f" greatest(__i, __n) AS v FROM (SELECT {id_col} AS __i, nbr_id AS __n"
+        f" FROM ({edges_sql})) WHERE __i != __n)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT u AS node FROM und UNION ALL SELECT v FROM und))",
+    ]
+    prev = "a0"
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT u, v FROM und"
+            f" WHERE u IN (SELECT node FROM {prev})"
+            f" AND v IN (SELECT node FROM {prev}))"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT node, count(*) AS degree FROM"
+            f" (SELECT u AS node FROM e{t} UNION ALL SELECT v FROM e{t})"
+            " GROUP BY node)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE degree >= {k})"
+        )
+        prev = f"a{t}"
+    parts.append(
+        f"ef AS MATERIALIZED (SELECT u, v FROM und"
+        f" WHERE u IN (SELECT node FROM {prev})"
+        f" AND v IN (SELECT node FROM {prev}))"
+    )
+    parts.append(
+        "df AS (SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM"
+        " (SELECT u AS node FROM ef UNION ALL SELECT v FROM ef)"
+        " GROUP BY node)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.node AS {id_col}, coalesce(df.core_degree, 0) AS core_degree
+FROM {prev} a LEFT JOIN df ON a.node = df.node
+ORDER BY {id_col}
+"""
+    )
+
+
 def knn_recall_audit(
     df: DataFrame,
     sample_mod: int = 125,

@@ -2081,50 +2081,16 @@ def s_kcore_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _s_kcore_layout_oracle(
     k: int = 3, n_centroids: int = 16, core_k: int = 2, n_rounds: int = 3
 ) -> str:
-    parts = [
-        _knn_graph_ctes(k, n_centroids),
-        # MATERIALIZED: every round references und/a{t} 2-3x — without it
-        # DuckDB re-inlines the whole knn-graph chain per reference (the
-        # exponential re-inlining the BPE oracle hit)
-        "und AS MATERIALIZED (SELECT DISTINCT least(vec_id, nbr_id) AS u,"
-        " greatest(vec_id, nbr_id) AS v FROM graph WHERE vec_id != nbr_id)",
-        "a0 AS MATERIALIZED (SELECT DISTINCT node FROM"
-        " (SELECT u AS node FROM und UNION ALL SELECT v FROM und))",
-    ]
-    prev = "a0"
-    for t in range(1, n_rounds + 1):
-        parts.append(
-            f"e{t} AS MATERIALIZED (SELECT u, v FROM und"
-            f" WHERE u IN (SELECT node FROM {prev})"
-            f" AND v IN (SELECT node FROM {prev}))"
-        )
-        parts.append(
-            f"d{t} AS MATERIALIZED (SELECT node, count(*) AS degree FROM"
-            f" (SELECT u AS node FROM e{t} UNION ALL SELECT v FROM e{t})"
-            " GROUP BY node)"
-        )
-        parts.append(
-            f"a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE degree >= {core_k})"
-        )
-        prev = f"a{t}"
-    parts.append(
-        f"ef AS MATERIALIZED (SELECT u, v FROM und"
-        f" WHERE u IN (SELECT node FROM {prev})"
-        f" AND v IN (SELECT node FROM {prev}))"
-    )
-    parts.append(
-        "df AS (SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM"
-        " (SELECT u AS node FROM ef UNION ALL SELECT v FROM ef)"
-        " GROUP BY node)"
-    )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
-SELECT a.node AS vec_id, coalesce(df.core_degree, 0) AS core_degree
-FROM {prev} a LEFT JOIN df ON a.node = df.node
-ORDER BY vec_id
-"""
+    # the peel-round CTE chain lives in similarity.kcore_peel_oracle_sql
+    # (shared with the r10 fuzz harness); only the knn-graph edge source
+    # is query-specific here
+    from fineo_readerator_spark.llm_ops.similarity import kcore_peel_oracle_sql
+
+    return kcore_peel_oracle_sql(
+        "SELECT vec_id, nbr_id FROM graph",
+        k=core_k,
+        n_rounds=n_rounds,
+        extra_ctes=_knn_graph_ctes(k, n_centroids),
     )
 
 
