@@ -4258,7 +4258,7 @@ LLM_QUERIES = [
     QueryDef("s_ann_pq", s_ann_pq, _s_ann_pq_oracle(), bench=True),
     QueryDef("s_ann_filtered", s_ann_filtered, S_ANN_FILTERED_ORACLE),
     QueryDef("s_ann_batch", s_ann_batch, S_ANN_BATCH_ORACLE),
-    QueryDef("s_mmr_rerank", s_mmr_rerank, _s_mmr_rerank_oracle()),
+    QueryDef("s_mmr_rerank", s_mmr_rerank, _s_mmr_rerank_oracle(), bench=True),
     QueryDef("p_shard_export", p_shard_export, _p_shard_oracle()),
     QueryDef("p_pipeline_export", p_pipeline_export, _p_pipeline_export_oracle()),
     QueryDef("s_label_centroids", s_label_centroids, S_CENTROIDS_ORACLE),
@@ -4266,7 +4266,7 @@ LLM_QUERIES = [
     QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
     QueryDef("mm_dedup", mm_dedup, MM_DEDUP_ORACLE),
-    QueryDef("mm_near_dup", mm_near_dup, _mm_near_dup_oracle()),
+    QueryDef("mm_near_dup", mm_near_dup, _mm_near_dup_oracle(), bench=True),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
     QueryDef("mm_frame_sample", mm_frame_sample, MM_FRAMES_ORACLE),
     QueryDef("d_embed_dupes", d_embed_dupes, D_EMBED_ORACLE),
@@ -4307,12 +4307,12 @@ LLM_QUERIES = [
     QueryDef("s_label_propagation", s_label_propagation, _s_label_propagation_oracle()),
     QueryDef("s_pagerank", s_pagerank, _s_pagerank_oracle()),
     QueryDef("s_graph_layout", s_graph_layout, _s_pagerank_oracle()),
-    QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle()),
-    QueryDef("s_graph_triangles", s_graph_triangles, _s_graph_triangles_oracle()),
-    QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle()),
+    QueryDef("s_label_prop_layout", s_label_prop_layout, _s_label_propagation_oracle(), bench=True),
+    QueryDef("s_graph_triangles", s_graph_triangles, _s_graph_triangles_oracle(), bench=True),
+    QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle(), bench=True),
     QueryDef("s_graph_degrees", s_graph_degrees, _s_graph_degrees_oracle()),
-    QueryDef("s_kcore_layout", s_kcore_layout, _s_kcore_layout_oracle()),
-    QueryDef("s_top_direction", s_top_direction, _s_top_direction_oracle()),
+    QueryDef("s_kcore_layout", s_kcore_layout, _s_kcore_layout_oracle(), bench=True),
+    QueryDef("s_top_direction", s_top_direction, _s_top_direction_oracle(), bench=True),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
     QueryDef("t_filter_funnel", t_filter_funnel, _t_filter_funnel_oracle()),
@@ -4324,7 +4324,7 @@ LLM_QUERIES = [
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),
     QueryDef("t_collocations", t_collocations, _t_collocations_oracle()),
     QueryDef("t_bpe_fertility", t_bpe_fertility, _t_bpe_fertility_oracle()),
-    QueryDef("t_bpe_encode", t_bpe_encode, _t_bpe_encode_oracle()),
+    QueryDef("t_bpe_encode", t_bpe_encode, _t_bpe_encode_oracle(), bench=True),
     QueryDef("p_corpus_drift", p_corpus_drift, _p_corpus_drift_oracle(), bench=True),
     QueryDef("d_incremental_dedup", d_incremental_dedup, _d_incremental_oracle(), bench=True),
     QueryDef("d_simhash_dedup", d_simhash_dedup, _simhash_dedup_oracle(), bench=True),
@@ -4348,7 +4348,7 @@ LLM_QUERIES = [
     QueryDef("p_weighted_sample", p_weighted_sample, _p_weighted_sample_oracle()),
     QueryDef("p_k_anonymize", p_k_anonymize, _p_k_anonymize_oracle()),
     QueryDef("p_dist_match", p_dist_match, _p_dist_match_oracle()),
-    QueryDef("p_dsir_select", p_dsir_select, _p_dsir_select_oracle()),
+    QueryDef("p_dsir_select", p_dsir_select, _p_dsir_select_oracle(), bench=True),
     QueryDef("t_phrase_search", t_phrase_search, _t_phrase_search_oracle()),
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),

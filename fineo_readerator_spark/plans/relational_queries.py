@@ -1517,13 +1517,13 @@ RELATIONAL_QUERIES = [
     QueryDef("q_cube", q_cube, Q_CUBE_ORACLE),
     QueryDef("q_entity_match", q_entity_match, _q_entity_match_oracle()),
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
-    QueryDef("q_transitions", q_transitions, _q_transitions_oracle()),
+    QueryDef("q_transitions", q_transitions, _q_transitions_oracle(), bench=True),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
-    QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle()),
+    QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle(), bench=True),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),
-    QueryDef("q_mad_outliers", q_mad_outliers, _q_mad_outliers_oracle()),
-    QueryDef("q_seasonal_decompose", q_seasonal_decompose, _q_seasonal_decompose_oracle()),
+    QueryDef("q_mad_outliers", q_mad_outliers, _q_mad_outliers_oracle(), bench=True),
+    QueryDef("q_seasonal_decompose", q_seasonal_decompose, _q_seasonal_decompose_oracle(), bench=True),
     QueryDef("q_convert_latency", q_convert_latency, _q_convert_latency_oracle()),
     QueryDef("q_trend_slopes", q_trend_slopes, _q_trend_slopes_oracle()),
     QueryDef("q_theil_sen", q_theil_sen, _q_theil_sen_oracle()),
