@@ -1576,3 +1576,71 @@ __m AS (
   FROM __all
 )
 SELECT m.doc_id, l.lab AS cluster_id FROM __m m JOIN __lab l ON l.id = m.rep"""
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 256,
+    max_dist_ppm: int = 200_000,
+) -> DataFrame:
+    """Edit-distance verification rung for candidate near-dup pairs — the
+    character-level check between shingle Jaccard (set-based, blind to
+    ORDER) and embedding cosine (semantic, blind to surface form): a pair
+    that minhash banding surfaced but whose texts differ by more than
+    ``max_dist_ppm`` of their length (Levenshtein over a
+    ``prefix_chars``-char prefix) is a shingle-collision false positive,
+    not an edit-chain near-dup.
+
+    ``pairs`` is any candidate frame with ``id_a``/``id_b`` columns
+    (:func:`minhash_lsh_pairs` output composes directly); all its columns
+    pass through, plus ``edit_dist`` and ``dist_ppm`` (half-up ppm of
+    dist / max prefix length; 0 for two empty prefixes), filtered to
+    ``dist_ppm <= max_dist_ppm``.
+
+    Cross-engine note: Spark's ``levenshtein`` counts CHARACTERS while
+    DuckDB's counts BYTES (measured: 'héllo'→'hello' is 1 vs 2), so both
+    faces fold every non-ASCII codepoint to ``#`` after the prefix cut —
+    on the folded ASCII strings bytes == chars and the DP tables agree
+    exactly.  The ppm division is never-negative, so both engines'
+    truncating integer division agrees (the dyadic_ewma rule).
+
+    Scale shape: work is candidate-set-sized, never corpus² — two
+    id-keyed joins of the (tiny) pair frame onto prefix projections, then
+    one bounded DP per pair (≤ prefix_chars² cell ops).  The prefix cut
+    is what keeps a 1 MB document from costing a 10¹² -cell DP."""
+    if prefix_chars < 1:
+        raise ValueError(f"prefix_chars must be >= 1, got {prefix_chars}")
+    if not 0 <= max_dist_ppm <= 1_000_000:
+        raise ValueError(
+            f"max_dist_ppm must be in [0, 1000000], got {max_dist_ppm}"
+        )
+    folded = docs.select(
+        F.col(id_col).alias("__vid"),
+        F.regexp_replace(
+            F.substring(F.col(text_col), 1, prefix_chars), "[^\\x00-\\x7F]", "#"
+        ).alias("__vtxt"),
+    )
+    a = folded.select(F.col("__vid").alias("id_a"), F.col("__vtxt").alias("__ta"))
+    b = folded.select(F.col("__vid").alias("id_b"), F.col("__vtxt").alias("__tb"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("__ta", "__tb").cast("long"))
+        .withColumn(
+            "dist_ppm",
+            F.expr(
+                "cast(CASE WHEN greatest(length(__ta), length(__tb)) = 0"
+                "           THEN 0L"
+                "      ELSE (cast(edit_dist as decimal(38,0)) * 2000000"
+                "            + greatest(length(__ta), length(__tb)))"
+                "           div (cast(greatest(length(__ta), length(__tb))"
+                "                     as decimal(38,0)) * 2) END as bigint)"
+            ),
+        )
+    )
+    return out.filter(F.col("dist_ppm") <= max_dist_ppm).select(
+        *pairs.columns, "edit_dist", "dist_ppm"
+    )

@@ -353,3 +353,43 @@ SELECT a.doc_id,
        h.n IS NOT NULL AS is_dup
 FROM __all a LEFT JOIN __hits h ON h.id = a.doc_id
 WHERE {delta_pred.replace('doc_id', 'a.doc_id')}"""
+
+
+def edit_verify_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+    prefix_chars: int = 256,
+    max_dist_ppm: int = 200_000,
+) -> str:
+    """Oracle for ``edit_distance_verify(minhash_lsh_pairs(...))`` — the
+    full portable LSH candidate cascade, then DuckDB ``levenshtein`` over
+    the same ASCII-folded prefixes (DuckDB's levenshtein counts BYTES, so
+    the non-ASCII→'#' fold is what makes the two DP tables comparable)
+    and the same never-negative half-up ppm division."""
+    pairs = minhash_pairs_oracle(
+        corpus_sql, num_hashes, bands, threshold, seed, shingle_k
+    )
+    fold = (
+        f"SELECT doc_id, regexp_replace(substr(text, 1, {prefix_chars}),"
+        " '[^\\x00-\\x7F]', '#', 'g') AS p"
+        f" FROM ({corpus_sql})"
+    )
+    maxlen = "greatest(len(a.p), len(b.p))"
+    ppm = (
+        f"CASE WHEN {maxlen} = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST((CAST(levenshtein(a.p, b.p) AS HUGEINT) * 2000000 + {maxlen})"
+        f" // (CAST({maxlen} AS HUGEINT) * 2) AS BIGINT) END"
+    )
+    return f"""
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist,
+       {ppm} AS dist_ppm
+FROM ({pairs}) p
+JOIN ({fold}) a ON a.doc_id = p.id_a
+JOIN ({fold}) b ON b.doc_id = p.id_b
+WHERE {ppm} <= {max_dist_ppm}
+"""

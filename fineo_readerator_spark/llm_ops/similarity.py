@@ -2423,3 +2423,111 @@ def _dsum_identity(col: Column) -> Column:
     """Exact-decimal sum of already-rounded doubles (no extra per-term
     product): the second-level fold of a two-level variance sum."""
     return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    id_col: str = "vec_id",
+    top_pairs: int = 200,
+    max_in_degree: int = 64,
+) -> DataFrame:
+    """Neighbor-set Jaccard over a directed k-NN edge frame ``(id_col,
+    nbr_id)`` — the classic link-prediction / entity-consolidation
+    feature: two nodes whose OUT-neighbor sets overlap heavily are
+    near-duplicates the direct edge set may have missed (they rank the
+    same neighbors without necessarily ranking each other).  Complements
+    :func:`graph_triangles` (closed wedges around ONE node) with
+    pairwise set similarity.
+
+    Hubs are dropped FIRST: edges pointing at a node with in-degree >
+    ``max_in_degree`` leave the neighbor sets before anything else — a
+    super-hub (collapsed embedding region, boilerplate cluster) is both
+    uninformative as a shared neighbor and the quadratic term in the
+    wedge join (pairs per shared neighbor = in-degree²).  After the cap
+    the join is bounded by Σ min(in_degree, cap)² ≤ N·cap² — linear in
+    nodes at fixed cap.
+
+    Pure integers: ``inter`` by a shared-neighbor equi-join count,
+    ``union = deg_a + deg_b − inter``, ``jac_ppm`` the repo's half-up
+    never-negative division.  Output: top ``top_pairs`` by (jac_ppm
+    DESC, id_a, id_b) — deterministic, bounded."""
+    if top_pairs < 1:
+        raise ValueError(f"top_pairs must be >= 1, got {top_pairs}")
+    if max_in_degree < 1:
+        raise ValueError(f"max_in_degree must be >= 1, got {max_in_degree}")
+    src = (
+        edges.select(F.col(id_col).alias("u"), F.col("nbr_id").alias("n"))
+        .filter(F.col("u") != F.col("n"))
+        .distinct()
+    )
+    keep = (
+        src.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("__ind"))
+        .filter(F.col("__ind") <= max_in_degree)
+        .select("n")
+    )
+    e = src.join(keep, "n", "left_semi").localCheckpoint(eager=False)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    inter = (
+        e.select("n", F.col("u").alias("id_a"))
+        .join(e.select("n", F.col("u").alias("id_b")), "n")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(deg.select(F.col("u").alias("id_a"), F.col("deg").alias("__da")), "id_a")
+        .join(deg.select(F.col("u").alias("id_b"), F.col("deg").alias("__db")), "id_b")
+        .withColumn("union_sz", (F.col("__da") + F.col("__db") - F.col("inter")).cast("long"))
+        .withColumn(
+            "jac_ppm",
+            F.expr(
+                "cast((cast(inter as decimal(38,0)) * 2000000 + union_sz)"
+                " div (cast(union_sz as decimal(38,0)) * 2) as bigint)"
+            ),
+        )
+    )
+    return (
+        out.select(
+            "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+            "union_sz", "jac_ppm",
+        )
+        .orderBy(F.desc("jac_ppm"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_pairs)
+    )
+
+
+def neighbor_jaccard_oracle_sql(
+    edges_sql: str,
+    id_col: str = "vec_id",
+    top_pairs: int = 200,
+    max_in_degree: int = 64,
+    extra_ctes: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`neighbor_jaccard` — same hub cap, wedge
+    join, half-up ppm and (jac DESC, id_a, id_b) top-k."""
+    parts = [] if extra_ctes is None else [extra_ctes]
+    parts += [
+        f"src AS (SELECT DISTINCT {id_col} AS u, nbr_id AS n"
+        f" FROM ({edges_sql}) WHERE {id_col} != nbr_id)",
+        "keep AS (SELECT n FROM (SELECT n, count(*) AS c FROM src GROUP BY n)"
+        f" WHERE c <= {max_in_degree})",
+        "e AS MATERIALIZED (SELECT u, n FROM src WHERE n IN (SELECT n FROM keep))",
+        "deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u)",
+        "inter AS (SELECT a.u AS id_a, b.u AS id_b, count(*) AS inter"
+        " FROM e a JOIN e b ON a.n = b.n AND a.u < b.u GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(da.deg + db.deg - inter AS BIGINT) AS union_sz,
+       CAST((CAST(inter AS HUGEINT) * 2000000 + (da.deg + db.deg - inter))
+            // (CAST(da.deg + db.deg - inter AS HUGEINT) * 2) AS BIGINT)
+         AS jac_ppm
+FROM inter JOIN deg da ON da.u = id_a JOIN deg db ON db.u = id_b
+ORDER BY jac_ppm DESC, id_a, id_b
+LIMIT {top_pairs}
+"""
+    )

@@ -1590,3 +1590,155 @@ SELECT {id_col}, n_words, n_sentences, n_syllables,
        END AS flesch_milli
 FROM m
 """
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_ranks: int = 200,
+) -> DataFrame:
+    """Zipf power-law fit per corpus slice: OLS of ``ln(freq)`` on
+    ``ln(rank)`` over the top ``top_ranks`` token frequencies — the
+    vocabulary-health audit a pretraining curator runs per source
+    (natural text sits near slope −1; templated/boilerplate slices run
+    much flatter or steeper, machine-generated spam shows a truncated
+    head).  Complements :func:`token_entropy` (per-document) with a
+    per-SLICE distributional shape.
+
+    Cross-engine float discipline (the token_entropy precedent, nano
+    grid): each ``ln`` term is rounded to an INTEGER nano-ln
+    (``round(ln·10⁹)`` — both engines round positive halves away from
+    zero identically), then every OLS moment is an exact decimal(38,0)/
+    HUGEINT sum of those integers, so summation order cannot drift; the
+    nano scales cancel in the slope ratio and only the final
+    slope/intercept/r2 touch doubles (trend_slopes' operation order,
+    rounded 1e-6).  Rank ties break on the raw token's binary collation
+    — identical on both engines.
+
+    Scale shape: one (slice, token) count aggregate (the corpus-sized
+    pass, map-side combined), one per-slice top-k window over the
+    VOCABULARY frame, then |slices|×top_ranks-sized moment math.
+    Slices with < 2 distinct ranked tokens have zero x-variance and are
+    absent (no fit exists)."""
+    from pyspark.sql import Window
+
+    if top_ranks < 2:
+        raise ValueError(f"top_ranks must be >= 2, got {top_ranks}")
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    freq = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("g").orderBy(F.desc("f"), F.asc("w"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_ranks)
+        .select(
+            "g",
+            F.round(F.log("r") * 1e9, 0).cast("long").alias("x"),
+            F.round(F.log("f") * 1e9, 0).cast("long").alias("y"),
+        )
+    )
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    out = m.withColumn(
+        "zipf_slope",
+        F.when(denx > 0, F.round(num.cast("double") / denx.cast("double"), 6)),
+    )
+    intercept = F.when(
+        F.col("zipf_slope").isNotNull(),
+        F.round(
+            (F.col("sy").cast("double") - F.col("zipf_slope") * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * 1e9),
+            6,
+        ),
+    )
+    # r2's products run in DOUBLES: at the nano grid num ~ 10²⁵, so num²
+    # (~10⁵⁰) overflows decimal(38,0) AND HUGEINT — cast each factor first
+    # and keep the op order identical in the oracle (unlike trend_slopes,
+    # whose rebased-bucket moments stay inside the exact-integer range)
+    r2 = F.when(
+        (denx > 0) & (deny > 0),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (denx.cast("double") * deny.cast("double")),
+            6,
+        ),
+    )
+    return out.filter(F.col("zipf_slope").isNotNull()).select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_ranks"),
+        "zipf_slope",
+        intercept.alias("ln_intercept"),
+        r2.alias("r2"),
+    )
+
+
+def zipf_fit_oracle_sql(
+    corpus_sql: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_ranks: int = 200,
+) -> str:
+    """DuckDB replay of :func:`zipf_fit` — same whitespace tokens, nano-ln
+    integer grid, HUGEINT moments and float tail order."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " t -> length(t) > 0)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS g, unnest({toks}) AS w FROM ({corpus_sql})
+),
+freq AS (SELECT g, w, count(*) AS f FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT g,
+         CAST(round(ln(r) * 1e9, 0) AS BIGINT) AS x,
+         CAST(round(ln(f) * 1e9, 0) AS BIGINT) AS y
+  FROM (SELECT g, f,
+               row_number() OVER (PARTITION BY g ORDER BY f DESC, w ASC) AS r
+        FROM freq)
+  WHERE r <= {top_ranks}
+),
+m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM ranked GROUP BY g
+),
+s AS (
+  SELECT g, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM m
+),
+sl AS (
+  SELECT *, CASE WHEN denx > 0
+                 THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+            END AS zipf_slope
+  FROM s
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_ranks, zipf_slope,
+       CASE WHEN zipf_slope IS NOT NULL
+            THEN round((CAST(sy AS DOUBLE) - zipf_slope * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 1e9), 6) END AS ln_intercept,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                       / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+            END AS r2
+FROM sl WHERE zipf_slope IS NOT NULL
+"""

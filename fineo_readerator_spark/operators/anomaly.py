@@ -686,3 +686,129 @@ SELECT g AS {group_col}, CAST(count(*) AS BIGINT) AS n_pairs,
        round(quantile_cont(s, 0.5), 6) AS ts_slope
 FROM pairs GROUP BY g
 """
+
+
+def binary_changepoint(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single most-likely change point per group by binary segmentation —
+    the offline answer to :func:`cusum_shift`'s online question: WHERE did
+    the level shift, not just whether one is in progress.  For every
+    candidate split after ordered bucket ``t`` the score is the
+    between-segment sum-of-squares reduction ``n1·n2·(m1−m2)²/n``; the
+    argmax is the classic first step of binary segmentation (Scott &
+    Knott), and one split is the SQL-expressible, oracle-checkable unit —
+    recursing on the halves is a driver loop over this operator.
+
+    Exact integer arithmetic end to end: with ``d = S1·n2 − S2·n1`` the
+    score ordering equals the ordering of ``d²/(n1·n2)`` (the constant
+    ``n`` drops), compared via the scaled TRUNCATING division
+    ``score_scaled = (d²·10⁶) div (n1·n2)`` — the numerator is a square,
+    so never negative and both engines' truncate-toward-zero agree; ties
+    break on the earliest split.  Segment sums stay UNDIVIDED
+    (``left_sum``/``right_sum`` + counts, the seasonal_decompose stance)
+    so negative value sums need no rounding convention anywhere.
+
+    Scale shape: one (group, bucket) aggregate (the only corpus-sized
+    pass), one cumulative window + one total join over the bucketed
+    frame, one argmax window — |groups|×|buckets| rows after the first
+    agg.  Single-bucket groups have no candidate split and are absent
+    from the output."""
+    from pyspark.sql import Window
+
+    per = series.groupBy(
+        F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("y"))
+    w = Window.partitionBy("g").orderBy("b")
+    cum = per.select(
+        "g",
+        "b",
+        F.sum("y").over(w).alias("s1"),
+        F.row_number().over(w).alias("t"),
+    )
+    tot = per.groupBy("g").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cand = (
+        cum.join(tot, "g")
+        .filter(F.col("t") < F.col("n"))
+        .withColumn(
+            "__d",
+            F.expr(
+                "cast(s1 as decimal(38,0)) * (n - t)"
+                " - (cast(s as decimal(38,0)) - s1) * t"
+            ),
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr(
+                "cast((__d * __d * 1000000)"
+                " div (cast(t as decimal(38,0)) * (n - t)) as bigint)"
+            ),
+        )
+    )
+    pick = Window.partitionBy("g").orderBy(
+        F.desc("score_scaled"), F.asc("t")
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("b").alias("split_bucket"),
+            F.col("t").cast("long").alias("n_left"),
+            (F.col("n") - F.col("t")).cast("long").alias("n_right"),
+            F.col("s1").cast("long").alias("left_sum"),
+            (F.col("s") - F.col("s1")).cast("long").alias("right_sum"),
+            "score_scaled",
+        )
+    )
+
+
+def binary_changepoint_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB replay of :func:`binary_changepoint` — HUGEINT cumulative
+    moments, the same scaled truncating division (the numerator is a
+    square, so truncate-toward-zero agrees on both engines) and
+    earliest-split tie-break."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS g, {bucket_col} AS b,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS y
+  FROM ({series_sql}) GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, b,
+         CAST(sum(y) OVER (PARTITION BY g ORDER BY b) AS HUGEINT) AS s1,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY b) AS HUGEINT) AS t
+  FROM per
+),
+tot AS (SELECT g, CAST(sum(y) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        FROM per GROUP BY g),
+cand AS (
+  SELECT cum.g, b, t, n, s1, s,
+         (s1 * (n - t) - (s - s1) * t) AS d
+  FROM cum JOIN tot ON cum.g = tot.g
+  WHERE t < n
+),
+scored AS (
+  SELECT g, b, t, n, s1, s,
+         CAST((d * d * 1000000) // (t * (n - t)) AS BIGINT) AS score_scaled,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY (d * d * 1000000) // (t * (n - t)) DESC,
+                                     t ASC) AS rk
+  FROM cand
+)
+SELECT g AS {group_col}, b AS split_bucket,
+       CAST(t AS BIGINT) AS n_left, CAST(n - t AS BIGINT) AS n_right,
+       CAST(s1 AS BIGINT) AS left_sum, CAST(s - s1 AS BIGINT) AS right_sum,
+       score_scaled
+FROM scored WHERE rk = 1
+"""

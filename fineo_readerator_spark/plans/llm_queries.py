@@ -1306,6 +1306,39 @@ def _minhash_pairs_oracle() -> str:
     return minhash_pairs_oracle(_CORPUS_SQL, num_hashes=64, bands=16, threshold=0.7)
 
 
+def d_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the MinHash candidate pairs
+    (llm_ops.dedup.edit_distance_verify): Levenshtein over ASCII-folded
+    256-char prefixes, keeping pairs within 20% edit distance of their
+    length — the rung between shingle-set Jaccard (order-blind) and
+    embedding cosine (surface-blind).  Work is candidate-set-sized: two
+    id-keyed joins of the tiny pair frame + one bounded DP per pair."""
+    from fineo_readerator_spark.llm_ops.dedup import (
+        edit_distance_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        portable=True,
+    )
+    return edit_distance_verify(docs, cand, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _d_edit_verify_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import edit_verify_oracle
+
+    return (
+        edit_verify_oracle(
+            _CORPUS_SQL, num_hashes=64, bands=16, threshold=0.5
+        ).rstrip()
+        + "\nORDER BY id_a, id_b"
+    )
+
+
 def _minhash_dedup_oracle() -> str:
     from fineo_readerator_spark.llm_ops.dedup_oracles import minhash_dedup_oracle
 
@@ -2090,6 +2123,34 @@ def _s_kcore_layout_oracle(
         "SELECT vec_id, nbr_id FROM graph",
         k=core_k,
         n_rounds=n_rounds,
+        extra_ctes=_knn_graph_ctes(k, n_centroids),
+    )
+
+
+def s_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction over the PERSISTED k-NN graph
+    (seventh layout consumer — llm_ops.similarity.neighbor_jaccard): top
+    pairs whose out-neighbor sets overlap — near-duplicates the direct
+    edge set missed because they rank the same neighbors without ranking
+    each other.  Hub neighbors (in-degree > 64) leave the sets before the
+    wedge join, bounding pairs at Σ min(in_degree, cap)²; pure-integer
+    half-up ppm, deterministic (jac DESC, id_a, id_b) top-200."""
+    from fineo_readerator_spark.llm_ops.similarity import neighbor_jaccard
+
+    path = ensure_knn_graph_layout(spark, sf_dir, k=3, n_centroids=16)
+    edges = spark.read.parquet(path).select("vec_id", "nbr_id")
+    return neighbor_jaccard(edges, "vec_id", top_pairs=200, max_in_degree=64)
+
+
+def _s_jaccard_neighbors_oracle(k: int = 3, n_centroids: int = 16) -> str:
+    from fineo_readerator_spark.llm_ops.similarity import (
+        neighbor_jaccard_oracle_sql,
+    )
+
+    return neighbor_jaccard_oracle_sql(
+        "SELECT vec_id, nbr_id FROM graph",
+        top_pairs=200,
+        max_in_degree=64,
         extra_ctes=_knn_graph_ctes(k, n_centroids),
     )
 
@@ -4033,6 +4094,31 @@ def _t_token_entropy_oracle() -> str:
     return token_entropy_oracle_sql("SELECT doc_id, text FROM documents")
 
 
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf power-law fit (llm_ops.textstats.zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-200 token frequencies — the
+    vocabulary-health audit (natural text ≈ slope −1, templated slices
+    flatter).  Nano-ln integer grid + exact decimal moments (the
+    token_entropy float discipline); one corpus-sized token agg, then
+    |sources|×200-sized math."""
+    from fineo_readerator_spark.llm_ops.textstats import zipf_fit
+
+    return zipf_fit(
+        load(spark, sf_dir, "documents"), "source", "text", top_ranks=200
+    ).orderBy("source")
+
+
+def _t_zipf_fit_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import zipf_fit_oracle_sql
+
+    return (
+        zipf_fit_oracle_sql(
+            "SELECT source, text FROM documents", "source", "text", top_ranks=200
+        ).rstrip()
+        + "\nORDER BY source"
+    )
+
+
 def d_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-domain boilerplate removal (llm_ops.dedup.boilerplate_strip):
     paragraphs appearing in ≥2 distinct documents AND ≥5% of their source's
@@ -4277,6 +4363,7 @@ LLM_QUERIES = [
     ),
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
+    QueryDef("d_edit_verify", d_edit_verify, _d_edit_verify_oracle()),
     QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
     QueryDef("d_cluster_sizes", d_cluster_sizes, _d_cluster_sizes_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
@@ -4312,6 +4399,7 @@ LLM_QUERIES = [
     QueryDef("s_ppr_layout", s_ppr_layout, _s_ppr_layout_oracle(), bench=True),
     QueryDef("s_graph_degrees", s_graph_degrees, _s_graph_degrees_oracle()),
     QueryDef("s_kcore_layout", s_kcore_layout, _s_kcore_layout_oracle(), bench=True),
+    QueryDef("s_jaccard_neighbors", s_jaccard_neighbors, _s_jaccard_neighbors_oracle()),
     QueryDef("s_top_direction", s_top_direction, _s_top_direction_oracle(), bench=True),
     QueryDef("s_recall_audit", s_recall_audit, _s_recall_audit_oracle()),
     QueryDef("s_rank_eval", s_rank_eval, _s_rank_eval_oracle()),
@@ -4319,6 +4407,7 @@ LLM_QUERIES = [
     QueryDef("d_boilerplate", d_boilerplate, _d_boilerplate_oracle()),
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
+    QueryDef("t_zipf_fit", t_zipf_fit, _t_zipf_fit_oracle()),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
     QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),

@@ -1083,6 +1083,45 @@ def _q_cusum_shift_oracle() -> str:
     )
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change point per event type (operators.anomaly.
+    binary_changepoint): the split of the daily series that maximizes the
+    between-segment sum-of-squares reduction — WHERE the level shifted,
+    the offline complement to q_cusum_shift's running deviation peak.
+    Exact integers end to end (the score compares d²·10⁶ div n₁n₂, a
+    never-negative truncating division); one bucket aggregate, then
+    |types|×|days|-sized windows."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.anomaly import binary_changepoint
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.select(
+        "event_type", epoch_millis(ev, "ts").alias("ms")
+    ).select(
+        "event_type", F.expr("ms div 86400000").alias("day"), F.lit(1).alias("one")
+    )
+    return binary_changepoint(series, "event_type", "day", "one").orderBy(
+        "event_type"
+    )
+
+
+def _q_changepoint_oracle() -> str:
+    from fineo_readerator_spark.operators.anomaly import (
+        binary_changepoint_oracle_sql,
+    )
+
+    return (
+        binary_changepoint_oracle_sql(
+            "SELECT event_type, epoch_ms(ts) // 86400000 AS day, 1 AS one"
+            " FROM events",
+            "event_type",
+            "day",
+            "one",
+        ).rstrip()
+        + "\nORDER BY event_type"
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over user event paths (operators.
     transitions.event_transitions): per-user (ts, event_id)-ordered
@@ -1519,6 +1558,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle(), bench=True),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
+    QueryDef("q_changepoint", q_changepoint, _q_changepoint_oracle()),
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle(), bench=True),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),

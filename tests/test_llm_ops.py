@@ -2832,3 +2832,90 @@ def test_media_near_dup_keeps_partial_tail_and_sub_chunk_payloads(spark):
         for r in media_near_dup(df, "doc_id", "payload", chunk_bytes=4).collect()
     )
     assert kept == [1, 2, 3]
+
+
+def test_edit_distance_verify_hand_pairs(spark):
+    """Candidate (1,2) differs by one char in 10 -> 100000 ppm, kept at the
+    default 20% bound; (1,3) is unrelated (high distance) and filtered;
+    the non-ASCII fold makes 'héllo'-vs-'hello' distance 0 on BOTH faces
+    (each non-ASCII codepoint becomes '#', so DuckDB's byte-based
+    levenshtein agrees with Spark's char-based one)."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz"),
+         (4, "héllo"), (5, "h#llo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           edit_distance_verify(docs, pairs, "doc_id", "text").collect()}
+    assert (1, 3) not in out
+    r12 = out[(1, 2)]
+    assert (r12.edit_dist, r12.dist_ppm) == (1, 100000)
+    r45 = out[(4, 5)]  # é folds to '#': identical after fold
+    assert (r45.edit_dist, r45.dist_ppm) == (0, 0)
+    with _pt.raises(ValueError, match="prefix_chars"):
+        edit_distance_verify(docs, pairs, prefix_chars=0)
+    with _pt.raises(ValueError, match="max_dist_ppm"):
+        edit_distance_verify(docs, pairs, max_dist_ppm=2_000_000)
+
+
+def test_neighbor_jaccard_hand_graph_and_hub_cap(spark):
+    """1 and 2 share both their neighbors (jac 2/2); with max_in_degree=2
+    the hub node 9 (in-degree 3) leaves every neighbor set, emptying the
+    overlap of 5,6,7 (their only shared neighbor was the hub)."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.similarity import neighbor_jaccard
+
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11),
+             (5, 9), (6, 9), (7, 9), (5, 20), (6, 21), (7, 22)]
+    df = spark.createDataFrame(edges, "vec_id long, nbr_id long")
+    out = {(r.id_a, r.id_b): r for r in
+           neighbor_jaccard(df, "vec_id", top_pairs=10, max_in_degree=2).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert (r.inter, r.union_sz, r.jac_ppm) == (2, 2, 1_000_000)
+    # without the cap the hub wedges surface 5/6/7 pairs at jac 1/3
+    out2 = {(r.id_a, r.id_b): r.jac_ppm for r in
+            neighbor_jaccard(df, "vec_id", top_pairs=10, max_in_degree=64).collect()}
+    assert out2[(5, 6)] == 333333  # half-up(1e6/3)
+    with _pt.raises(ValueError, match="top_pairs"):
+        neighbor_jaccard(df, top_pairs=0)
+    with _pt.raises(ValueError, match="max_in_degree"):
+        neighbor_jaccard(df, max_in_degree=0)
+
+
+def test_zipf_fit_hand_corpus(spark):
+    """Frequencies 4/2/1 over ranks 1/2/3 through the same nano-ln integer
+    model in Python must reproduce the slope exactly; a single-token
+    source has zero x-variance and is absent."""
+    import math
+
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.textstats import zipf_fit
+
+    docs = [("s1", "a a a a b b c"), ("s2", "only only only")]
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = {r.source: r for r in zipf_fit(df, "source", "text").collect()}
+    assert set(out) == {"s1"}
+    xy = [
+        (round(math.log(r) * 1e9), round(math.log(f) * 1e9))
+        for r, f in [(1, 4), (2, 2), (3, 1)]
+    ]
+    n = len(xy)
+    sx, sy = sum(x for x, _ in xy), sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    r1 = out["s1"]
+    assert (r1.n_ranks, r1.zipf_slope) == (3, slope)
+    assert r1.zipf_slope == _pt.approx(-1.2337, abs=0.001)  # steeper than -1
+    with _pt.raises(ValueError, match="top_ranks"):
+        zipf_fit(df, top_ranks=1)

@@ -505,3 +505,32 @@ def test_theil_sen_bucket_cardinality_gate(spark):
         theil_sen_slopes(df, "g", "day", "v", max_buckets_per_group=10).collect()
     with pytest.raises(ValueError, match="must be >= 2"):
         theil_sen_slopes(df, "g", "day", "v", max_buckets_per_group=1)
+
+
+def test_binary_changepoint_hand_step(spark):
+    """Group 'a': 5 days at 10 then 5 days at 100 — the split must land
+    after day 4 (t=5) with exact segment sums; group 'b' has a single
+    bucket (no candidate split) and must be absent."""
+    from fineo_readerator_spark.operators.anomaly import binary_changepoint
+
+    rows = [("a", d, 10) for d in range(5)] + [("a", d, 100) for d in range(5, 10)]
+    rows += [("b", 0, 7)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    out = {r.g: r for r in binary_changepoint(df, "g", "day", "v").collect()}
+    assert set(out) == {"a"}
+    a = out["a"]
+    assert (a.split_bucket, a.n_left, a.n_right) == (4, 5, 5)
+    assert (a.left_sum, a.right_sum) == (50, 500)
+    # score = d^2*1e6 div (n1*n2), d = 50*5 - 500*5 = -2250
+    assert a.score_scaled == (2250 * 2250 * 1_000_000) // 25
+
+
+def test_binary_changepoint_tie_breaks_earliest(spark):
+    # a flat series scores 0 at every split: earliest split must win
+    from fineo_readerator_spark.operators.anomaly import binary_changepoint
+
+    df = spark.createDataFrame(
+        [("a", d, 5) for d in range(4)], "g string, day long, v long"
+    )
+    r = binary_changepoint(df, "g", "day", "v").collect()[0]
+    assert (r.split_bucket, r.score_scaled) == (0, 0)
