@@ -199,3 +199,34 @@ def test_kcore_peel_empty_core_is_empty_frame(spark):
         ).fetchall()
         == []
     )
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.one_of(series_rows, dense_rows))
+def test_binary_changepoint_matches_duckdb(spark, rows):
+    """r10: the changepoint's integer score (d²·10⁶ div n₁n₂) and
+    earliest-split tie-break over random gappy/negative series — negative
+    value sums make d negative, the square must keep the division
+    never-negative on both engines."""
+    from fineo_readerator_spark.operators.anomaly import (
+        binary_changepoint,
+        binary_changepoint_oracle_sql,
+    )
+
+    df, con = _series_tables(spark, rows)
+    got = sorted(
+        tuple(r) for r in binary_changepoint(df, "g", "day", "v").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            binary_changepoint_oracle_sql(
+                "SELECT g, day, v FROM t", "g", "day", "v"
+            )
+        ).fetchall()
+    )
+    assert got == exp
