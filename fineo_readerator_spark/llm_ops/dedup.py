@@ -1644,3 +1644,54 @@ def edit_distance_verify(
     return out.filter(F.col("dist_ppm") <= max_dist_ppm).select(
         *pairs.columns, "edit_dist", "dist_ppm"
     )
+
+
+def cluster_source_purity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Provenance purity of every multi-member near-dup cluster — the
+    crawl-forensics question :func:`minhash_cluster_labels` feeds: a
+    cluster confined to ONE source is in-site templating (that source's
+    dedup problem), a cluster SPANNING sources is mirror/syndication
+    duplication (a crawl-frontier problem).  Per cluster with ≥ 2
+    members: ``n_members``, ``n_sources`` and the majority source's
+    half-up ppm share.
+
+    Scale shape: the cluster map's cost dominates (see
+    ``minhash_cluster_labels``); on top of it this is one id-keyed join
+    to the (id, group) projection and two cluster-keyed aggregates —
+    cluster-cardinality rows, never corpus²."""
+    labels = minhash_cluster_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed,
+        portable,
+    )
+    per_src = (
+        labels.join(df.select(F.col(id_col), F.col(group_col).alias("__g")), id_col)
+        .groupBy("cluster_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_cluster = per_src.groupBy("cluster_id").agg(
+        F.sum("__c").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max("__c").cast("long").alias("__top"),
+    )
+    return (
+        per_cluster.filter(F.col("n_members") >= 2)
+        .withColumn(
+            "top_share_ppm",
+            F.expr(
+                "cast((cast(__top as decimal(38,0)) * 2000000 + n_members)"
+                " div (cast(n_members as decimal(38,0)) * 2) as bigint)"
+            ),
+        )
+        .select("cluster_id", "n_members", "n_sources", "top_share_ppm")
+    )

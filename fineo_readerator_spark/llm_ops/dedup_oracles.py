@@ -393,3 +393,35 @@ JOIN ({fold}) a ON a.doc_id = p.id_a
 JOIN ({fold}) b ON b.doc_id = p.id_b
 WHERE {ppm} <= {max_dist_ppm}
 """
+
+
+def cluster_purity_oracle(
+    corpus_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``cluster_source_purity(portable=True)`` — the full
+    cluster-map replay joined back to the corpus's group column
+    (``corpus_sql`` must yield doc_id, text, n_chars, source)."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels_oracle
+
+    labels = minhash_cluster_labels_oracle(
+        corpus_sql, num_hashes, bands, threshold, seed, shingle_k
+    )
+    return f"""
+SELECT cluster_id, n_members, n_sources,
+       CAST((CAST(top_c AS HUGEINT) * 2000000 + n_members)
+            // (CAST(n_members AS HUGEINT) * 2) AS BIGINT) AS top_share_ppm
+FROM (
+  SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_members,
+         CAST(count(*) AS BIGINT) AS n_sources, max(c) AS top_c
+  FROM (
+    SELECT l.cluster_id, c.source, count(*) AS c
+    FROM ({labels}) l JOIN ({corpus_sql}) c ON c.doc_id = l.doc_id
+    GROUP BY 1, 2
+  ) GROUP BY 1
+) WHERE n_members >= 2
+"""

@@ -1742,3 +1742,100 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_ranks, zipf_slope,
             END AS r2
 FROM sl WHERE zipf_slope IS NOT NULL
 """
+
+
+def code_detect(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-vs-prose gate per document — the pretraining-mix router that
+    decides whether a crawl document flows to the code pipeline (its own
+    dedup/quality rules) or the prose one: three cheap row-local signals
+    in exact integers, no model, no shuffle.
+
+    - ``sym_milli``: half-up milli-ratio of code-symbol characters
+      (``{}();=<>[]``) to total characters — prose sits near 0, source
+      files near 40–120;
+    - ``indent_lines``: lines opening with 4+ spaces or a tab (block
+      structure survives minification of everything else);
+    - ``kw_hits``: whitespace tokens that are bare code keywords
+      (def/return/import/function/class/const/var/if/else/for/while);
+    - ``is_code``: ``(sym_milli ≥ 25 AND kw_hits ≥ 2) OR indent_lines ≥ 3``
+      — a deterministic integer rule, tunable downstream since all three
+      signals are emitted.
+
+    Everything is codegen'd regexp counts over one projection (the
+    readability shape); the ppm division is never-negative so both
+    engines' truncating half-up agrees.  Zero-char documents are absent
+    (no ratio exists)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    syms = F.size(F.regexp_extract_all(c, F.lit(r"[{}();=<>\[\]]"), 0))
+    indent = F.size(
+        F.filter(F.split(c, "\n"), lambda l: l.rlike(r"^(    |\t)"))
+    )
+    kws = F.size(
+        F.filter(
+            tokens(c),
+            lambda t: t.isin(
+                "def", "return", "import", "function", "class", "const",
+                "var", "if", "else", "for", "while",
+            ),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        syms.cast("long").alias("__sym"),
+        indent.cast("long").alias("indent_lines"),
+        kws.cast("long").alias("kw_hits"),
+    ).filter(F.col("n_chars") > 0)
+    out = out.withColumn(
+        "sym_milli",
+        F.expr(
+            "cast((cast(__sym as decimal(38,0)) * 2000 + n_chars)"
+            " div (cast(n_chars as decimal(38,0)) * 2) as bigint)"
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        "sym_milli",
+        "indent_lines",
+        "kw_hits",
+        (
+            ((F.col("sym_milli") >= 25) & (F.col("kw_hits") >= 2))
+            | (F.col("indent_lines") >= 3)
+        ).alias("is_code"),
+    )
+
+
+def code_detect_oracle_sql(
+    corpus_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`code_detect` — same regexp counts, keyword
+    set, half-up milli and integer rule."""
+    toks = (
+        f"list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),"
+        " x -> length(x) > 0)"
+    )
+    kws = "('def','return','import','function','class','const','var','if','else','for','while')"
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+         CAST(length({text_col}) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all({text_col}, '[{{}}();=<>\\[\\]]')) AS BIGINT) AS sym,
+         CAST(len(list_filter(regexp_split_to_array({text_col}, '\\n'),
+                              l -> regexp_matches(l, '^(    |\\t)'))) AS BIGINT)
+           AS indent_lines,
+         CAST(len(list_filter({toks}, t -> t IN {kws})) AS BIGINT) AS kw_hits
+  FROM ({corpus_sql}) WHERE length({text_col}) > 0
+)
+SELECT {id_col}, n_chars,
+       CAST((CAST(sym AS HUGEINT) * 2000 + n_chars)
+            // (CAST(n_chars AS HUGEINT) * 2) AS BIGINT) AS sym_milli,
+       indent_lines, kw_hits,
+       ((CAST(sym AS HUGEINT) * 2000 + n_chars)
+            // (CAST(n_chars AS HUGEINT) * 2) >= 25 AND kw_hits >= 2)
+         OR indent_lines >= 3 AS is_code
+FROM m
+"""

@@ -1306,6 +1306,47 @@ def _minhash_pairs_oracle() -> str:
     return minhash_pairs_oracle(_CORPUS_SQL, num_hashes=64, bands=16, threshold=0.7)
 
 
+def d_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance purity of every near-dup cluster (llm_ops.dedup.
+    cluster_source_purity): run over documents plus a 'mirror:'-sourced
+    copy, so every exact pair spans two sources — distinguishing in-site
+    templating (pure clusters) from mirror/syndication duplication
+    (mixed), the crawl-forensics read on the cluster map.  Cost = the
+    cluster map + cluster-cardinality aggregates."""
+    from fineo_readerator_spark.llm_ops.dedup import cluster_source_purity
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    mirrored = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + _SHIFT).alias("doc_id"),
+            "text",
+            "n_chars",
+            F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
+        )
+    )
+    return cluster_source_purity(
+        mirrored, "doc_id", "text", "source", portable=True
+    ).orderBy("cluster_id")
+
+
+_PURITY_CORPUS_SQL = (
+    "SELECT doc_id, text, n_chars, source FROM documents"
+    f" UNION ALL SELECT doc_id + {_SHIFT}, text, n_chars,"
+    " 'mirror:' || source FROM documents"
+)
+
+
+def _d_cluster_purity_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import cluster_purity_oracle
+
+    return (
+        cluster_purity_oracle(_PURITY_CORPUS_SQL).rstrip()
+        + "\nORDER BY cluster_id"
+    )
+
+
 def d_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of the MinHash candidate pairs
     (llm_ops.dedup.edit_distance_verify): Levenshtein over ASCII-folded
@@ -4094,6 +4135,25 @@ def _t_token_entropy_oracle() -> str:
     return token_entropy_oracle_sql("SELECT doc_id, text FROM documents")
 
 
+def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate (llm_ops.textstats.code_detect): symbol
+    milli-ratio + indented lines + bare keyword hits in exact integers,
+    one codegen'd projection — decides which pipeline (code or prose) a
+    crawl document enters before any expensive dedup runs on it."""
+    from fineo_readerator_spark.llm_ops.textstats import code_detect
+
+    return code_detect(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _t_code_detect_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import code_detect_oracle_sql
+
+    return (
+        code_detect_oracle_sql("SELECT doc_id, text FROM documents").rstrip()
+        + "\nORDER BY doc_id"
+    )
+
+
 def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Zipf power-law fit (llm_ops.textstats.zipf_fit): OLS of
     ln(freq) on ln(rank) over the top-200 token frequencies — the
@@ -4364,6 +4424,7 @@ LLM_QUERIES = [
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_edit_verify", d_edit_verify, _d_edit_verify_oracle()),
+    QueryDef("d_cluster_purity", d_cluster_purity, _d_cluster_purity_oracle()),
     QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
     QueryDef("d_cluster_sizes", d_cluster_sizes, _d_cluster_sizes_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),
@@ -4408,6 +4469,7 @@ LLM_QUERIES = [
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("t_zipf_fit", t_zipf_fit, _t_zipf_fit_oracle()),
+    QueryDef("t_code_detect", t_code_detect, _t_code_detect_oracle()),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
     QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),

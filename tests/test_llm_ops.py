@@ -2919,3 +2919,49 @@ def test_zipf_fit_hand_corpus(spark):
     assert r1.zipf_slope == _pt.approx(-1.2337, abs=0.001)  # steeper than -1
     with _pt.raises(ValueError, match="top_ranks"):
         zipf_fit(df, top_ranks=1)
+
+
+def test_code_detect_hand_values(spark):
+    """A Python snippet trips all three signals; plain prose trips none;
+    an indent-only doc (3+ indented lines) routes to code without
+    symbols or keywords; empty docs are absent."""
+    from fineo_readerator_spark.llm_ops.textstats import code_detect
+
+    code = "def f(x):\n    return x + 1\n    # done\nimport os\nclass A:\n    pass"
+    prose = "The quick brown fox jumps over the lazy dog again and again."
+    indent = "a\n    b\n    c\n    d"
+    rows = [(1, code), (2, prose), (3, indent), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in code_detect(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].is_code and out[1].kw_hits >= 3 and out[1].indent_lines == 3
+    assert not out[2].is_code and out[2].sym_milli == 0 and out[2].kw_hits == 0
+    assert out[3].is_code and out[3].indent_lines == 3 and out[3].sym_milli == 0
+
+
+def test_cluster_source_purity_hand_clusters(spark):
+    """Docs 1/2 are exact twins across sources A and B -> one 2-member
+    cluster with 2 sources at 500000 ppm; doc 3's near-identical pair 4
+    shares source C -> pure cluster at 1000000 ppm; the singleton 5 is
+    absent (no multi-member cluster)."""
+    from fineo_readerator_spark.llm_ops.dedup import cluster_source_purity
+
+    base = "the same long piece of shared text that minhash will catch easily"
+    other = "an entirely unrelated second document about orbital mechanics and tides"
+    rows = [
+        (1, base, len(base), "A"),
+        (2, base, len(base), "B"),
+        (3, other, len(other), "C"),
+        (4, other, len(other), "C"),
+        (5, "completely different content with no twin anywhere at all", 58, "D"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
+    out = sorted(
+        (r.cluster_id, r.n_members, r.n_sources, r.top_share_ppm)
+        for r in cluster_source_purity(df, portable=True).collect()
+    )
+    assert (1, 2, 2, 500000) in out or any(
+        m >= 2 and s >= 2 and p == 500000 for _, m, s, p in out
+    )
+    assert any(s == 1 and p == 1000000 for _, m, s, p in out)
+    assert all(m >= 2 for _, m, s, p in out)
