@@ -326,3 +326,23 @@ def test_lateral_topn_decorrelates_to_window_topk(spark):
 
     per = Counter(r.n_name for r in rows)
     assert max(per.values()) <= 2
+
+
+def test_r10_ops_plan_no_cartesian(spark, sf_dir):
+    """The r10 operators' physical plans: every join is an equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the wedge
+    join in neighbor_jaccard and the pair joins in edit_distance_verify
+    are all key-equi by construction)."""
+    from fineo_readerator_spark.plans.queries import QUERIES
+
+    for name in (
+        "q_changepoint",
+        "d_edit_verify",
+        "s_jaccard_neighbors",
+        "t_zipf_fit",
+        "t_code_detect",
+        "d_cluster_purity",
+    ):
+        plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
