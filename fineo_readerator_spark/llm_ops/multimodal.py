@@ -223,3 +223,79 @@ def media_near_dup(
         chunked, id_col, "__chunk_text", max_hamming=max_hamming, portable=True
     ).select(id_col)
     return df.join(kept, id_col, "left_semi")
+
+
+def byte_entropy(
+    df: DataFrame, id_col: str, binary_col: str
+) -> DataFrame:
+    """Shannon entropy (bits/byte) of each payload's BYTE histogram — the
+    decode-free compressibility audit: already-compressed media (JPEG,
+    MP3, video) sits near 8.0, raw text near 4–5, zero-padded or
+    constant-filler blobs near 0.  The router that decides whether a
+    payload is worth recompressing before storage, and the cheap anomaly
+    flag for truncated/corrupt blobs whose entropy falls outside their
+    container format's band — all without a decoder anywhere.
+
+    Byte histogram via ONE codegen'd hex + 2-char-chunk projection (the
+    ``media_near_dup`` trick — hex is exactly 2 chars/byte, so `.{2}`
+    tokenization IS the byte sequence), then the oracle-checked
+    ``token_entropy`` float discipline verbatim: each term
+    ``-(c/n)·log2(c/n)`` rounds at 1e-12 and sums as exact decimal
+    (order-independent), the sum rounds 1e-6.  Empty payloads are ABSENT
+    (entropy of an empty distribution is undefined).
+
+    Scale shape: one (id, byte) hash agg — at most 256 rows per payload
+    regardless of payload size — then the per-id total window on the
+    same key.  Output ``(id, size_bytes, n_distinct_bytes, entropy)``."""
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.hex(F.col(binary_col)), F.lit(".{2}"), 0)
+        ).alias("__b"),
+    )
+    counts = ex.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    p = F.col("__c") / F.col("__n")
+    term = F.round(-p * F.log2(p), 12).cast("decimal(20,12)")
+    return (
+        counts.withColumn("__n", F.sum("__c").over(Window.partitionBy("__id")))
+        .withColumn("__term", term)
+        .groupBy("__id")
+        .agg(
+            F.max("__n").cast("long").alias("size_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+            F.round(F.sum("__term").cast("double"), 6).alias("entropy"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "size_bytes",
+            "n_distinct_bytes",
+            "entropy",
+        )
+    )
+
+
+def byte_entropy_oracle_sql(
+    corpus_sql: str, id_col: str = "doc_id", payload_sql: str = "encode(text)"
+) -> str:
+    """DuckDB replay of :func:`byte_entropy` — same hex 2-char-chunk byte
+    histogram, 1e-12 term rounding and decimal summation."""
+    return f"""
+WITH __b AS (
+  SELECT id, unnest(regexp_extract_all(hex(payload), '.{{2}}')) AS b
+  FROM (SELECT {id_col} AS id, {payload_sql} AS payload FROM ({corpus_sql}))
+),
+__c AS (SELECT id, b, count(*) AS c FROM __b GROUP BY 1, 2),
+__n AS (SELECT id, c, sum(c) OVER (PARTITION BY id) AS n FROM __c),
+__term AS (
+  SELECT id, n,
+         CAST(round(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)), 12)
+              AS DECIMAL(20,12)) AS term
+  FROM __n
+)
+SELECT id AS {id_col}, CAST(max(n) AS BIGINT) AS size_bytes,
+       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+       round(CAST(sum(term) AS DOUBLE), 6) AS entropy
+FROM __term GROUP BY id
+"""

@@ -1520,3 +1520,94 @@ GROUP BY id
 ORDER BY score_ppm DESC, id
 LIMIT {k}
 """
+
+
+def epoch_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    total_budget: int = 10_000_000,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Per-source epoch allocation under a total training-token budget —
+    the data-constrained planning report: each of the S sources is
+    offered an equal token quota (``total_budget div S``), a source
+    repeats its data up to ``max_epochs`` times to fill it, and what it
+    cannot fill is reported as ``shortfall_tokens`` (the budget a curator
+    re-allocates or fills with new crawl — made EXPLICIT rather than
+    silently rebalanced, since re-allocation policy is a human choice).
+
+    Exact integers: quota = truncating div (non-negative);
+    ``alloc_tokens = least(quota, max_epochs·T_s)``;
+    ``epochs_milli = half-up(1000·alloc/T_s)`` (≤ 1000·max_epochs by
+    construction); ``starved`` flags sources that hit the epoch cap.
+
+    Scale shape: ONE (group) sum aggregate over the stats frame (the
+    corpus-sized pass), a broadcast 1-row source-count frame, and a
+    |sources|-sized projection — the report is mix-cardinality, never
+    rows."""
+    if total_budget < 1:
+        raise ValueError(f"total_budget must be >= 1, got {total_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    per = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .filter(F.col("t") > 0)
+    )
+    s_cnt = per.agg(F.count(F.lit(1)).alias("__s"))
+    out = per.crossJoin(F.broadcast(s_cnt)).select(
+        F.col("g").alias(group_col),
+        F.col("t").cast("long").alias("n_tokens"),
+        F.expr(f"cast({total_budget} div __s as bigint)").alias("quota_tokens"),
+        F.expr(
+            f"cast(least({total_budget} div __s,"
+            f" cast({max_epochs} as bigint) * t) as bigint)"
+        ).alias("alloc_tokens"),
+    )
+    return out.select(
+        group_col,
+        "n_tokens",
+        "quota_tokens",
+        "alloc_tokens",
+        F.expr(
+            "cast((cast(alloc_tokens as decimal(38,0)) * 2000 + n_tokens)"
+            " div (cast(n_tokens as decimal(38,0)) * 2) as bigint)"
+        ).alias("epochs_milli"),
+        (F.col("quota_tokens") - F.col("alloc_tokens")).cast("long").alias(
+            "shortfall_tokens"
+        ),
+        (F.col("alloc_tokens") < F.col("quota_tokens")).alias("starved"),
+    )
+
+
+def epoch_plan_oracle_sql(
+    stats_sql: str,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    total_budget: int = 10_000_000,
+    max_epochs: int = 4,
+) -> str:
+    """DuckDB replay of :func:`epoch_plan` — same truncating quota,
+    least() cap and half-up milli-epochs (all divisions non-negative, so
+    both engines' truncation agrees)."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS g, CAST(sum(CAST({tokens_col} AS BIGINT)) AS BIGINT) AS t
+  FROM ({stats_sql}) GROUP BY 1 HAVING sum(CAST({tokens_col} AS BIGINT)) > 0
+),
+s AS (SELECT count(*) AS sc FROM per),
+o AS (
+  SELECT g, t,
+         CAST({total_budget} // sc AS BIGINT) AS quota_tokens,
+         CAST(least({total_budget} // sc, CAST({max_epochs} AS BIGINT) * t)
+              AS BIGINT) AS alloc_tokens
+  FROM per, s
+)
+SELECT g AS {group_col}, t AS n_tokens, quota_tokens, alloc_tokens,
+       CAST((CAST(alloc_tokens AS HUGEINT) * 2000 + t)
+            // (CAST(t AS HUGEINT) * 2) AS BIGINT) AS epochs_milli,
+       CAST(quota_tokens - alloc_tokens AS BIGINT) AS shortfall_tokens,
+       alloc_tokens < quota_tokens AS starved
+FROM o
+"""

@@ -1839,3 +1839,99 @@ SELECT {id_col}, n_chars,
          OR indent_lines >= 3 AS is_code
 FROM m
 """
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    half-up ppm share of a document's distinct word-``shingle_k``-grams
+    that the reference has never seen — the freshness gate of a
+    continual-pretraining loop (a re-crawl whose novelty collapses is
+    mostly re-downloaded old data; a spam burst shows as high-novelty
+    low-quality mass).  The corpus-level complement of
+    :func:`~fineo_readerator_spark.llm_ops.dedup.containment_pairs`'
+    pairwise containment.
+
+    Shares the exact shingle/hash pass with the dedup cascade
+    (``dedup.shingle_hashes`` — same tokenization, same portable md5
+    leaf), so "seen" means precisely what minhash/containment mean by
+    it.  Documents with no tokens are ABSENT (no denominator);
+    reference members score 0 by construction.
+
+    Scale shape: one shingle pass per side; the membership check is ONE
+    hash-keyed left-anti join (reference grams deduplicated first) —
+    both sides shuffle on the 8-byte gram hash, AQE sizes the join;
+    nothing is broadcast (the reference is corpus-scale, unlike
+    decontaminate's bounded eval set)."""
+    from fineo_readerator_spark.llm_ops.dedup import shingle_hashes
+
+    live = F.length(F.trim(F.col(text_col))) > 0
+    doc_sh = df.filter(live).select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k, portable)).alias("__h"),
+    )
+    ref_sh = (
+        ref.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.explode(
+                shingle_hashes(F.col(text_col), shingle_k, portable)
+            ).alias("__h")
+        )
+        .distinct()
+    )
+    tot = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    unseen = (
+        doc_sh.join(ref_sh, "__h", "left_anti")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__u"))
+    )
+    return (
+        tot.join(unseen, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("__u", F.lit(0)).cast("long").alias("n_unseen"),
+            F.expr(
+                "cast((cast(coalesce(__u, 0) as decimal(38,0)) * 2000000 + n_grams)"
+                " div (cast(n_grams as decimal(38,0)) * 2) as bigint)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    corpus_sql: str,
+    ref_pred: str,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB replay of :func:`ngram_novelty(portable=True)` for the
+    registry case where the reference is a PREDICATE-selected subset of
+    the same corpus (``ref_pred`` over the corpus columns) — the shingle
+    CTEs instantiate once and the reference grams derive from the same
+    exploded frame.  ``corpus_sql`` must yield doc_id, text."""
+    from fineo_readerator_spark.llm_ops.dedup_oracles import _shingle_ctes
+
+    return f"""
+WITH __all AS (SELECT {id_col} AS doc_id, text FROM ({corpus_sql})
+               WHERE length(trim(text)) > 0),
+{_shingle_ctes('__all', shingle_k).lstrip()},
+__g AS (SELECT doc_id, unnest(hs) AS h FROM __hs),
+__ref AS (SELECT DISTINCT h FROM __g WHERE {ref_pred}),
+__tot AS (SELECT doc_id, count(*) AS n_grams FROM __g GROUP BY 1),
+__un AS (
+  SELECT doc_id, count(*) AS u FROM __g
+  WHERE h NOT IN (SELECT h FROM __ref) GROUP BY 1
+)
+SELECT t.doc_id AS {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(u, 0) AS BIGINT) AS n_unseen,
+       CAST((CAST(coalesce(u, 0) AS HUGEINT) * 2000000 + n_grams)
+            // (CAST(n_grams AS HUGEINT) * 2) AS BIGINT) AS novelty_ppm
+FROM __tot t LEFT JOIN __un ON __un.doc_id = t.doc_id
+"""

@@ -730,6 +730,30 @@ FROM documents
 """
 
 
+def mm_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free compressibility audit (llm_ops.multimodal.byte_entropy):
+    bits/byte of each payload's byte histogram — already-compressed media
+    ≈ 8, raw text 4–5, constant filler ≈ 0; routes recompression and
+    flags truncated/corrupt blobs outside their format's band.  One
+    codegen'd hex-chunk projection + a ≤256-rows-per-payload hash agg."""
+    from fineo_readerator_spark.llm_ops.multimodal import byte_entropy
+
+    return byte_entropy(_docs_as_media(spark, sf_dir), "doc_id", "payload").orderBy(
+        "doc_id"
+    )
+
+
+def _mm_byte_entropy_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.multimodal import byte_entropy_oracle_sql
+
+    return (
+        byte_entropy_oracle_sql(
+            "SELECT doc_id, text FROM documents", "doc_id", "encode(text)"
+        ).rstrip()
+        + "\nORDER BY doc_id"
+    )
+
+
 def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedup by binary content hash — the first pass every
     multimodal pipeline runs before any decode (re-crawled bytes are the
@@ -3872,6 +3896,37 @@ def _p_curriculum_oracle() -> str:
     )
 
 
+def p_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch allocation under a 10M-token budget with a 4-epoch
+    cap (llm_ops.sampling.epoch_plan): equal quotas, least()-capped
+    allocation, half-up milli-epochs and EXPLICIT shortfall — the
+    data-constrained planning report.  One source aggregate; the report
+    is mix-cardinality."""
+    from fineo_readerator_spark.llm_ops.sampling import epoch_plan
+
+    docs = with_text_stats(load(spark, sf_dir, "documents"), "text")
+    return epoch_plan(
+        docs, "source", "n_tokens", total_budget=10_000_000, max_epochs=4
+    ).orderBy("source")
+
+
+def _p_epoch_plan_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sampling import epoch_plan_oracle_sql
+    from fineo_readerator_spark.llm_ops.textstats import _stats_oracle_fragments
+
+    n_tok = _stats_oracle_fragments("text")["n_tok"]
+    return (
+        epoch_plan_oracle_sql(
+            f"SELECT source, {n_tok} AS n_tokens FROM documents",
+            "source",
+            "n_tokens",
+            total_budget=10_000_000,
+            max_epochs=4,
+        ).rstrip()
+        + "\nORDER BY source"
+    )
+
+
 def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain reweighting toward a target source mixture:
     hash-bucket membership, per-stratum counts joined as a broadcast."""
@@ -4133,6 +4188,32 @@ def _t_token_entropy_oracle() -> str:
     from fineo_readerator_spark.llm_ops.textstats import token_entropy_oracle_sql
 
     return token_entropy_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty against the doc_id%10==0 reference
+    slice (llm_ops.textstats.ngram_novelty): the continual-pretraining
+    freshness gate — ppm of a document's distinct 3-grams the reference
+    never saw, on the exact shingle/hash pass the dedup cascade uses.
+    One hash-keyed anti-join; nothing broadcast."""
+    from fineo_readerator_spark.llm_ops.textstats import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_novelty(docs, ref, "doc_id", "text", portable=True).orderBy(
+        "doc_id"
+    )
+
+
+def _t_ngram_novelty_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.textstats import ngram_novelty_oracle_sql
+
+    return (
+        ngram_novelty_oracle_sql(
+            "SELECT doc_id, text FROM documents", "doc_id % 10 = 0"
+        ).rstrip()
+        + "\nORDER BY doc_id"
+    )
 
 
 def t_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4411,6 +4492,7 @@ LLM_QUERIES = [
     QueryDef("s_embed_drift", s_embed_drift, _s_embed_drift_oracle()),
     QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
+    QueryDef("mm_byte_entropy", mm_byte_entropy, _mm_byte_entropy_oracle()),
     QueryDef("mm_dedup", mm_dedup, MM_DEDUP_ORACLE),
     QueryDef("mm_near_dup", mm_near_dup, _mm_near_dup_oracle(), bench=True),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
@@ -4470,6 +4552,7 @@ LLM_QUERIES = [
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("t_zipf_fit", t_zipf_fit, _t_zipf_fit_oracle()),
     QueryDef("t_code_detect", t_code_detect, _t_code_detect_oracle()),
+    QueryDef("t_ngram_novelty", t_ngram_novelty, _t_ngram_novelty_oracle()),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
     QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),
@@ -4507,6 +4590,7 @@ LLM_QUERIES = [
     QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle(), bench=True),
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),
+    QueryDef("p_epoch_plan", p_epoch_plan, _p_epoch_plan_oracle()),
     QueryDef("p_temperature_mix", p_temperature_mix, _p_temperature_mix_oracle()),
     QueryDef("t_keywords", t_keywords, _t_keywords_oracle()),
     QueryDef("p_span_corrupt", p_span_corrupt, _p_span_corrupt_oracle()),

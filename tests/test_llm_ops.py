@@ -2965,3 +2965,61 @@ def test_cluster_source_purity_hand_clusters(spark):
     )
     assert any(s == 1 and p == 1000000 for _, m, s, p in out)
     assert all(m >= 2 for _, m, s, p in out)
+
+
+def test_byte_entropy_hand_values(spark):
+    """A constant payload has entropy 0; a 2-symbol 50/50 payload exactly
+    1 bit/byte; empty payloads are absent."""
+    from fineo_readerator_spark.llm_ops.multimodal import byte_entropy
+
+    rows = [(1, b"\x00" * 64), (2, b"\x00\xff" * 32), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in byte_entropy(df, "doc_id", "payload").collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].size_bytes, out[1].n_distinct_bytes, out[1].entropy) == (64, 1, 0.0)
+    assert (out[2].size_bytes, out[2].n_distinct_bytes, out[2].entropy) == (64, 2, 1.0)
+
+
+def test_ngram_novelty_hand_values(spark):
+    """Doc 1 IS the reference -> novelty 0; doc 2 shares nothing -> 10^6;
+    doc 3 overlaps partially; an empty doc is absent."""
+    from fineo_readerator_spark.llm_ops.textstats import ngram_novelty
+
+    ref_text = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, ref_text),
+        (2, "one two three four five six"),
+        (3, "alpha beta gamma zeta eta theta"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in ngram_novelty(df, ref).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_unseen, out[1].novelty_ppm) == (0, 0)
+    assert out[2].novelty_ppm == 1_000_000 and out[2].n_unseen == out[2].n_grams
+    # doc 3: 4 distinct 3-grams, only 'alpha beta gamma' seen -> 3/4 unseen
+    assert (out[3].n_grams, out[3].n_unseen, out[3].novelty_ppm) == (4, 3, 750000)
+
+
+def test_epoch_plan_hand_values(spark):
+    """Budget 1000 over two sources: quota 500 each; source A (1000 tokens)
+    fills its quota in half an epoch; source B (50 tokens) caps at 4
+    epochs = 200 tokens and reports the 300-token shortfall."""
+    import pytest as _pt
+
+    from fineo_readerator_spark.llm_ops.sampling import epoch_plan
+
+    rows = [("A", 600), ("A", 400), ("B", 50)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {r.source: r for r in
+           epoch_plan(df, total_budget=1000, max_epochs=4).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.quota_tokens, a.alloc_tokens, a.epochs_milli, a.shortfall_tokens,
+            a.starved) == (500, 500, 500, 0, False)
+    assert (b.quota_tokens, b.alloc_tokens, b.epochs_milli, b.shortfall_tokens,
+            b.starved) == (500, 200, 4000, 300, True)
+    with _pt.raises(ValueError, match="total_budget"):
+        epoch_plan(df, total_budget=0)
+    with _pt.raises(ValueError, match="max_epochs"):
+        epoch_plan(df, max_epochs=0)
