@@ -501,6 +501,21 @@ def main() -> None:
         "s_kcore_layout (stored edges)": QUERIES["s_kcore_layout"].fn,
         # power rounds on the (id, pos) grain: N·dim rows, map-side combined
         "s_top_direction": QUERIES["s_top_direction"].fn,
+        # ---- r10 additions ----
+        # shingle pass per side + ONE hash-keyed anti-join (nothing
+        # broadcast — the reference is corpus-scale); replica vocabularies
+        # are disjoint so the reference gram set grows 10x too
+        "t_ngram_novelty": QUERIES["t_ngram_novelty"].fn,
+        # byte histogram: ≤256 agg rows per payload regardless of size
+        "mm_byte_entropy": QUERIES["mm_byte_entropy"].fn,
+        # candidate-set-sized verification on top of the minhash cascade
+        "d_edit_verify": QUERIES["d_edit_verify"].fn,
+        # wedge join bounded by the in-degree cap over stored edges
+        "s_jaccard_neighbors (stored edges)": QUERIES["s_jaccard_neighbors"].fn,
+        # one corpus token agg, then |sources|x200 moment math
+        "t_zipf_fit": QUERIES["t_zipf_fit"].fn,
+        # row-local regexp projection — must be corpus-linear
+        "t_code_detect": QUERIES["t_code_detect"].fn,
     }
 
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE), "10x")))

@@ -342,6 +342,11 @@ def test_r10_ops_plan_no_cartesian(spark, sf_dir):
         "t_zipf_fit",
         "t_code_detect",
         "d_cluster_purity",
+        "mm_byte_entropy",
+        "t_ngram_novelty",
+        # p_epoch_plan is exempt: it crossJoins a broadcast 1-ROW
+        # source-count frame (the cusum_shift metadata-attach pattern) —
+        # a BroadcastNestedLoopJoin over one row, deliberate and bounded
     ):
         plan = _plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
