@@ -194,3 +194,140 @@ SELECT m.cohort, m.bucket_offset,
        round(m.n_active / sz.n_cohort, 6) AS retention
 FROM m JOIN sz USING (cohort)
 ORDER BY m.cohort, m.bucket_offset"""
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    bucket_col: str,
+    value_col: str,
+    treat_pred: Column,
+    post_pred: Column,
+) -> DataFrame:
+    """Difference-in-differences over a bucketed event frame — the
+    product-analytics causal read behind "did the rollout move the
+    metric beyond the trend everyone was on": with per-(treatment ×
+    period) cell means ``m = S/n`` of per-unit bucket sums,
+    ``DiD = (m_t,post − m_t,pre) − (m_c,post − m_c,pre)``.
+
+    Exact integers until ONE final division: the four cell sums and
+    counts aggregate exactly, the mean differences cross-multiply onto
+    the common denominator ``n₁n₂n₃n₄``, and ``did_milli`` is the
+    half-up milli division of that single rational — with the explicit
+    truncate-vs-floor correction on BOTH faces, because the numerator is
+    SIGNED (a negative effect is half the point) and both engines'
+    native integer division truncates toward zero (the dyadic_ewma
+    find).  Empty cells make the effect undefined → zero rows rather
+    than a NULL-armed report.
+
+    Output: one row — the four cell (sum, n) pairs undivided (the
+    seasonal_decompose stance: consumers re-derive any mean exactly)
+    plus ``did_milli``.
+
+    Scale shape: one (unit, treatment, period) aggregate over the raw
+    frame (the only corpus-sized pass, map-side combined), then a
+    4-row-cell aggregate — nothing above cell cardinality shuffles."""
+    cells = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            treat_pred.cast("int").alias("t"),
+            post_pred.cast("int").alias("p"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("u", "t", "p")
+        .agg(F.sum("v").alias("uv"))
+        .groupBy("t", "p")
+        .agg(F.sum("uv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    wide = cells.agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), F.col("s"))).alias("s_tp"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 1), F.col("n"))).alias("n_tp"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), F.col("s"))).alias("s_tb"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("p") == 0), F.col("n"))).alias("n_tb"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), F.col("s"))).alias("s_cp"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 1), F.col("n"))).alias("n_cp"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), F.col("s"))).alias("s_cb"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("p") == 0), F.col("n"))).alias("n_cb"),
+    ).filter(
+        F.col("n_tp").isNotNull()
+        & F.col("n_tb").isNotNull()
+        & F.col("n_cp").isNotNull()
+        & F.col("n_cb").isNotNull()
+    )
+    num = (
+        "(cast(s_tp as decimal(38,0)) * n_tb * n_cp * n_cb"
+        " - cast(s_tb as decimal(38,0)) * n_tp * n_cp * n_cb"
+        " - cast(s_cp as decimal(38,0)) * n_tp * n_tb * n_cb"
+        " + cast(s_cb as decimal(38,0)) * n_tp * n_tb * n_cp)"
+    )
+    den = "(cast(n_tp as decimal(38,0)) * n_tb * n_cp * n_cb)"
+    return wide.select(
+        F.col("s_tp").cast("long").alias("treat_post_sum"),
+        F.col("n_tp").cast("long").alias("treat_post_units"),
+        F.col("s_tb").cast("long").alias("treat_pre_sum"),
+        F.col("n_tb").cast("long").alias("treat_pre_units"),
+        F.col("s_cp").cast("long").alias("ctrl_post_sum"),
+        F.col("n_cp").cast("long").alias("ctrl_post_units"),
+        F.col("s_cb").cast("long").alias("ctrl_pre_sum"),
+        F.col("n_cb").cast("long").alias("ctrl_pre_units"),
+        F.expr(
+            f"cast((({num} * 2000 + {den}) div ({den} * 2))"
+            f" - (case when ({num} * 2000 + {den}) < 0"
+            f"      and ({num} * 2000 + {den}) % ({den} * 2) != 0"
+            f"     then 1 else 0 end) as bigint)"
+        ).alias("did_milli"),
+    )
+
+
+def diff_in_diff_oracle_sql(
+    events_sql: str,
+    unit_col: str,
+    value_col: str,
+    treat_sql: str,
+    post_sql: str,
+) -> str:
+    """DuckDB replay of :func:`diff_in_diff` — same cell aggregates,
+    common-denominator rational, and the signed half-up division with
+    the truncate-vs-floor correction (DuckDB ``//`` truncates too)."""
+    num = (
+        "(CAST(s_tp AS HUGEINT) * n_tb * n_cp * n_cb"
+        " - CAST(s_tb AS HUGEINT) * n_tp * n_cp * n_cb"
+        " - CAST(s_cp AS HUGEINT) * n_tp * n_tb * n_cb"
+        " + CAST(s_cb AS HUGEINT) * n_tp * n_tb * n_cp)"
+    )
+    den = "(CAST(n_tp AS HUGEINT) * n_tb * n_cp * n_cb)"
+    return f"""
+WITH per AS (
+  SELECT {unit_col} AS u,
+         CAST({treat_sql} AS INT) AS t, CAST({post_sql} AS INT) AS p,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS uv
+  FROM ({events_sql}) GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT t, p, CAST(sum(uv) AS BIGINT) AS s, count(*) AS n
+  FROM per GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    sum(CASE WHEN t = 1 AND p = 1 THEN s END) AS s_tp,
+    sum(CASE WHEN t = 1 AND p = 1 THEN n END) AS n_tp,
+    sum(CASE WHEN t = 1 AND p = 0 THEN s END) AS s_tb,
+    sum(CASE WHEN t = 1 AND p = 0 THEN n END) AS n_tb,
+    sum(CASE WHEN t = 0 AND p = 1 THEN s END) AS s_cp,
+    sum(CASE WHEN t = 0 AND p = 1 THEN n END) AS n_cp,
+    sum(CASE WHEN t = 0 AND p = 0 THEN s END) AS s_cb,
+    sum(CASE WHEN t = 0 AND p = 0 THEN n END) AS n_cb
+  FROM cells
+)
+SELECT CAST(s_tp AS BIGINT) AS treat_post_sum, CAST(n_tp AS BIGINT) AS treat_post_units,
+       CAST(s_tb AS BIGINT) AS treat_pre_sum, CAST(n_tb AS BIGINT) AS treat_pre_units,
+       CAST(s_cp AS BIGINT) AS ctrl_post_sum, CAST(n_cp AS BIGINT) AS ctrl_post_units,
+       CAST(s_cb AS BIGINT) AS ctrl_pre_sum, CAST(n_cb AS BIGINT) AS ctrl_pre_units,
+       CAST((({num} * 2000 + {den}) // ({den} * 2))
+            - (CASE WHEN ({num} * 2000 + {den}) < 0
+                     AND ({num} * 2000 + {den}) % ({den} * 2) != 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS did_milli
+FROM wide
+WHERE n_tp IS NOT NULL AND n_tb IS NOT NULL
+  AND n_cp IS NOT NULL AND n_cb IS NOT NULL
+"""

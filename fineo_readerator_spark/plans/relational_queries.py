@@ -1083,6 +1083,46 @@ def _q_cusum_shift_oracle() -> str:
     )
 
 
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators.cohort.diff_in_diff) on event
+    revenue-cents per user: treatment = even user_id, post = day ≥ 19738
+    (the fixture window's midpoint) — the rollout-causality read.  Four
+    exact cell aggregates, one signed half-up division carrying the
+    truncate-vs-floor correction on both faces."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.cohort import diff_in_diff
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        epoch_millis(ev, "ts").alias("ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).select(
+        "user_id", F.expr("ms div 86400000").alias("day"), "cents"
+    )
+    return diff_in_diff(
+        base,
+        "user_id",
+        "day",
+        "cents",
+        treat_pred=F.col("user_id") % 2 == 0,
+        post_pred=F.col("day") >= 19738,
+    )
+
+
+def _q_did_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import diff_in_diff_oracle_sql
+
+    return diff_in_diff_oracle_sql(
+        "SELECT user_id, epoch_ms(ts) // 86400000 AS day,"
+        " CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events",
+        "user_id",
+        "cents",
+        treat_sql="user_id % 2 = 0",
+        post_sql="day >= 19738",
+    )
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-segmentation change point per event type (operators.anomaly.
     binary_changepoint): the split of the daily series that maximizes the
@@ -1559,6 +1599,7 @@ RELATIONAL_QUERIES = [
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle(), bench=True),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
     QueryDef("q_changepoint", q_changepoint, _q_changepoint_oracle()),
+    QueryDef("q_did", q_did, _q_did_oracle()),
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle(), bench=True),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),

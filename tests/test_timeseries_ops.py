@@ -534,3 +534,72 @@ def test_binary_changepoint_tie_breaks_earliest(spark):
     )
     r = binary_changepoint(df, "g", "day", "v").collect()[0]
     assert (r.split_bucket, r.score_scaled) == (0, 0)
+
+
+def test_diff_in_diff_hand_values(spark):
+    """Treatment rises 10 -> 30 (+20), control 10 -> 15 (+5): DiD = +15
+    (15000 milli); flipping the periods gives exactly -15000, pinning the
+    signed floor-corrected division; a missing cell yields zero rows."""
+    from fineo_readerator_spark.operators.cohort import diff_in_diff
+
+    rows = [
+        (1, 0, 10), (1, 1, 30),   # treated unit
+        (2, 0, 10), (2, 1, 15),   # control unit
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day long, v long")
+    out = diff_in_diff(
+        df, "user_id", "day", "v",
+        treat_pred=F.col("user_id") == 1,
+        post_pred=F.col("day") == 1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.treat_post_sum, r.treat_pre_sum, r.ctrl_post_sum, r.ctrl_pre_sum) == (30, 10, 15, 10)
+    assert r.did_milli == 15000
+    flipped = diff_in_diff(
+        df, "user_id", "day", "v",
+        treat_pred=F.col("user_id") == 1,
+        post_pred=F.col("day") == 0,
+    ).collect()[0]
+    assert flipped.did_milli == -15000
+    # missing control-pre cell -> effect undefined -> zero rows
+    nocell = diff_in_diff(
+        df.filter(~((F.col("user_id") == 2) & (F.col("day") == 0))),
+        "user_id", "day", "v",
+        treat_pred=F.col("user_id") == 1,
+        post_pred=F.col("day") == 1,
+    )
+    assert nocell.count() == 0
+
+
+def test_diff_in_diff_negative_fraction_floor(spark):
+    """A DiD of -5/3 must render half-up as -1667 milli on BOTH faces —
+    without the floor correction both engines' truncating division gives
+    -1666 (the dyadic_ewma off-by-one, signed-path regression)."""
+    import duckdb
+
+    from fineo_readerator_spark.operators.cohort import (
+        diff_in_diff,
+        diff_in_diff_oracle_sql,
+    )
+
+    # treated: 0 -> -5 over 3 units each period... construct simply:
+    # treated units average -5/3 post, 0 pre; control flat 0
+    rows = [(u, 0, 0) for u in (1, 2, 3)] + [(1, 1, -5), (2, 1, 0), (3, 1, 0)]
+    rows += [(10, 0, 0), (10, 1, 0)]
+    df = spark.createDataFrame(rows, "user_id long, day long, v long")
+    got = diff_in_diff(
+        df, "user_id", "day", "v",
+        treat_pred=F.col("user_id") < 10,
+        post_pred=F.col("day") == 1,
+    ).collect()[0]
+    assert got.did_milli == -1667  # half-up(-5000/3) toward -inf at halves? exact: -1666.67 -> -1667
+    con = duckdb.connect()
+    vals = ", ".join(f"({u}, {d}, {v})" for u, d, v in rows)
+    oracle = con.sql(
+        diff_in_diff_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(user_id, day, v)",
+            "user_id", "v", "user_id < 10", "day = 1",
+        )
+    ).fetchall()[0]
+    assert tuple(got) == tuple(oracle)
