@@ -717,3 +717,79 @@ SELECT t AS {bucket_col}, {_oracle_est_expr()} AS est_distinct,
        count(*) AS registers_set
 FROM merged GROUP BY t
 """
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+) -> DataFrame:
+    """Measure-first audit of the histogram quantile sketch against the
+    EXACT interpolated percentile — the knn_recall_audit doctrine applied
+    to the quantile family: before dashboards trust ``width``-binned
+    p50/p90/p99, measure what the bin width actually costs on this
+    distribution.  One row per quantile: the sketch estimate, the exact
+    percentile (1e-6-rounded; Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` — same interpolation formula), and ``err = est −
+    exact``.  err is usually in ``[0, width)`` (the estimate is a bin's
+    inclusive upper edge) but CAN be negative against the interpolated
+    definition when a quantile falls between order statistics spanning a
+    bin boundary — the audit reports, it does not assert.
+
+    Scale shape: the sketch side is the mergeable bin table; the exact
+    side is ONE percentile aggregate (Spark's single-pass approximation-
+    free percentile over the value column) — the audit is what you run
+    at commissioning time on a sample or a slice, priced accordingly."""
+    v = F.col(value_col).cast("double")
+    sk = histogram_quantiles(df, value_col, width, quantiles, lo)
+    qcsv = ", ".join(repr(float(q)) for q in quantiles)
+    exact = (
+        df.filter(v.isNotNull())
+        .agg(F.expr(f"percentile({value_col}, array({qcsv}))").alias("__ex"))
+        .select(F.posexplode("__ex").alias("__i", "__exact"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(float(q)) for q in quantiles]), F.col("__i") + 1
+            ).alias("q"),
+            F.round(F.col("__exact"), 6).alias("exact_p"),
+        )
+    )
+    return (
+        sk.join(exact, "q")
+        .select(
+            "q",
+            "n_rows",
+            "est",
+            "exact_p",
+            F.round(F.col("est") - F.col("exact_p"), 6).alias("err"),
+        )
+    )
+
+
+def quantile_sketch_audit_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    width: float,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+) -> str:
+    """DuckDB replay of :func:`quantile_sketch_audit` — the sketch replay
+    joined to quantile_cont exacts with the same rounding and op order."""
+    sk = histogram_quantiles_oracle_sql(source_sql, value_expr, width, quantiles, lo)
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+WITH __sk AS ({sk}),
+__exact AS (
+  SELECT u.q, round(u.e, 6) AS exact_p
+  FROM (
+    SELECT unnest([{qlist}]) AS q,
+           unnest(quantile_cont(CAST({value_expr} AS DOUBLE), [{qlist}])) AS e
+    FROM ({source_sql}) WHERE {value_expr} IS NOT NULL
+  ) u
+)
+SELECT s.q, s.n_rows, s.est, e.exact_p,
+       round(s.est - e.exact_p, 6) AS err
+FROM __sk s JOIN __exact e ON s.q = e.q
+"""

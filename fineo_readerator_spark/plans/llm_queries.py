@@ -3765,6 +3765,36 @@ def a_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, "value", width=25.0, quantiles=(0.5, 0.9, 0.99))
 
 
+def a_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact quantile audit (llm_ops.sketches.
+    quantile_sketch_audit): p50/p90/p99 histogram estimates beside the
+    exact interpolated percentiles with the signed error — what the
+    25-wide bins actually cost on this value distribution, measured
+    before dashboards trust them."""
+    from fineo_readerator_spark.llm_ops.sketches import quantile_sketch_audit
+
+    ev = load(spark, sf_dir, "events")
+    return quantile_sketch_audit(
+        ev, "value", width=25.0, quantiles=(0.5, 0.9, 0.99)
+    ).orderBy("q")
+
+
+def _a_quantile_audit_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.sketches import (
+        quantile_sketch_audit_oracle_sql,
+    )
+
+    return (
+        quantile_sketch_audit_oracle_sql(
+            "SELECT value FROM events", "value", width=25.0,
+            quantiles=(0.5, 0.9, 0.99),
+        ).rstrip()
+        # ordinal: a bare `q` is ambiguous to DuckDB's binder (both join
+        # sides carry one)
+        + "\nORDER BY 1"
+    )
+
+
 def _a_quantile_oracle() -> str:
     from fineo_readerator_spark.llm_ops.sketches import histogram_quantiles_oracle_sql
 
@@ -4587,6 +4617,7 @@ LLM_QUERIES = [
     QueryDef("b_bloom_blocklist", b_bloom_blocklist, _b_bloom_oracle()),
     QueryDef("a_countmin_hh", a_countmin_hh, _a_countmin_oracle()),
     QueryDef("a_quantile_hist", a_quantile_hist, _a_quantile_oracle()),
+    QueryDef("a_quantile_audit", a_quantile_audit, _a_quantile_audit_oracle()),
     QueryDef("d_decontaminate", d_decontaminate, _d_decontaminate_oracle(), bench=True),
     QueryDef("p_chunk_windows", p_chunk_windows, _p_chunk_oracle()),
     QueryDef("p_domain_mix", p_domain_mix, _p_domain_mix_oracle()),

@@ -267,3 +267,19 @@ def test_hll_rolling_merge_semantics(spark):
 
     with _pt.raises(ValueError, match="window"):
         hll_rolling(df, F.col("k"), "day", window=0)
+
+
+def test_quantile_sketch_audit_hand_values(spark):
+    """Values 1..100, width 10: the 50th value (50) lands in bin 5, so the
+    p50 estimate is that bin's upper edge 60.0 vs exact interpolated 50.5
+    -> err 9.5 (the one-sided ≤width overshoot the audit prices); p90:
+    value 90 -> bin 9 -> est 100.0 vs exact 90.1."""
+    from fineo_readerator_spark.llm_ops.sketches import quantile_sketch_audit
+
+    df = spark.range(1, 101).selectExpr("cast(id as double) as value")
+    out = {r.q: r for r in quantile_sketch_audit(
+        df, "value", width=10.0, quantiles=(0.5, 0.9)
+    ).collect()}
+    assert out[0.5].n_rows == 100
+    assert (out[0.5].est, out[0.5].exact_p, out[0.5].err) == (60.0, 50.5, 9.5)
+    assert (out[0.9].est, out[0.9].exact_p, out[0.9].err) == (100.0, 90.1, 9.9)
