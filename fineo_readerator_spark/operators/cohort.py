@@ -331,3 +331,181 @@ FROM wide
 WHERE n_tp IS NOT NULL AND n_tb IS NOT NULL
   AND n_cp IS NOT NULL AND n_cb IS NOT NULL
 """
+
+
+def cohort_ltv(
+    df: DataFrame,
+    unit_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cumulative value per cohort age — the LTV curve behind "how much
+    has the day-X cohort produced by age N", the revenue twin of
+    :func:`retention_matrix`'s activity counts: units cohort on their
+    FIRST bucket, value aggregates per (cohort, age = bucket − cohort),
+    and a running sum walks each cohort's curve.
+
+    Exact integers end to end: per-cell value sums, cohort sizes, and
+    the cumulative window are all integer aggregates; ``cum_per_unit_
+    milli`` is the half-up milli division by the cohort size (counts are
+    positive, so truncation is convention-free).
+
+    Scale shape: one (unit, bucket) aggregate over raw events, one
+    unit-keyed min join (the retention_matrix shape), one (cohort, age)
+    aggregate, then the running sum over the |cohorts|×|ages| matrix —
+    nothing above matrix cardinality shuffles after the second agg."""
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(
+        F.col(unit_col).alias("u"), F.col(bucket_col).alias("b")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("v"))
+    per = per.localCheckpoint(eager=False)
+    first = per.groupBy("u").agg(F.min("b").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        per.join(first, "u")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("age"))
+        .agg(F.sum("v").alias("cell_v"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn("cum_v", F.sum("cell_v").over(w))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("long").alias("age"),
+            F.col("cell_v").cast("long").alias("bucket_value"),
+            F.col("cum_v").cast("long").alias("cum_value"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.expr(
+                "cast((cast(cum_v as decimal(38,0)) * 2000 + n_cohort)"
+                " div (cast(n_cohort as decimal(38,0)) * 2) as bigint)"
+            ).alias("cum_per_unit_milli"),
+        )
+    )
+
+
+def cohort_ltv_oracle_sql(
+    events_sql: str,
+    unit_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB replay of :func:`cohort_ltv` — same cohorting, matrix
+    aggregate, running sum and half-up milli division."""
+    return f"""
+WITH per AS (
+  SELECT {unit_col} AS u, {bucket_col} AS b,
+         CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS v
+  FROM ({events_sql}) GROUP BY 1, 2
+),
+first AS (SELECT u, min(b) AS cohort FROM per GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY cohort),
+cells AS (
+  SELECT f.cohort, per.b - f.cohort AS age, CAST(sum(v) AS BIGINT) AS cell_v
+  FROM per JOIN first f ON per.u = f.u GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age, cell_v,
+         sum(cell_v) OVER (PARTITION BY cohort ORDER BY age
+                           ROWS UNBOUNDED PRECEDING) AS cum_v
+  FROM cells
+)
+SELECT c.cohort AS cohort, CAST(age AS BIGINT) AS age, cell_v AS bucket_value,
+       CAST(cum_v AS BIGINT) AS cum_value,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST((CAST(cum_v AS HUGEINT) * 2000 + n_cohort)
+            // (CAST(n_cohort AS HUGEINT) * 2) AS BIGINT) AS cum_per_unit_milli
+FROM cum c JOIN sizes s ON c.cohort = s.cohort
+"""
+
+
+def gini_concentration(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of per-unit value totals in EXACT integers — the
+    concentration audit behind "is revenue/token volume a long tail or a
+    whale problem": with per-unit sums ``x_1 ≤ … ≤ x_n`` (ties ranked by
+    unit id — any total order gives the same Σi·x_i within a tie class
+    since tied values are interchangeable),
+    ``gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``.
+
+    For non-negative totals the numerator is non-negative (Chebyshev's
+    sum inequality), so the half-up milli division is truncation-safe on
+    both engines; negative per-unit totals are excluded (Gini is
+    undefined under mixed signs) and reported via ``n_excluded``.
+
+    Scale shape: one (unit) aggregate, ONE rank window over the unit
+    frame (the global sort a Gini fundamentally needs — at 100 TB run it
+    on the unit TOTALS, never raw events; |units| ≪ rows), one final
+    aggregate row."""
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("x")
+    )
+    per = per.localCheckpoint(eager=False)
+    pos = per.filter(F.col("x") >= 0)
+    ranked = pos.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("u")))
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("x").alias("total"),
+            F.sum(F.expr("cast(i as decimal(38,0)) * x")).alias("iwx"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per.filter(F.col("x") < 0).agg(
+                    F.count(F.lit(1)).alias("n_excluded")
+                )
+            )
+        )
+        .select(
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("total").cast("long").alias("total"),
+            F.col("n_excluded").cast("long").alias("n_excluded"),
+            F.expr(
+                "cast(CASE WHEN total <= 0 THEN NULL ELSE"
+                " ((cast(iwx as decimal(38,0)) * 2 - (cast(n_units as decimal(38,0)) + 1) * total)"
+                "  * 2000 + cast(n_units as decimal(38,0)) * total)"
+                " div (cast(n_units as decimal(38,0)) * total * 2) END as bigint)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+def gini_oracle_sql(
+    events_sql: str,
+    unit_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB replay of :func:`gini_concentration` — same rank order,
+    integer moments and half-up milli division."""
+    return f"""
+WITH per AS (
+  SELECT {unit_col} AS u, CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS x
+  FROM ({events_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, u ASC) AS HUGEINT) AS i
+  FROM per WHERE x >= 0
+),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS total,
+         CAST(sum(i * x) AS HUGEINT) AS iwx
+  FROM ranked
+),
+ex AS (SELECT count(*) AS n_excluded FROM per WHERE x < 0)
+SELECT CAST(n AS BIGINT) AS n_units, CAST(total AS BIGINT) AS total,
+       CAST(n_excluded AS BIGINT) AS n_excluded,
+       CAST(CASE WHEN total <= 0 THEN NULL ELSE
+            ((iwx * 2 - (n + 1) * total) * 2000 + n * total)
+            // (n * total * 2) END AS BIGINT) AS gini_milli
+FROM m, ex
+"""

@@ -1083,6 +1083,66 @@ def _q_cusum_shift_oracle() -> str:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue-cents per cohort age (operators.cohort.
+    cohort_ltv): users cohort on their first active day, value runs a
+    per-cohort cumulative curve with half-up per-unit milli — the LTV
+    twin of q_retention's activity counts.  One raw aggregate, then
+    |cohorts|×|ages| matrix math."""
+    from fineo_readerator_spark.functions import epoch_millis
+    from fineo_readerator_spark.operators.cohort import cohort_ltv
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        epoch_millis(ev, "ts").alias("ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).select("user_id", F.expr("ms div 86400000").alias("day"), "cents")
+    return cohort_ltv(base, "user_id", "day", "cents").orderBy("cohort", "age")
+
+
+def _q_cohort_ltv_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import cohort_ltv_oracle_sql
+
+    return (
+        cohort_ltv_oracle_sql(
+            "SELECT user_id, epoch_ms(ts) // 86400000 AS day,"
+            " CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events",
+            "user_id",
+            "day",
+            "cents",
+        ).rstrip()
+        # ordinals: a bare `cohort` is ambiguous to DuckDB's binder (both
+        # join sides carry one)
+        + "\nORDER BY 1, 2"
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across users (operators.cohort.
+    gini_concentration): exact-integer Gini over per-user cents totals —
+    whale-vs-long-tail in one row; the global sort runs on user TOTALS,
+    never raw events."""
+    from fineo_readerator_spark.operators.cohort import gini_concentration
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return gini_concentration(base, "user_id", "cents")
+
+
+def _q_gini_oracle() -> str:
+    from fineo_readerator_spark.operators.cohort import gini_oracle_sql
+
+    return gini_oracle_sql(
+        "SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents"
+        " FROM events",
+        "user_id",
+        "cents",
+    )
+
+
 def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences (operators.cohort.diff_in_diff) on event
     revenue-cents per user: treatment = even user_id, post = day ≥ 19738
@@ -1600,6 +1660,8 @@ RELATIONAL_QUERIES = [
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
     QueryDef("q_changepoint", q_changepoint, _q_changepoint_oracle()),
     QueryDef("q_did", q_did, _q_did_oracle()),
+    QueryDef("q_cohort_ltv", q_cohort_ltv, _q_cohort_ltv_oracle()),
+    QueryDef("q_gini", q_gini, _q_gini_oracle()),
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle(), bench=True),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),

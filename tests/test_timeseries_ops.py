@@ -603,3 +603,40 @@ def test_diff_in_diff_negative_fraction_floor(spark):
         )
     ).fetchall()[0]
     assert tuple(got) == tuple(oracle)
+
+
+def test_cohort_ltv_hand_values(spark):
+    """Two users cohort on day 0 (one churns), one on day 1: the day-0
+    cohort's curve accumulates 10 -> 40 over ages 0/1 with per-unit milli
+    5000 -> 20000; the day-1 cohort is its own curve."""
+    from fineo_readerator_spark.operators.cohort import cohort_ltv
+
+    rows = [(1, 0, 10), (1, 1, 30), (2, 0, 0), (3, 1, 7)]
+    df = spark.createDataFrame(rows, "user_id long, day long, v long")
+    out = {(r.cohort, r.age): r for r in
+           cohort_ltv(df, "user_id", "day", "v").collect()}
+    assert (out[(0, 0)].cum_value, out[(0, 0)].n_cohort,
+            out[(0, 0)].cum_per_unit_milli) == (10, 2, 5000)
+    assert (out[(0, 1)].bucket_value, out[(0, 1)].cum_value,
+            out[(0, 1)].cum_per_unit_milli) == (30, 40, 20000)
+    assert (out[(1, 0)].cum_value, out[(1, 0)].n_cohort) == (7, 1)
+
+
+def test_gini_concentration_hand_values(spark):
+    """Equal totals -> gini 0; one whale holding everything -> (n-1)/n;
+    negative totals are excluded and counted."""
+    from fineo_readerator_spark.operators.cohort import gini_concentration
+
+    eq = spark.createDataFrame([(u, 5) for u in range(4)], "u long, v long")
+    r = gini_concentration(eq, "u", "v").collect()[0]
+    assert (r.n_units, r.gini_milli, r.n_excluded) == (4, 0, 0)
+
+    whale = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 100)], "u long, v long"
+    )
+    r = gini_concentration(whale, "u", "v").collect()[0]
+    assert r.gini_milli == 750  # (n-1)/n = 3/4
+
+    mixed = spark.createDataFrame([(1, 5), (2, 5), (3, -2)], "u long, v long")
+    r = gini_concentration(mixed, "u", "v").collect()[0]
+    assert (r.n_units, r.n_excluded, r.gini_milli) == (2, 1, 0)
