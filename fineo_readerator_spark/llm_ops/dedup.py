@@ -1718,3 +1718,73 @@ def cluster_source_purity(
         )
         .select("cluster_id", "n_members", "n_sources", "top_share_ppm")
     )
+
+
+def dup_inflation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """One-row dedup-savings estimate off the cluster map — the number a
+    curator reads BEFORE running the destructive dedup: how much of the
+    corpus (docs, and optionally a weight like chars/tokens) sits in
+    multi-member near-dup clusters, and how much is REMOVABLE (every
+    cluster keeps one representative, sheds members−1).
+
+    ``removable_ppm`` prices the keep-one policy in half-up ppm of the
+    weight total; with ``weight_col=None`` the weight is one per doc.
+    Cost = the :func:`minhash_cluster_labels` map + cluster-cardinality
+    aggregates (the cluster_source_purity shape)."""
+    labels = minhash_cluster_labels(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed,
+        portable,
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    member = labels.join(
+        df.select(F.col(id_col), w.alias("__w")), id_col
+    )
+    per_cluster = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("__w").alias("wsum"),
+        # the kept representative is the cluster label = min member id;
+        # removable weight = cluster weight minus the representative's
+        F.sum(
+            F.when(F.col(id_col) == F.col("cluster_id"), F.col("__w"))
+        ).alias("rep_w"),
+    )
+    return per_cluster.agg(
+        F.sum("m").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("m") >= 2, F.col("m"))).cast("long").alias(
+            "docs_in_clusters"
+        ),
+        F.sum(F.when(F.col("m") >= 2, F.col("m") - 1)).cast("long").alias(
+            "removable_docs"
+        ),
+        F.sum("wsum").cast("long").alias("total_weight"),
+        F.sum(
+            F.when(F.col("m") >= 2, F.col("wsum") - F.col("rep_w"))
+        ).cast("long").alias("removable_weight"),
+    ).select(
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("docs_in_clusters", F.lit(0)).alias("docs_in_clusters"),
+        F.coalesce("removable_docs", F.lit(0)).alias("removable_docs"),
+        F.coalesce("total_weight", F.lit(0)).alias("total_weight"),
+        F.coalesce("removable_weight", F.lit(0)).alias("removable_weight"),
+        F.expr(
+            "cast(CASE WHEN coalesce(total_weight, 0) = 0 THEN 0L ELSE"
+            " (cast(coalesce(removable_weight, 0) as decimal(38,0)) * 2000000"
+            "  + total_weight)"
+            " div (cast(total_weight as decimal(38,0)) * 2) END as bigint)"
+        ).alias("removable_ppm"),
+    )

@@ -425,3 +425,48 @@ FROM (
   ) GROUP BY 1
 ) WHERE n_members >= 2
 """
+
+
+def dup_inflation_oracle(
+    corpus_sql: str,
+    weight_expr: str = "1",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> str:
+    """Oracle for ``dup_inflation(portable=True)`` — the cluster-map
+    replay aggregated to the one-row savings report (``weight_expr``
+    evaluates over the corpus columns)."""
+    from fineo_readerator_spark.llm_ops.dedup import minhash_cluster_labels_oracle
+
+    labels = minhash_cluster_labels_oracle(
+        corpus_sql, num_hashes, bands, threshold, seed, shingle_k
+    )
+    return f"""
+WITH __lab AS ({labels}),
+__m AS (
+  SELECT l.cluster_id, l.doc_id, CAST({weight_expr} AS BIGINT) AS w
+  FROM __lab l JOIN ({corpus_sql}) c ON c.doc_id = l.doc_id
+),
+__pc AS (
+  SELECT cluster_id, count(*) AS m, CAST(sum(w) AS BIGINT) AS wsum,
+         CAST(sum(CASE WHEN doc_id = cluster_id THEN w END) AS BIGINT) AS rep_w
+  FROM __m GROUP BY cluster_id
+),
+__agg AS (
+  SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(CASE WHEN m >= 2 THEN m END), 0) AS BIGINT) AS docs_in_clusters,
+         CAST(coalesce(sum(CASE WHEN m >= 2 THEN m - 1 END), 0) AS BIGINT) AS removable_docs,
+         CAST(coalesce(sum(wsum), 0) AS BIGINT) AS total_weight,
+         CAST(coalesce(sum(CASE WHEN m >= 2 THEN wsum - rep_w END), 0) AS BIGINT)
+           AS removable_weight
+  FROM __pc
+)
+SELECT n_docs, docs_in_clusters, removable_docs, total_weight, removable_weight,
+       CAST(CASE WHEN total_weight = 0 THEN 0 ELSE
+            (CAST(removable_weight AS HUGEINT) * 2000000 + total_weight)
+            // (CAST(total_weight AS HUGEINT) * 2) END AS BIGINT) AS removable_ppm
+FROM __agg
+"""

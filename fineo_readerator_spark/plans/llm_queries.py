@@ -1371,6 +1371,26 @@ def _d_cluster_purity_oracle() -> str:
     )
 
 
+def d_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup-savings report (llm_ops.dedup.dup_inflation) over
+    the doubled corpus, char-weighted: how much volume sits in near-dup
+    clusters and how much the keep-one policy sheds — the read-before-
+    destructive-dedup number.  Cost = the cluster map + cluster-sized
+    aggregates."""
+    from fineo_readerator_spark.llm_ops.dedup import dup_inflation
+
+    return dup_inflation(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        weight_col="n_chars", portable=True,
+    )
+
+
+def _d_dup_inflation_oracle() -> str:
+    from fineo_readerator_spark.llm_ops.dedup_oracles import dup_inflation_oracle
+
+    return dup_inflation_oracle(_CORPUS_SQL, weight_expr="n_chars")
+
+
 def d_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of the MinHash candidate pairs
     (llm_ops.dedup.edit_distance_verify): Levenshtein over ASCII-folded
@@ -4537,6 +4557,7 @@ LLM_QUERIES = [
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
     QueryDef("d_edit_verify", d_edit_verify, _d_edit_verify_oracle()),
     QueryDef("d_cluster_purity", d_cluster_purity, _d_cluster_purity_oracle()),
+    QueryDef("d_dup_inflation", d_dup_inflation, _d_dup_inflation_oracle()),
     QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
     QueryDef("d_cluster_sizes", d_cluster_sizes, _d_cluster_sizes_oracle()),
     QueryDef("d_minhash_dedup", d_minhash_dedup, _minhash_dedup_oracle(), bench=True),

@@ -3023,3 +3023,24 @@ def test_epoch_plan_hand_values(spark):
         epoch_plan(df, total_budget=0)
     with _pt.raises(ValueError, match="max_epochs"):
         epoch_plan(df, max_epochs=0)
+
+
+def test_dup_inflation_hand_values(spark):
+    """Two exact twins + one singleton, char-weighted: 3 docs, 2 in one
+    cluster, 1 removable; removable weight = the non-representative
+    twin's chars; ppm is half-up over the weight total."""
+    from fineo_readerator_spark.llm_ops.dedup import dup_inflation
+
+    t = "the same long piece of shared text that minhash will catch easily"
+    rows = [(1, t, len(t)), (2, t, len(t)),
+            (3, "a totally different text with no twin in this corpus", 53)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    r = dup_inflation(df, weight_col="n_chars", portable=True).collect()[0]
+    total = 2 * len(t) + 53
+    assert (r.n_docs, r.docs_in_clusters, r.removable_docs) == (3, 2, 1)
+    assert (r.total_weight, r.removable_weight) == (total, len(t))
+    assert r.removable_ppm == (len(t) * 2_000_000 + total) // (total * 2)
+    # doc-count weighting: removable 1 of 3
+    r2 = dup_inflation(df, portable=True).collect()[0]
+    assert (r2.total_weight, r2.removable_weight) == (3, 1)
+    assert r2.removable_ppm == 333333
