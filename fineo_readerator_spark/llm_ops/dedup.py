@@ -1740,14 +1740,19 @@ def dup_inflation(
 
     ``removable_ppm`` prices the keep-one policy in half-up ppm of the
     weight total; with ``weight_col=None`` the weight is one per doc.
-    Cost = the :func:`minhash_cluster_labels` map + cluster-cardinality
-    aggregates (the cluster_source_purity shape)."""
+    NULL weights count as 0 (coalesced at projection time): without the
+    coalesce, a cluster whose REPRESENTATIVE's weight is NULL would yield
+    NULL ``wsum − rep_w`` which ``sum`` silently skips — understating
+    removable_weight while total_weight still counts the cluster's
+    non-null members (r10 ADVICE).  Cost = the
+    :func:`minhash_cluster_labels` map + cluster-cardinality aggregates
+    (the cluster_source_purity shape)."""
     labels = minhash_cluster_labels(
         df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed,
         portable,
     )
     w = (
-        F.col(weight_col).cast("long")
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0).cast("long"))
         if weight_col is not None
         else F.lit(1).cast("long")
     )

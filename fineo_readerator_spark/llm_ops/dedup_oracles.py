@@ -447,7 +447,8 @@ def dup_inflation_oracle(
     return f"""
 WITH __lab AS ({labels}),
 __m AS (
-  SELECT l.cluster_id, l.doc_id, CAST({weight_expr} AS BIGINT) AS w
+  SELECT l.cluster_id, l.doc_id,
+         CAST(coalesce(CAST({weight_expr} AS BIGINT), 0) AS BIGINT) AS w
   FROM __lab l JOIN ({corpus_sql}) c ON c.doc_id = l.doc_id
 ),
 __pc AS (

@@ -1515,8 +1515,11 @@ def readability(
     repo's integer-division rule is clamp first or correct explicitly).
     The clamp CONDITION itself runs in decimal(38,0)/HUGEINT like the
     THEN branch: at multi-million-word documents ``1015·W²`` exceeds
-    int64, where Spark non-ANSI arithmetic wraps silently while the
-    DuckDB oracle raises (r9 ADVICE).
+    int64, where the old int64 condition misbehaved in BOTH Spark modes —
+    under ANSI (the Spark 4 default, pinned in ``session._IO_CONFS``) it
+    raises, under legacy mode it wraps silently — while the DuckDB oracle
+    promotes to HUGEINT and answers; widening the condition keeps the
+    faces aligned either way (r9/r10 ADVICE).
     Syllables are approximated as vowel-letter groups ``[aeiouy]+`` with a
     1-per-word floor (the standard heuristic); sentences as ``[.!?]+``
     runs with a 1-per-doc floor.  Everything is codegen'd regexp counts —

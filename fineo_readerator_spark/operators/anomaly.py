@@ -626,7 +626,16 @@ def theil_sen_slopes(
     over months would silently build billions of pairs per group — count
     first, raise with the observed cardinality, let the caller re-bucket
     or raise the bound deliberately.  The default 5,000 (≈12.5M pairs per
-    group worst case) covers >13 years daily / ~7 months hourly."""
+    group worst case) covers >13 years daily / ~7 months hourly.
+
+    NOTE: the gate is a DELIBERATE EAGER action — calling this function
+    runs the (group, bucket) aggregate immediately (one ``.first()`` on a
+    checkpointed frame the returned plan then reuses), so building the
+    plan without consuming it still pays that job, and the check reflects
+    cardinality at BUILD time.  That is the point: refuse to even
+    construct a |buckets|²-per-group join over an unbounded frame.
+    Callers needing a fully lazy plan should pre-validate and inline the
+    pair join themselves (r10 ADVICE notes the contract change)."""
     if max_buckets_per_group < 2:
         raise ValueError(
             f"max_buckets_per_group must be >= 2, got {max_buckets_per_group}"
@@ -708,7 +717,15 @@ def binary_changepoint(
     ``n`` drops), compared via the scaled TRUNCATING division
     ``score_scaled = (d²·10⁶) div (n1·n2)`` — the numerator is a square,
     so never negative and both engines' truncate-toward-zero agree; ties
-    break on the earliest split.  Segment sums stay UNDIVIDED
+    break on the earliest split.  ``d²·10⁶`` must fit decimal(38,0), so
+    |d| ≤ ~3.16e15 (|d| ≤ Σ|y|·n per group); DuckDB's HUGEINT tolerates
+    ~4× more, so near the ceiling the faces would diverge (Spark NULLs or
+    errors while the oracle still answers).  A LAZY runtime gate raises
+    on any |d| > 3e15 at execution time instead — fail loud on both
+    engines' common ground, no eager job at plan-build time (r10 ADVICE;
+    contrast theil_sen's deliberate eager cardinality check, which gates
+    a quadratic JOIN rather than a per-row overflow).  Segment sums stay
+    UNDIVIDED
     (``left_sum``/``right_sum`` + counts, the seasonal_decompose stance)
     so negative value sums need no rounding convention anywhere.
 
@@ -740,6 +757,19 @@ def binary_changepoint(
             F.expr(
                 "cast(s1 as decimal(38,0)) * (n - t)"
                 " - (cast(s as decimal(38,0)) - s1) * t"
+            ),
+        )
+        # decimal(38,0) headroom gate for d^2 * 1e6 (see docstring): lazy,
+        # per-row, fires at execution time only when the data actually
+        # exceeds the exact-arithmetic envelope — no job at build time
+        .withColumn(
+            "__d",
+            F.expr(
+                "CASE WHEN abs(__d) > cast(3000000000000000 as decimal(38,0))"
+                " THEN raise_error(concat('binary_changepoint: |d| = ',"
+                " cast(abs(__d) as string), ' exceeds the decimal(38,0)"
+                " headroom for d^2*1e6 (|d| <= 3e15); rescale value_col or"
+                " coarsen buckets')) ELSE __d END"
             ),
         )
         .withColumn(

@@ -30,6 +30,12 @@ def get_spark(app_name: str = "fineo-readerator-spark", shuffle_partitions: int 
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI on; pin it so the documented overflow
+        # semantics (arithmetic past decimal(38,0)/int64 RAISES rather than
+        # silently wrapping/NULLing) are guaranteed regardless of the
+        # deployment's spark-defaults — every exact-integer convention in
+        # this repo is designed and tested under ANSI (r10 ADVICE)
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -65,6 +71,10 @@ _IO_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic timestamp rendering across engines/runs
     "spark.sql.session.timeZone": "UTC",
+    # the repo's exact-integer arithmetic conventions assume ANSI overflow
+    # semantics (raise, never wrap) — Spark 4's default, pinned so a
+    # legacy-mode driver session can't silently change query results
+    "spark.sql.ansi.enabled": "true",
 }
 
 # Perf-only session defaults (results unchanged), applied ONLY when the conf
