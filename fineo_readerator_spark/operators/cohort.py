@@ -439,10 +439,20 @@ def gini_concentration(
     both engines; negative per-unit totals are excluded (Gini is
     undefined under mixed signs) and reported via ``n_excluded``.
 
-    Scale shape: one (unit) aggregate, ONE rank window over the unit
-    frame (the global sort a Gini fundamentally needs — at 100 TB run it
-    on the unit TOTALS, never raw events; |units| ≪ rows), one final
-    aggregate row."""
+    Scale shape: one (unit) aggregate over the raw events, then the
+    global sort a Gini fundamentally needs is computed as a DISTRIBUTED
+    two-pass rank — ``repartitionByRange(x, u)`` (a parallel range sort:
+    every key in partition p precedes every key in p+1, and (x, u) is a
+    strict total order since u is unique per row), a per-partition local
+    ``row_number`` (the rank window is PARTITIONED, never global), then
+    per-partition (count, Σx, Σj·x) rolled up with a running-offset
+    correction ``Σi·x_i = Σ_p (Σj·x_j + offset_p·Σx_p)`` where offset_p
+    is the row count of earlier partitions.  The only unpartitioned
+    window left runs over ≤ |shuffle partitions| offset rows (bounded by
+    config, not data) — at 100 TB with 1e9 units no single executor ever
+    holds more than one range slice (r10 verdict task #5; AQE may merge
+    ADJACENT range partitions, which preserves both the range order and
+    the local sort, so the rollup stays exact)."""
     from pyspark.sql.window import Window
 
     per = df.groupBy(F.col(unit_col).alias("u")).agg(
@@ -450,14 +460,33 @@ def gini_concentration(
     )
     per = per.localCheckpoint(eager=False)
     pos = per.filter(F.col("x") >= 0)
-    ranked = pos.withColumn(
-        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("u")))
+    ranged = pos.repartitionByRange(F.asc("x"), F.asc("u")).select(
+        "x", "u", F.spark_partition_id().alias("__p")
+    )
+    lw = Window.partitionBy("__p").orderBy(F.asc("x"), F.asc("u"))
+    per_part = (
+        ranged.withColumn("__j", F.row_number().over(lw))
+        .groupBy("__p")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("x").alias("__sx"),
+            F.sum(F.expr("cast(__j as decimal(38,0)) * x")).alias("__jwx"),
+        )
+    )
+    # offsets over ≤ |shuffle partitions| rows — bounded frame, not data-sized
+    ow = Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)
+    rolled = per_part.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(ow), F.lit(0)).cast("long")
     )
     return (
-        ranked.agg(
-            F.count(F.lit(1)).alias("n_units"),
-            F.sum("x").alias("total"),
-            F.sum(F.expr("cast(i as decimal(38,0)) * x")).alias("iwx"),
+        rolled.agg(
+            # coalesce: an all-negative/empty unit frame has zero partitions
+            # here but the oracle's count(*) still reports 0, not NULL
+            F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n_units"),
+            F.sum("__sx").alias("total"),
+            F.sum(
+                F.expr("__jwx + cast(__off as decimal(38,0)) * __sx")
+            ).alias("iwx"),
         )
         .crossJoin(
             F.broadcast(

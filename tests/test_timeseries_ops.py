@@ -640,3 +640,36 @@ def test_gini_concentration_hand_values(spark):
     mixed = spark.createDataFrame([(1, 5), (2, 5), (3, -2)], "u long, v long")
     r = gini_concentration(mixed, "u", "v").collect()[0]
     assert (r.n_units, r.n_excluded, r.gini_milli) == (2, 1, 0)
+
+
+def test_gini_rank_is_distributed(spark):
+    """r10 verdict task #5: the Σi·x_i rank must never be a
+    single-partition global sort over the unit frame.  Pin (a) the plan —
+    the unit frame goes through rangepartitioning, and the only
+    SinglePartition exchange feeds the bounded per-partition-offset
+    window (≤ |shuffle partitions| rows) / final one-row aggregate, never
+    a Sort over unit rows — and (b) exactness across many range
+    partitions against a local computation."""
+    import pyspark.sql.functions as F
+    from fineo_readerator_spark.operators.cohort import gini_concentration
+
+    wide = spark.range(20_000).select(
+        F.col("id").alias("u"), (F.col("id") % 97).cast("long").alias("v")
+    )
+    out = gini_concentration(wide, "u", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the unit-frame sort must happen INSIDE the range exchange; any plan
+    # text before the rangepartitioning marker sorting on x would be the
+    # old global single-partition window
+    assert "Sort [x" not in plan.split("rangepartitioning")[0], (
+        "unit-frame sort must happen inside the range exchange, not globally"
+    )
+    # exactness over many partitions
+    got = out.collect()[0]
+    per = {u: (u % 97) for u in range(20_000)}
+    pos = sorted((x, u) for u, x in per.items())
+    n, tot = len(pos), sum(x for x, _ in pos)
+    iwx = sum((i + 1) * x for i, (x, _) in enumerate(pos))
+    exp = ((2 * iwx - (n + 1) * tot) * 2000 + n * tot) // (n * tot * 2)
+    assert (got.n_units, got.total, got.gini_milli) == (n, tot, exp)
