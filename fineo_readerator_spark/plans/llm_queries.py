@@ -4542,7 +4542,7 @@ LLM_QUERIES = [
     QueryDef("s_embed_drift", s_embed_drift, _s_embed_drift_oracle()),
     QueryDef("p_curriculum", p_curriculum, _p_curriculum_oracle()),
     QueryDef("mm_media_meta", mm_media_meta, MM_META_ORACLE),
-    QueryDef("mm_byte_entropy", mm_byte_entropy, _mm_byte_entropy_oracle()),
+    QueryDef("mm_byte_entropy", mm_byte_entropy, _mm_byte_entropy_oracle(), bench=True),
     QueryDef("mm_dedup", mm_dedup, MM_DEDUP_ORACLE),
     QueryDef("mm_near_dup", mm_near_dup, _mm_near_dup_oracle(), bench=True),
     QueryDef("mm_decode_features", mm_decode_features, _mm_decode_oracle()),
@@ -4555,8 +4555,8 @@ LLM_QUERIES = [
     ),
     QueryDef("d_embed_lsh_dupes", d_embed_lsh_dupes, _d_embed_lsh_oracle()),
     QueryDef("d_minhash_pairs", d_minhash_pairs, _minhash_pairs_oracle()),
-    QueryDef("d_edit_verify", d_edit_verify, _d_edit_verify_oracle()),
-    QueryDef("d_cluster_purity", d_cluster_purity, _d_cluster_purity_oracle()),
+    QueryDef("d_edit_verify", d_edit_verify, _d_edit_verify_oracle(), bench=True),
+    QueryDef("d_cluster_purity", d_cluster_purity, _d_cluster_purity_oracle(), bench=True),
     QueryDef("d_dup_inflation", d_dup_inflation, _d_dup_inflation_oracle()),
     QueryDef("d_minhash_audit", d_minhash_audit, _d_minhash_audit_oracle()),
     QueryDef("d_cluster_sizes", d_cluster_sizes, _d_cluster_sizes_oracle()),
@@ -4602,8 +4602,8 @@ LLM_QUERIES = [
     QueryDef("t_ngram_diversity", t_ngram_diversity, _t_ngram_diversity_oracle()),
     QueryDef("t_token_entropy", t_token_entropy, _t_token_entropy_oracle()),
     QueryDef("t_zipf_fit", t_zipf_fit, _t_zipf_fit_oracle()),
-    QueryDef("t_code_detect", t_code_detect, _t_code_detect_oracle()),
-    QueryDef("t_ngram_novelty", t_ngram_novelty, _t_ngram_novelty_oracle()),
+    QueryDef("t_code_detect", t_code_detect, _t_code_detect_oracle(), bench=True),
+    QueryDef("t_ngram_novelty", t_ngram_novelty, _t_ngram_novelty_oracle(), bench=True),
     QueryDef("t_bpe_merges", t_bpe_merges, _t_bpe_merges_oracle()),
     QueryDef("t_pii_scrub", t_pii_scrub, _t_pii_scrub_oracle()),
     QueryDef("t_pii_extract", t_pii_extract, _t_pii_extract_oracle()),

@@ -1658,10 +1658,10 @@ RELATIONAL_QUERIES = [
     QueryDef("q_entity_soundex", q_entity_soundex, _q_entity_soundex_oracle()),
     QueryDef("q_transitions", q_transitions, _q_transitions_oracle(), bench=True),
     QueryDef("q_cusum_shift", q_cusum_shift, _q_cusum_shift_oracle()),
-    QueryDef("q_changepoint", q_changepoint, _q_changepoint_oracle()),
+    QueryDef("q_changepoint", q_changepoint, _q_changepoint_oracle(), bench=True),
     QueryDef("q_did", q_did, _q_did_oracle()),
     QueryDef("q_cohort_ltv", q_cohort_ltv, _q_cohort_ltv_oracle()),
-    QueryDef("q_gini", q_gini, _q_gini_oracle()),
+    QueryDef("q_gini", q_gini, _q_gini_oracle(), bench=True),
     QueryDef("q_cooccur_lift", q_cooccur_lift, _q_cooccur_lift_oracle(), bench=True),
     QueryDef("q_ewma_smooth", q_ewma_smooth, _q_ewma_smooth_oracle()),
     QueryDef("q_lateral_topn", q_lateral_topn, Q_LATERAL_TOPN_ORACLE),
