@@ -591,17 +591,33 @@ def _measure(spark, ops, legs) -> dict:
             # 0.62→0.83 across same-code runs).  The median is stable
             # against one lucky/unlucky run in either direction, and the
             # spread is recorded so a noisy row is visible in the table.
+            # r11 spread fix: the two heavy text rows (span_overlap, tfidf)
+            # swung ±22-24 s at 100× — per-sample logs showed the swing is
+            # SELF-POLLUTION, not plan flips: each sample re-materializes the
+            # op's own multi-GB localCheckpoint blocks, and the async
+            # ContextCleaner releases sample k's blocks DURING sample k+1,
+            # so later samples run against a heap full of dying blocks (the
+            # same mechanism as the inter-op lesson below, one level down).
+            # For those rows: drain between SAMPLES too, and take 5 samples
+            # so the median sits on a 3-deep stable core.
+            heavy = any(h in name for h in _HEAVY_SPREAD_ROWS)
+            n_samples = 5 if heavy else 3
             samples, rows = [], 0
-            for _ in range(3):
+            for k in range(n_samples):
+                if k and heavy:
+                    _drain(spark)
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 rows = df.count()
                 samples.append(time.perf_counter() - t0)
+            raw = [round(s, 2) for s in samples]
             samples.sort()
-            med, spread = samples[1], samples[2] - samples[0]
+            med = samples[n_samples // 2]
+            spread = samples[-1] - samples[0]
             results[name][tag] = (round(med, 3), rows, round(spread, 3))
             print(
-                f"{name:50s} {tag:>4s}: {med:7.3f}s ±{spread:6.3f}  ({rows} rows)",
+                f"{name:50s} {tag:>4s}: {med:7.3f}s ±{spread:6.3f}  ({rows} rows)"
+                f"  samples={raw}",
                 file=sys.stderr,
             )
             # the bench.py lesson: shared-JVM cache blocks (incl. prior runs'
@@ -612,12 +628,23 @@ def _measure(spark, ops, legs) -> dict:
             # later op's AQE broadcast because tfidf's 9M-row checkpoint
             # blocks were still queued for cleanup — gc twice and give the
             # cleaner a beat to drain before the next op is measured
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(3)
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
+            _drain(spark)
     return results
+
+
+# rows whose 100× samples carry multi-GB of per-sample localCheckpoint
+# blocks; measured with inter-SAMPLE drains and a 5-sample median
+_HEAVY_SPREAD_ROWS = ("d_span_overlap", "d_tfidf_pairs")
+
+
+def _drain(spark) -> None:
+    """Drop cached relations and give the async ContextCleaner a beat to
+    actually release checkpoint/shuffle blocks before the next timing."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 
 
 def _semantic_dedup_lsh_knob(spark, sf_dir: str):
@@ -719,6 +746,21 @@ def x100_main() -> None:
         # row-local hash bits + two windows on one (id, pos) ordering
         # (10x α 0.10 — constant-dominated; confirm no hidden term)
         "p_span_corrupt": QUERIES["p_span_corrupt"].fn,
+        # ---- r11: the two 10x rows at/above α 0.5 taken to two decades ----
+        # banded-DP verification rung on the minhash candidate set: the DP
+        # cap and the repartition-to-width constant are exactly the kind of
+        # knobs only a second decade confirms (10x α 0.56, output-driven)
+        "d_edit_verify": QUERIES["d_edit_verify"].fn,
+        # the fixed last-3 blocking HAZARD row at two decades: block
+        # membership grows with the corpus on both sides, so in-block pairs
+        # grow ~quadratically — expected superlinear (the knob row above is
+        # the production shape; this row exists to SHOW the hazard's actual
+        # two-decade magnitude, 10x α 0.50)
+        "q_entity_match (fixed last-3 blocking)": _entity_match_fixed,
+        # r11: the rank is now a distributed two-pass (range partition +
+        # local row_number + offset rollup) — this row evidences that the
+        # Σi·x_i sort scales with partitions, not one executor's sort buffer
+        "q_gini (distributed rank)": QUERIES["q_gini"].fn,
     }
     results = _measure(spark, ops, ((SRC, "1x"), (str(FIXTURE100), "100x")))
 

@@ -230,3 +230,38 @@ def test_binary_changepoint_matches_duckdb(spark, rows):
         ).fetchall()
     )
     assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.one_of(series_rows, dense_rows))
+def test_gini_distributed_rank_matches_duckdb(spark, rows):
+    """r11: gini's Σi·x_i now comes from a range-partitioned two-pass rank
+    (local row_number + per-partition offsets) instead of a global
+    single-partition window — fuzz that the distributed decomposition is
+    EXACT against the oracle's plain global rank over random gappy/
+    negative/duplicate-unit event sets (duplicate (g, day) rows sum into
+    one unit total; negative totals must land in n_excluded on both
+    faces).  The (g, day) pair is treated as the unit key via a derived
+    unit id so tie-break order (x, u) is exercised across partitions."""
+    from fineo_readerator_spark.operators.cohort import (
+        gini_concentration,
+        gini_oracle_sql,
+    )
+
+    df, con = _series_tables(spark, rows)
+    # unit = g||day — many units, values collide heavily (rank ties)
+    units = df.selectExpr("concat(g, '#', day) AS u", "v")
+    got = sorted(
+        tuple(r) for r in gini_concentration(units, "u", "v").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            gini_oracle_sql("SELECT g || '#' || day AS u, v FROM t", "u", "v")
+        ).fetchall()
+    )
+    assert got == exp
