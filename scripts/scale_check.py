@@ -582,8 +582,23 @@ def _measure(spark, ops, legs) -> dict:
     for sf_dir, tag in legs:
         for name, fn in ops.items():
             # warm pass builds the per-dir layout caches (store, IVF cells,
-            # bucketed layout) — one-time index builds, not query cost
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # bucketed layout) — one-time index builds, not query cost.
+            # Heavy rows drain FIRST (their warm pass is where the
+            # leftover-block broadcast OOM actually fired), and any op's
+            # warm pass gets one deep-drain retry so a transient
+            # memory-pressure failure can't kill a 50-minute sweep
+            if any(h in name for h in _HEAVY_SPREAD_ROWS):
+                _drain(spark)
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:
+                print(
+                    f"{name} {tag}: warm pass failed ({type(e).__name__}) — "
+                    "deep-draining and retrying once",
+                    file=sys.stderr,
+                )
+                _drain(spark)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             # MEDIAN of 3 timed runs, not min-of-2: the r9 α-denominator
             # lesson — min() rewards whichever run hit the warmest cache
             # state, which on the 1× leg shrinks t₁ₓ and inflates α with
@@ -639,12 +654,25 @@ _HEAVY_SPREAD_ROWS = ("d_span_overlap", "d_tfidf_pairs")
 
 def _drain(spark) -> None:
     """Drop cached relations and give the async ContextCleaner a beat to
-    actually release checkpoint/shuffle blocks before the next timing."""
+    actually release checkpoint/shuffle blocks before the next timing.
+
+    Polls the JVM heap instead of a fixed two-GC ritual: checkpoint
+    blocks release only after the ContextCleaner processes the GC'd RDD
+    references, which can take several GC+drain cycles when the previous
+    op left multi-GB behind (run-A evidence: d_span_overlap's 100× warm
+    pass OOM'd its AQE broadcast right after five 9M-row tfidf samples —
+    the fixed ritual had not reclaimed enough heap)."""
     spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(3)
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2)
+    jvm = spark.sparkContext._jvm
+    rt = jvm.java.lang.Runtime.getRuntime()
+    used_prev = None
+    for _ in range(6):
+        jvm.System.gc()
+        time.sleep(2)
+        used = rt.totalMemory() - rt.freeMemory()
+        if used_prev is not None and used > used_prev * 0.98:
+            break  # heap stopped shrinking — cleaner has drained
+        used_prev = used
 
 
 def _semantic_dedup_lsh_knob(spark, sf_dir: str):
