@@ -811,6 +811,15 @@ def x100_main() -> None:
         "times.  Since r10 the timing is the MEDIAN of 3 runs with the",
         "max−min spread in the ± column; compare the RAW times and row",
         "counts across rounds, not α in isolation.",
+        "r11 heavy-row protocol: d_span_overlap / d_tfidf_pairs run a",
+        "5-sample median with a full cache-drain between SAMPLES — their",
+        "r10 ±22-24 s swings were self-pollution (each sample re-",
+        "materializes multi-GB localCheckpoint blocks that the async",
+        "ContextCleaner releases during the NEXT sample) plus occasional",
+        "in-sample GC stalls; the drains pin the median's 3-sample core to",
+        "within a few seconds across back-to-back runs (span 141.6→142.4 s,",
+        "α 0.84→0.85; tfidf α 0.61→0.63) while max−min still shows any",
+        "GC-stalled outlier sample honestly.",
         f"1-min load at start: {load1:.2f}.",
         "",
         "| operator | t(1x) s | ± | rows(1x) | t(100x) s | ± | rows(100x) | exponent α₁₀₀ |",
