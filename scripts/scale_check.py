@@ -583,11 +583,12 @@ def _measure(spark, ops, legs) -> dict:
         for name, fn in ops.items():
             # warm pass builds the per-dir layout caches (store, IVF cells,
             # bucketed layout) — one-time index builds, not query cost.
-            # Heavy rows drain FIRST (their warm pass is where the
-            # leftover-block broadcast OOM actually fired), and any op's
-            # warm pass gets one deep-drain retry so a transient
+            # Every big-leg op (and heavy rows at any leg) drains FIRST —
+            # run-B evidence: d_containment's 100× hash agg OOM'd the whole
+            # JVM on heap still holding five span samples' blocks — and any
+            # op's warm pass gets one deep-drain retry so a transient
             # memory-pressure failure can't kill a 50-minute sweep
-            if any(h in name for h in _HEAVY_SPREAD_ROWS):
+            if tag != "1x" or any(h in name for h in _HEAVY_SPREAD_ROWS):
                 _drain(spark)
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -801,6 +802,12 @@ def x100_main() -> None:
         "would alias replicas r and r+26 into exact cross-replica dups;",
         "rotation+sign-flip embeddings — norms and within-replica cosines",
         "preserved; key-offset orders/lineitem).  α₁₀₀ = log(t₁₀₀ₓ/t₁ₓ)/log(100).",
+        f"Single-JVM heap for this sweep: "
+        f"{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} — 100× of every",
+        "table in ONE local JVM is heap-bound in a way a real cluster is",
+        "not (aggregate executor memory scales with the fleet); a 24g heap",
+        "OOM'd d_containment's 100× hash agg after five span samples, so",
+        "the sweep drains before every big-leg warm pass and runs 48g.",
         "Semantic dedup runs the hyperplane-bucketed knob row at BOTH legs — the",
         "fixed-16-cell layout is the documented hazard (α 1.18 at 10×) and is",
         "deliberately not taken to 100×; its production shape is this row.",
