@@ -347,8 +347,13 @@ def cohort_ltv(
 
     Exact integers end to end: per-cell value sums, cohort sizes, and
     the cumulative window are all integer aggregates; ``cum_per_unit_
-    milli`` is the half-up milli division by the cohort size (counts are
-    positive, so truncation is convention-free).
+    milli`` is the half-up milli division by the cohort size.  The
+    DENOMINATOR (a count) is positive but the NUMERATOR
+    ``cum_v·2000 + n`` is SIGNED (negative cumulative value), so both
+    faces carry the explicit truncate-vs-floor correction (the
+    dyadic_ewma/DiD convention; without it ``cum_v=-1, n=3`` rendered
+    −332 instead of half-up −333 on both engines — parity held, the
+    stated convention didn't; r11 find).
 
     Scale shape: one (unit, bucket) aggregate over raw events, one
     unit-keyed min join (the retention_matrix shape), one (cohort, age)
@@ -380,8 +385,12 @@ def cohort_ltv(
             F.col("cum_v").cast("long").alias("cum_value"),
             F.col("n_cohort").cast("long").alias("n_cohort"),
             F.expr(
-                "cast((cast(cum_v as decimal(38,0)) * 2000 + n_cohort)"
-                " div (cast(n_cohort as decimal(38,0)) * 2) as bigint)"
+                "cast(((cast(cum_v as decimal(38,0)) * 2000 + n_cohort)"
+                " div (cast(n_cohort as decimal(38,0)) * 2))"
+                " - (case when (cast(cum_v as decimal(38,0)) * 2000 + n_cohort) < 0"
+                "      and (cast(cum_v as decimal(38,0)) * 2000 + n_cohort)"
+                "          % (cast(n_cohort as decimal(38,0)) * 2) != 0"
+                "     then 1 else 0 end) as bigint)"
             ).alias("cum_per_unit_milli"),
         )
     )
@@ -394,7 +403,8 @@ def cohort_ltv_oracle_sql(
     value_col: str,
 ) -> str:
     """DuckDB replay of :func:`cohort_ltv` — same cohorting, matrix
-    aggregate, running sum and half-up milli division."""
+    aggregate, running sum and half-up milli division with the signed
+    truncate-vs-floor correction (DuckDB ``//`` truncates too)."""
     return f"""
 WITH per AS (
   SELECT {unit_col} AS u, {bucket_col} AS b,
@@ -416,8 +426,12 @@ cum AS (
 SELECT c.cohort AS cohort, CAST(age AS BIGINT) AS age, cell_v AS bucket_value,
        CAST(cum_v AS BIGINT) AS cum_value,
        CAST(n_cohort AS BIGINT) AS n_cohort,
-       CAST((CAST(cum_v AS HUGEINT) * 2000 + n_cohort)
-            // (CAST(n_cohort AS HUGEINT) * 2) AS BIGINT) AS cum_per_unit_milli
+       CAST(((CAST(cum_v AS HUGEINT) * 2000 + n_cohort)
+            // (CAST(n_cohort AS HUGEINT) * 2))
+            - (CASE WHEN (CAST(cum_v AS HUGEINT) * 2000 + n_cohort) < 0
+                 AND (CAST(cum_v AS HUGEINT) * 2000 + n_cohort)
+                     % (CAST(n_cohort AS HUGEINT) * 2) != 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS cum_per_unit_milli
 FROM cum c JOIN sizes s ON c.cohort = s.cohort
 """
 

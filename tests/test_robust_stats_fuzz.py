@@ -265,3 +265,91 @@ def test_gini_distributed_rank_matches_duckdb(spark, rows):
         ).fetchall()
     )
     assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.one_of(series_rows, dense_rows))
+def test_diff_in_diff_signed_division_matches_duckdb(spark, rows):
+    """r11: DiD's one division is SIGNED (negative effects are half the
+    point) and carries the explicit truncate-vs-floor correction on both
+    faces — fuzz the full 4-cell rational over random gappy/negative
+    series, where treatment/period predicates derive from the fuzzed
+    group and bucket so empty cells (zero-row output) and negative
+    numerators both occur."""
+    import pyspark.sql.functions as F
+
+    from fineo_readerator_spark.operators.cohort import (
+        diff_in_diff,
+        diff_in_diff_oracle_sql,
+    )
+
+    df, con = _series_tables(spark, rows)
+    got = sorted(
+        tuple(r)
+        for r in diff_in_diff(
+            df.selectExpr("concat(g, '#', day % 3) AS u", "day", "v"),
+            "u",
+            "day",
+            "v",
+            treat_pred=F.expr("u like 'a%'"),
+            post_pred=F.expr("day >= 20"),
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            diff_in_diff_oracle_sql(
+                "SELECT g || '#' || (day % 3) AS u, day, v FROM t",
+                "u",
+                "v",
+                treat_sql="u LIKE 'a%'",
+                post_sql="day >= 20",
+            )
+        ).fetchall()
+    )
+    assert got == exp
+
+
+@settings(
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.one_of(series_rows, dense_rows))
+def test_cohort_ltv_matches_duckdb(spark, rows):
+    """r11: the LTV curve's running sum + half-up per-unit milli division
+    over random gappy/negative series — negative cumulative values make
+    ``cum_v * 2000 + n`` signed, so any truncate-vs-floor drift between
+    the faces shows up here; the (g, day%5)-derived unit key produces
+    many single-bucket cohorts and sparse ages."""
+    from fineo_readerator_spark.operators.cohort import (
+        cohort_ltv,
+        cohort_ltv_oracle_sql,
+    )
+
+    df, con = _series_tables(spark, rows)
+    got = sorted(
+        tuple(r)
+        for r in cohort_ltv(
+            df.selectExpr("concat(g, '#', day % 5) AS u", "day", "v"),
+            "u",
+            "day",
+            "v",
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            cohort_ltv_oracle_sql(
+                "SELECT g || '#' || (day % 5) AS u, day, v FROM t",
+                "u",
+                "day",
+                "v",
+            )
+        ).fetchall()
+    )
+    assert got == exp

@@ -622,6 +622,29 @@ def test_cohort_ltv_hand_values(spark):
     assert (out[(1, 0)].cum_value, out[(1, 0)].n_cohort) == (7, 1)
 
 
+def test_cohort_ltv_negative_half_up(spark):
+    """r11 find: the LTV numerator cum_v*2000 + n is SIGNED; without the
+    floor correction both engines rendered -1/3 as -332 milli instead of
+    half-up -333, and the exact -5/2 = -2500 as -2499.  Pin both."""
+    from fineo_readerator_spark.operators.cohort import cohort_ltv
+
+    # cohort of 3, cum_v = -1 at age 0 -> half-up(-333.33) = -333
+    rows = [(u, 0, v) for u, v in [("a", -1), ("b", 0), ("c", 0)]]
+    r = cohort_ltv(
+        spark.createDataFrame(rows, "u string, day long, v long"),
+        "u", "day", "v",
+    ).collect()[0]
+    assert (r.n_cohort, r.cum_value, r.cum_per_unit_milli) == (3, -1, -333)
+
+    # cohort of 2, cum_v = -5 -> EXACT -2500 (truncation gave -2499)
+    rows = [("a", 0, -2), ("b", 0, -3)]
+    r = cohort_ltv(
+        spark.createDataFrame(rows, "u string, day long, v long"),
+        "u", "day", "v",
+    ).collect()[0]
+    assert r.cum_per_unit_milli == -2500
+
+
 def test_gini_concentration_hand_values(spark):
     """Equal totals -> gini 0; one whale holding everything -> (n-1)/n;
     negative totals are excluded and counted."""
