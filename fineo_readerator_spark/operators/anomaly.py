@@ -523,11 +523,22 @@ def trend_slopes(
         denx > 0, F.round(num.cast("double") / denx.cast("double"), 6)
     )
     out = m.withColumn("slope", slope)
+    # 1e-9 pre-round before the final 1e-6 round (the theil_sen float
+    # discipline): the three-op double tail (slope·sx, subtract, divide)
+    # runs bit-identically on both engines, but its result can land within
+    # an ulp of an exact 1e-6 half (small n divides a 6-digit slope:
+    # e.g. −172.06704249999999 for the exact half −172.0670425), where
+    # Spark's shortest-repr HALF_UP and DuckDB's multiply-then-round
+    # disagree on the last digit.  Snapping to the 1e-9 grid first makes
+    # both faces round the same exact-half value (fuzz-found, r11).
     intercept = F.when(
         F.col("slope").isNotNull(),
         F.round(
-            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
-            / F.col("n").cast("double"),
+            F.round(
+                (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+                / F.col("n").cast("double"),
+                9,
+            ),
             6,
         ),
     )
@@ -586,8 +597,8 @@ sl AS (
 )
 SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_buckets, slope,
        CASE WHEN slope IS NOT NULL
-            THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                       / CAST(n AS DOUBLE), 6) END AS intercept,
+            THEN round(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE), 9), 6) END AS intercept,
        CASE WHEN denx > 0 AND deny > 0
             THEN round(CAST(num * num AS DOUBLE)
                        / CAST(denx * deny AS DOUBLE), 6) END AS r2
