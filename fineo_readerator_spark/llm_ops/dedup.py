@@ -118,6 +118,10 @@ def paragraph_dedup(
     from pyspark.sql.window import Window
 
     paras = paragraph_windows(text_col, para_tokens)
+    # NOT spread (measured, r11 optimization round): the tokenize+window
+    # stage runs ~0.75 s of CPU per task over 2 tasks locally, and adding
+    # a text-carrying repartition (plus its sort-before-repartition pass)
+    # cost more than it saved (d_paragraph_dedup 1.45 → 1.56 s A/B).
     exploded = (
         df.select(F.col(id_col).alias("__id"), paras.alias("__ps"))
         .filter(F.size("__ps") > 0)
@@ -636,7 +640,21 @@ def _components_min_label(ids: DataFrame, edges: DataFrame) -> DataFrame:
     spark = ids.sparkSession
     id_field = ids.schema["id"]
     schema = f"id {id_field.dataType.simpleString()}, label {id_field.dataType.simpleString()}"
-    touched = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    # Arrow path, not the pickled-RDD path: createDataFrame(list) plans a
+    # scan whose every task round-trips a Python worker to unpickle its
+    # slice — and this frame is consumed several times downstream, so each
+    # consumer re-paid ~32 near-idle tasks (measured: 0.3-0.7 s stages with
+    # ~0 CPU in every minhash-family query).  A pandas/Arrow local frame
+    # decodes in the JVM with no Python in the executed plan (guide §6:
+    # Arrow for driver transfers).
+    if rows:
+        import pandas as pd
+
+        touched = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "label"]), schema
+        )
+    else:
+        touched = spark.createDataFrame([], schema)
     untouched = ids.join(F.broadcast(touched.select("id")), "id", "left_anti").select(
         F.col("id"), F.col("id").alias("label")
     )

@@ -249,6 +249,10 @@ def byte_entropy(
     same key.  Output ``(id, size_bytes, n_distinct_bytes, entropy)``."""
     from pyspark.sql.window import Window
 
+    # NOT spread (measured, r11 optimization round): the hex/explode stage
+    # is ~0.4 s of CPU — below the ~0.3-0.5 s 32-task stage-overhead floor
+    # of local mode — and spreading regressed mm_byte_entropy 1.4 → 1.8 s
+    # A/B.  Clusters scan wide already.
     ex = df.select(
         F.col(id_col).alias("__id"),
         F.explode(

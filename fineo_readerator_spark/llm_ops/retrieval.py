@@ -325,6 +325,8 @@ def tfidf_cosine_pairs(
         )
     group_cols = group_cols or []
 
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
     base = df.select(
         F.col(id_col).alias("__id"),
         *[F.col(c) for c in group_cols],
@@ -347,7 +349,13 @@ def tfidf_cosine_pairs(
     ).cast("decimal(20,0)")
     # checkpointed for the same reason: three consumers (norms, both join
     # sides) would each redo the idf join
-    weighted = (
+    # _spread ONLY this checkpoint (measured, r11 optimization round): the
+    # postings self-join below reads `weighted` twice and ran 3.3 s of CPU
+    # over the 2 partitions AQE left here; spreading to core width on local
+    # masters parallelizes that dominant stage.  Spreading `base`/`tf` as
+    # well was a measured wash — their stages are ~0.3 s of CPU, below the
+    # 32-task stage-overhead floor.  No-op on clusters (wide frames).
+    weighted = _spread(
         tf.join(_maybe_broadcast(dfreq, min_df, max_vocab), "__term")
         .crossJoin(F.broadcast(n_docs))
         .select(

@@ -1413,6 +1413,11 @@ def dsir_select(
         return F.pmod(h.cast("long"), F.lit(n_buckets))
 
     def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+        # NOT spread (measured, r11 optimization round): each featurize
+        # stage is ~0.5 s of CPU — near the ~0.3-0.5 s 32-task
+        # stage-overhead floor of local mode — and spreading regressed
+        # p_dsir_select 1.2 s → 1.8 s A/B (extra exchanges on five
+        # sequential small stages).  Clusters scan wide already.
         cols = [F.col(id_col).alias("__id")] if with_id else []
         return df.select(*cols, F.explode(tokens(F.col(text_col))).alias("__tok")).select(
             *(["__id"] if with_id else []), feat(F.col("__tok")).alias("__f")

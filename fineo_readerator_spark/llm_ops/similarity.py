@@ -35,6 +35,37 @@ COSINE_SQL = (
 )
 
 
+def _widen_then_cut(df: DataFrame, *exprs: Column) -> DataFrame:
+    """``df.select(*exprs)`` with, on LOCAL masters only, a round-robin
+    repartition to core width BEFORE the projection and a lazy lineage cut
+    AFTER it — the edit_distance_verify pattern for CPU-heavy byte-light
+    projections (interpreted higher-order cosines over candidate pairs):
+
+    - a single small parquet file plus AQE's byte-based coalescing leaves
+      the pair stage at 1-2 partitions, serializing all the interpreted
+      per-pair arithmetic on one core (measured: the in-cell cosine stage
+      of d_semantic_dedup ran 2.8 s on 1 of 32 cores);
+    - the repartition alone is NOT enough: Catalyst pushes downstream
+      filters (and WindowGroupLimit partials) below a Repartition node and
+      re-evaluates the projection there, serialized again — the lazy
+      localCheckpoint pins the computation above the exchange and makes
+      downstream consumers read the stored column.
+
+    On a real cluster the candidate frame already has partitions ≫ cores,
+    the extra exchange+materialization would cost real shuffle/storage, and
+    the existing plan (map-side WindowGroupLimit, filter pushdown) is the
+    right one — so this is a strict no-op there, same contract as
+    ``dedup._spread``."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return (
+            df.repartition(sc.defaultParallelism)
+            .select(*exprs)
+            .localCheckpoint(eager=False)
+        )
+    return df.select(*exprs)
+
+
 def _vec_lit(vec: list[float]) -> Column:
     """Literal double array via ONE parsed SQL string — building it from N
     ``F.lit`` calls costs N py4j round-trips (~0.5 s of driver time per
@@ -170,7 +201,15 @@ def mmr_rerank(
             T.StructField("rel", T.DoubleType()),
         ]
     )
-    return df.sparkSession.createDataFrame(out, schema)
+    if not out:
+        return df.sparkSession.createDataFrame([], schema)
+    # Arrow local frame, not the pickled-RDD path (see
+    # dedup._components_min_label): no Python worker in the executed plan
+    import pandas as pd
+
+    return df.sparkSession.createDataFrame(
+        pd.DataFrame(out, columns=["rank", id_col, "rel"]), schema
+    )
 
 
 def _modal_dim(df: DataFrame, vec_col: str) -> int:
@@ -704,17 +743,22 @@ def semantic_dedup_assigned(
         F.col(vec_col).alias("v_b"),
         _norm(F.col(vec_col)).alias("__nb"),
     )
+    # _widen_then_cut spreads the interpreted per-pair cosine across cores
+    # on local masters (the pair stage otherwise AQE-coalesces to 1-2
+    # partitions and serializes) and lineage-cuts so the >= threshold
+    # filter reads the stored cos_sim instead of re-evaluating it below
+    # the exchange; a no-op on clusters.  Projection to (id_a, cos_sim)
+    # keeps the cut frame candidate-pair-sized scalars, never vectors.
+    scored = _widen_then_cut(
+        a.join(b, "__cell").filter(F.col("id_b") < F.col("id_a")),
+        F.col("id_a"),
+        F.round(
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
     dominated = (
-        a.join(b, "__cell")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb")),
-                round_digits,
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        scored.filter(F.col("cos_sim") >= threshold)
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )
@@ -1031,14 +1075,20 @@ def knn_graph(
     pairs = a.join(b, "__cell").filter(F.col("__nbr") != F.col("__src"))
     if neg_label_col is not None:
         pairs = pairs.filter(F.col("__la") != F.col("__lb"))
-    pairs = (
-        pairs.withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
-                round_digits,
-            ),
-        )
+    # _widen_then_cut: spread the interpreted per-pair cosine across cores
+    # on local masters (the in-cell join stage otherwise AQE-coalesces to
+    # one partition and the WindowGroupLimit partial drags the cosine down
+    # into it, serializing the whole candidate set on one core — measured
+    # 2.0 s of s_knn_graph's 2.6 s); no-op on clusters, where the map-side
+    # WindowGroupLimit over the naturally wide join is the right plan.
+    pairs = _widen_then_cut(
+        pairs,
+        F.col("__src"),
+        F.col("__nbr"),
+        F.round(
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("__src").orderBy(F.desc("cos_sim"), F.col("__nbr"))
     return (
@@ -2349,6 +2399,12 @@ def power_iteration_top(
         F.posexplode(vec_col).alias("__pos", "__x"),
     ).select("__id", "__pos", F.col("__x").cast("double").alias("__x"))
     mu = ex.groupBy("__pos").agg(F.round(F.avg("__x"), 6).alias("__m"))
+    # NOT spread (measured, r11 optimization round): the per-round stages
+    # over this frame are ~0.3 s of CPU each — below the ~0.3-0.5 s
+    # 32-task stage-overhead floor of local mode — and spreading the
+    # checkpoint made every one of the ~25 sequential round stages PAY
+    # that floor (s_top_direction regressed 2.9 s → 3.7 s A/B).  On a
+    # real cluster the scan is already wide.
     xc = (
         ex.join(F.broadcast(mu), "__pos")
         .select("__id", "__pos", (F.col("__x") - F.col("__m")).alias("__xc"))

@@ -597,7 +597,14 @@ def winnowing_fingerprints(
             out.append(np.unique(mins))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _fps(_win_norm(F.col(text_col), k)))
+    # spread the scan across cores on LOCAL masters before the UDF: a single
+    # small parquet file yields one input partition, serializing the whole
+    # rolling-hash pass on one core (measured: 3.3 s of d_span_overlap's
+    # 4.0 s ran in that one task); on a cluster the corpus has partitions
+    # ≫ cores and the repartition is skipped (dedup._spread contract)
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
+    return _spread(df).withColumn(out_col, _fps(_win_norm(F.col(text_col), k)))
 
 
 def winnowing_oracle_sql(
@@ -1164,8 +1171,16 @@ def quality_funnel(df: DataFrame, gates: list[tuple[str, Column]]) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed by the total AND the join
     )
     spark = df.sparkSession
+    # Arrow local frame, not the pickled-RDD path (see
+    # dedup._components_min_label): no Python worker in the executed plan
+    import pandas as pd
+
     stages = spark.createDataFrame(
-        [(i + 1, name) for i, (name, _) in enumerate(gates)], "stage int, gate string"
+        pd.DataFrame(
+            [(i + 1, name) for i, (name, _) in enumerate(gates)],
+            columns=["stage", "gate"],
+        ),
+        "stage int, gate string",
     )
     total = counts.agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__t"))
     w = (
@@ -1872,15 +1887,29 @@ def ngram_novelty(
     both sides shuffle on the 8-byte gram hash, AQE sizes the join;
     nothing is broadcast (the reference is corpus-scale, unlike
     decontaminate's bounded eval set)."""
-    from fineo_readerator_spark.llm_ops.dedup import shingle_hashes
+    from fineo_readerator_spark.llm_ops.dedup import _spread, shingle_hashes
 
     live = F.length(F.trim(F.col(text_col))) > 0
-    doc_sh = df.filter(live).select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingle_hashes(F.col(text_col), shingle_k, portable)).alias("__h"),
+    # _spread: one small parquet file = one input partition serializes the
+    # tokenize+hash pass on local masters (no-op on clusters); checkpoint:
+    # doc_sh feeds BOTH the denominator aggregate and the anti-join, and
+    # without the lineage cut Catalyst re-runs the shingle pass per subtree
+    # (two corpus passes instead of one — the span_overlap_pairs lesson,
+    # measured here as twin 1.25 s single-task stages)
+    doc_sh = (
+        _spread(df.filter(live).select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                shingle_hashes(F.col(text_col), shingle_k, portable)
+            ).alias("__h"),
+        )
+        .localCheckpoint(eager=False)
     )
     ref_sh = (
-        ref.filter(F.length(F.trim(F.col(text_col))) > 0)
+        _spread(
+            ref.filter(F.length(F.trim(F.col(text_col))) > 0).select(text_col)
+        )
         .select(
             F.explode(
                 shingle_hashes(F.col(text_col), shingle_k, portable)

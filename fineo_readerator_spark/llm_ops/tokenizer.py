@@ -213,8 +213,20 @@ def bpe_merges(
 
     Stops early (fewer rows) if the corpus runs out of adjacent pairs."""
     rows = train_bpe(df, text_col, n_merges, vocab_size)
+    schema = "step int, pair_left string, pair_right string, merged string, pair_count long"
+    if not rows:
+        return df.sparkSession.createDataFrame([], schema)
+    # Arrow local frame, not the pickled-RDD path: list-based createDataFrame
+    # plans a scan whose every task round-trips a Python worker, re-paid on
+    # each consumption of the merge table (see dedup._components_min_label)
+    import pandas as pd
+
     return df.sparkSession.createDataFrame(
-        rows, "step int, pair_left string, pair_right string, merged string, pair_count long"
+        pd.DataFrame(
+            rows,
+            columns=["step", "pair_left", "pair_right", "merged", "pair_count"],
+        ),
+        schema,
     )
 
 

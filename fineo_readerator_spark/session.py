@@ -87,6 +87,12 @@ _PERF_CONF_DEFAULTS = {
     # observed at 200 vs ~3s at core count).  On a real cluster this is
     # sized to total executor cores instead.
     "spark.sql.shuffle.partitions": ("200", str(DEFAULT_SHUFFLE_PARTITIONS)),
+    # Arrow for driver<->executor transfers (createDataFrame/toPandas):
+    # off by default on a vanilla session, which silently routes the
+    # driver-built frames (union-find labels, codebooks, catalogs) through
+    # pickled RDDs whose every task round-trips a Python worker.  Results
+    # are identical; only the serialization path changes.
+    "spark.sql.execution.arrow.pyspark.enabled": ("false", "true"),
 }
 
 
