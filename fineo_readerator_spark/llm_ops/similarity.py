@@ -35,37 +35,6 @@ COSINE_SQL = (
 )
 
 
-def _widen_then_cut(df: DataFrame, *exprs: Column) -> DataFrame:
-    """``df.select(*exprs)`` with, on LOCAL masters only, a round-robin
-    repartition to core width BEFORE the projection and a lazy lineage cut
-    AFTER it — the edit_distance_verify pattern for CPU-heavy byte-light
-    projections (interpreted higher-order cosines over candidate pairs):
-
-    - a single small parquet file plus AQE's byte-based coalescing leaves
-      the pair stage at 1-2 partitions, serializing all the interpreted
-      per-pair arithmetic on one core (measured: the in-cell cosine stage
-      of d_semantic_dedup ran 2.8 s on 1 of 32 cores);
-    - the repartition alone is NOT enough: Catalyst pushes downstream
-      filters (and WindowGroupLimit partials) below a Repartition node and
-      re-evaluates the projection there, serialized again — the lazy
-      localCheckpoint pins the computation above the exchange and makes
-      downstream consumers read the stored column.
-
-    On a real cluster the candidate frame already has partitions ≫ cores,
-    the extra exchange+materialization would cost real shuffle/storage, and
-    the existing plan (map-side WindowGroupLimit, filter pushdown) is the
-    right one — so this is a strict no-op there, same contract as
-    ``dedup._spread``."""
-    sc = df.sparkSession.sparkContext
-    if sc.master.startswith("local"):
-        return (
-            df.repartition(sc.defaultParallelism)
-            .select(*exprs)
-            .localCheckpoint(eager=False)
-        )
-    return df.select(*exprs)
-
-
 def _vec_lit(vec: list[float]) -> Column:
     """Literal double array via ONE parsed SQL string — building it from N
     ``F.lit`` calls costs N py4j round-trips (~0.5 s of driver time per
@@ -743,14 +712,24 @@ def semantic_dedup_assigned(
         F.col(vec_col).alias("v_b"),
         _norm(F.col(vec_col)).alias("__nb"),
     )
-    # _widen_then_cut spreads the interpreted per-pair cosine across cores
-    # on local masters (the pair stage otherwise AQE-coalesces to 1-2
-    # partitions and serializes) and lineage-cuts so the >= threshold
-    # filter reads the stored cos_sim instead of re-evaluating it below
-    # the exchange; a no-op on clusters.  Projection to (id_a, cos_sim)
-    # keeps the cut frame candidate-pair-sized scalars, never vectors.
-    scored = _widen_then_cut(
-        a.join(b, "__cell").filter(F.col("id_b") < F.col("id_a")),
+    # On LOCAL masters, widen the probe side and BROADCAST the build side so
+    # the pair production + interpreted cosine run inside the a-side's
+    # core-width partitions: the plain cell-keyed join plans as a sort-merge
+    # over two byte-tiny exchanges that AQE coalesces to 1-2 partitions,
+    # serializing all O(Σ|cell|²) pair arithmetic on 1-2 cores — and the
+    # previous fix (round-robin repartition of the JOINED pair frame) moved
+    # a pair-sized frame carrying BOTH vectors through the exchange
+    # (measured 267 MB shuffled at sf0.1 from a 2-task map stage).  With
+    # broadcast+wide-a, no pair-sized bytes ever cross an exchange and no
+    # stage runs narrower than core width.  On a real cluster the b side is
+    # corpus-sized (never broadcastable) and the cell-keyed shuffle join
+    # over partitions ≫ cores is the right plan — keep it.
+    sc = assigned.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        paired = a.repartition(sc.defaultParallelism).join(F.broadcast(b), "__cell")
+    else:
+        paired = a.join(b, "__cell")
+    scored = paired.filter(F.col("id_b") < F.col("id_a")).select(
         F.col("id_a"),
         F.round(
             _dot(F.col("v_a"), F.col("v_b")) / (F.col("__na") * F.col("__nb")),
@@ -832,10 +811,13 @@ def semantic_dedup(
     # otherwise re-evaluate once per self-join side plus once for the final
     # anti-join — and counting the materialized blocks gives the sizing
     # gate its N without a second corpus scan (the gate still fires BEFORE
-    # any join work starts)
-    assigned = df.withColumn("cell", seeded_cell_expr(vec_col, seeds)).localCheckpoint(
-        eager=True
-    )
+    # any join work starts).  _spread: the argmin is interpreted
+    # O(C·dim)/row CPU that a 1-2 partition local scan would serialize.
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
+    assigned = _spread(df).withColumn(
+        "cell", seeded_cell_expr(vec_col, seeds)
+    ).localCheckpoint(eager=True)
     _gate_cell_sizing(
         assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
     )
@@ -887,7 +869,12 @@ def semantic_dedup_lsh(
     if n_planes < 1:
         raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     planes = _hyperplanes(dim, n_planes, seed)
-    assigned = df.withColumn(
+    # _spread: n_planes interpreted dot products per row — the dominant CPU
+    # of the whole operator at sf0.1 (measured multi-second on the 2-task
+    # local scan) — must not serialize on the input's 1-2 scan partitions
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
+    assigned = _spread(df).withColumn(
         "cell", hyperplane_signature(F.col(vec_col), planes).cast("long")
     ).localCheckpoint(eager=True)
     _gate_measured_occupancy(
@@ -1038,9 +1025,14 @@ def knn_graph(
         probes_col = probe_cells_expr(vec_col, seeds, n_probe)
     # one checkpointed assignment carries the probe LIST; the primary cell
     # is its first element, so n_probe == 1 degenerates to the plain
-    # single-cell graph with an identical plan shape
+    # single-cell graph with an identical plan shape.  _spread: the probe
+    # argmin is interpreted O(C·dim)/row CPU — don't serialize it on the
+    # input's 1-2 local scan partitions.
+    from fineo_readerator_spark.llm_ops.dedup import _spread
+
     assigned = (
-        df.withColumn("__probes", probes_col)
+        _spread(df)
+        .withColumn("__probes", probes_col)
         .withColumn("__cell", F.col("__probes")[0])
         .localCheckpoint(eager=True)
     )
@@ -1072,17 +1064,23 @@ def knn_graph(
         b_cols.append(F.col(neg_label_col).alias("__lb"))
     a = assigned.select(*a_cols).filter(F.col("__na") > 0)
     b = assigned.select(*b_cols).filter(F.col("__nb") > 0)
-    pairs = a.join(b, "__cell").filter(F.col("__nbr") != F.col("__src"))
+    # Same local-only join shape as semantic_dedup_assigned: widen the probe
+    # side, broadcast the neighbor side, so the in-cell pair explosion, the
+    # interpreted cosine AND the map-side WindowGroupLimit partial all run
+    # at core width (the plain cell join AQE-coalesces to one partition and
+    # the top-k partial drags the cosine into that one task — measured
+    # 2.0 s of s_knn_graph's 2.6 s; the interim widen-of-the-pair-frame fix
+    # shuffled 134 MB of paired vectors from a 1-task map stage).  On a
+    # cluster the neighbor side is corpus-sized: keep the shuffle join.
+    sc = assigned.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        joined = a.repartition(sc.defaultParallelism).join(F.broadcast(b), "__cell")
+    else:
+        joined = a.join(b, "__cell")
+    pairs = joined.filter(F.col("__nbr") != F.col("__src"))
     if neg_label_col is not None:
         pairs = pairs.filter(F.col("__la") != F.col("__lb"))
-    # _widen_then_cut: spread the interpreted per-pair cosine across cores
-    # on local masters (the in-cell join stage otherwise AQE-coalesces to
-    # one partition and the WindowGroupLimit partial drags the cosine down
-    # into it, serializing the whole candidate set on one core — measured
-    # 2.0 s of s_knn_graph's 2.6 s); no-op on clusters, where the map-side
-    # WindowGroupLimit over the naturally wide join is the right plan.
-    pairs = _widen_then_cut(
-        pairs,
+    pairs = pairs.select(
         F.col("__src"),
         F.col("__nbr"),
         F.round(

@@ -223,7 +223,8 @@ def main() -> None:
             for sid, st in top:
                 print(
                     f"   stage {sid}: wall={st['wall_ms']}ms run={st['run_ms']}ms "
-                    f"tasks={st['n_tasks']} sR={st['shuffle_read']} sW={st['shuffle_write']} "
+                    f"cpu={st['cpu_ms']}ms tasks={st['n_tasks']} "
+                    f"sR={st['shuffle_read']} sW={st['shuffle_write']} "
                     f" {st['name']}"
                 )
 
