@@ -611,10 +611,15 @@ def _components_min_label(ids: DataFrame, edges: DataFrame) -> DataFrame:
     which costs a full job at any scale.  Bigger graphs use pointer-doubling
     min-label propagation, which never materializes more than (node, label)
     pairs per round."""
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    # one job decides the path AND fetches the edges: limit(MAX+1) over the
-    # checkpointed set returns everything when the graph fits (n <= MAX rows
-    # means nothing was truncated) and a cheap overflow signal when it doesn't
+    # LAZY checkpoint + collect, not eager + collect: the eager variant
+    # materialized every edge partition in one pass and then re-read them in
+    # a second limit job — two synchronous driver waits per query for a
+    # frame the collect consumes whole anyway.  The lazy cut still persists
+    # partitions as the collect computes them (the fallback path below reads
+    # the stored blocks, or recomputes the rare overflow remainder), and the
+    # limit(MAX+1) over it returns everything when the graph fits (n <= MAX
+    # rows means nothing was truncated) plus a cheap overflow signal when not.
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=False)
     collected = edges.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
     if len(collected) > _DRIVER_CC_MAX_EDGES:
         return _propagate_min_label(ids, edges)
@@ -963,15 +968,21 @@ def simhash_dedup(
         "chunk_idx", "chunk", F.col("id").alias("id_b"),
         F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"),
     )
+    # hamming filter BEFORE the dropDuplicates exchange: the verify is a
+    # per-row bit_count on columns already in hand, while the dedup is a
+    # shuffle — filtering first sends only true near-dup pairs (and only
+    # their ids) through it instead of every bucket collision carrying four
+    # signature halves (guide §2.3).  Same pairs out: the hamming predicate
+    # is functionally determined by (id_a, id_b).
     pairs = (
         left.join(right, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(
             (hamming64(F.col("lo_a"), F.col("lo_b")) + hamming64(F.col("hi_a"), F.col("hi_b")))
             <= max_hamming
         )
         .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     ids = df.select(F.col(id_col).alias("id"))
     labels = _components_min_label(ids, pairs)

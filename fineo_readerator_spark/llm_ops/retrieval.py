@@ -367,9 +367,14 @@ def tfidf_cosine_pairs(
     ).localCheckpoint(eager=False)
     # docs whose every term is corpus-universal (idf quantizes to 0) have a
     # zero norm; their cosine is 0/0 = NaN, which BOTH engines order above
-    # the threshold — exclude them as unscorable instead
+    # the threshold — exclude them as unscorable instead.  Grouping by
+    # (__id, group) is value-identical to (__id): a doc id carries exactly
+    # one group (group_cols are attributes of the doc row — the same
+    # uniqueness the id_a < id_b pairing already assumes), so the extra
+    # keys split nothing; they ride along here so the PAIR aggregation
+    # below never has to carry them.
     norms = (
-        weighted.groupBy("__id")
+        weighted.groupBy("__id", *group_cols)
         .agg(F.sum(F.col("__w") * F.col("__w")).alias("__norm2"))
         .filter(F.col("__norm2") > 0)
     )
@@ -379,13 +384,23 @@ def tfidf_cosine_pairs(
     wb = weighted.select(
         *group_cols, F.col("__term"), F.col("__id").alias("id_b"), F.col("__w").alias("__wb")
     )
+    # the pair aggregation groups by (id_a, id_b) ONLY: every join row of a
+    # given pair shares one group value (the join equi-keys include the
+    # group and id_a determines it), so adding group_cols to the keys splits
+    # nothing — it only widens the biggest exchange of the operator (the
+    # partial-aggregated pair frame, measured 56 MB at sf0.1 with the group
+    # strings vs 42 MB without) and makes every map-side hash/compare pay
+    # string work per pair row (guide §2.3: shuffle keys, not payloads).
+    # The group is re-attached from the id_a norm row below, for free.
     dots = (
         wa.join(wb, [*group_cols, "__term"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy(*group_cols, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
     )
-    na = norms.select(F.col("__id").alias("id_a"), F.col("__norm2").alias("__na2"))
+    na = norms.select(
+        F.col("__id").alias("id_a"), *group_cols, F.col("__norm2").alias("__na2")
+    )
     nb = norms.select(F.col("__id").alias("id_b"), F.col("__norm2").alias("__nb2"))
     cos = F.round(
         F.col("__dot").cast("double")

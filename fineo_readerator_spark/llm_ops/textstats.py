@@ -546,7 +546,12 @@ def _win_norm(col: Column, k: int) -> Column:
 
 
 def winnowing_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4, out_col: str = "fps"
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    out_col: str = "fps",
+    spread: bool = True,
 ) -> DataFrame:
     """MOSS-style document fingerprints: polynomial rolling hash over char
     k-grams, minimum per window of ``w`` consecutive hashes, distinct-sorted.
@@ -601,10 +606,15 @@ def winnowing_fingerprints(
     # small parquet file yields one input partition, serializing the whole
     # rolling-hash pass on one core (measured: 3.3 s of d_span_overlap's
     # 4.0 s ran in that one task); on a cluster the corpus has partitions
-    # ≫ cores and the repartition is skipped (dedup._spread contract)
+    # ≫ cores and the repartition is skipped (dedup._spread contract).
+    # ``spread=False`` opts a KNOWN-TINY side out (contamination's eval
+    # benchmark): fanning ~100 rows over core width pays a full near-idle
+    # 32-task stage (measured: 7.1 s of summed run, 0.2 s of CPU) where the
+    # single-partition UDF pass is milliseconds.
     from fineo_readerator_spark.llm_ops.dedup import _spread
 
-    return _spread(df).withColumn(out_col, _fps(_win_norm(F.col(text_col), k)))
+    base = _spread(df) if spread else df
+    return base.withColumn(out_col, _fps(_win_norm(F.col(text_col), k)))
 
 
 def winnowing_oracle_sql(
@@ -684,7 +694,9 @@ def contamination_pairs(
     tf = winnowing_fingerprints(train_df, text_col, k, w).select(
         F.col(id_col).alias("train_id"), F.explode("fps").alias("fp")
     )
-    ef = winnowing_fingerprints(eval_df, text_col, k, w).select(
+    # eval side is tiny by construction (a benchmark): skip the core-width
+    # spread — it costs a near-idle 32-task stage locally and nothing anywhere
+    ef = winnowing_fingerprints(eval_df, text_col, k, w, spread=False).select(
         F.col(id_col).alias("eval_id"), F.explode("fps").alias("fp")
     )
     return (
@@ -1866,6 +1878,7 @@ def ngram_novelty(
     text_col: str = "text",
     shingle_k: int = 3,
     portable: bool = False,
+    ref_pred: Column | None = None,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
     half-up ppm share of a document's distinct word-``shingle_k``-grams
@@ -1886,7 +1899,17 @@ def ngram_novelty(
     hash-keyed left-anti join (reference grams deduplicated first) —
     both sides shuffle on the 8-byte gram hash, AQE sizes the join;
     nothing is broadcast (the reference is corpus-scale, unlike
-    decontaminate's bounded eval set)."""
+    decontaminate's bounded eval set).
+
+    ``ref_pred``: when the reference is a pure row-subset of ``df``
+    (``ref == df.filter(ref_pred)`` with the predicate expressed over
+    this function's internal ``__id`` alias of ``id_col``), pass the
+    predicate and the reference grams are carved out of the one shared
+    checkpointed doc-side pass instead of re-tokenizing and re-hashing
+    the subset from scratch — the whole reference-side shingle stage
+    disappears (``ref`` itself is then ignored).  Values are identical
+    by construction: the doc side applies the same liveness filter and
+    the same distinct-per-doc shingle hashing the reference pass would."""
     from fineo_readerator_spark.llm_ops.dedup import _spread, shingle_hashes
 
     live = F.length(F.trim(F.col(text_col))) > 0
@@ -1906,17 +1929,20 @@ def ngram_novelty(
         )
         .localCheckpoint(eager=False)
     )
-    ref_sh = (
-        _spread(
-            ref.filter(F.length(F.trim(F.col(text_col))) > 0).select(text_col)
+    if ref_pred is not None:
+        ref_sh = doc_sh.filter(ref_pred).select("__h").distinct()
+    else:
+        ref_sh = (
+            _spread(
+                ref.filter(F.length(F.trim(F.col(text_col))) > 0).select(text_col)
+            )
+            .select(
+                F.explode(
+                    shingle_hashes(F.col(text_col), shingle_k, portable)
+                ).alias("__h")
+            )
+            .distinct()
         )
-        .select(
-            F.explode(
-                shingle_hashes(F.col(text_col), shingle_k, portable)
-            ).alias("__h")
-        )
-        .distinct()
-    )
     tot = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
     unseen = (
         doc_sh.join(ref_sh, "__h", "left_anti")

@@ -4250,9 +4250,13 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 10 == 0)
-    return ngram_novelty(docs, ref, "doc_id", "text", portable=True).orderBy(
-        "doc_id"
-    )
+    # ref is a pure row-subset of docs, so ref_pred carves the reference
+    # grams out of the one shared shingle pass instead of re-hashing the
+    # slice (r11: removed a second full-corpus-CPU shingle stage)
+    return ngram_novelty(
+        docs, ref, "doc_id", "text", portable=True,
+        ref_pred=F.col("__id") % 10 == 0,
+    ).orderBy("doc_id")
 
 
 def _t_ngram_novelty_oracle() -> str:
