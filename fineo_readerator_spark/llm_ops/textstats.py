@@ -1943,20 +1943,34 @@ def ngram_novelty(
             )
             .distinct()
         )
-    tot = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
-    unseen = (
-        doc_sh.join(ref_sh, "__h", "left_anti")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__u"))
-    )
+    # ONE aggregation, not (total agg) + (anti-join + agg) + rejoin: a LEFT
+    # join against the distinct reference hashes marks each gram seen/unseen
+    # in place, so a single per-doc aggregate yields both counts.  The old
+    # three-branch shape also made the denominator aggregate a sibling stage
+    # of the reference build — the Spark scheduler runs sibling stages
+    # concurrently, and concurrent stages each recompute a lazily
+    # checkpointed parent (measured: the shingle pass ran ~twice, twin
+    # 32-task stages of 12.0 s and 11.6 s summed CPU).  With the join as the
+    # only doc_sh consumer the broadcast build (ref_sh) materializes the
+    # checkpoint first and the probe reads stored blocks — one corpus pass,
+    # one exchange, same integers out: ref_sh is distinct so the left join
+    # preserves row multiplicity, count(*) is the old denominator, and the
+    # null-hit count is exactly the anti-join's row count (0 instead of the
+    # old NULL for fully-seen docs — the old code coalesced it to 0 anyway).
+    hits = ref_sh.select("__h", F.lit(1).alias("__hit"))
     return (
-        tot.join(unseen, "__id", "left")
+        doc_sh.join(hits, "__h", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__hit").isNull(), F.lit(1))).alias("__u"),
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce("__u", F.lit(0)).cast("long").alias("n_unseen"),
+            F.col("__u").cast("long").alias("n_unseen"),
             F.expr(
-                "cast((cast(coalesce(__u, 0) as decimal(38,0)) * 2000000 + n_grams)"
+                "cast((cast(__u as decimal(38,0)) * 2000000 + n_grams)"
                 " div (cast(n_grams as decimal(38,0)) * 2) as bigint)"
             ).alias("novelty_ppm"),
         )

@@ -579,8 +579,21 @@ def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_text_stats(corpus, "text")
     good = scored.filter(F.col("quality_score") >= 0.5)
     fp = text_fingerprint(good, "text")
-    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    clean = fp.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    # min-id-per-fingerprint via ONE window pass, not groupBy + self
+    # semi-join: the join formulation re-evaluated the whole
+    # scan→stats→fingerprint subtree once per join side (measured: twin
+    # 32-task stages of ~8 s summed CPU each), while row_number() = 1 is
+    # one pass and one exchange — WindowGroupLimit keeps the per-mapper
+    # top-1, so the shuffle carries ~one row per fingerprint.  Same rows
+    # out: doc_id is unique, so rank 1 by doc_id IS the min-id row.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    clean = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     return clean.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         # cast pinned on BOTH sides: DuckDB sum(int) is HUGEINT, Spark's is
