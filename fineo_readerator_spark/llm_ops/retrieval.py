@@ -68,8 +68,17 @@ def bm25_topk(
         .groupBy("__id", "__dl", "__term")
         .agg(F.count("*").alias("__tf"))
     )
-    # per-term document frequency: ≤ |query terms| rows — broadcast
-    dfreq = postings.groupBy("__term").agg(F.count("*").alias("__df"))
+    # per-term document frequency as a WINDOW over the aggregated postings
+    # instead of a groupBy branch + broadcast join: the dfreq branch would
+    # re-evaluate the whole scan→tokenize→explode subtree (AQE exchange
+    # reuse cannot fire — the branches prune different columns), so this
+    # turns three corpus tokenize passes into two; the window's (term)
+    # exchange carries only the matching postings (r11 optimization round)
+    from pyspark.sql.window import Window
+
+    postings = postings.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__term"))
+    )
     one = F.lit(1.0)
     idf = F.log(
         one + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
@@ -83,8 +92,7 @@ def bm25_topk(
         )
     )
     scored = (
-        postings.join(F.broadcast(dfreq), ["__term"])
-        .crossJoin(F.broadcast(stats))
+        postings.crossJoin(F.broadcast(stats))
         .withColumn("__s", idf * tf_norm)
         .groupBy("__id")
         .agg(
