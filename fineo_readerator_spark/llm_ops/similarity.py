@@ -2413,11 +2413,19 @@ def power_iteration_top(
         return F.sum(F.round(prod, 12).cast("decimal(38,12)")).cast("double")
 
     v0 = 1.0 / math.sqrt(float(dim))
-    v = mu.select("__pos", F.lit(v0).alias("__val"))
+    # round 1's iterate is the CONSTANT 1/sqrt(dim): multiply by the literal
+    # instead of broadcast-joining a frame whose value column is that same
+    # literal everywhere — one less broadcast build + join, products
+    # bit-identical (r11 optimization round, guide §2.4)
+    v: DataFrame | None = None
     d = None
     for _ in range(n_iters):
         d = (
-            xc.join(F.broadcast(v), "__pos")
+            xc.groupBy("__id").agg(
+                _dsum(F.col("__xc") * F.lit(v0)).alias("__d")
+            )
+            if v is None
+            else xc.join(F.broadcast(v), "__pos")
             .groupBy("__id")
             .agg(_dsum(F.col("__xc") * F.col("__val")).alias("__d"))
         )
@@ -2439,7 +2447,15 @@ def power_iteration_top(
             )
             .localCheckpoint(eager=False)
         )
-    # variance along the final direction needs d against the FINAL iterate
+    # variance along the final direction needs d against the FINAL iterate.
+    # NOT folded into one per-id pass with var_total (measured, r11
+    # optimization round): sharing the aggregate is value-identical
+    # (order-independent decimal sums) and halves the plan (23 -> 13
+    # operators), but locally the top/tot branches run as CONCURRENT
+    # sibling stages on idle cores while the merged pass serializes both
+    # sums into one narrow stage — alternating idle A/B, min of 3:
+    # 2.67 s -> 3.03 s.  At cluster scale (wide frames, busy cores) the
+    # one-pass shape is the win; re-evaluate there.
     d = (
         xc.join(F.broadcast(v), "__pos")
         .groupBy("__id")
