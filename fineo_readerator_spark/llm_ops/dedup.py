@@ -1557,22 +1557,35 @@ def minhash_cluster_labels(
     operators return only the survivors.
 
     Exact-dup members inherit their representative's cluster: each row maps
-    to its min-id exact twin (one windowed min over the text hash — unlike
-    ``exact_dedup``'s rank filter this emits one row PER INPUT ROW, so the
-    exchange carries the corpus id+hash pairs: the unavoidable cost of a
-    full mapping output), which carries the label from the shared
-    clustering cascade (:func:`_minhash_rep_labels` — any cascade change
-    lands here too).  Scale adds one label join keyed on the rep id;
-    labels are one row per distinct text, not per corpus row."""
+    to its min-id exact twin, which carries the label from the clustering
+    cascade.  ONE md5 window produces BOTH faces of that (r12 optimization
+    round): the full (row → rep) map AND the representative set the
+    signature cascade runs on — ``row_number() = 1`` and ``min(id)`` over
+    the same text-hash partition, lazily checkpointed, so the window
+    executes once (materialized by the cascade's build-time edge collect)
+    instead of once in ``exact_dedup`` and again for the final mapping (the
+    two executions could never share work: Spark stage caches are
+    per-execution, and an extra lineage cut measured as a regression —
+    r11 "not yet optimized" list).  The checkpoint stores one row PER INPUT
+    ROW — the unavoidable cost of a full mapping output.  Scale adds one
+    label join keyed on the rep id; labels are one row per distinct text,
+    not per corpus row."""
     from pyspark.sql.window import Window
 
-    _, labels = _minhash_rep_labels(
-        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed, portable
+    wp = Window.partitionBy(F.md5(F.col(text_col)))
+    mapped_full = df.select(
+        "*",
+        F.row_number().over(wp.orderBy(F.col(id_col))).alias("__rn"),
+        F.min(id_col).over(wp).alias("__rep"),
+    ).localCheckpoint(eager=False)
+    # identical row set to exact_dedup(df): lowest-id row per exact text hash
+    reps = mapped_full.filter(F.col("__rn") == 1).drop("__rn", "__rep")
+    pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, num_hashes, bands, shingle_k, threshold, seed,
+        portable,
     )
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    mapped = df.select(
-        F.col(id_col), F.min(id_col).over(w).alias("__rep")
-    )
+    labels = _components_min_label(reps.select(F.col(id_col).alias("id")), pairs)
+    mapped = mapped_full.select(F.col(id_col), F.col("__rep"))
     # dataframe-qualified refs: with id_col == "id" the joined frame holds
     # TWO "id" columns (the caller's and the labels frame's) and a bare
     # F.col(id_col) is ambiguous

@@ -46,7 +46,17 @@ def bm25_topk(
     Scoring needs |d| of every MATCHING doc and corpus-level N/avgdl; both
     come from one token-length projection of the corpus — no second
     tokenize pass.  Query terms are matched lowercase-exact (the corpus
-    tokenizer's normalization)."""
+    tokenizer's normalization).
+
+    The corpus-stats branch deliberately re-tokenizes (two corpus passes
+    total): it needs ALL docs while scoring needs only matching docs, so
+    sharing one pass requires materializing per-doc state — the lineage
+    cut measured as a local regression (r11), and the zero-shuffle
+    row-local projection of per-term tfs measured WORSE twice: via
+    higher-order ``filter()`` (CodegenFallback, r11, ~+0.2 s) and via
+    ``size − size(array_remove)`` (r12: +37% on t_bm25_topk, +12% on
+    t_hybrid_rrf, idle A/B min-of-3) — the explode+isin postings path
+    stays."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
@@ -324,7 +334,19 @@ def tfidf_cosine_pairs(
 
     Scale shape: one tokenize pass; tf and df are map-side-combined
     aggregates; norms are one more per-doc aggregate; the join shuffles
-    postings on (group, term).  Everything is codegen'd JVM expressions."""
+    postings on (group, term).  Everything is codegen'd JVM expressions.
+
+    A prefix-filtered candidate cut (AllPairs/PPJoin, Bayardo et al. 2007
+    — index only each doc's (df ASC, term ASC)-ordered prefix where the
+    inclusive tail Σw² ≥ threshold²·‖w‖², verify candidates exactly) was
+    implemented and MEASURED AS A REJECTION in the r12 optimization round:
+    on this corpus the vocabulary is small and per-doc weights near-
+    uniform, so prefixes hold 61.7% of postings and prune only 3.4% of
+    distinct candidate pairs (159286 → 153920 at sf0.1) while adding a
+    per-doc window pass, a pair dedup and two verification joins — idle
+    A/B min-of-3: 2.313 → 3.259 s (+41%).  Results were byte-identical
+    (oracle MATCH); the shape only pays on zipfian vocabularies where
+    common terms dominate df² and carry low weight."""
     if not group_cols and not allow_ungrouped:
         raise ValueError(
             "tfidf_cosine_pairs without group_cols is an O(df^2)-per-term "

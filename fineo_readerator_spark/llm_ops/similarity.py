@@ -675,6 +675,39 @@ def _gate_cell_sizing(
         )
 
 
+# Local-master in-cell joins broadcast the whole build side — a corpus-wide
+# (id, vector, norm) projection.  Gate that on the MEASURED row count the
+# sizing gates already produce, not the master string alone (r11 verdict):
+# 2M rows of (id, 64-double vector, norm) ≈ 1.2 GiB framed — comfortably
+# under Spark's 8 GiB / 512M-row broadcast cap and the local driver heap,
+# and far above every gated cell layout this harness runs.  Above the bound
+# (or when no count is available) fall through to the plain cell-keyed
+# shuffle join, the cluster-scale shape.
+_LOCAL_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _in_cell_join(
+    a: DataFrame, b: DataFrame, key: str, n_build_rows: int | None
+) -> DataFrame:
+    """The in-cell pair join.  On local masters with a provably bounded
+    build side: widen the probe side to core width and BROADCAST the build
+    side, so pair production + interpreted cosine + any map-side
+    WindowGroupLimit partial run at core width and no pair-sized frame
+    crosses an exchange (the plain cell join AQE-coalesces its byte-tiny
+    exchanges to 1-2 partitions, serializing all O(Σ|cell|²) arithmetic).
+    Everywhere else — real clusters, `local-cluster[...]`, or an unknown /
+    over-bound build-side count — the cell-keyed shuffle join."""
+    sc = a.sparkSession.sparkContext
+    is_local = sc.master == "local" or sc.master.startswith("local[")
+    if (
+        is_local
+        and n_build_rows is not None
+        and n_build_rows <= _LOCAL_BROADCAST_MAX_ROWS
+    ):
+        return a.repartition(sc.defaultParallelism).join(F.broadcast(b), key)
+    return a.join(b, key)
+
+
 def semantic_dedup_assigned(
     assigned: DataFrame,
     id_col: str = "vec_id",
@@ -685,15 +718,21 @@ def semantic_dedup_assigned(
     n_cells: int | None = None,
     max_rows_per_cell: int = 100_000,
     allow_oversized_cells: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Core SemDeDup dominance rule over a frame that ALREADY carries its
     cell assignment — the path a persisted cell layout takes (assignment read
     back as a partition column, zero per-query argmin recompute; same
     materialize-once pattern as the IVF layout).  Pass ``n_cells`` so the
-    sizing gate can run without an extra distinct-count job."""
+    sizing gate can run without an extra distinct-count job.  ``n_rows``
+    (the input row count, when the caller already measured it) gates the
+    local-master broadcast join; with neither ``n_cells`` nor ``n_rows``
+    the conservative cell-keyed shuffle join is used."""
     if n_cells is not None:
+        if n_rows is None:
+            n_rows = assigned.count()
         _gate_cell_sizing(
-            assigned.count(), n_cells, max_rows_per_cell, allow_oversized_cells
+            n_rows, n_cells, max_rows_per_cell, allow_oversized_cells
         )
     # Precompute each row's norm ONCE: the in-cell join scores O(|cell|²)
     # pairs, and recomputing both norms per pair triples the dominant cost
@@ -712,23 +751,12 @@ def semantic_dedup_assigned(
         F.col(vec_col).alias("v_b"),
         _norm(F.col(vec_col)).alias("__nb"),
     )
-    # On LOCAL masters, widen the probe side and BROADCAST the build side so
-    # the pair production + interpreted cosine run inside the a-side's
-    # core-width partitions: the plain cell-keyed join plans as a sort-merge
-    # over two byte-tiny exchanges that AQE coalesces to 1-2 partitions,
-    # serializing all O(Σ|cell|²) pair arithmetic on 1-2 cores — and the
-    # previous fix (round-robin repartition of the JOINED pair frame) moved
-    # a pair-sized frame carrying BOTH vectors through the exchange
-    # (measured 267 MB shuffled at sf0.1 from a 2-task map stage).  With
-    # broadcast+wide-a, no pair-sized bytes ever cross an exchange and no
-    # stage runs narrower than core width.  On a real cluster the b side is
-    # corpus-sized (never broadcastable) and the cell-keyed shuffle join
-    # over partitions ≫ cores is the right plan — keep it.
-    sc = assigned.sparkSession.sparkContext
-    if sc.master.startswith("local"):
-        paired = a.repartition(sc.defaultParallelism).join(F.broadcast(b), "__cell")
-    else:
-        paired = a.join(b, "__cell")
+    # Broadcast-at-core-width on local masters, size-gated — see
+    # _in_cell_join (the broadcast side is the whole assigned projection;
+    # the previous widen-the-pair-frame fix moved 267 MB of paired vectors
+    # through an exchange from a 2-task map stage).  On a real cluster, or
+    # above the row bound, the cell-keyed shuffle join is the right plan.
+    paired = _in_cell_join(a, b, "__cell", n_rows)
     scored = paired.filter(F.col("id_b") < F.col("id_a")).select(
         F.col("id_a"),
         F.round(
@@ -818,11 +846,13 @@ def semantic_dedup(
     assigned = _spread(df).withColumn(
         "cell", seeded_cell_expr(vec_col, seeds)
     ).localCheckpoint(eager=True)
+    n_rows = assigned.count()
     _gate_cell_sizing(
-        assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
+        n_rows, n_centroids, max_rows_per_cell, allow_oversized_cells
     )
     return semantic_dedup_assigned(
-        assigned, id_col, vec_col, "cell", threshold, round_digits
+        assigned, id_col, vec_col, "cell", threshold, round_digits,
+        n_rows=n_rows,
     )
 
 
@@ -877,12 +907,15 @@ def semantic_dedup_lsh(
     assigned = _spread(df).withColumn(
         "cell", hyperplane_signature(F.col(vec_col), planes).cast("long")
     ).localCheckpoint(eager=True)
-    _gate_measured_occupancy(
+    n_rows = _gate_measured_occupancy(
         assigned, "cell", "semantic_dedup_lsh", max_rows_per_cell,
         allow_oversized_cells,
     )
+    if n_rows is None:  # gate skipped (allow_oversized): count is one cheap
+        n_rows = assigned.count()  # job over the materialized checkpoint
     return semantic_dedup_assigned(
-        assigned, id_col, vec_col, "cell", threshold, round_digits
+        assigned, id_col, vec_col, "cell", threshold, round_digits,
+        n_rows=n_rows,
     )
 
 
@@ -892,18 +925,26 @@ def _gate_measured_occupancy(
     op: str,
     max_rows_per_cell: int,
     allow_oversized_cells: bool,
-) -> None:
+) -> int | None:
     """Hyperplane buckets skew when the embedding distribution has a
     dominant mean direction (most rows share most sign bits), so the LSH
     paths gate on MEASURED occupancy, not the N/cells estimate the seeded
     paths use — one cheap agg over the checkpointed assignment, fired
     BEFORE the O(rows_per_cell²) in-cell join starts.  With
     ``allow_oversized_cells`` the agg itself is skipped (its result would
-    be discarded)."""
+    be discarded) and None is returned.  Returns the TOTAL row count
+    otherwise — callers reuse it to size-gate the local broadcast join
+    without a second job."""
     if allow_oversized_cells:
-        return
-    row = assigned.groupBy(cell_col).count().agg(F.max("count")).first()
+        return None
+    row = (
+        assigned.groupBy(cell_col)
+        .count()
+        .agg(F.max("count"), F.sum("count"))
+        .first()
+    )
     biggest = int(row[0] or 0)
+    total = int(row[1] or 0)
     if biggest > max_rows_per_cell:
         raise ValueError(
             f"{op} cell sizing: largest signature bucket holds "
@@ -913,6 +954,7 @@ def _gate_measured_occupancy(
             "(a dominant mean direction collapses sign bits), or pass "
             "allow_oversized_cells=True if the comparison volume is intended"
         )
+    return total
 
 
 def knn_graph(
@@ -1037,13 +1079,16 @@ def knn_graph(
         .localCheckpoint(eager=True)
     )
     if n_centroids is None:
-        _gate_measured_occupancy(
+        n_rows_assigned = _gate_measured_occupancy(
             assigned, "__cell", "knn_graph", max_rows_per_cell,
             allow_oversized_cells,
         )
+        if n_rows_assigned is None:  # gate skipped (allow_oversized):
+            n_rows_assigned = assigned.count()  # cheap post-checkpoint job
     else:
+        n_rows_assigned = assigned.count()
         _gate_cell_sizing(
-            assigned.count(), n_centroids, max_rows_per_cell, allow_oversized_cells
+            n_rows_assigned, n_centroids, max_rows_per_cell, allow_oversized_cells
         )
     # source side probes its n_probe nearest cells (boundary-recall pass);
     # neighbors stay in their PRIMARY cell, so a pair appears at most once
@@ -1064,19 +1109,13 @@ def knn_graph(
         b_cols.append(F.col(neg_label_col).alias("__lb"))
     a = assigned.select(*a_cols).filter(F.col("__na") > 0)
     b = assigned.select(*b_cols).filter(F.col("__nb") > 0)
-    # Same local-only join shape as semantic_dedup_assigned: widen the probe
-    # side, broadcast the neighbor side, so the in-cell pair explosion, the
-    # interpreted cosine AND the map-side WindowGroupLimit partial all run
-    # at core width (the plain cell join AQE-coalesces to one partition and
-    # the top-k partial drags the cosine into that one task — measured
+    # Same size-gated local broadcast shape as semantic_dedup_assigned —
+    # see _in_cell_join (the plain cell join AQE-coalesces to one partition
+    # and the top-k partial drags the cosine into that one task — measured
     # 2.0 s of s_knn_graph's 2.6 s; the interim widen-of-the-pair-frame fix
     # shuffled 134 MB of paired vectors from a 1-task map stage).  On a
-    # cluster the neighbor side is corpus-sized: keep the shuffle join.
-    sc = assigned.sparkSession.sparkContext
-    if sc.master.startswith("local"):
-        joined = a.repartition(sc.defaultParallelism).join(F.broadcast(b), "__cell")
-    else:
-        joined = a.join(b, "__cell")
+    # cluster, or above the row bound, the cell-keyed shuffle join.
+    joined = _in_cell_join(a, b, "__cell", n_rows_assigned)
     pairs = joined.filter(F.col("__nbr") != F.col("__src"))
     if neg_label_col is not None:
         pairs = pairs.filter(F.col("__la") != F.col("__lb"))
@@ -2420,15 +2459,16 @@ def power_iteration_top(
     v: DataFrame | None = None
     d = None
     for _ in range(n_iters):
-        d = (
-            xc.groupBy("__id").agg(
+        if v is None:
+            d = xc.groupBy("__id").agg(
                 _dsum(F.col("__xc") * F.lit(v0)).alias("__d")
             )
-            if v is None
-            else xc.join(F.broadcast(v), "__pos")
-            .groupBy("__id")
-            .agg(_dsum(F.col("__xc") * F.col("__val")).alias("__d"))
-        )
+        else:
+            d = (
+                xc.join(F.broadcast(v), "__pos")
+                .groupBy("__id")
+                .agg(_dsum(F.col("__xc") * F.col("__val")).alias("__d"))
+            )
         w = (
             xc.join(d, "__id")
             .groupBy("__pos")

@@ -927,6 +927,29 @@ def test_knn_graph_lsh_plan_is_codebook_free(spark, vectors):
     assert "array_min" not in plan and "named_struct" not in plan
 
 
+def test_in_cell_broadcast_is_size_gated(spark, vectors, monkeypatch):
+    """The local-master broadcast of the in-cell build side is gated on the
+    MEASURED row count, not the master string alone (r11 verdict): above
+    ``_LOCAL_BROADCAST_MAX_ROWS`` the operator falls back to the cell-keyed
+    shuffle join, with identical results."""
+    from fineo_readerator_spark.llm_ops import similarity
+    from fineo_readerator_spark.llm_ops.similarity import knn_graph
+
+    g_bc = knn_graph(vectors, k=2, n_planes=3)
+    plan_bc = g_bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_bc
+
+    monkeypatch.setattr(similarity, "_LOCAL_BROADCAST_MAX_ROWS", 0)
+    g_sj = knn_graph(vectors, k=2, n_planes=3)
+    plan_sj = g_sj._jdf.queryExecution().executedPlan().toString()
+    # the in-cell join must no longer be a planner-requested broadcast (AQE
+    # may still convert it at runtime from measured sizes — that is fine)
+    assert "BroadcastHashJoin" not in plan_sj
+    assert sorted(map(tuple, g_bc.collect())) == sorted(
+        map(tuple, g_sj.collect())
+    )
+
+
 def test_knn_graph_lsh_multiprobe_never_worse(spark, vectors):
     """LSH multiprobe (lowest-margin bit flip) searches a superset of each
     node's single-probe candidates: every node's best neighbor is at least
