@@ -460,7 +460,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # signature pass materialized once, not once per self-join side
+    # signature pass materialized once, not once per self-join side.
+    # Dropping this lineage cut to save its build-time toRdd was MEASURED
+    # AS A REJECTION in r12: AQE's stage cache does de-duplicate the four
+    # consumers' identical (id)-hash exchanges at runtime (3 ReusedExchange
+    # in the executed plan), but the 4x-duplicated subtree makes the plan
+    # itself 4x larger to analyze/codegen and turns three consumers into
+    # separate sig-frame broadcasts — idle A/B min-of-3: d_minhash_dedup
+    # +11.8%, d_incremental_dedup +5.7%, d_edit_verify +4.1%.  The
+    # checkpoint is the cheaper lineage handling on both faces.
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, seed, portable
     ).localCheckpoint(eager=False)
@@ -945,7 +953,9 @@ def simhash_dedup(
     df = exact_dedup(df, id_col, text_col).localCheckpoint(eager=False)
     sh = simhash_halves(df, id_col, text_col, portable).localCheckpoint(
         eager=False
-    )  # hash pass runs once, not once per self-join side
+    )  # hash pass runs once, not once per self-join side (dropping this
+    # cut for AQE exchange reuse measured as a wash at best — the minhash
+    # twin of the same r12 experiment regressed 11.8%; see minhash_lsh_pairs)
     mask = F.lit(0xFFFF)
     chunks = sh.select(
         "id",

@@ -585,7 +585,14 @@ def pq_seeded_topk(
 
     Determinism: per-subspace distances round at 1e-9 before the argmin
     (ties to the lower code id) and the summed estimate rounds at 1e-9,
-    with ``id_col`` as the total order tie-break."""
+    with ``id_col`` as the total order tie-break.
+
+    Profiled r12 (s_ann_pq, steady state, sf0.1): 1.19 s total = 0.70 s
+    of driver-side build (the model-sized codebook collect + ADC-literal
+    plan folding — the PQ contract) + ONE 0.40 s single-task save stage
+    (the ADC scoring projection over the 1-row-group embeddings scan) +
+    floor.  The scoring stage's CPU is below the ~0.3-0.5 s 32-task
+    overhead of a local spread, so the narrow scan stays."""
     dim = len(query_vec)
     if dim % m:
         raise ValueError(f"query dim {dim} not divisible by m={m} subspaces")
@@ -1957,7 +1964,16 @@ def kmeans_refine(
     (ties → lower cluster id) and centroid components round at
     ``round_digits`` after each mean, so both engines iterate over
     IDENTICAL literal centroids.  Empty cells drop out (their id simply
-    stops appearing), matching the plain Lloyd's behavior."""
+    stops appearing), matching the plain Lloyd's behavior.
+
+    Profiled r12 (stage attribution, steady state, sf0.1): total 2.05 s =
+    11 sequential single-task jobs whose HEAVIEST stage is 196 ms of CPU
+    (per-iteration agg ~140-220 ms, the rest ≤ 60 ms) plus the
+    inter-job scheduling/planning gaps — the iterative contract's
+    sequential-job floor.  Spreading sub-300 ms stages to core width pays
+    the ~0.3-0.5 s 32-task stage overhead per round (the measured
+    power_iteration_top rejection, same class), so the narrow shape
+    stays."""
     df = df.filter(F.col(vec_col).isNotNull())
     if dim is None:
         dim = _modal_dim(df, vec_col)
